@@ -1,0 +1,43 @@
+"""dbdiff_spark — a PySpark-native snapshot-diff + data-pipeline engine.
+
+Re-implements the capabilities of the reference engine (jparound30/dbdiff,
+a Go CLI that diffs two point-in-time snapshots of a relational database
+keyed on primary key — see /root/reference/extract_data.go) as an
+idiomatic, horizontally-scalable Spark DataFrame library, and extends it
+with the large-scale training-data-pipeline operators (dedup, similarity
+search, text analysis, multimodal columns) the reference lacks.
+
+Design stance (vs. the reference):
+
+* the reference materializes every row of every table in driver heap
+  (``extract_data.go:12-17``); we keep everything as distributed
+  DataFrames backed by Parquet/JDBC — nothing driver-resident.
+* the reference's diff is a single-threaded hash full-outer join
+  (``extract_data.go:196-246``); ours is a Catalyst-planned full-outer
+  join that scales to any cluster, with null-safe key comparison and no
+  key-concatenation collision bug (``extract_data.go:149-160``).
+"""
+
+from dbdiff_spark.diff import DiffMode, DiffResult, diff_tables, diff_summary
+from dbdiff_spark.normalize import normalize_to_strings, presentation_view
+from dbdiff_spark.snapshot import Snapshot, SnapshotStore, diff_snapshots
+from dbdiff_spark.config import Configuration, DbConfig, load_configuration
+from dbdiff_spark.session import get_spark
+
+__all__ = [
+    "DiffMode",
+    "DiffResult",
+    "diff_tables",
+    "diff_summary",
+    "normalize_to_strings",
+    "presentation_view",
+    "Snapshot",
+    "SnapshotStore",
+    "diff_snapshots",
+    "Configuration",
+    "DbConfig",
+    "load_configuration",
+    "get_spark",
+]
+
+__version__ = "0.1.0"

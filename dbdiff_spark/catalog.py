@@ -1,0 +1,164 @@
+"""Catalog introspection — reference operators #1-#3 (SURVEY §2).
+
+The reference enumerates user tables and primary-key columns with
+per-dialect ``information_schema`` / system-catalog SQL
+(``dbutil.go:9-38`` for tables, ``dbutil.go:41-146`` for PKs) and falls
+back to "all columns are the key" for tables with no PK
+(``dbutil.go:136-141``).  We express the same introspection as pushed-down
+JDBC subqueries (one Spark job each, executed inside the source DB) and
+add a file-based catalog for Parquet snapshot fixtures, where keys come
+from explicit configuration.
+
+The reference runs one PK query per table (N+1 round-trips,
+``dbutil.go:118-134``); we fetch ALL tables' PK columns in one
+set-oriented query instead — strictly fewer round-trips, same result.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from dbdiff_spark.config import DbConfig
+
+# ---------------------------------------------------------------------------
+# Dialect SQL.  Semantics match the reference's introspection queries
+# (dbutil.go:15-19 table lists; dbutil.go:48-109 PK lookups) but are
+# written set-oriented: one query returns (table_name, column_name,
+# ordinal) for every user table at once.
+# ---------------------------------------------------------------------------
+
+TABLE_LIST_SQL = {
+    "postgresql": (
+        "SELECT relname AS table_name FROM pg_stat_user_tables ORDER BY relname"
+    ),
+    "mysql": (
+        "SELECT table_name FROM information_schema.tables "
+        "WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE' "
+        "ORDER BY table_name"
+    ),
+    "sqlserver": (
+        "SELECT name AS table_name FROM sys.objects "
+        "WHERE type = 'U' ORDER BY name"
+    ),
+}
+
+PK_SQL = {
+    "postgresql": (
+        "SELECT t.relname AS table_name, a.attname AS column_name, "
+        "       k.ordinality AS ordinal "
+        "FROM pg_index i "
+        "JOIN pg_class t ON t.oid = i.indrelid "
+        "JOIN pg_namespace n ON n.oid = t.relnamespace "
+        "CROSS JOIN LATERAL unnest(i.indkey) WITH ORDINALITY AS k(attnum, ordinality) "
+        "JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = k.attnum "
+        "WHERE i.indisprimary AND n.nspname NOT IN ('pg_catalog', 'information_schema')"
+    ),
+    "mysql": (
+        "SELECT table_name, column_name, ordinal_position AS ordinal "
+        "FROM information_schema.key_column_usage "
+        "WHERE constraint_name = 'PRIMARY' AND table_schema = DATABASE()"
+    ),
+    "sqlserver": (
+        "SELECT kcu.table_name, kcu.column_name, kcu.ordinal_position AS ordinal "
+        "FROM information_schema.table_constraints tc "
+        "JOIN information_schema.key_column_usage kcu "
+        "  ON tc.constraint_name = kcu.constraint_name "
+        "WHERE tc.constraint_type = 'PRIMARY KEY'"
+    ),
+}
+
+
+def _read_query(spark: SparkSession, db: DbConfig, sql: str):
+    return (
+        spark.read.format("jdbc")
+        .option("url", db.jdbc_url())
+        .option("query", sql)
+        .options(**db.jdbc_properties())
+        .load()
+    )
+
+
+class JdbcCatalog:
+    """Live-database catalog (reference fidelity path)."""
+
+    def __init__(self, spark: SparkSession, db: DbConfig):
+        if db.type not in TABLE_LIST_SQL:
+            raise ValueError(f"unsupported db type: {db.type!r}")
+        self.spark = spark
+        self.db = db
+
+    def list_tables(self) -> list[str]:
+        """Reference operator #1 (dbutil.go:9-38): all user tables, sorted."""
+        rows = _read_query(self.spark, self.db, TABLE_LIST_SQL[self.db.type]).collect()
+        return sorted(r[0] for r in rows)
+
+    def primary_keys(self, tables: list[str]) -> dict[str, list[str]]:
+        """Reference operators #2-#3 (dbutil.go:41-146): PK columns in
+        ordinal order per table; tables without a PK key on ALL columns
+        (the fallback at dbutil.go:136-141, improved per SURVEY §2 row 3:
+        we read the column list from the DataFrame schema, which is
+        correct even for empty tables)."""
+        pk_rows = _read_query(self.spark, self.db, PK_SQL[self.db.type]).collect()
+        by_table: dict[str, list[tuple[int, str]]] = {}
+        for r in pk_rows:
+            by_table.setdefault(r["table_name"], []).append(
+                (int(r["ordinal"]), r["column_name"])
+            )
+        out: dict[str, list[str]] = {}
+        for t in tables:
+            if t in by_table:
+                out[t] = [c for _, c in sorted(by_table[t])]
+            else:
+                df = (
+                    self.spark.read.format("jdbc")
+                    .option("url", self.db.jdbc_url())
+                    .option("dbtable", f"{self.db.schema}{t}")
+                    .options(**self.db.jdbc_properties())
+                    .load()
+                )
+                out[t] = list(df.columns)
+        return out
+
+
+class FileCatalog:
+    """Parquet-directory catalog for snapshot/fixture mode.
+
+    Tables = ``*.parquet`` entries in the directory; keys come from an
+    explicit ``{table: [cols]}`` mapping, with the reference's no-PK
+    fallback (all columns) when a table has no declared key."""
+
+    def __init__(self, spark: SparkSession, directory: str, keys: dict[str, list[str]] | None = None):
+        self.spark = spark
+        self.directory = str(directory)
+        self.keys = dict(keys or {})
+
+    def list_tables(self) -> list[str]:
+        return sorted(p.stem for p in Path(self.directory).glob("*.parquet"))
+
+    def load(self, table: str):
+        from dbdiff_spark.io import load_table
+
+        return load_table(self.spark, self.directory, table)
+
+    def primary_keys(self, tables: list[str]) -> dict[str, list[str]]:
+        out = {}
+        for t in tables:
+            out[t] = list(self.keys.get(t) or self.load(t).columns)
+        return out
+
+
+# Declared keys for the driver-generated test tables (FIXTURES.md §B).
+TESTDATA_KEYS: dict[str, list[str]] = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    # events: no declared key → all-columns fallback
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}

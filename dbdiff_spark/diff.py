@@ -1,0 +1,239 @@
+"""Core diff operators — the reference engine's entire dataflow,
+re-expressed as one Catalyst-planned full-outer join.
+
+Reference semantics being reproduced (SURVEY §2 ops #6-#8):
+
+* ``extract_data.go:196-246`` — before/after keyed stores probed against
+  each other: key only in before → DELETED; in both and equal →
+  NOT_MODIFIED (dropped); in both and unequal → an UPDATED before/after
+  row pair; key only in after → INSERTED.
+* ``extract_data.go:161-184`` — per-column comparison recording exactly
+  the set of modified columns; if the column sets differ, every column
+  is marked modified.
+* ``extract_data.go:149-160`` — row identity = primary-key columns.  The
+  reference concatenates PK strings with no separator (collision bug,
+  SURVEY §1.5.1); we join on the composite key directly.
+* NULL semantics (SURVEY §1.4): the reference renders NULL as the string
+  ``"<NULL>"`` so NULL == NULL holds.  We use Spark's null-safe equality
+  (``<=>``) — same observable behavior, no sentinel collision.
+
+Scale notes (100 TB posture):
+
+* The diff is ONE shuffle (exchange on the key columns) feeding a
+  sort-merge join; AQE splits skewed key ranges at runtime.  If the two
+  snapshots are written bucketed-by-key (see ``snapshot.py``), the
+  exchange disappears entirely and the diff is a zero-shuffle zip of
+  co-located buckets.
+* Classification, per-column comparison and the UPDATED pair expansion
+  are narrow projections (``when``/``array``/``explode``) that stay
+  inside whole-stage codegen — no Python in the hot path.
+* NOT_MODIFIED rows (the overwhelming majority at scale) are filtered
+  *before* the explode, so the expansion only touches changed rows.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from functools import reduce
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbdiff_spark.normalize import normalize_to_strings
+
+# Diff status labels (reference: extract_data.go:186-192 const block).
+INSERTED = "INSERTED"
+DELETED = "DELETED"
+UPDATED = "UPDATED"
+NOT_MODIFIED = "NOT_MODIFIED"
+
+META_COLS = ["diff_status", "is_before", "modified_columns"]
+
+
+class DiffMode(str, Enum):
+    """STRING = reference fidelity (every column compared as its string
+    rendering, so ``1.0`` vs ``1.00`` in a numeric column is a change —
+    ``extract_data.go:63-67``).  TYPED = native-type comparison, an
+    engine improvement the reference cannot express."""
+
+    STRING = "string"
+    TYPED = "typed"
+
+
+class DiffResult(NamedTuple):
+    """A diff DataFrame plus the metadata needed by sinks."""
+
+    df: DataFrame
+    key_columns: list[str]
+    value_columns: list[str]
+
+
+def _null_safe_key_condition(b: DataFrame, a: DataFrame, key_cols: list[str]) -> Column:
+    """Composite-key equi-join condition with null-safe comparison.
+
+    ``<=>`` is still recognized by Catalyst as an equi-join key, so the
+    planner can pick sort-merge / shuffled-hash / broadcast — this does
+    NOT degrade to a nested-loop join.
+    """
+    return reduce(
+        lambda acc, c: acc & c, [b[k].eqNullSafe(a[k]) for k in key_cols]
+    )
+
+
+def diff_tables(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    mode: DiffMode = DiffMode.STRING,
+    include_unchanged: bool = False,
+) -> DiffResult:
+    """Diff two snapshots of one table, keyed on ``key_cols``.
+
+    Returns a DataFrame with schema
+    ``diff_status string, is_before boolean, modified_columns
+    array<string>, <all value columns>`` where UPDATED rows appear as a
+    before/after pair (before first — the sink contract the reference's
+    Excel writer relies on, ``cmd/dbdiff/main.go:224-232``), DELETED rows
+    carry before values, INSERTED rows carry after values.
+
+    ``key_cols`` may be every column of the table — the reference's
+    fallback for tables with no primary key (``dbutil.go:136-141``); the
+    diff then degenerates to keyed symmetric difference (no UPDATED).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty (no-PK tables key on all columns)")
+    for k in key_cols:
+        if k not in before.columns or k not in after.columns:
+            raise ValueError(f"key column {k!r} missing from before/after")
+
+    if mode == DiffMode.STRING:
+        before = normalize_to_strings(before)
+        after = normalize_to_strings(after)
+
+    b_cols, a_cols = list(before.columns), list(after.columns)
+    # Output column order: after-side order, then before-only columns —
+    # the union of both schemas so dropped/added columns still render.
+    value_cols = a_cols + [c for c in b_cols if c not in set(a_cols)]
+    common_cols = [c for c in a_cols if c in set(b_cols)]
+    schema_drift = set(b_cols) != set(a_cols)
+
+    b_types = dict(before.dtypes)
+    a_types = dict(after.dtypes)
+
+    def side_struct(side: str, side_cols: list[str], alias: str) -> Column:
+        """A struct of every output value column for one join side,
+        with missing-on-this-side columns as typed NULLs and
+        type-conflicting columns unified to string."""
+        fields = []
+        for c in value_cols:
+            if c in side_cols:
+                col = F.col(f"{side}.`{c}`")
+                if c in b_types and c in a_types and b_types[c] != a_types[c]:
+                    col = col.cast("string")
+            else:
+                other_type = a_types.get(c, b_types.get(c, "string"))
+                col = F.lit(None).cast(other_type)
+            fields.append(col.alias(c))
+        return F.struct(*fields).alias(alias)
+
+    b = before.withColumn("__b_present", F.lit(True)).alias("b")
+    a = after.withColumn("__a_present", F.lit(True)).alias("a")
+
+    joined = b.join(a, on=_null_safe_key_condition(b, a, key_cols), how="full_outer")
+
+    both_present = F.col("b.__b_present").isNotNull() & F.col("a.__a_present").isNotNull()
+
+    if schema_drift:
+        # Reference: column-set change ⇒ every column marked modified and
+        # the row counted as UPDATED (extract_data.go:162-171).
+        modified = F.when(
+            both_present, F.array(*[F.lit(c) for c in value_cols])
+        ).otherwise(F.array().cast("array<string>"))
+    else:
+        per_col = [
+            F.when(~F.col(f"b.`{c}`").eqNullSafe(F.col(f"a.`{c}`")), F.lit(c))
+            for c in common_cols
+            if c not in key_cols  # keys matched null-safely ⇒ never modified
+        ]
+        changed_array = (
+            F.array_compact(F.array(*per_col)) if per_col else F.array().cast("array<string>")
+        )
+        modified = F.when(both_present, changed_array).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    status = (
+        F.when(F.col("__b_present").isNull(), F.lit(INSERTED))
+        .when(F.col("__a_present").isNull(), F.lit(DELETED))
+        .when(F.size("modified_columns") > 0, F.lit(UPDATED))
+        .otherwise(F.lit(NOT_MODIFIED))
+    )
+
+    classified = joined.select(
+        modified.alias("modified_columns"),
+        side_struct("b", b_cols, "__b_row"),
+        side_struct("a", a_cols, "__a_row"),
+        F.col("b.__b_present").alias("__b_present"),
+        F.col("a.__a_present").alias("__a_present"),
+    ).withColumn("diff_status", status)
+
+    if not include_unchanged:
+        # Prune the (at scale, overwhelming) unchanged majority BEFORE the
+        # pair expansion — reference drops NOT_MODIFIED at
+        # extract_data.go:219-222.
+        classified = classified.filter(F.col("diff_status") != NOT_MODIFIED)
+
+    pair = F.when(
+        F.col("diff_status") == UPDATED,
+        F.array(
+            F.struct(F.lit(True).alias("is_before"), F.col("__b_row").alias("row")),
+            F.struct(F.lit(False).alias("is_before"), F.col("__a_row").alias("row")),
+        ),
+    ).when(
+        F.col("diff_status") == DELETED,
+        F.array(F.struct(F.lit(True).alias("is_before"), F.col("__b_row").alias("row"))),
+    ).when(
+        F.col("diff_status") == INSERTED,
+        F.array(F.struct(F.lit(False).alias("is_before"), F.col("__a_row").alias("row"))),
+    ).otherwise(
+        # include_unchanged mode: NOT_MODIFIED renders the after row once.
+        F.array(F.struct(F.lit(False).alias("is_before"), F.col("__a_row").alias("row")))
+    )
+
+    exploded = classified.select(
+        "diff_status", "modified_columns", F.explode(pair).alias("__e")
+    )
+
+    out = exploded.select(
+        F.col("diff_status"),
+        F.col("__e.is_before").alias("is_before"),
+        F.col("modified_columns"),
+        *[F.col(f"__e.row.{c}").alias(c) for c in value_cols],
+    )
+    return DiffResult(df=out, key_columns=list(key_cols), value_columns=value_cols)
+
+
+def diff_summary(diff_df: DataFrame, group_extra: list[str] | None = None) -> DataFrame:
+    """Per-status change counts (reference's only aggregate, generalized —
+    ``extract_data.go:23`` counts records; we count by classification).
+
+    UPDATED pairs count once (the before/after rows are two renderings of
+    one logical change), matching a human reading of the report.
+    """
+    extra = group_extra or []
+    dedup = diff_df.filter(~F.col("is_before") | (F.col("diff_status") == DELETED))
+    return (
+        dedup.groupBy(*extra, "diff_status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(*extra, "diff_status")
+    )
+
+
+def ordered_output(result: DiffResult) -> DataFrame:
+    """Deterministic rendering order: key columns, then before-first
+    within an UPDATED pair (reference relies on nondeterministic map
+    order — SURVEY §1.5.4; we fix that)."""
+    return result.df.orderBy(
+        *result.key_columns, F.col("is_before").desc()
+    )

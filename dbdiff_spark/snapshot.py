@@ -1,0 +1,197 @@
+"""Snapshot store — reference's ``AllTableStore`` (``extract_data.go:12-17``)
+re-imagined for distributed storage.
+
+The reference holds one full copy of every table in driver heap; its
+capacity ceiling is process RAM (it prints heap stats after every
+snapshot, ``cmd/dbdiff/main.go:303-308``).  Here a snapshot is a
+*manifest*: table name → Parquet path + key columns + column list.  Data
+lives in distributed storage, written once at snapshot time (point-in-time
+semantics — a lazy JDBC DataFrame would re-read live data on every
+action, SURVEY §7.3.1) and read lazily by the diff.
+
+Scale design:
+
+* ``collect`` writes each table partitioned (and optionally bucketed by
+  its key columns).  Two snapshots bucketed the same way diff with NO
+  shuffle — the full-outer join zips co-located buckets.
+* Tables snapshot sequentially in the reference (single goroutine; the
+  TODO at ``extract_data.go:33`` wishes for parallelism).  Spark jobs for
+  different tables are submitted from one driver loop; on a cluster the
+  scheduler overlaps them, and each table's scan is itself partitioned.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.diff import (
+    DELETED,
+    INSERTED,
+    DiffMode,
+    DiffResult,
+    diff_tables,
+)
+
+TABLE_ADDED = "TABLE_ADDED"
+TABLE_DROPPED = "TABLE_DROPPED"
+
+MANIFEST_NAME = "_snapshot_manifest.json"
+
+
+@dataclass
+class Snapshot:
+    """A point-in-time copy of a set of tables (manifest only)."""
+
+    root: str
+    tables: dict[str, str] = field(default_factory=dict)  # name -> parquet path
+    keys: dict[str, list[str]] = field(default_factory=dict)
+    columns: dict[str, list[str]] = field(default_factory=dict)  # AllColumn analogue
+    total_count: int = 0  # TotalDataCount analogue (extract_data.go:23)
+
+    def load(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.tables[table])
+
+    def save_manifest(self) -> None:
+        Path(self.root).mkdir(parents=True, exist_ok=True)
+        (Path(self.root) / MANIFEST_NAME).write_text(
+            json.dumps(
+                {
+                    "tables": self.tables,
+                    "keys": self.keys,
+                    "columns": self.columns,
+                    "total_count": self.total_count,
+                },
+                indent=2,
+            )
+        )
+
+    @classmethod
+    def load_manifest(cls, root: str) -> "Snapshot":
+        data = json.loads((Path(root) / MANIFEST_NAME).read_text())
+        return cls(
+            root=root,
+            tables=data["tables"],
+            keys=data["keys"],
+            columns=data["columns"],
+            total_count=data["total_count"],
+        )
+
+
+class SnapshotStore:
+    """Collects snapshots (reference entry point B,
+    ``CollectAllTableData``, ``extract_data.go:19-95``)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def collect(
+        self,
+        sources: dict[str, DataFrame],
+        keys: dict[str, list[str]],
+        snapshot_root: str,
+        count_rows: bool = True,
+    ) -> Snapshot:
+        """Persist every source DataFrame to Parquet under
+        ``snapshot_root`` and return the manifest.
+
+        A snapshot object is written once and never mutated — the
+        reference enforces single-use with a guard
+        (``extract_data.go:20-22``); immutability of a written Parquet
+        dir gives us the same property structurally.
+        """
+        snap = Snapshot(root=str(snapshot_root))
+        total = 0
+        for name, df in sources.items():
+            path = str(Path(snapshot_root) / name)
+            df.write.mode("errorifexists").parquet(path)
+            snap.tables[name] = path
+            snap.keys[name] = list(keys.get(name) or df.columns)
+            snap.columns[name] = list(df.columns)
+            if count_rows:
+                total += self.spark.read.parquet(path).count()
+        snap.total_count = total
+        snap.save_manifest()
+        return snap
+
+
+def diff_snapshots(
+    spark: SparkSession,
+    before: Snapshot,
+    after: Snapshot,
+    mode: DiffMode = DiffMode.STRING,
+) -> dict[str, DiffResult]:
+    """Diff every table across two snapshots.
+
+    The reference iterates only the BEFORE table set
+    (``extract_data.go:199``), silently ignoring tables created between
+    snapshots (SURVEY §1.5.3).  We diff the union of both table sets:
+    a table only in *before* yields all-DELETED rows, a table only in
+    *after* yields all-INSERTED rows, and the packed summary labels them
+    TABLE_DROPPED / TABLE_ADDED.
+    """
+    results: dict[str, DiffResult] = {}
+    for name in sorted(set(before.tables) | set(after.tables)):
+        if name in before.tables and name in after.tables:
+            b = before.load(spark, name)
+            a = after.load(spark, name)
+            key = after.keys.get(name) or before.keys.get(name) or a.columns
+            results[name] = diff_tables(b, a, key, mode=mode)
+        elif name in before.tables:  # dropped: every row DELETED
+            b = before.load(spark, name)
+            empty = spark.createDataFrame([], b.schema)
+            results[name] = diff_tables(b, empty, before.keys[name], mode=mode)
+        else:  # added: every row INSERTED
+            a = after.load(spark, name)
+            empty = spark.createDataFrame([], a.schema)
+            results[name] = diff_tables(empty, a, after.keys[name], mode=mode)
+    return results
+
+
+def packed_diff(
+    spark: SparkSession,
+    before: Snapshot,
+    after: Snapshot,
+    mode: DiffMode = DiffMode.STRING,
+) -> DataFrame:
+    """One union-able DataFrame across heterogeneous table schemas:
+    ``table_name, diff_status, is_before, modified_columns, key
+    map<string,string>, row map<string,string>``.
+
+    This is the at-scale sink shape — writable as a single partitioned
+    Parquet/Delta dataset no matter how many tables are involved.
+    """
+    results = diff_snapshots(spark, before, after, mode=mode)
+    parts = []
+    dropped = set(before.tables) - set(after.tables)
+    added = set(after.tables) - set(before.tables)
+    for name, res in results.items():
+        df = res.df
+        status = F.col("diff_status")
+        if name in dropped:
+            status = F.when(status == DELETED, F.lit(TABLE_DROPPED)).otherwise(status)
+        if name in added:
+            status = F.when(status == INSERTED, F.lit(TABLE_ADDED)).otherwise(status)
+        packed = df.select(
+            F.lit(name).alias("table_name"),
+            status.alias("diff_status"),
+            F.col("is_before"),
+            F.col("modified_columns"),
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in res.key_columns]),
+                F.array(*[F.col(k).cast("string") for k in res.key_columns]),
+            ).alias("key"),
+            F.map_from_arrays(
+                F.array(*[F.lit(c) for c in res.value_columns]),
+                F.array(*[F.col(c).cast("string") for c in res.value_columns]),
+            ).alias("row"),
+        )
+        parts.append(packed)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,215 @@
+"""Per-operator tests for the diff core (SURVEY §5.2 item 1).
+
+Covers: classification truth table, modified_columns exactness, NULL
+semantics, composite keys (incl. the reference's concat-collision case,
+which we must NOT reproduce), no-PK all-columns keys, schema drift, and
+string-vs-typed comparison modes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbdiff_spark.diff import (
+    DELETED,
+    INSERTED,
+    NOT_MODIFIED,
+    UPDATED,
+    DiffMode,
+    diff_summary,
+    diff_tables,
+    ordered_output,
+)
+
+
+def collect_sorted(res):
+    return [
+        r.asDict()
+        for r in ordered_output(res).collect()
+    ]
+
+
+def test_classification_truth_table(spark):
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, s string, v double"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (4, "d", 40.0)], "id int, s string, v double"
+    )
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    # id=1 unchanged -> absent; id=2 updated pair; id=3 deleted; id=4 inserted
+    assert [(r["id"], r["diff_status"], r["is_before"]) for r in rows] == [
+        (2, UPDATED, True),
+        (2, UPDATED, False),
+        (3, DELETED, True),
+        (4, INSERTED, False),
+    ]
+    upd_before = rows[0]
+    assert upd_before["modified_columns"] == ["s"]
+    assert upd_before["s"] == "b"
+    assert rows[1]["s"] == "B"
+    assert rows[2]["v"] == 30.0
+    assert rows[3]["v"] == 40.0
+
+
+def test_include_unchanged(spark):
+    before = spark.createDataFrame([(1, "a")], "id int, s string")
+    after = spark.createDataFrame([(1, "a")], "id int, s string")
+    res = diff_tables(before, after, ["id"], include_unchanged=True)
+    rows = collect_sorted(res)
+    assert len(rows) == 1
+    assert rows[0]["diff_status"] == NOT_MODIFIED
+
+
+def test_modified_columns_exactness_many_columns(spark):
+    cols = "id int, a string, b string, c string, d string, e string"
+    before = spark.createDataFrame([(1, "1", "2", "3", "4", "5")], cols)
+    after = spark.createDataFrame([(1, "1", "x", "3", "y", "5")], cols)
+    res = diff_tables(before, after, ["id"])
+    rows = collect_sorted(res)
+    assert rows[0]["modified_columns"] == ["b", "d"]
+    assert rows[1]["modified_columns"] == ["b", "d"]
+
+
+def test_null_semantics_null_equals_null(spark):
+    """Reference renders NULL as '<NULL>' so NULL==NULL (SURVEY §1.4).
+    We reproduce via null-safe equality: a row whose nullable column is
+    NULL on both sides is NOT_MODIFIED."""
+    before = spark.createDataFrame([(1, None), (2, "x")], "id int, s string")
+    after = spark.createDataFrame([(1, None), (2, None)], "id int, s string")
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    # id=1: NULL->NULL unchanged. id=2: "x"->NULL updated.
+    assert [(r["id"], r["diff_status"]) for r in rows] == [
+        (2, UPDATED),
+        (2, UPDATED),
+    ]
+    assert rows[0]["modified_columns"] == ["s"]
+
+
+def test_null_in_key_matches(spark):
+    """NULL key values must match across snapshots (reference keys on the
+    '<NULL>' string, so NULL keys are legal and match)."""
+    before = spark.createDataFrame([(None, "a")], "k int, v string")
+    after = spark.createDataFrame([(None, "b")], "k int, v string")
+    res = diff_tables(before, after, ["k"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    assert [r["diff_status"] for r in rows] == [UPDATED, UPDATED]
+
+
+def test_composite_key_no_collision(spark):
+    """Reference concatenates PK strings with no separator so
+    ('ab','c') == ('a','bc') — extract_data.go:149-160.  Composite join
+    keys must NOT collide (SURVEY §1.5.1 regression)."""
+    before = spark.createDataFrame([("ab", "c", 1)], "k1 string, k2 string, v int")
+    after = spark.createDataFrame([("a", "bc", 1)], "k1 string, k2 string, v int")
+    res = diff_tables(before, after, ["k1", "k2"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    assert sorted(r["diff_status"] for r in rows) == [DELETED, INSERTED]
+
+
+def test_no_pk_all_columns_key(spark):
+    """events-style fallback: key = all columns → only INSERT/DELETE."""
+    before = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    after = spark.createDataFrame([(1, "a"), (2, "c")], "id int, s string")
+    res = diff_tables(before, after, ["id", "s"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    assert [(r["id"], r["s"], r["diff_status"]) for r in rows] == [
+        (2, "b", DELETED),
+        (2, "c", INSERTED),
+    ]
+
+
+def test_schema_drift_all_columns_modified(spark):
+    """Column-set change ⇒ every column modified, row UPDATED
+    (extract_data.go:162-171)."""
+    before = spark.createDataFrame([(1, "a")], "id int, s string")
+    after = spark.createDataFrame([(1, "a", 5)], "id int, s string, extra int")
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    assert [r["diff_status"] for r in rows] == [UPDATED, UPDATED]
+    assert set(rows[0]["modified_columns"]) == {"id", "s", "extra"}
+    assert rows[0]["extra"] is None  # before side lacks the new column
+    assert rows[1]["extra"] == 5
+
+
+def test_string_mode_formatting_sensitivity(spark):
+    """Fidelity mode compares string renderings: 1.0 vs 1.00 in a
+    DECIMAL column differs after cast (reference behavior §1.5.2);
+    typed mode sees them equal."""
+    before = spark.createDataFrame([(1, "1.0")], "id int, v string").select(
+        "id", F.col("v").cast("decimal(10,1)").alias("v")
+    )
+    after = spark.createDataFrame([(1, "1.00")], "id int, v string").select(
+        "id", F.col("v").cast("decimal(10,2)").alias("v")
+    )
+    res_string = diff_tables(before, after, ["id"], mode=DiffMode.STRING)
+    assert [r["diff_status"] for r in collect_sorted(res_string)] == [UPDATED, UPDATED]
+    res_typed = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    assert collect_sorted(res_typed) == []
+
+
+def test_empty_before_and_after(spark):
+    schema = "id int, s string"
+    empty = spark.createDataFrame([], schema)
+    data = spark.createDataFrame([(1, "a")], schema)
+    res = diff_tables(empty, data, ["id"])
+    assert [r["diff_status"] for r in collect_sorted(res)] == [INSERTED]
+    res = diff_tables(data, empty, ["id"])
+    assert [r["diff_status"] for r in collect_sorted(res)] == [DELETED]
+    res = diff_tables(empty, empty, ["id"])
+    assert collect_sorted(res) == []
+
+
+def test_diff_summary_counts_pairs_once(spark):
+    before = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, s string")
+    after = spark.createDataFrame([(1, "x"), (2, "y"), (4, "d")], "id int, s string")
+    res = diff_tables(before, after, ["id"])
+    counts = {r["diff_status"]: r["n_rows"] for r in diff_summary(res.df).collect()}
+    assert counts == {UPDATED: 2, DELETED: 1, INSERTED: 1}
+
+
+def test_key_validation(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        diff_tables(df, df, [])
+    with pytest.raises(ValueError):
+        diff_tables(df, df, ["nope"])
+
+
+def test_seeded_mutation_recovery(spark, sf_dir):
+    """SURVEY §5.2 item 4: mutate customer with known inserts/updates/
+    deletes; the diff must recover exactly those keys and columns."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    before = customer
+    after = (
+        customer.filter(F.col("c_custkey") % 10 != 7)  # deletes
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 3, F.col("c_acctbal") + 100.0).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+        .unionByName(
+            customer.filter(F.col("c_custkey") % 10 == 1).withColumn(
+                "c_custkey", F.col("c_custkey") + 1_000_000
+            )
+        )
+    )
+    res = diff_tables(before, after, ["c_custkey"], mode=DiffMode.TYPED)
+    rows = collect_sorted(res)
+    base = [r.asDict() for r in customer.collect()]
+    expect_deleted = {r["c_custkey"] for r in base if r["c_custkey"] % 10 == 7}
+    expect_updated = {r["c_custkey"] for r in base if r["c_custkey"] % 10 == 3}
+    expect_inserted = {
+        r["c_custkey"] + 1_000_000 for r in base if r["c_custkey"] % 10 == 1
+    }
+    got_deleted = {r["c_custkey"] for r in rows if r["diff_status"] == DELETED}
+    got_updated = {r["c_custkey"] for r in rows if r["diff_status"] == UPDATED}
+    got_inserted = {r["c_custkey"] for r in rows if r["diff_status"] == INSERTED}
+    assert got_deleted == expect_deleted
+    assert got_updated == expect_updated
+    assert got_inserted == expect_inserted
+    for r in rows:
+        if r["diff_status"] == UPDATED:
+            assert r["modified_columns"] == ["c_acctbal"]
