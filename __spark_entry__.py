@@ -1,38 +1,103 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Every query here is implemented with the ``dbdiff_spark`` engine and has
+a hand-checked ANSI-SQL twin; shared mutation/expression snippets live in
+``dbdiff_spark.testkit`` so both sides evaluate identical expressions.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from dbdiff_spark import testkit
+from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
+from dbdiff_spark.io import TABLES, load_table
+
+DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full snapshot diff of the customer table
+    (base vs deterministically mutated copy) at sf0.001."""
+    _ensure_session_conf(spark)
+    return testkit.diff_query_df(spark, "/root/testdata/sf0.001", "customer")
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Confs the engine needs that are runtime-settable (the driver may
+    hand us a session built without dbdiff_spark.session.get_spark)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
+def _diff_query(table: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_conf(spark)
+        return testkit.diff_query_df(spark, sf_dir, table)
+
+    return q
+
+
+def _diff_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_session_conf(spark)
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    res = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    return diff_summary(res.df)
+
+
+def _snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference operator #9: per-table record counts (TotalDataCount,
+    extract_data.go:23) — generalized to a per-table breakdown."""
+    _ensure_session_conf(spark)
+    out = None
+    for name in TABLES:
+        part = (
+            load_table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(name).alias("table_name"), F.col("n_rows"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for t in DIFF_TABLES:
+        out[f"diff_{t}"] = _diff_query(t)
+    out["diff_summary_customer"] = _diff_summary_query
+    out["snapshot_counts"] = _snapshot_counts
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for t in DIFF_TABLES:
+        out[f"diff_{t}"] = testkit.diff_oracle_sql(t)
+    out["diff_summary_customer"] = f"""
+SELECT diff_status, count(*) AS n_rows
+FROM ({testkit.diff_oracle_sql('customer')})
+WHERE (NOT is_before) OR diff_status = 'DELETED'
+GROUP BY diff_status
+"""
+    out["snapshot_counts"] = "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES
+    )
+    return out

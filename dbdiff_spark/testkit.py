@@ -1,0 +1,320 @@
+"""Deterministic before→after mutation fixtures shared between the Spark
+engine and the DuckDB oracle.
+
+The driver's correctness gate (BASELINE.md t2) runs each declared query
+on Spark AND its ``oracle_sql()`` twin on DuckDB over the same parquet
+tables, then hash-compares values.  The engine's core operation —
+``diff(before, after)`` — therefore needs an *after* snapshot that both
+sides can derive identically.  Everything here is built from shared SQL
+expression strings evaluated by ``F.expr`` on the Spark side and spliced
+verbatim into the DuckDB SQL on the oracle side, so the two engines see
+bit-identical inputs (mutation arithmetic on doubles is deterministic).
+
+Timestamp columns are converted to epoch-microsecond BIGINTs on both
+sides (Spark ``unix_micros`` / DuckDB ``epoch_us``) before diffing, so
+value hashing never depends on engine-specific timestamp rendering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.diff import DiffMode, diff_tables
+from dbdiff_spark.io import load_table
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    key: tuple[str, ...]
+    cols: tuple[str, ...]
+    ts_cols: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Mutation:
+    """delete/update/insert expressed as shared SQL snippets.
+
+    ``updates`` is a tuple of ``(condition_sql, column, value_expr_sql)``;
+    value expressions may reference base columns only (never a column
+    modified by another update — both engines must see simultaneous
+    semantics).  ``insert_overrides`` maps column → expression applied to
+    the rows selected by ``insert_where`` (fresh keys required).
+    """
+
+    delete_where: str | None = None
+    updates: tuple[tuple[str, str, str], ...] = ()
+    insert_where: str | None = None
+    insert_overrides: dict[str, str] = field(default_factory=dict)
+
+
+# --- driver testdata specs (FIXTURES.md §B) --------------------------------
+
+SPECS: dict[str, TableSpec] = {
+    "region": TableSpec("region", ("r_regionkey",), ("r_regionkey", "r_name")),
+    "nation": TableSpec(
+        "nation", ("n_nationkey",), ("n_nationkey", "n_name", "n_regionkey")
+    ),
+    "customer": TableSpec(
+        "customer",
+        ("c_custkey",),
+        ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    ),
+    "supplier": TableSpec(
+        "supplier", ("s_suppkey",), ("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    ),
+    "part": TableSpec(
+        "part",
+        ("p_partkey",),
+        ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    ),
+    "orders": TableSpec(
+        "orders",
+        ("o_orderkey",),
+        (
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        ts_cols=("o_orderdate",),
+    ),
+    "lineitem": TableSpec(
+        "lineitem",
+        ("l_orderkey", "l_linenumber"),
+        (
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ),
+        ts_cols=("l_shipdate",),
+    ),
+    "events": TableSpec(
+        "events",
+        # no declared PK → all-columns fallback (dbutil.go:136-141)
+        ("event_id", "ts", "user_id", "event_type", "value", "props"),
+        ("event_id", "ts", "user_id", "event_type", "value", "props"),
+        ts_cols=("ts",),
+    ),
+}
+
+MUTATIONS: dict[str, Mutation] = {
+    "customer": Mutation(
+        delete_where="c_custkey % 10 = 7",
+        updates=(
+            ("c_custkey % 10 = 3", "c_acctbal", "c_acctbal + 100.0"),
+            ("c_custkey % 10 = 4", "c_mktsegment", "'MUTATED'"),
+        ),
+        insert_where="c_custkey % 10 = 1",
+        insert_overrides={"c_custkey": "c_custkey + 1000000"},
+    ),
+    "lineitem": Mutation(
+        delete_where="l_orderkey % 13 = 5",
+        updates=(("l_orderkey % 13 = 3", "l_quantity", "l_quantity + 1.0"),),
+        insert_where="l_orderkey % 13 = 2",
+        insert_overrides={"l_orderkey": "l_orderkey + 10000000"},
+    ),
+    "supplier": Mutation(
+        updates=(
+            ("s_suppkey % 3 = 1", "s_acctbal", "CAST(NULL AS DOUBLE)"),
+            ("s_suppkey % 3 = 2", "s_name", "CAST(NULL AS STRING)"),
+        ),
+    ),
+    "orders": Mutation(
+        delete_where="o_orderkey % 11 = 4",
+        updates=(
+            ("o_orderkey % 11 = 6", "o_totalprice", "o_totalprice * 2.0"),
+            ("o_orderkey % 11 = 7", "o_orderdate", "o_orderdate + 86400000000"),
+        ),
+        insert_where="o_orderkey % 11 = 8",
+        insert_overrides={"o_orderkey": "o_orderkey + 20000000"},
+    ),
+    "part": Mutation(
+        updates=(
+            ("p_partkey % 7 = 2", "p_brand", "'Brand#99'"),
+            ("p_partkey % 7 = 2", "p_retailprice", "p_retailprice + 1.0"),
+            ("p_partkey % 7 = 3", "p_size", "p_size + 10"),
+        ),
+    ),
+    "events": Mutation(
+        delete_where="event_id % 10 = 2",
+        insert_where="event_id % 10 = 3",
+        insert_overrides={"event_id": "event_id + 10000000"},
+    ),
+    "region": Mutation(),  # identity → empty diff
+}
+
+
+# --- Spark side ------------------------------------------------------------
+
+
+def prep(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Timestamp → epoch-micros projection (shared with the oracle)."""
+    return df.select(
+        [
+            # cast handles TIMESTAMP_NTZ parquet columns; session TZ is
+            # pinned to UTC so the cast is wall-clock identity.
+            F.unix_micros(F.col(c).cast("timestamp")).alias(c)
+            if c in spec.ts_cols
+            else F.col(c)
+            for c in spec.cols
+        ]
+    )
+
+
+def apply_mutation(base: DataFrame, spec: TableSpec, mut: Mutation) -> DataFrame:
+    """Derive the after snapshot on the Spark side.
+
+    CAUTION: update semantics are simultaneous-over-base — expressed as a
+    single select so chained ``withColumn`` can't leak an updated value
+    into another update's expression.
+    """
+    kept = base.filter(~F.expr(mut.delete_where)) if mut.delete_where else base
+    upd_by_col: dict[str, list[tuple[str, str]]] = {}
+    for cond, col, expr in mut.updates:
+        upd_by_col.setdefault(col, []).append((cond, expr))
+    select_cols = []
+    for c in spec.cols:
+        if c in upd_by_col:
+            col_expr = F.col(c)
+            for cond, expr in reversed(upd_by_col[c]):
+                col_expr = F.when(F.expr(cond), F.expr(expr)).otherwise(col_expr)
+            select_cols.append(col_expr.alias(c))
+        else:
+            select_cols.append(F.col(c))
+    kept = kept.select(select_cols)
+    if mut.insert_where:
+        ins = base.filter(F.expr(mut.insert_where)).select(
+            [
+                F.expr(mut.insert_overrides[c]).alias(c)
+                if c in mut.insert_overrides
+                else F.col(c)
+                for c in spec.cols
+            ]
+        )
+        kept = kept.unionByName(ins)
+    return kept
+
+
+def diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """The engine-side diff query the driver compares against the oracle:
+    typed-mode diff of (base, mutate(base)) with oracle-friendly output
+    (modified column set as a CSV string, timestamps as epoch micros)."""
+    spec, mut = SPECS[table], MUTATIONS[table]
+    base = prep(load_table(spark, sf_dir, table), spec)
+    after = apply_mutation(base, spec, mut)
+    res = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    return res.df.select(
+        F.col("diff_status"),
+        F.col("is_before"),
+        F.array_join(F.col("modified_columns"), ",").alias("modified_cols"),
+        *[F.col(c) for c in spec.cols],
+    )
+
+
+# --- DuckDB oracle side ----------------------------------------------------
+
+
+def _prep_sql(spec: TableSpec) -> str:
+    cols = ", ".join(
+        f'epoch_us("{c}") AS "{c}"' if c in spec.ts_cols else f'"{c}"'
+        for c in spec.cols
+    )
+    return f'SELECT {cols} FROM "{spec.name}"'
+
+
+def _after_sql(spec: TableSpec, mut: Mutation) -> str:
+    upd_by_col: dict[str, list[tuple[str, str]]] = {}
+    for cond, col, expr in mut.updates:
+        upd_by_col.setdefault(col, []).append((cond, expr))
+    sel = []
+    for c in spec.cols:
+        if c in upd_by_col:
+            cases = " ".join(
+                f"WHEN {cond} THEN ({expr})" for cond, expr in upd_by_col[c]
+            )
+            sel.append(f'CASE {cases} ELSE "{c}" END AS "{c}"')
+        else:
+            sel.append(f'"{c}"')
+    where = f"WHERE NOT ({mut.delete_where})" if mut.delete_where else ""
+    sql = f"SELECT {', '.join(sel)} FROM before {where}"
+    if mut.insert_where:
+        ins_sel = ", ".join(
+            f'({mut.insert_overrides[c]}) AS "{c}"' if c in mut.insert_overrides else f'"{c}"'
+            for c in spec.cols
+        )
+        sql += f"\n  UNION ALL SELECT {ins_sel} FROM before WHERE {mut.insert_where}"
+    return sql
+
+
+def diff_oracle_sql(table: str) -> str:
+    """ANSI-SQL twin of :func:`diff_query_df` for DuckDB.
+
+    Same full-outer-join-with-classification semantics as the engine
+    (reference: extract_data.go:196-246), written as plain SQL.  NULL
+    handling uses IS [NOT] DISTINCT FROM — the SQL form of Spark's
+    ``eqNullSafe`` (SURVEY §1.4).  DuckDB's ``CAST(NULL AS STRING)`` is
+    valid (STRING aliases VARCHAR), so mutation snippets stay shared.
+    """
+    spec, mut = SPECS[table], MUTATIONS[table]
+    nonkey = [c for c in spec.cols if c not in spec.key]
+    key_cond = " AND ".join(f'b."{k}" IS NOT DISTINCT FROM a."{k}"' for k in spec.key)
+    b_cols = ", ".join(f'b."{c}" AS "b_{c}"' for c in spec.cols)
+    a_cols = ", ".join(f'a."{c}" AS "a_{c}"' for c in spec.cols)
+    any_modified = (
+        " OR ".join(f'"b_{c}" IS DISTINCT FROM "a_{c}"' for c in nonkey)
+        if nonkey
+        else "FALSE"
+    )
+    modified_csv = (
+        "concat_ws(',', "
+        + ", ".join(
+            f"CASE WHEN \"b_{c}\" IS DISTINCT FROM \"a_{c}\" THEN '{c}' END"
+            for c in nonkey
+        )
+        + ")"
+        if nonkey
+        else "''"
+    )
+    b_out = ", ".join(f'"b_{c}" AS "{c}"' for c in spec.cols)
+    a_out = ", ".join(f'"a_{c}" AS "{c}"' for c in spec.cols)
+    return f"""
+WITH before AS ({_prep_sql(spec)}),
+after AS (
+  {_after_sql(spec, mut)}
+),
+j AS (
+  SELECT {b_cols}, {a_cols}, b."__p" AS b_present, a."__p" AS a_present
+  FROM (SELECT *, TRUE AS "__p" FROM before) b
+  FULL OUTER JOIN (SELECT *, TRUE AS "__p" FROM after) a
+  ON {key_cond}
+),
+cls AS (
+  SELECT *,
+    CASE WHEN b_present IS NULL THEN 'INSERTED'
+         WHEN a_present IS NULL THEN 'DELETED'
+         WHEN {any_modified} THEN 'UPDATED'
+         ELSE 'NOT_MODIFIED' END AS diff_status,
+    CASE WHEN b_present IS NOT NULL AND a_present IS NOT NULL
+         THEN {modified_csv} ELSE '' END AS modified_cols
+  FROM j
+)
+SELECT diff_status, TRUE AS is_before, modified_cols, {b_out}
+FROM cls WHERE diff_status IN ('DELETED', 'UPDATED')
+UNION ALL
+SELECT diff_status, FALSE AS is_before, modified_cols, {a_out}
+FROM cls WHERE diff_status IN ('INSERTED', 'UPDATED')
+"""
