@@ -1,0 +1,400 @@
+"""Analytics operators — aggregation / join / window / rollup / pivot /
+top-k coverage over the driver testdata, each with a DuckDB oracle twin.
+
+The reference engine has exactly one aggregate (record count,
+``extract_data.go:23``); everything here is extension-tier capability for
+the 100 TB north star, expressed with built-in DataFrame operators so
+Catalyst plans them (broadcast for dims, partial aggregation, AQE).
+
+Oracle-exactness design: double-typed measures are summed as
+``DECIMAL(18,4)`` (exact, order-independent — a parallel double sum is
+not reproducible across engines) and cast back to double at the end;
+timestamps aggregate as epoch micros.  Both engines evaluate identical
+rounding (ties are unreachable for binary doubles at 4 decimal places).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+
+def _dsum(expr: str) -> str:
+    """Exact, order-independent sum of a double expression (shared SQL).
+
+    Quantizes each row to a 1e-4 integer grid and sums BIGINTs: parallel
+    double summation is order-dependent, and double→DECIMAL casts diverge
+    across engines (Spark goes through Java's shortest-string repr,
+    DuckDB rounds the exact binary value).  ROUND(double) is
+    half-away-from-zero in both engines, so the grid is bit-identical.
+    """
+    return f"CAST(SUM(CAST(ROUND(({expr}) * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+
+
+# epoch-micros literals (UTC)
+_TS_19980902 = 904_694_400_000_000
+_TS_19960101 = 820_454_400_000_000
+_TS_19970101 = 852_076_800_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+# --- Q1-style pricing summary (scan → filter → 8-agg groupBy) --------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")) <= F.lit(_TS_19980902)
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_dsum("l_quantity")).alias("sum_qty"),
+            F.expr(_dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
+                "sum_charge"
+            ),
+            (F.expr(_dsum("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.expr(_dsum("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (F.expr(_dsum("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {_dsum('l_quantity')} / count(*) AS avg_qty,
+       {_dsum('l_extendedprice')} / count(*) AS avg_price,
+       {_dsum('l_discount')} / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE epoch_us(l_shipdate) <= {_TS_19980902}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (3-way join → agg → top-k) -----------------
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is the small side → broadcast kills the shuffle
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_orderpriority",
+        )
+        .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, epoch_us(o_orderdate), o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style regional revenue (5-way join incl. two broadcast dims) -------
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.lit(_TS_19960101))
+        & (F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.lit(_TS_19970101))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND epoch_us(o_orderdate) >= {_TS_19960101}
+  AND epoch_us(o_orderdate) < {_TS_19970101}
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- left / semi / anti joins ----------------------------------------------
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping order-less customers (n_orders = 0)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_dsum("o_totalprice")).alias("total_spend"),
+    )
+    return cust.join(
+        per_cust, cust.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+    )
+
+
+CUSTOMER_ORDER_STATS_SQL = f"""
+SELECT c_custkey, c_name,
+       coalesce(n_orders, 0) AS n_orders,
+       coalesce(total_spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS n_orders, {_dsum('o_totalprice')} AS total_spend
+  FROM orders GROUP BY o_custkey
+) po ON c_custkey = o_custkey
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (reference has no predicates at all; NOT EXISTS is core
+    engine vocabulary for pipeline hygiene checks)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- pivot ------------------------------------------------------------------
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority (fixed priority list so
+    the output schema is static — required at scale; dynamic pivot forces
+    an extra distinct pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {p: f"n_{p[0]}" for p in _PRIORITIES}  # 1-URGENT -> n_1
+    out = piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in _PRIORITIES],
+    )
+    return out
+
+
+ORDERS_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_5
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --- rollup -----------------------------------------------------------------
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(event_type, day): per-type-per-day, per-type subtotal, and
+    grand total in one pass (partial aggregation map-side; one shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    with_day = ev.select(
+        F.col("event_type"),
+        F.expr("CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT)").alias(
+            "day"
+        ),
+        F.col("value"),
+    )
+    return with_day.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(_dsum("value")).alias("total_value"),
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+SELECT event_type, day, count(*) AS n_events, {_dsum('value')} AS total_value
+FROM (
+  SELECT event_type,
+         CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+         value
+  FROM events
+)
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+# --- window functions -------------------------------------------------------
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — the canonical top-k-per-group
+    window (row_number, deterministic event_id tiebreak)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id, event_type, value, rn
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag(ts) + gap>30min cumsum — the batch analogue
+    of streaming session windows (pyspark_guide 'Common OLAP patterns')."""
+    ev = load_table(spark, sf_dir, "events")
+    with_us = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = with_us.select(
+        "user_id",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > SESSION_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("new_session") + F.lit(1)).cast("long").alias("n_sessions"),
+    )
+
+
+USER_SESSIONS_SQL = f"""
+SELECT user_id, count(*) AS n_events, CAST(sum(new_session) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+              ) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + unpartitioned window: each brand's share of total
+    revenue (window-over-aggregate pattern)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+    return rev.select(
+        "p_brand",
+        "revenue",
+        # total summed as decimal: exact and order-independent, so the
+        # division is bit-identical across engines
+        (F.col("revenue") / F.expr(
+            "CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE)"
+        )).alias("share"),
+    )
+
+
+BRAND_REVENUE_SHARE_SQL = f"""
+SELECT p_brand, revenue,
+       revenue / CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER () AS DOUBLE) AS share
+FROM (
+  SELECT p_brand, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
+    "q5_regional_revenue": (q5_regional_revenue, Q5_SQL),
+    "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),
+    "customers_without_orders": (
+        customers_without_orders,
+        CUSTOMERS_WITHOUT_ORDERS_SQL,
+    ),
+    "orders_priority_pivot": (orders_priority_pivot, ORDERS_PRIORITY_PIVOT_SQL),
+    "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
+    "top_events_per_user": (top_events_per_user, TOP_EVENTS_PER_USER_SQL),
+    "user_sessions": (user_sessions, USER_SESSIONS_SQL),
+    "brand_revenue_share": (brand_revenue_share, BRAND_REVENUE_SHARE_SQL),
+}
