@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dbdiff_spark import testkit
 from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
 from dbdiff_spark.io import TABLES, load_table
-from dbdiff_spark.ops import analytics
+from dbdiff_spark.ops import analytics, dedup, text
 
 DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
 
@@ -85,8 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"diff_{t}"] = _diff_query(t)
     out["diff_summary_customer"] = _diff_summary_query
     out["snapshot_counts"] = _snapshot_counts
-    for name, (fn, _sql) in analytics.QUERIES.items():
-        out[name] = _with_conf(fn)
+    for mod in (analytics, text, dedup):
+        for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = _with_conf(fn)
     return out
 
 
@@ -111,6 +112,7 @@ GROUP BY diff_status
     out["snapshot_counts"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES
     )
-    for name, (_fn, sql) in analytics.QUERIES.items():
-        out[name] = sql
+    for mod in (analytics, text, dedup):
+        for name, (_fn, sql) in mod.QUERIES.items():
+            out[name] = sql
     return out

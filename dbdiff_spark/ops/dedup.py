@@ -1,0 +1,306 @@
+"""Deduplication operators: exact, MinHash+LSH near-dup, SimHash, and
+exact n-gram Jaccard verification — the scale path for training-data
+cleanup (BASELINE.json north star).
+
+Architecture (100 TB posture):
+
+* Signatures (minhash / simhash / fingerprints) are per-row projections
+  over higher-order array expressions — JVM codegen, no Python, no
+  shuffle, linear scan.  At cluster scale this stage is embarrassingly
+  parallel over input splits.
+* Candidate generation shuffles only (band_key → doc ids) — the classic
+  LSH band trick: documents agreeing on any band of the signature land in
+  the same reducer.  Band keys are md5s, so the shuffle is uniformly
+  distributed by construction; hot buckets (boilerplate texts) are the
+  one skew risk and AQE skew-join handles the join stage.
+* Exact-Jaccard verification touches only candidate pairs (output of the
+  band join), never the n² document space.
+
+The demo corpus doubles the ``documents`` table with deterministic
+variants (exact copies / tail-truncated copies at shifted doc_ids) so
+dedup finds real structure; both engines build the identical corpus.
+
+Cross-engine exactness: md5 everywhere (identical hex in both engines);
+set sizes only (order-sensitive list outputs avoided); lexicographic min
+over hex strings is the minhash order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+from dbdiff_spark.ops.text import (
+    _D_TOKENS,
+    _TOKENS,
+    shingles_expr_duck,
+    shingles_expr_spark,
+)
+
+N_HASHES = 8
+BAND_SIZE = 2  # 4 bands of 2 → catches pairs with Jaccard ≳ 0.5
+N_BANDS = N_HASHES // BAND_SIZE
+
+EXACT_COPY_OFFSET = 2_000_000
+NEARDUP_OFFSET = 1_000_000
+TRUNCATE_TOKENS = 10
+
+
+# --- corpus builders (shared construction) ---------------------------------
+
+
+def _exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = docs.select(
+        (F.col("doc_id") + EXACT_COPY_OFFSET).alias("doc_id"), F.col("text")
+    )
+    return docs.unionByName(copy)
+
+
+_EXACT_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text FROM documents
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Original docs plus tail-truncated variants (drop the last 10
+    tokens) — near-duplicates by construction."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = docs.select(
+        (F.col("doc_id") + NEARDUP_OFFSET).alias("doc_id"),
+        F.expr(
+            f"array_join(slice({_TOKENS}, 1, "
+            f"greatest(1, size({_TOKENS}) - {TRUNCATE_TOKENS})), ' ')"
+        ).alias("text"),
+    )
+    return docs.unionByName(trunc)
+
+
+_NEARDUP_CORPUS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {NEARDUP_OFFSET} AS doc_id,
+       array_to_string({_D_TOKENS}[1:greatest(1, len({_D_TOKENS}) - {TRUNCATE_TOKENS})], ' ') AS text
+FROM documents
+"""
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) — one shuffle on a
+    uniformly distributed key; map-side partial aggregation does the
+    heavy lifting at scale."""
+    corpus = _exact_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM ({_EXACT_CORPUS_SQL})
+GROUP BY md5(text)
+HAVING count(*) > 1
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def _sig_cols_spark() -> list[str]:
+    """Minhash h_s = lexicographic min of md5('<s>:'||shingle) over the
+    shingle set (md5 hex min ≈ uniform random permutation min)."""
+    sh = shingles_expr_spark()
+    return [
+        f"array_min(transform({sh}, x -> md5(concat('{s}:', x)))) AS h{s}"
+        for s in range(N_HASHES)
+    ]
+
+
+def _sig_cols_duck() -> list[str]:
+    sh = shingles_expr_duck()
+    return [
+        f"list_min(list_transform({sh}, x -> md5(concat('{s}:', x)))) AS h{s}"
+        for s in range(N_HASHES)
+    ]
+
+
+def _band_exprs(prefix: str = "") -> list[str]:
+    out = []
+    for b in range(N_BANDS):
+        hs = [f"h{b * BAND_SIZE + i}" for i in range(BAND_SIZE)]
+        out.append(f"md5(concat({', '.join(hs)}))")
+    return out
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature projection (no shuffle) →
+    band explode (narrow) → self-join on band key (ONE shuffle) →
+    distinct pairs."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = corpus.selectExpr("doc_id", *_sig_cols_spark())
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, {expr} AS band_key)"
+        for b, expr in enumerate(_band_exprs())
+    )
+    banded = sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    left = banded.alias("x")
+    right = banded.alias("y")
+    pairs = (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _lsh_pairs_sql() -> str:
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+sigs AS (
+  SELECT doc_id, {', '.join(_sig_cols_duck())} FROM corpus
+),
+banded AS (
+  {banded}
+)
+SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+FROM banded x
+JOIN banded y
+  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+ AND x.doc_id < y.doc_id
+"""
+
+
+DEDUP_MINHASH_SQL = _lsh_pairs_sql()
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _simhash_expr_spark() -> str:
+    hs = f"transform({_TOKENS}, x -> md5(x))"
+    bits = [
+        f"CASE WHEN 2 * size(filter({hs}, h -> instr('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
+        f"> size({_TOKENS}) THEN '1' ELSE '0' END"
+        for j in range(SIMHASH_BITS)
+    ]
+    return f"concat({', '.join(bits)})"
+
+
+def _simhash_expr_duck() -> str:
+    hs = f"list_transform({_D_TOKENS}, x -> md5(x))"
+    bits = [
+        f"CASE WHEN 2 * len(list_filter({hs}, h -> strpos('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
+        f"> len({_D_TOKENS}) THEN '1' ELSE '0' END"
+        for j in range(SIMHASH_BITS)
+    ]
+    return f"concat({', '.join(bits)})"
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup groups: 16-bit majority-vote fingerprint over the
+    token multiset; docs sharing a fingerprint are near-dup candidates.
+    Projection + one group-by shuffle."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    fp = corpus.selectExpr("doc_id", f"{_simhash_expr_spark()} AS simhash")
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM (
+  SELECT doc_id, {_simhash_expr_duck()} AS simhash
+  FROM ({_NEARDUP_CORPUS_SQL})
+)
+GROUP BY simhash
+HAVING count(*) > 1
+"""
+
+
+# --- exact n-gram Jaccard over LSH candidates -------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified with exact 3-gram Jaccard ≥ 0.5 — the
+    candidate-then-verify near-dedup pipeline end-to-end.  Only candidate
+    pairs (not n²) reach the verification join."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sh = shingles_expr_spark()
+    shingled = corpus.selectExpr(
+        "doc_id", f"array_distinct({sh}) AS shingle_set"
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    return (
+        pairs.join(a, pairs.id_a == F.col("a.doc_id"))
+        .join(b, pairs.id_b == F.col("b.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "size(array_intersect(a.shingle_set, b.shingle_set)) / "
+                "(size(a.shingle_set) + size(b.shingle_set) "
+                "- size(array_intersect(a.shingle_set, b.shingle_set)))"
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id, list_distinct({shingles_expr_duck()}) AS shingle_set
+  FROM ({_NEARDUP_CORPUS_SQL})
+),
+pairs AS ({_lsh_pairs_sql()})
+SELECT id_a, id_b,
+       len(list_intersect(a.shingle_set, b.shingle_set))
+       / (len(a.shingle_set) + len(b.shingle_set)
+          - len(list_intersect(a.shingle_set, b.shingle_set))) AS jaccard
+FROM pairs
+JOIN shingled a ON id_a = a.doc_id
+JOIN shingled b ON id_b = b.doc_id
+WHERE len(list_intersect(a.shingle_set, b.shingle_set))
+      / (len(a.shingle_set) + len(b.shingle_set)
+         - len(list_intersect(a.shingle_set, b.shingle_set))) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+}

@@ -1,0 +1,219 @@
+"""Text-analysis operators for the training-data pipeline tier:
+quality scoring, language-ID heuristic, tokenization stats, document
+fingerprinting.  All pure built-in expressions (regexp + higher-order
+array functions) — no UDFs, fully inside whole-stage codegen, embarrass-
+ingly parallel (per-row projections, zero shuffles except final aggs).
+
+Cross-engine exactness: tokenization is ``regexp_extract_all(lower(text),
+'[a-z0-9]+')`` (same RE2-compatible pattern semantics in Spark's Java
+regex and DuckDB), hashing is md5 (identical lowercase hex), and set
+operations only ever contribute SIZES to outputs (DuckDB's list_distinct
+does not preserve order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Spark-side shared expressions (SQL-expr strings; DuckDB twins below
+# differ only where function signatures differ).
+_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+_D_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token counts, char-class ratios,
+    stopword ratio, and a deterministic composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+        F.expr(
+            f"CAST(aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x)) AS BIGINT)"
+        ).alias("n_token_chars"),
+        F.expr(
+            f"CAST(size(filter({_TOKENS}, x -> x IN ({_SW_LIST}))) AS BIGINT)"
+        ).alias("stopword_hits"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_chars",
+        "n_token_chars",
+        "stopword_hits",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_token_chars / n_tokens END"
+        ).alias("avg_token_len"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0.0 ELSE stopword_hits / n_tokens END"
+        ).alias("stopword_ratio"),
+        F.expr(
+            "(CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.5 END)"
+            " * (CASE WHEN n_tokens = 0 THEN 0.0"
+            "        ELSE 1.0 - stopword_hits / n_tokens END)"
+        ).alias("quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, lang, n_tokens, n_chars, n_token_chars, stopword_hits,
+       CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_token_chars / n_tokens END AS avg_token_len,
+       CASE WHEN n_tokens = 0 THEN 0.0 ELSE stopword_hits / n_tokens END AS stopword_ratio,
+       (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1.0 ELSE 0.5 END)
+       * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE 1.0 - stopword_hits / n_tokens END) AS quality_score
+FROM (
+  SELECT doc_id, lang,
+         CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(list_sum(list_transform({_D_TOKENS}, x -> length(x))) AS BIGINT) AS n_token_chars,
+         CAST(len(list_filter({_D_TOKENS}, x -> x IN ({_SW_LIST}))) AS BIGINT) AS stopword_hits
+  FROM documents
+)
+"""
+
+
+_LANG_LISTS = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr": ("le", "les", "des", "et", "est", "une", "dans"),
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram(1) stopword-hit language heuristic with a deterministic
+    argmax tie-break (en > es > de > fr).  Emits prediction + agreement
+    with the dataset's label."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.expr(
+                f"size(filter({_TOKENS}, x -> x IN ({', '.join(repr(w) for w in ws)})))"
+            ).alias(f"hits_{lg}")
+            for lg, ws in _LANG_LISTS.items()
+        ],
+    )
+    pred = (
+        "CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en' "
+        "WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es' "
+        "WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END"
+    )
+    return hits.select(
+        "doc_id",
+        "lang",
+        F.expr(pred).alias("pred_lang"),
+        F.expr(f"({pred}) = lang").alias("is_match"),
+    )
+
+
+def _lang_hits_sql(lg: str, ws: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in ws)
+    return f"len(list_filter({_D_TOKENS}, x -> x IN ({inlist}))) AS hits_{lg}"
+
+
+LANG_ID_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+            WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+       (CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr THEN 'en'
+             WHEN hits_es >= hits_de AND hits_es >= hits_fr THEN 'es'
+             WHEN hits_de >= hits_fr THEN 'de' ELSE 'fr' END) = lang AS is_match
+FROM (
+  SELECT doc_id, lang,
+         {", ".join(_lang_hits_sql(lg, ws) for lg, ws in _LANG_LISTS.items())}
+  FROM documents
+)
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenization counts: words / numbers / punctuation pieces
+    via an alternation regex (the classic pre-tokenizer split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z]+', 0)) AS BIGINT)"
+        ).alias("n_word_tokens"),
+        F.expr(
+            "CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)"
+        ).alias("n_num_tokens"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_word_tokens,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+# word-3-gram shingles with a whole-text fallback for short docs —
+# shared building block for fingerprinting and MinHash (dedup.py)
+def shingles_expr_spark(tokens: str = _TOKENS) -> str:
+    return (
+        f"CASE WHEN size({tokens}) >= 3 THEN "
+        f"transform(sequence(1, size({tokens}) - 2), "
+        f"i -> concat_ws(' ', element_at({tokens}, i), "
+        f"element_at({tokens}, i + 1), element_at({tokens}, i + 2))) "
+        f"ELSE array(concat_ws(' ', {tokens})) END"
+    )
+
+
+def shingles_expr_duck(tokens: str = _D_TOKENS) -> str:
+    return (
+        f"CASE WHEN len({tokens}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({tokens}) - 2), "
+        f"i -> concat_ws(' ', {tokens}[i], {tokens}[i + 1], {tokens}[i + 2])) "
+        f"ELSE [array_to_string({tokens}, ' ')] END"
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the 4 smallest md5s of the word-3-gram
+    shingle set, comma-joined.  Documents sharing a fingerprint are
+    near-identical candidates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_expr_spark()
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(slice(array_sort(transform({sh}, x -> md5(x))), 1, 4), ',')"
+        ).alias("fingerprint"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       array_to_string(list_sort(list_transform({shingles_expr_duck()}, x -> md5(x)))[1:4], ',') AS fingerprint
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}
