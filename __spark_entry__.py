@@ -24,7 +24,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dbdiff_spark import testkit
 from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
 from dbdiff_spark.io import TABLES, load_table
-from dbdiff_spark.ops import analytics, dedup, text
+from dbdiff_spark.ops import analytics, dedup, multimodal, similarity, text
+from dbdiff_spark.streaming import cdc
 
 DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
 
@@ -85,8 +86,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"diff_{t}"] = _diff_query(t)
     out["diff_summary_customer"] = _diff_summary_query
     out["snapshot_counts"] = _snapshot_counts
-    for mod in (analytics, text, dedup):
+    out["diff_lineitem_multiset"] = _with_conf(
+        lambda spark, sf_dir: testkit.multiset_diff_query_df(spark, sf_dir, "lineitem")
+    )
+    for mod in (analytics, text, dedup, similarity, multimodal, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
+            out[name] = _with_conf(fn)
+        for name, fn in getattr(mod, "NO_ORACLE_QUERIES", {}).items():
             out[name] = _with_conf(fn)
     return out
 
@@ -112,7 +118,8 @@ GROUP BY diff_status
     out["snapshot_counts"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES
     )
-    for mod in (analytics, text, dedup):
+    out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
+    for mod in (analytics, text, dedup, similarity, multimodal, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql
     return out

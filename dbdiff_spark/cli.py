@@ -1,0 +1,99 @@
+"""Interactive CLI — the reference's REPL lifecycle
+(``cmd/dbdiff/main.go:23-98``): connect → catalog → snapshot *before* →
+wait for the user to do things → snapshot *after* → diff → report →
+``before = after`` swap → loop.  ``q``/``exit`` quits (``main.go:62-70``).
+
+Differences by design: snapshots persist to Parquet under
+``--snapshot-dir`` (point-in-time semantics, nothing driver-resident),
+and the swap is a manifest-pointer swap — zero data movement, same trick
+as the reference's in-memory ``before = after`` (``main.go:83``).
+
+Usage:
+    python -m dbdiff_spark.cli -conf config.yaml -o out.xlsx
+    python -m dbdiff_spark.cli --parquet-dir /root/testdata/sf0.001
+
+The second form treats a parquet directory as the "database" (one table
+per file) — the fixture mode used for tests and demos.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from dbdiff_spark.catalog import FileCatalog, JdbcCatalog, TESTDATA_KEYS
+from dbdiff_spark.config import load_configuration
+from dbdiff_spark.diff import DiffMode
+from dbdiff_spark.session import get_spark
+from dbdiff_spark.sinks.console import print_diffs
+from dbdiff_spark.sinks.xlsx import default_output_name, write_diff_xlsx
+from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+
+def _load_sources(spark, args):
+    if args.parquet_dir:
+        cat = FileCatalog(spark, args.parquet_dir, TESTDATA_KEYS)
+        tables = cat.list_tables()
+        keys = cat.primary_keys(tables)
+        sources = {t: cat.load(t) for t in tables}
+        return sources, keys
+    conf = load_configuration(args.conf)
+    cat = JdbcCatalog(spark, conf.db)
+    tables = cat.list_tables()
+    keys = cat.primary_keys(tables)
+    sources = {}
+    for t in tables:
+        sources[t] = (
+            spark.read.format("jdbc")
+            .option("url", conf.db.jdbc_url())
+            .option("dbtable", f"{conf.db.schema}{t}")
+            .options(**conf.db.jdbc_properties())
+            .load()
+        )
+    return sources, keys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="dbdiff-spark")
+    parser.add_argument("-conf", default="config.yaml", help="YAML config path")
+    parser.add_argument("-o", default="", help="output xlsx name")
+    parser.add_argument("--parquet-dir", default="", help="fixture mode: parquet dir as DB")
+    parser.add_argument("--snapshot-dir", default="/tmp/dbdiff_snapshots")
+    parser.add_argument("--mode", choices=["string", "typed"], default="string")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name="dbdiff_spark_cli")
+    store = SnapshotStore(spark)
+    mode = DiffMode(args.mode)
+    run_root = Path(args.snapshot_dir) / time.strftime("%Y%m%d_%H%M%S")
+
+    sources, keys = _load_sources(spark, args)
+    print(f"[Collect] snapshotting {len(sources)} tables (before)")
+    before = store.collect(sources, keys, str(run_root / "snap0"))
+    print(f"[Collect] total record count: {before.total_count}")
+
+    generation = 1
+    while True:
+        print("Please change data. (press Enter to diff, q/exit to quit)")
+        line = sys.stdin.readline()
+        if not line or line.strip().lower() in ("q", "exit"):
+            return 0
+        sources, keys = _load_sources(spark, args)  # re-read live data
+        print(f"[Collect] snapshotting {len(sources)} tables (after)")
+        after = store.collect(sources, keys, str(run_root / f"snap{generation}"))
+        print(f"[Collect] total record count: {after.total_count}")
+
+        results = diff_snapshots(spark, before, after, mode=mode)
+        print_diffs(results)
+        out_name = args.o or default_output_name()
+        write_diff_xlsx(results, out_name)
+        print(f"[ResultOutput] See {out_name}")
+
+        before = after  # manifest swap (main.go:83) — no data movement
+        generation += 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

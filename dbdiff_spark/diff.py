@@ -81,12 +81,36 @@ def _null_safe_key_condition(b: DataFrame, a: DataFrame, key_cols: list[str]) ->
     )
 
 
+def dedup_last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse duplicate keys to ONE deterministic representative row.
+
+    The reference silently overwrites on key collision — last scanned row
+    wins (``extract_data.go:81``), which is scan-order-dependent.  We keep
+    the max-by-remaining-columns row instead: same contract (one row per
+    key), deterministic on any cluster.  One aggregation with map-side
+    partial combine; shuffles on the same key as the downstream diff join
+    so AQE/bucketing can reuse the exchange."""
+    others = [c for c in df.columns if c not in key_cols]
+    if not others:
+        return df.dropDuplicates(key_cols)
+    packed = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max(F.struct(*[F.col(c) for c in others])).alias("__rep")
+    )
+    return packed.select(
+        *[
+            F.col(c) if c in key_cols else F.col(f"__rep.`{c}`").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def diff_tables(
     before: DataFrame,
     after: DataFrame,
     key_cols: list[str],
     mode: DiffMode = DiffMode.STRING,
     include_unchanged: bool = False,
+    dedup_keys: bool = False,
 ) -> DiffResult:
     """Diff two snapshots of one table, keyed on ``key_cols``.
 
@@ -110,6 +134,13 @@ def diff_tables(
     if mode == DiffMode.STRING:
         before = normalize_to_strings(before)
         after = normalize_to_strings(after)
+
+    if dedup_keys:
+        # tables whose declared key is not actually unique (or no-PK
+        # tables with fully duplicate rows) would cross-match in the
+        # full-outer join; identical snapshots MUST diff empty.
+        before = dedup_last_wins(before, key_cols)
+        after = dedup_last_wins(after, key_cols)
 
     b_cols, a_cols = list(before.columns), list(after.columns)
     # Output column order: after-side order, then before-only columns —
@@ -212,6 +243,51 @@ def diff_tables(
         *[F.col(f"__e.row.{c}").alias(c) for c in value_cols],
     )
     return DiffResult(df=out, key_columns=list(key_cols), value_columns=value_cols)
+
+
+def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Count-preserving (multiset) diff — the semantically correct diff
+    for tables with no usable key (SURVEY §7.3.4): group both sides by
+    ALL columns, compare multiplicities.
+
+    Output: every distinct row whose count changed, with
+    ``n_before, n_after, diff_status (INSERTED|DELETED), n_rows = |Δ|``.
+    A row present 3× before and 1× after is DELETED with n_rows=2 —
+    information the reference's last-wins keyed map silently destroys.
+
+    Scale shape: two partial-aggregated counts + one join, all on the
+    same grouping key; at 100 TB this is strictly cheaper than the keyed
+    diff because the payload per group is two longs."""
+    cols = before.columns
+    if after.columns != cols:
+        after = after.select(*cols)
+    b = before.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_before")).alias("mb")
+    a = after.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_after")).alias("ma")
+    cond = reduce(
+        lambda acc, c: acc & c,
+        [F.col(f"mb.`{c}`").eqNullSafe(F.col(f"ma.`{c}`")) for c in cols],
+    )
+    joined = b.join(a, on=cond, how="full_outer")
+    out = joined.select(
+        *[
+            F.coalesce(F.col(f"mb.`{c}`"), F.col(f"ma.`{c}`")).alias(c)
+            for c in cols
+        ],
+        F.coalesce(F.col("mb.n_before"), F.lit(0)).alias("n_before"),
+        F.coalesce(F.col("ma.n_after"), F.lit(0)).alias("n_after"),
+    )
+    return (
+        out.filter(F.col("n_before") != F.col("n_after"))
+        .withColumn(
+            "diff_status",
+            F.when(F.col("n_after") > F.col("n_before"), F.lit(INSERTED)).otherwise(
+                F.lit(DELETED)
+            ),
+        )
+        .withColumn(
+            "n_rows", F.abs(F.col("n_after") - F.col("n_before"))
+        )
+    )
 
 
 def diff_summary(diff_df: DataFrame, group_extra: list[str] | None = None) -> DataFrame:

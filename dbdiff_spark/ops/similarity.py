@@ -1,0 +1,278 @@
+"""Similarity search over embedding columns (``embeddings`` table:
+``vec_id bigint, embedding array<float>, label int``).
+
+Three tiers, matching how a real 100 TB pipeline scales:
+
+* ``knn_bruteforce`` — exact cosine top-k with a BROADCAST of the (small)
+  query set against the full corpus: one scan, no shuffle of the corpus,
+  per-partition scoring, then a top-k window on the (tiny) scored set.
+  This is the correctness baseline every ANN variant is judged against.
+* ``ann_lsh_bitsample`` — bit-sampling LSH for cosine: bucket on the sign
+  pattern of the leading dimensions, search only within the bucket.  The
+  bucket join is the classic LSH shuffle: uniformly distributed keys,
+  candidate set ~n/2^bits per bucket.
+* ``embedding_neardup`` — near-duplicate vector pairs (cosine ≥ 0.999)
+  among bucket-mates — the embedding-space analogue of MinHash dedup.
+
+Plus ``label_centroids`` — the IVF building block: per-label centroid of
+the vector column via posexplode + integer-grid sums (parallel double
+summation is order-dependent; the 1e-6 grid makes it exact and
+order-free, see ops/analytics._dsum).
+
+Dot products fold left-to-right with double accumulators in BOTH engines
+(Spark ``aggregate``/``zip_with``, DuckDB ``list_sum``/``list_transform``)
+— verified bit-identical on the driver testdata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+QUERY_MOD = 100  # vec_id % 100 == 0 → the demo query set (1% of corpus)
+KNN_K = 5
+ANN_K = 3
+SIGN_BITS = 8
+NEARDUP_THRESHOLD = 0.999
+NEARDUP_OFFSET = 100_000
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _sign_bucket_spark(col: str, bits: int = SIGN_BITS) -> str:
+    parts = ", ".join(
+        f"CASE WHEN element_at({col}, {i}) >= 0 THEN '1' ELSE '0' END"
+        for i in range(1, bits + 1)
+    )
+    return f"concat({parts})"
+
+
+def _sign_bucket_duck(col: str, bits: int = SIGN_BITS) -> str:
+    parts = ", ".join(
+        f"CASE WHEN {col}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, bits + 1)
+    )
+    return f"concat({parts})"
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+    )
+
+
+_VECTORS_SQL = f"""
+SELECT vec_id, embedding,
+       sqrt({_dot_duck('embedding', 'embedding')}) AS norm
+FROM embeddings
+"""
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for the query subset.  The query set is
+    broadcast (small side); the corpus streams partition-local — no
+    corpus shuffle, which is what makes brute-force viable as a scale
+    baseline."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+KNN_BRUTEFORCE_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+  FROM vecs WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_dot_duck('v.embedding', 'q_emb')} / (v.norm * q_norm) AS cosine
+  FROM vecs v CROSS JOIN queries
+  WHERE v.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {KNN_K}
+"""
+
+
+def ann_lsh_bitsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3: search only within the query's sign-bit LSH
+    bucket.  At scale the bucket join replaces the full cross product
+    with a shuffle on an 8-bit key (≈1/256 of the pair space)."""
+    vecs = _vectors(spark, sf_dir).withColumn(
+        "bucket", F.expr(_sign_bucket_spark("embedding"))
+    )
+    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = vecs.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding, sqrt({_dot_duck('embedding', 'embedding')}) AS norm,
+         {_sign_bucket_duck('embedding')} AS bucket
+  FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, bucket AS q_bucket
+  FROM vecs WHERE vec_id % {QUERY_MOD} = 0
+),
+scored AS (
+  SELECT query_id, v.vec_id AS neighbor_id,
+         {_dot_duck('v.embedding', 'q_emb')} / (v.norm * q_norm) AS cosine
+  FROM vecs v JOIN queries ON v.bucket = q_bucket AND v.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {ANN_K}
+"""
+
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: corpus ∪ exact copies (shifted ids), pairs
+    sharing a sign bucket with cosine ≥ 0.999.  Bucket-join candidates
+    only — never the n² pair space."""
+    vecs = _vectors(spark, sf_dir)
+    corpus = vecs.unionByName(
+        vecs.select(
+            (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+            "embedding",
+            "norm",
+        )
+    ).withColumn("bucket", F.expr(_sign_bucket_spark("embedding")))
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.expr(
+                f"{_dot_spark('a.embedding', 'b.embedding')} / (a.norm * b.norm)"
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+    )
+
+
+EMBEDDING_NEARDUP_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+corpus AS (
+  SELECT vec_id, embedding, norm, {_sign_bucket_duck('embedding')} AS bucket FROM (
+    SELECT vec_id, embedding, norm FROM vecs
+    UNION ALL
+    SELECT vec_id + {NEARDUP_OFFSET} AS vec_id, embedding, norm FROM vecs
+  )
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cosine
+  FROM corpus a JOIN corpus b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+WHERE cosine >= {NEARDUP_THRESHOLD}
+"""
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (IVF coarse-quantizer training
+    step): posexplode the vector column, integer-grid sum per (label,
+    dimension) — exact, order-independent, one shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "component")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("component").cast("double").alias("component"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(component * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*)"
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, pos,
+       CAST(SUM(CAST(ROUND(component * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*) AS centroid,
+       count(*) AS n_vectors
+FROM (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS component
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
+    "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
+    "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
+    "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+}

@@ -136,19 +136,27 @@ def diff_snapshots(
     """
     results: dict[str, DiffResult] = {}
     for name in sorted(set(before.tables) | set(after.tables)):
+        # dedup_keys=True: a snapshot tool must diff identical snapshots
+        # to EMPTY even when a declared key is not truly unique (the
+        # reference gets this via last-row-wins map overwrite,
+        # extract_data.go:81)
         if name in before.tables and name in after.tables:
             b = before.load(spark, name)
             a = after.load(spark, name)
             key = after.keys.get(name) or before.keys.get(name) or a.columns
-            results[name] = diff_tables(b, a, key, mode=mode)
+            results[name] = diff_tables(b, a, key, mode=mode, dedup_keys=True)
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)
             empty = spark.createDataFrame([], b.schema)
-            results[name] = diff_tables(b, empty, before.keys[name], mode=mode)
+            results[name] = diff_tables(
+                b, empty, before.keys[name], mode=mode, dedup_keys=True
+            )
         else:  # added: every row INSERTED
             a = after.load(spark, name)
             empty = spark.createDataFrame([], a.schema)
-            results[name] = diff_tables(empty, a, after.keys[name], mode=mode)
+            results[name] = diff_tables(
+                empty, a, after.keys[name], mode=mode, dedup_keys=True
+            )
     return results
 
 

@@ -225,6 +225,47 @@ def diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     )
 
 
+def multiset_diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Count-preserving diff of (base, mutate(base)) — the no-usable-key
+    path (lineitem's declared composite key is not unique in this data;
+    the multiset diff is exact regardless)."""
+    from dbdiff_spark.diff import diff_multiset
+
+    spec, mut = SPECS[table], MUTATIONS[table]
+    base = prep(load_table(spark, sf_dir, table), spec)
+    after = apply_mutation(base, spec, mut)
+    return diff_multiset(base, after)
+
+
+def multiset_oracle_sql(table: str) -> str:
+    spec, mut = SPECS[table], MUTATIONS[table]
+    cols = ", ".join(f'"{c}"' for c in spec.cols)
+    key_cond = " AND ".join(
+        f'b."{c}" IS NOT DISTINCT FROM a."{c}"' for c in spec.cols
+    )
+    b_cols = ", ".join(f'b."{c}" AS "b_{c}"' for c in spec.cols)
+    a_cols = ", ".join(f'a."{c}" AS "a_{c}"' for c in spec.cols)
+    out_cols = ", ".join(f'coalesce("b_{c}", "a_{c}") AS "{c}"' for c in spec.cols)
+    return f"""
+WITH before AS ({_prep_sql(spec)}),
+after AS (
+  {_after_sql(spec, mut)}
+),
+b AS (SELECT {cols}, CAST(count(*) AS BIGINT) AS n_before FROM before GROUP BY {cols}),
+a AS (SELECT {cols}, CAST(count(*) AS BIGINT) AS n_after FROM after GROUP BY {cols}),
+j AS (
+  SELECT {b_cols}, {a_cols},
+         coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after
+  FROM b FULL OUTER JOIN a ON {key_cond}
+)
+SELECT {out_cols}, n_before, n_after,
+       CASE WHEN n_after > n_before THEN 'INSERTED' ELSE 'DELETED' END AS diff_status,
+       abs(n_after - n_before) AS n_rows
+FROM j
+WHERE n_before <> n_after
+"""
+
+
 # --- DuckDB oracle side ----------------------------------------------------
 
 

@@ -1,0 +1,57 @@
+"""Structured Streaming extension tests — bounded parquet input driven
+synchronously (memory sink + processAllAvailable)."""
+
+from dbdiff_spark.streaming import cdc
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    from dbdiff_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    streamed = cdc.windowed_event_counts(spark, sf_dir)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", cdc.WINDOW).alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    s = {(r[0], r[1]): r[2] for r in streamed.select(
+        "window_start_us", "event_type", "n_events").collect()}
+    b = {(r[0], r[1]): r[2] for r in batch.collect()}
+    assert s == b
+
+
+def test_stream_dedup_suppresses_duplicates(spark, sf_dir):
+    from dbdiff_spark.io import load_table
+
+    result = cdc.stream_dedup(spark, sf_dir)
+    n_pairs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    # bounded input arrives in one micro-batch → exactly one survivor per
+    # (user_id, event_type) pair
+    assert result.count() == n_pairs
+
+
+def test_latest_state_by_key(spark, sf_dir):
+    from dbdiff_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    result = cdc.latest_state_by_key(spark, sf_dir)
+    rows = {r["user_id"]: r for r in result.collect()}
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert len(rows) == len(per_user)
+    for r in per_user:
+        assert rows[r["user_id"]]["n_seen"] == r["n"]
