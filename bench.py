@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # pipeline extensions (dedup/similarity added as they land).
 HEADLINE = [
     "diff_lineitem",
+    "diff_lineitem_multiset",
     "diff_customer",
     "diff_events",
     "q1_pricing_summary",
@@ -37,8 +38,10 @@ HEADLINE = [
     "user_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality",
     "knn_bruteforce",
+    "ann_lsh_bitsample",
 ]
 
 
@@ -51,8 +54,11 @@ def main() -> None:
 
     spark = get_spark(app_name="dbdiff_spark_bench")
     qs = entrymod.queries()
-    # JVM/codegen warmup on a trivial job so q1 doesn't pay startup cost
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # JVM/codegen/shuffle warmup so the first query doesn't pay one-time
+    # startup cost (exercises codegen, exchange, sort-merge join paths)
+    a = spark.range(500_000).selectExpr("id", "id % 1000 AS k")
+    b = spark.range(500_000).selectExpr("id AS id2", "id % 1000 AS k")
+    a.join(b, "k").groupBy("k").count().write.format("noop").mode("overwrite").save()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

@@ -115,24 +115,65 @@ HAVING count(*) > 1
 
 
 # --- MinHash + LSH ----------------------------------------------------------
+#
+# Hash-budget design: TWO md5 passes over the shingle array per document
+# (not one per hash function).  Each md5 yields 32 hex chars = four
+# independent 8-hex-char slices; minhash_s = lexicographic min of slice s
+# over the shingle set.  The pipeline is staged through explicit
+# projections (tokens → shingles → hash arrays → signatures) so Catalyst
+# never re-inlines the expensive regexp/md5 work — collapsing these
+# stages was a 20× slowdown at sf0.1.
+
+_SLICE_W = 8  # hex chars per minhash slice; 4 slices per md5
 
 
-def _sig_cols_spark() -> list[str]:
-    """Minhash h_s = lexicographic min of md5('<s>:'||shingle) over the
-    shingle set (md5 hex min ≈ uniform random permutation min)."""
-    sh = shingles_expr_spark()
-    return [
-        f"array_min(transform({sh}, x -> md5(concat('{s}:', x)))) AS h{s}"
-        for s in range(N_HASHES)
-    ]
+def _minhash_select_spark() -> list[str]:
+    out = []
+    for s in range(N_HASHES):
+        arr = "hs1" if s < 4 else "hs2"
+        start = _SLICE_W * (s % 4) + 1
+        out.append(
+            f"array_min(transform({arr}, h -> substr(h, {start}, {_SLICE_W}))) AS h{s}"
+        )
+    return out
 
 
-def _sig_cols_duck() -> list[str]:
-    sh = shingles_expr_duck()
-    return [
-        f"list_min(list_transform({sh}, x -> md5(concat('{s}:', x)))) AS h{s}"
-        for s in range(N_HASHES)
-    ]
+def _minhash_select_duck() -> list[str]:
+    out = []
+    for s in range(N_HASHES):
+        arr = "hs1" if s < 4 else "hs2"
+        start = _SLICE_W * (s % 4) + 1
+        out.append(
+            f"list_min(list_transform({arr}, h -> substr(h, {start}, {_SLICE_W}))) AS h{s}"
+        )
+    return out
+
+
+def _signatures_spark(corpus: DataFrame) -> DataFrame:
+    staged = (
+        corpus.selectExpr("doc_id", f"{_TOKENS} AS tokens")
+        .selectExpr("doc_id", f"{shingles_expr_spark('tokens')} AS shingles")
+        .selectExpr(
+            "doc_id",
+            "transform(shingles, x -> md5(x)) AS hs1",
+            "transform(shingles, x -> md5(concat('x', x))) AS hs2",
+        )
+    )
+    return staged.selectExpr("doc_id", *_minhash_select_spark())
+
+
+def _signatures_sql(corpus_sql: str) -> str:
+    return f"""
+corpus AS ({corpus_sql}),
+tok AS (SELECT doc_id, {_D_TOKENS} AS tokens FROM corpus),
+sh AS (SELECT doc_id, {shingles_expr_duck('tokens')} AS shingles FROM tok),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles, x -> md5(x)) AS hs1,
+         list_transform(shingles, x -> md5(concat('x', x))) AS hs2
+  FROM sh
+),
+sigs AS (SELECT doc_id, {', '.join(_minhash_select_duck())} FROM hs)"""
 
 
 def _band_exprs(prefix: str = "") -> list[str]:
@@ -148,7 +189,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band explode (narrow) → self-join on band key (ONE shuffle) →
     distinct pairs."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sigs = corpus.selectExpr("doc_id", *_sig_cols_spark())
+    sigs = _signatures_spark(corpus)
     band_structs = ", ".join(
         f"struct({b} AS band_idx, {expr} AS band_key)"
         for b, expr in enumerate(_band_exprs())
@@ -179,10 +220,7 @@ def _lsh_pairs_sql() -> str:
         for b, expr in enumerate(_band_exprs())
     )
     return f"""
-WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
-sigs AS (
-  SELECT doc_id, {', '.join(_sig_cols_duck())} FROM corpus
-),
+WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
 banded AS (
   {banded}
 )
@@ -202,21 +240,21 @@ DEDUP_MINHASH_SQL = _lsh_pairs_sql()
 SIMHASH_BITS = 16
 
 
-def _simhash_expr_spark() -> str:
-    hs = f"transform({_TOKENS}, x -> md5(x))"
+def _simhash_bits_spark() -> str:
+    """Bits computed from a PRE-HASHED token array column ``hs`` (one md5
+    pass per token, staged)."""
     bits = [
-        f"CASE WHEN 2 * size(filter({hs}, h -> instr('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
-        f"> size({_TOKENS}) THEN '1' ELSE '0' END"
+        f"CASE WHEN 2 * size(filter(hs, h -> instr('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
+        f"> size(hs) THEN '1' ELSE '0' END"
         for j in range(SIMHASH_BITS)
     ]
     return f"concat({', '.join(bits)})"
 
 
-def _simhash_expr_duck() -> str:
-    hs = f"list_transform({_D_TOKENS}, x -> md5(x))"
+def _simhash_bits_duck() -> str:
     bits = [
-        f"CASE WHEN 2 * len(list_filter({hs}, h -> strpos('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
-        f"> len({_D_TOKENS}) THEN '1' ELSE '0' END"
+        f"CASE WHEN 2 * len(list_filter(hs, h -> strpos('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
+        f"> len(hs) THEN '1' ELSE '0' END"
         for j in range(SIMHASH_BITS)
     ]
     return f"concat({', '.join(bits)})"
@@ -225,9 +263,12 @@ def _simhash_expr_duck() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: 16-bit majority-vote fingerprint over the
     token multiset; docs sharing a fingerprint are near-dup candidates.
-    Projection + one group-by shuffle."""
+    Staged projection (tokens hashed once) + one group-by shuffle."""
     corpus = _neardup_corpus(spark, sf_dir)
-    fp = corpus.selectExpr("doc_id", f"{_simhash_expr_spark()} AS simhash")
+    fp = (
+        corpus.selectExpr("doc_id", f"transform({_TOKENS}, x -> md5(x)) AS hs")
+        .selectExpr("doc_id", f"{_simhash_bits_spark()} AS simhash")
+    )
     return (
         fp.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
@@ -238,8 +279,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_SIMHASH_SQL = f"""
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM (
-  SELECT doc_id, {_simhash_expr_duck()} AS simhash
-  FROM ({_NEARDUP_CORPUS_SQL})
+  SELECT doc_id, {_simhash_bits_duck()} AS simhash
+  FROM (
+    SELECT doc_id, list_transform({_D_TOKENS}, x -> md5(x)) AS hs
+    FROM ({_NEARDUP_CORPUS_SQL})
+  )
 )
 GROUP BY simhash
 HAVING count(*) > 1
@@ -256,9 +300,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-then-verify near-dedup pipeline end-to-end.  Only candidate
     pairs (not n²) reach the verification join."""
     corpus = _neardup_corpus(spark, sf_dir)
-    sh = shingles_expr_spark()
-    shingled = corpus.selectExpr(
-        "doc_id", f"array_distinct({sh}) AS shingle_set"
+    shingled = corpus.selectExpr("doc_id", f"{_TOKENS} AS tokens").selectExpr(
+        "doc_id", f"array_distinct({shingles_expr_spark('tokens')}) AS shingle_set"
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
     a = shingled.alias("a")
@@ -281,8 +324,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH shingled AS (
-  SELECT doc_id, list_distinct({shingles_expr_duck()}) AS shingle_set
-  FROM ({_NEARDUP_CORPUS_SQL})
+  SELECT doc_id, list_distinct({shingles_expr_duck('tokens')}) AS shingle_set
+  FROM (SELECT doc_id, {_D_TOKENS} AS tokens FROM ({_NEARDUP_CORPUS_SQL}))
 ),
 pairs AS ({_lsh_pairs_sql()})
 SELECT id_a, id_b,
