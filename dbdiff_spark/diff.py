@@ -111,6 +111,7 @@ def diff_tables(
     mode: DiffMode = DiffMode.STRING,
     include_unchanged: bool = False,
     dedup_keys: bool = False,
+    null_safe_keys: bool = True,
 ) -> DiffResult:
     """Diff two snapshots of one table, keyed on ``key_cols``.
 
@@ -171,7 +172,19 @@ def diff_tables(
     b = before.withColumn("__b_present", F.lit(True)).alias("b")
     a = after.withColumn("__a_present", F.lit(True)).alias("a")
 
-    joined = b.join(a, on=_null_safe_key_condition(b, a, key_cols), how="full_outer")
+    if null_safe_keys:
+        cond = _null_safe_key_condition(b, a, key_cols)
+    else:
+        # plain equality keys: only valid when key columns are known
+        # non-null (the declared-PK contract).  Catalyst rewrites `<=>`
+        # keys as coalesce(k)/isnull(k), which does NOT line up with
+        # bucketed-table output partitioning — this path keeps the join
+        # exchange-free over snapshots bucketed by key.
+        cond = reduce(
+            lambda acc, c: acc & c,
+            [F.col(f"b.`{k}`") == F.col(f"a.`{k}`") for k in key_cols],
+        )
+    joined = b.join(a, on=cond, how="full_outer")
 
     both_present = F.col("b.__b_present").isNotNull() & F.col("a.__a_present").isNotNull()
 

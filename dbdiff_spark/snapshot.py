@@ -45,15 +45,31 @@ MANIFEST_NAME = "_snapshot_manifest.json"
 
 @dataclass
 class Snapshot:
-    """A point-in-time copy of a set of tables (manifest only)."""
+    """A point-in-time copy of a set of tables (manifest only).
+
+    ``catalog_tables`` maps table → Spark catalog identifier for
+    bucketed snapshots: reading through the catalog (``spark.table``)
+    preserves the bucketing metadata that a bare path read loses, which
+    is what lets two same-bucketed snapshots diff with zero exchanges.
+    """
 
     root: str
     tables: dict[str, str] = field(default_factory=dict)  # name -> parquet path
     keys: dict[str, list[str]] = field(default_factory=dict)
     columns: dict[str, list[str]] = field(default_factory=dict)  # AllColumn analogue
     total_count: int = 0  # TotalDataCount analogue (extract_data.go:23)
+    catalog_tables: dict[str, str] = field(default_factory=dict)
+    buckets: int = 0
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
+        if table in self.catalog_tables:
+            try:
+                return spark.table(self.catalog_tables[table])
+            except Exception:
+                # fresh session: the in-memory catalog entry is gone;
+                # fall back to the path (bucketing metadata lost, diff
+                # still correct — just pays the exchange again)
+                pass
         return spark.read.parquet(self.tables[table])
 
     def save_manifest(self) -> None:
@@ -65,6 +81,8 @@ class Snapshot:
                     "keys": self.keys,
                     "columns": self.columns,
                     "total_count": self.total_count,
+                    "catalog_tables": self.catalog_tables,
+                    "buckets": self.buckets,
                 },
                 indent=2,
             )
@@ -79,6 +97,8 @@ class Snapshot:
             keys=data["keys"],
             columns=data["columns"],
             total_count=data["total_count"],
+            catalog_tables=data.get("catalog_tables", {}),
+            buckets=data.get("buckets", 0),
         )
 
 
@@ -95,28 +115,57 @@ class SnapshotStore:
         keys: dict[str, list[str]],
         snapshot_root: str,
         count_rows: bool = True,
+        buckets: int = 0,
     ) -> Snapshot:
         """Persist every source DataFrame to Parquet under
         ``snapshot_root`` and return the manifest.
+
+        ``buckets > 0`` writes each table BUCKETED AND SORTED by its key
+        columns (hive-style bucketing via the session catalog).  Two
+        snapshots collected with the same bucket count diff with ZERO
+        shuffle — at 100 TB the exchange is the entire cost of the naive
+        diff plan, so bucketed collection trades a one-time write-side
+        shuffle for exchange-free diffs on every subsequent round (the
+        before/after swap loop re-uses each snapshot twice).
 
         A snapshot object is written once and never mutated — the
         reference enforces single-use with a guard
         (``extract_data.go:20-22``); immutability of a written Parquet
         dir gives us the same property structurally.
         """
-        snap = Snapshot(root=str(snapshot_root))
+        snap = Snapshot(root=str(snapshot_root), buckets=buckets)
         total = 0
         for name, df in sources.items():
             path = str(Path(snapshot_root) / name)
-            df.write.mode("errorifexists").parquet(path)
+            key = list(keys.get(name) or df.columns)
+            if buckets > 0:
+                ident = self._catalog_identifier(snapshot_root, name)
+                (
+                    df.write.mode("errorifexists")
+                    .bucketBy(buckets, *key)
+                    .sortBy(*key)
+                    .option("path", path)
+                    .format("parquet")
+                    .saveAsTable(ident)
+                )
+                snap.catalog_tables[name] = ident
+            else:
+                df.write.mode("errorifexists").parquet(path)
             snap.tables[name] = path
-            snap.keys[name] = list(keys.get(name) or df.columns)
+            snap.keys[name] = key
             snap.columns[name] = list(df.columns)
             if count_rows:
-                total += self.spark.read.parquet(path).count()
+                total += snap.load(self.spark, name).count()
         snap.total_count = total
         snap.save_manifest()
         return snap
+
+    @staticmethod
+    def _catalog_identifier(snapshot_root: str, name: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(str(snapshot_root).encode()).hexdigest()[:10]
+        return f"snap_{digest}_{name}"
 
 
 def diff_snapshots(
@@ -124,6 +173,7 @@ def diff_snapshots(
     before: Snapshot,
     after: Snapshot,
     mode: DiffMode = DiffMode.STRING,
+    assume_keys_not_null: bool | None = None,
 ) -> dict[str, DiffResult]:
     """Diff every table across two snapshots.
 
@@ -133,7 +183,17 @@ def diff_snapshots(
     a table only in *before* yields all-DELETED rows, a table only in
     *after* yields all-INSERTED rows, and the packed summary labels them
     TABLE_DROPPED / TABLE_ADDED.
+
+    When both snapshots were collected bucketed by key (same bucket
+    count), the per-table joins need plain-equality keys to stay
+    exchange-free — ``assume_keys_not_null`` defaults to exactly that
+    condition (declared PKs are non-null by contract; override to False
+    for no-PK tables with NULLs in key columns).
     """
+    if assume_keys_not_null is None:
+        assume_keys_not_null = (
+            before.buckets > 0 and before.buckets == after.buckets
+        )
     results: dict[str, DiffResult] = {}
     for name in sorted(set(before.tables) | set(after.tables)):
         # dedup_keys=True: a snapshot tool must diff identical snapshots
@@ -144,7 +204,14 @@ def diff_snapshots(
             b = before.load(spark, name)
             a = after.load(spark, name)
             key = after.keys.get(name) or before.keys.get(name) or a.columns
-            results[name] = diff_tables(b, a, key, mode=mode, dedup_keys=True)
+            results[name] = diff_tables(
+                b,
+                a,
+                key,
+                mode=mode,
+                dedup_keys=True,
+                null_safe_keys=not assume_keys_not_null,
+            )
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)
             empty = spark.createDataFrame([], b.schema)
