@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dbdiff_spark import testkit
 from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
 from dbdiff_spark.io import TABLES, load_table
-from dbdiff_spark.ops import analytics, dedup, multimodal, similarity, text
+from dbdiff_spark.ops import analytics, dedup, functions, multimodal, similarity, text
 from dbdiff_spark.streaming import cdc
 
 DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
@@ -89,7 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["diff_lineitem_multiset"] = _with_conf(
         lambda spark, sf_dir: testkit.multiset_diff_query_df(spark, sf_dir, "lineitem")
     )
-    for mod in (analytics, text, dedup, similarity, multimodal, cdc):
+    out["diff_nation_stringmode"] = _with_conf(
+        lambda spark, sf_dir: testkit.diff_query_df(
+            spark, sf_dir, "nation", mode=DiffMode.STRING
+        )
+    )
+    for mod in (analytics, text, dedup, similarity, multimodal, functions, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
         for name, fn in getattr(mod, "NO_ORACLE_QUERIES", {}).items():
@@ -119,7 +124,8 @@ GROUP BY diff_status
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES
     )
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
-    for mod in (analytics, text, dedup, similarity, multimodal, cdc):
+    out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
+    for mod in (analytics, text, dedup, similarity, multimodal, functions, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql
     return out

@@ -1,0 +1,137 @@
+"""Scalar-function and set-operation coverage — the taxonomy rows the
+reference has none of (SURVEY §2.1: scalar functions "none", set ops
+"none as named ops").  Each query exercises a function family through
+the same oracle gate as every operator.
+
+Portability constraints honored here (see ARCHITECTURE.md):
+* no libm-divergent functions in outputs (exp/ln differ in last ulp
+  across platforms); sqrt/abs/round/floor/ceil are IEEE-exact
+* date parts extracted from timestamps (identical integer results)
+* JSON path extraction via each engine's string-path form
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over the (returnflag, linestatus) pairs of two
+    deterministic halves of lineitem — named set operators end-to-end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    even = li.filter(F.col("l_orderkey") % 2 == 0).select(
+        "l_returnflag", "l_linestatus"
+    )
+    odd = li.filter(F.col("l_orderkey") % 2 == 1).select(
+        "l_returnflag", "l_linestatus"
+    )
+    inter = even.intersect(odd).withColumn("set_op", F.lit("intersect"))
+    # subtract = EXCEPT DISTINCT (exceptAll would be bag difference)
+    minus = even.subtract(odd).withColumn("set_op", F.lit("except"))
+    return inter.unionByName(minus)
+
+
+SET_OPS_SQL = """
+SELECT l_returnflag, l_linestatus, 'intersect' AS set_op FROM (
+  SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 0
+  INTERSECT
+  SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 1
+)
+UNION ALL
+SELECT l_returnflag, l_linestatus, 'except' AS set_op FROM (
+  SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 0
+  EXCEPT
+  SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem WHERE l_orderkey % 2 = 1
+)
+"""
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar-function showcase over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.concat_ws("|", F.col("o_orderstatus"), F.col("o_orderpriority")).alias(
+            "status_prio"
+        ),
+        F.lpad(F.col("o_orderkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(
+            F.col("o_orderpriority"), F.lit("-"), F.lit("_")
+        ).alias("prio_snake"),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.year(ts).alias("o_year"),
+        F.month(ts).alias("o_month"),
+        F.dayofmonth(ts).alias("o_day"),
+        F.quarter(ts).alias("o_quarter"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+        F.round(F.col("o_totalprice"), 0).alias("price_round"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("o_totalprice")).cast("long").alias("price_ceil"),
+        F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+       lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(o_orderpriority, '-', '_') AS prio_snake,
+       CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       year(o_orderdate) AS o_year,
+       month(o_orderdate) AS o_month,
+       dayofmonth(o_orderdate) AS o_day,
+       quarter(o_orderdate) AS o_quarter,
+       abs(o_totalprice - 100000.0) AS price_dev,
+       round(o_totalprice, 0) AS price_round,
+       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+       sqrt(o_totalprice) AS price_sqrt,
+       o_orderkey % 7 AS key_mod7
+FROM orders
+"""
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column + aggregation
+    over the extracted value."""
+    ev = load_table(spark, sf_dir, "events")
+    extracted = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "set_ops": (set_ops, SET_OPS_SQL),
+    "scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),
+    "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
+}

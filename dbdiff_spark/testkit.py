@@ -155,6 +155,12 @@ MUTATIONS: dict[str, Mutation] = {
         insert_overrides={"event_id": "event_id + 10000000"},
     ),
     "region": Mutation(),  # identity → empty diff
+    "nation": Mutation(
+        delete_where="n_nationkey % 5 = 1",
+        updates=(("n_nationkey % 5 = 2", "n_name", "concat(n_name, '_X')"),),
+        insert_where="n_nationkey % 5 = 3",
+        insert_overrides={"n_nationkey": "n_nationkey + 1000"},
+    ),
 }
 
 
@@ -209,14 +215,21 @@ def apply_mutation(base: DataFrame, spec: TableSpec, mut: Mutation) -> DataFrame
     return kept
 
 
-def diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def diff_query_df(
+    spark: SparkSession, sf_dir: str, table: str, mode: DiffMode = DiffMode.TYPED
+) -> DataFrame:
     """The engine-side diff query the driver compares against the oracle:
-    typed-mode diff of (base, mutate(base)) with oracle-friendly output
-    (modified column set as a CSV string, timestamps as epoch micros)."""
+    diff of (base, mutate(base)) with oracle-friendly output (modified
+    column set as a CSV string, timestamps as epoch micros).
+
+    ``mode=STRING`` exercises the reference's cast-everything fidelity
+    path; only used on tables whose column types cast to string
+    identically in Spark and DuckDB (ints + strings — doubles and
+    timestamps render differently across engines)."""
     spec, mut = SPECS[table], MUTATIONS[table]
     base = prep(load_table(spark, sf_dir, table), spec)
     after = apply_mutation(base, spec, mut)
-    res = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    res = diff_tables(base, after, list(spec.key), mode=mode)
     return res.df.select(
         F.col("diff_status"),
         F.col("is_before"),
@@ -301,7 +314,7 @@ def _after_sql(spec: TableSpec, mut: Mutation) -> str:
     return sql
 
 
-def diff_oracle_sql(table: str) -> str:
+def diff_oracle_sql(table: str, stringify: bool = False) -> str:
     """ANSI-SQL twin of :func:`diff_query_df` for DuckDB.
 
     Same full-outer-join-with-classification semantics as the engine
@@ -309,6 +322,9 @@ def diff_oracle_sql(table: str) -> str:
     handling uses IS [NOT] DISTINCT FROM — the SQL form of Spark's
     ``eqNullSafe`` (SURVEY §1.4).  DuckDB's ``CAST(NULL AS STRING)`` is
     valid (STRING aliases VARCHAR), so mutation snippets stay shared.
+
+    ``stringify`` mirrors the engine's STRING fidelity mode: both sides
+    cast every column to VARCHAR *after* mutation, before the join.
     """
     spec, mut = SPECS[table], MUTATIONS[table]
     nonkey = [c for c in spec.cols if c not in spec.key]
@@ -332,15 +348,24 @@ def diff_oracle_sql(table: str) -> str:
     )
     b_out = ", ".join(f'"b_{c}" AS "{c}"' for c in spec.cols)
     a_out = ", ".join(f'"a_{c}" AS "{c}"' for c in spec.cols)
+    if stringify:
+        casts = ", ".join(f'CAST("{c}" AS VARCHAR) AS "{c}"' for c in spec.cols)
+        stringified = f""",
+before_s AS (SELECT {casts} FROM before),
+after_s AS (SELECT {casts} FROM after)"""
+        b_src, a_src = "before_s", "after_s"
+    else:
+        stringified = ""
+        b_src, a_src = "before", "after"
     return f"""
 WITH before AS ({_prep_sql(spec)}),
 after AS (
   {_after_sql(spec, mut)}
-),
+){stringified},
 j AS (
   SELECT {b_cols}, {a_cols}, b."__p" AS b_present, a."__p" AS a_present
-  FROM (SELECT *, TRUE AS "__p" FROM before) b
-  FULL OUTER JOIN (SELECT *, TRUE AS "__p" FROM after) a
+  FROM (SELECT *, TRUE AS "__p" FROM {b_src}) b
+  FULL OUTER JOIN (SELECT *, TRUE AS "__p" FROM {a_src}) a
   ON {key_cond}
 ),
 cls AS (
