@@ -149,6 +149,59 @@ class FileCatalog:
         return out
 
 
+def jdbc_read_options(
+    db: DbConfig,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    fetch_size: int = 10_000,
+) -> dict[str, str]:
+    """Options for a partitioned JDBC table read.
+
+    The reference scans each table over ONE connection sequentially
+    (``extract_data.go:30-43``; its own TODO at ``:33`` wishes for
+    parallelism).  With a numeric partition column (typically the first
+    PK column) Spark issues ``num_partitions`` range-predicated queries
+    in parallel — the snapshot of a 100 TB table becomes as parallel as
+    the source database allows.  Bounds should come from
+    ``SELECT min(c), max(c)`` when not provided (one cheap round-trip).
+    """
+    opts: dict[str, str] = {
+        "url": db.jdbc_url(),
+        "dbtable": f"{db.schema}{table}",
+        "fetchsize": str(fetch_size),
+        **db.jdbc_properties(),
+    }
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC reads need lower_bound/upper_bound "
+                "(fetch via SELECT min/max of the partition column)"
+            )
+        opts.update(
+            {
+                "partitionColumn": partition_column,
+                "numPartitions": str(num_partitions),
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+            }
+        )
+    return opts
+
+
+def jdbc_table(
+    spark: SparkSession,
+    db: DbConfig,
+    table: str,
+    **kwargs,
+):
+    """Load one table over JDBC (partitioned when a partition column is
+    given) — the live-database source for ``SnapshotStore.collect``."""
+    return spark.read.format("jdbc").options(**jdbc_read_options(db, table, **kwargs)).load()
+
+
 # Declared keys for the driver-generated test tables (FIXTURES.md §B).
 TESTDATA_KEYS: dict[str, list[str]] = {
     "region": ["r_regionkey"],

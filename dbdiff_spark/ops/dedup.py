@@ -150,16 +150,28 @@ def _minhash_select_duck() -> list[str]:
 
 
 def _signatures_spark(corpus: DataFrame) -> DataFrame:
-    staged = (
+    """Explode-based signature computation: md5 over exploded shingles is
+    whole-stage-codegen'd (higher-order ``transform`` lambdas are
+    interpreted per element — measurably slower), and the per-doc min
+    is a partially-aggregated groupBy, so the shuffle carries one row
+    per (doc, slice-mins) after map-side combine."""
+    exploded = (
         corpus.selectExpr("doc_id", f"{_TOKENS} AS tokens")
-        .selectExpr("doc_id", f"{shingles_expr_spark('tokens')} AS shingles")
+        .selectExpr("doc_id", f"explode({shingles_expr_spark('tokens')}) AS shingle")
         .selectExpr(
             "doc_id",
-            "transform(shingles, x -> md5(x)) AS hs1",
-            "transform(shingles, x -> md5(concat('x', x))) AS hs2",
+            "md5(shingle) AS m1",
+            "md5(concat('x', shingle)) AS m2",
         )
     )
-    return staged.selectExpr("doc_id", *_minhash_select_spark())
+    aggs = []
+    for s in range(N_HASHES):
+        src = "m1" if s < 4 else "m2"
+        start = _SLICE_W * (s % 4) + 1
+        aggs.append(
+            F.min(F.expr(f"substr({src}, {start}, {_SLICE_W})")).alias(f"h{s}")
+        )
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
 def _signatures_sql(corpus_sql: str) -> str:
