@@ -1,0 +1,67 @@
+"""Property-based diff test (SURVEY §5.2 item 4, via hypothesis):
+for ANY base table and ANY disjoint mutation plan (inserts with fresh
+keys, updates, deletes), the diff recovers exactly the mutated keys with
+exactly the touched columns."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dbdiff_spark.diff import DELETED, INSERTED, UPDATED, DiffMode, diff_tables
+
+KEYS = st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=25)
+
+
+@st.composite
+def mutation_plan(draw):
+    base_keys = sorted(draw(KEYS))
+    n = len(base_keys)
+    deletes = set(draw(st.sets(st.sampled_from(base_keys), max_size=n)))
+    updatable = [k for k in base_keys if k not in deletes]
+    if updatable:
+        upd_a = set(draw(st.sets(st.sampled_from(updatable), max_size=len(updatable))))
+        upd_b = set(draw(st.sets(st.sampled_from(updatable), max_size=len(updatable))))
+    else:
+        upd_a, upd_b = set(), set()
+    inserts = set(draw(st.sets(st.integers(min_value=100, max_value=160), max_size=10)))
+    return base_keys, deletes, upd_a, upd_b, inserts
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=mutation_plan())
+def test_diff_recovers_any_mutation_exactly(spark, plan):
+    base_keys, deletes, upd_a, upd_b, inserts = plan
+    before = spark.createDataFrame(
+        [(k, f"a{k}", f"b{k}") for k in base_keys], "id int, a string, b string"
+    )
+    after_rows = [
+        (
+            k,
+            f"A{k}" if k in upd_a else f"a{k}",
+            f"B{k}" if k in upd_b else f"b{k}",
+        )
+        for k in base_keys
+        if k not in deletes
+    ] + [(k, f"a{k}", f"b{k}") for k in sorted(inserts)]
+    after = spark.createDataFrame(after_rows, "id int, a string, b string")
+
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    rows = res.df.collect()
+
+    got = {}
+    for r in rows:
+        got.setdefault((r["id"], r["diff_status"]), []).append(r)
+
+    expect_updated = {k for k in (upd_a | upd_b) if k not in deletes}
+    assert {k for (k, s) in got if s == DELETED} == deletes
+    assert {k for (k, s) in got if s == INSERTED} == inserts
+    assert {k for (k, s) in got if s == UPDATED} == expect_updated
+    for k in expect_updated:
+        pair = got[(k, UPDATED)]
+        assert len(pair) == 2
+        expect_cols = (["a"] if k in upd_a else []) + (["b"] if k in upd_b else [])
+        for r in pair:
+            assert r["modified_columns"] == expect_cols
