@@ -130,8 +130,78 @@ GROUP BY event_type
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (sort-based; the approximate sibling
+    ``approx_percentile`` is the at-scale default but is sketch-based and
+    engine-specific, so the oracle pins the exact one)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       min(value) AS v_min,
+       max(value) AS v_max
+FROM events
+GROUP BY event_type
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all 4 grouping combinations in one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+        ).alias("total_price"),
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# Correlated subquery through the SQL API — Catalyst decorrelates it into
+# the same join+agg plan the DataFrame formulation would produce; the avg
+# is grid-exact so both engines compare against identical thresholds.
+_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT CAST(SUM(CAST(ROUND(o2.o_totalprice * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         / count(*)
+  FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (SQL API surface): orders 1.5× above
+    their customer's average order value."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ABOVE_AVG_SQL)
+
+
 QUERIES = {
     "set_ops": (set_ops, SET_OPS_SQL),
     "scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),
     "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
+    "value_percentiles": (value_percentiles, VALUE_PERCENTILES_SQL),
+    "cube_orders": (cube_orders, CUBE_ORDERS_SQL),
+    "orders_above_customer_avg": (orders_above_customer_avg, _ABOVE_AVG_SQL),
 }

@@ -84,10 +84,20 @@ def extract_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         + ", features array<float>"
     )
     passthrough = [c for c in df.columns if c != payload_col]
+    dim = FEATURE_DIM
 
+    # NOTE: the worker function must be a CLOSURE (pickled by value) —
+    # a module-level function pickles by reference and Python workers on
+    # a cluster may not have dbdiff_spark importable.
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def feats_of(b: bytes) -> list[float]:
+            h = hashlib.sha256(b).digest()
+            return [h[i] / 255.0 for i in range(dim)]
+
         for pdf in it:
-            feats = pdf[payload_col].map(lambda b: _fake_features(bytes(b)))
+            feats = pdf[payload_col].map(lambda b: feats_of(bytes(b)))
             yield pdf[passthrough].assign(features=feats)
 
     return df.mapInPandas(batches, schema=out_schema)

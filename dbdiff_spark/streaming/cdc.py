@@ -106,34 +106,37 @@ STATE_SCHEMA = "last_hash string, n_seen long"
 OUTPUT_SCHEMA = "user_id long, n_seen long, last_hash string"
 
 
-def _update_state(
-    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keep the last payload hash + count per user — the running 'after
-    snapshot' entry for this key."""
-    import hashlib
-
-    last_hash, n_seen = state.get if state.exists else ("", 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for payload in pdf["props"]:
-            last_hash = hashlib.md5(str(payload).encode()).hexdigest()
-        n_seen += len(pdf)
-    state.update((last_hash, n_seen))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_seen": [n_seen], "last_hash": [last_hash]}
-    )
-
-
 def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running state (count + last payload hash)."""
+    running state (count + last payload hash — the running 'after
+    snapshot' entry for this key)."""
     stream = _event_stream_from_table(spark, sf_dir)
+
+    # closure, not a module-level function: workers pickle it by value,
+    # so dbdiff_spark need not be importable on executors
+    def update_state(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        last_hash, n_seen = state.get if state.exists else ("", 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for payload in pdf["props"]:
+                last_hash = hashlib.md5(str(payload).encode()).hexdigest()
+            n_seen += len(pdf)
+        state.update((last_hash, n_seen))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [n_seen], "last_hash": [last_hash]}
+        )
+
     result = (
         stream.withWatermark("ts", WATERMARK)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _update_state,
+            update_state,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
