@@ -211,9 +211,81 @@ FROM documents
 """
 
 
+def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text ops composed into a cleaning pipeline: quality-filter →
+    per-language acceptance stats.  This is the shape of a real
+    training-data prep job (score → threshold → per-slice accounting)."""
+    scored = text_quality(spark, sf_dir)
+    return (
+        scored.withColumn(
+            "accepted",
+            (F.col("quality_score") >= 0.5)
+            & (F.col("n_tokens") >= 10)
+            & (F.col("avg_token_len") >= 2.0),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("accepted").cast("long")).alias("n_accepted"),
+            F.sum(F.when(F.col("accepted"), F.col("n_tokens")).otherwise(0)).alias(
+                "accepted_tokens"
+            ),
+        )
+    )
+
+
+CORPUS_CLEAN_STATS_SQL = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(sum(CASE WHEN accepted THEN n_tokens ELSE 0 END) AS BIGINT) AS accepted_tokens
+FROM (
+  SELECT lang, n_tokens,
+         (quality_score >= 0.5 AND n_tokens >= 10 AND avg_token_len >= 2.0) AS accepted
+  FROM ({TEXT_QUALITY_SQL})
+)
+GROUP BY lang
+"""
+
+
+# power-of-two bucket via integer CASE ladder — log2/pow are libm calls
+# whose last-ulp differences across engines can flip floor() exactly at
+# bucket boundaries; integer comparisons cannot
+_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+
+
+def _bucket_case(n_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {n_expr} < {b * 2} THEN {b}" for b in _BUCKETS[:-1]
+    )
+    return f"CAST(CASE {whens} ELSE {_BUCKETS[-1]} END AS BIGINT)"
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (power-of-two buckets) — the standard
+    corpus profile before sequence-length planning."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.selectExpr(f"size({_TOKENS}) AS n_tokens").selectExpr(
+        f"{_bucket_case('greatest(n_tokens, 1)')} AS token_bucket"
+    )
+    return bucketed.groupBy("token_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+SELECT {_bucket_case('greatest(n_tokens, 1)')} AS token_bucket,
+       count(*) AS n_docs
+FROM (SELECT len({_D_TOKENS}) AS n_tokens FROM documents)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "corpus_clean_stats": (corpus_clean_stats, CORPUS_CLEAN_STATS_SQL),
+    "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
 }

@@ -266,6 +266,13 @@ def packed_diff(
             ).alias("row"),
         )
         parts.append(packed)
+    if not parts:  # both snapshots empty → empty packed diff
+        return spark.createDataFrame(
+            [],
+            "table_name string, diff_status string, is_before boolean, "
+            "modified_columns array<string>, key map<string,string>, "
+            "row map<string,string>",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
