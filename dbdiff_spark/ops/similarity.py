@@ -270,9 +270,113 @@ GROUP BY label, pos
 """
 
 
+IVF_CELLS = 8
+IVF_K = 3
+
+
+def _dist2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dist2_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest seed centroid (vec_id < IVF_CELLS as deterministic seeds),
+    then answer queries within their cell only.
+
+    Scale shape: assignment is a broadcast of C centroids against a
+    corpus scan (no shuffle), the inverted file is one repartition by
+    cell, and each query touches ~n/C candidates.  Swapping seeds for
+    trained centroids (label_centroids / k-means) changes no plumbing."""
+    vecs = _vectors(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "seed_id",
+        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("seed_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "norm", F.col("seed_id").alias("cell"))
+    )
+    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        F.col("cell").alias("q_cell"),
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias("cosine"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs WHERE vec_id < {IVF_CELLS}
+),
+scored AS (
+  SELECT v.vec_id, v.embedding, v.norm, seed_id,
+         {_dist2_duck('v.embedding', 'seed_emb')} AS d2
+  FROM vecs v CROSS JOIN seeds
+),
+assigned AS (
+  SELECT vec_id, embedding, norm, seed_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell AS q_cell
+  FROM assigned WHERE vec_id % {QUERY_MOD} = 0
+),
+cand AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
+  FROM assigned a JOIN queries ON a.cell = q_cell AND a.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+WHERE rank <= {IVF_K}
+"""
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
 }

@@ -1,0 +1,44 @@
+"""Physical-plan regression tests — the scale properties ARCHITECTURE.md
+claims, asserted so a future change can't silently degrade them."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(entry.queries()["q3_top_revenue_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q3_prunes_lineitem_columns(spark, sf_dir):
+    plan = _plan(entry.queries()["q3_top_revenue_orders"](spark, sf_dir))
+    # the lineitem scan must read only the 3 needed columns
+    scan = next(l for l in plan.splitlines() if "FileScan" in l and "l_orderkey" in l)
+    assert "l_quantity" not in scan and "l_shipdate" not in scan
+
+
+def test_diff_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(entry.queries()["diff_customer"](spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_diff_pushes_mutation_filters_to_scan(spark, sf_dir):
+    plan = _plan(entry.queries()["diff_customer"](spark, sf_dir))
+    # the delete-mutation predicate must reach a parquet scan filter
+    assert "PushedFilters" in plan or "DataFilters" in plan
+
+
+def test_knn_broadcasts_query_set(spark, sf_dir):
+    plan = _plan(entry.queries()["knn_bruteforce"](spark, sf_dir))
+    assert "Broadcast" in plan  # corpus never shuffles for brute force
