@@ -373,10 +373,94 @@ WHERE rank <= {IVF_K}
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding column — the iterative-
+    algorithm pattern: a driver-side loop of (assign → grid-exact
+    centroid update) DataFrame jobs, seeds = first K vectors.
+
+    Deterministic: assignment ties break on smallest centroid id and
+    centroid updates use integer-grid sums (order-independent), so every
+    run converges identically.  Declared rows-only to the driver
+    (iterative SQL would need KMEANS_ITERS nested CTE layers).
+
+    Scale shape per iteration: broadcast K centroids against a corpus
+    scan (no shuffle) + one groupBy(cell) aggregation — identical to the
+    IVF assignment step, run K times.
+    """
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
+    centroids = (
+        vecs.filter(F.col("vec_id") < KMEANS_K)
+        .selectExpr(
+            "vec_id AS cell",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid",
+        )
+    )
+    for _ in range(KMEANS_ITERS):
+        scored = vecs.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "cell")
+        )
+        # grid-exact per-dimension mean → order-independent updates
+        exploded = assigned.select(
+            "cell", F.posexplode("embedding").alias("pos", "component")
+        )
+        means = exploded.groupBy("cell", "pos").agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(component AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
+                " / 1000000 / COUNT(*)"
+            ).alias("m")
+        )
+        centroids = (
+            means.groupBy("cell")
+            .agg(
+                F.expr("array_sort(collect_list(struct(pos, m)))").alias("pm")
+            )
+            .selectExpr("cell", "transform(pm, p -> p.m) AS centroid")
+        )
+    final_assign = (
+        vecs.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "cell",
+            F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return final_assign.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
+        ).alias("inertia"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+}
+# Iterative algorithm → rows-only driver check (KMEANS_ITERS nested CTE
+# layers would be needed for a SQL twin)
+NO_ORACLE_QUERIES = {
+    "kmeans_lloyd": kmeans_lloyd,
 }
