@@ -61,10 +61,17 @@ PK_SQL = {
         "WHERE constraint_name = 'PRIMARY' AND table_schema = DATABASE()"
     ),
     "sqlserver": (
-        "SELECT kcu.table_name, kcu.column_name, kcu.ordinal_position AS ordinal "
+        # explicit lowercase aliases: SQL Server returns defined-case
+        # TABLE_NAME/... and PySpark Row access is case-sensitive; the
+        # join correlates on schema+table too — constraint names are
+        # only unique per schema, and auto-named PK constraints repeat
+        "SELECT kcu.table_name AS table_name, kcu.column_name AS column_name, "
+        "       kcu.ordinal_position AS ordinal "
         "FROM information_schema.table_constraints tc "
         "JOIN information_schema.key_column_usage kcu "
         "  ON tc.constraint_name = kcu.constraint_name "
+        " AND tc.table_schema = kcu.table_schema "
+        " AND tc.table_name = kcu.table_name "
         "WHERE tc.constraint_type = 'PRIMARY KEY'"
     ),
 }
@@ -111,14 +118,7 @@ class JdbcCatalog:
             if t in by_table:
                 out[t] = [c for _, c in sorted(by_table[t])]
             else:
-                df = (
-                    self.spark.read.format("jdbc")
-                    .option("url", self.db.jdbc_url())
-                    .option("dbtable", f"{self.db.schema}{t}")
-                    .options(**self.db.jdbc_properties())
-                    .load()
-                )
-                out[t] = list(df.columns)
+                out[t] = list(jdbc_table(self.spark, self.db, t).columns)
         return out
 
 

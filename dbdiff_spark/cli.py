@@ -23,7 +23,7 @@ import sys
 import time
 from pathlib import Path
 
-from dbdiff_spark.catalog import FileCatalog, JdbcCatalog, TESTDATA_KEYS
+from dbdiff_spark.catalog import FileCatalog, JdbcCatalog, TESTDATA_KEYS, jdbc_table
 from dbdiff_spark.config import load_configuration
 from dbdiff_spark.diff import DiffMode
 from dbdiff_spark.session import get_spark
@@ -43,15 +43,7 @@ def _load_sources(spark, args):
     cat = JdbcCatalog(spark, conf.db)
     tables = cat.list_tables()
     keys = cat.primary_keys(tables)
-    sources = {}
-    for t in tables:
-        sources[t] = (
-            spark.read.format("jdbc")
-            .option("url", conf.db.jdbc_url())
-            .option("dbtable", f"{conf.db.schema}{t}")
-            .options(**conf.db.jdbc_properties())
-            .load()
-        )
+    sources = {t: jdbc_table(spark, conf.db, t) for t in tables}
     return sources, keys
 
 

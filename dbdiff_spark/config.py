@@ -86,6 +86,11 @@ def _parse_minimal_yaml(text: str) -> dict:
             raise ConfigurationError(f"invalid yaml line: {raw!r}")
         key, _, value = line.strip().partition(":")
         value = value.strip().strip("'\"")
+        if value.startswith(("[", "{")):
+            raise ConfigurationError(
+                "the minimal YAML fallback parser does not support flow "
+                f"sequences/mappings ({raw!r}); install pyyaml"
+            )
         if not indented:
             if value == "":
                 current = {}

@@ -195,8 +195,17 @@ def diff_tables(
             both_present, F.array(*[F.lit(c) for c in value_cols])
         ).otherwise(F.array().cast("array<string>"))
     else:
+        def cmp_col(side: str, c: str) -> Column:
+            col = F.col(f"{side}.`{c}`")
+            if b_types[c] != a_types[c]:
+                # cross-side type conflict: compare the same string
+                # rendering the output carries — implicit numeric
+                # coercion would hide real changes (1 vs '1.00')
+                col = col.cast("string")
+            return col
+
         per_col = [
-            F.when(~F.col(f"b.`{c}`").eqNullSafe(F.col(f"a.`{c}`")), F.lit(c))
+            F.when(~cmp_col("b", c).eqNullSafe(cmp_col("a", c)), F.lit(c))
             for c in common_cols
             if c not in key_cols  # keys matched null-safely ⇒ never modified
         ]
@@ -253,7 +262,7 @@ def diff_tables(
         F.col("diff_status"),
         F.col("__e.is_before").alias("is_before"),
         F.col("modified_columns"),
-        *[F.col(f"__e.row.{c}").alias(c) for c in value_cols],
+        *[F.col(f"__e.row.`{c}`").alias(c) for c in value_cols],
     )
     return DiffResult(df=out, key_columns=list(key_cols), value_columns=value_cols)
 
@@ -272,6 +281,14 @@ def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
     same grouping key; at 100 TB this is strictly cheaper than the keyed
     diff because the payload per group is two longs."""
     cols = before.columns
+    if set(after.columns) != set(cols):
+        # column drift has no meaningful multiset semantics — refuse
+        # loudly rather than silently comparing a projection
+        raise ValueError(
+            "diff_multiset requires identical column sets; "
+            f"before-only={sorted(set(cols) - set(after.columns))} "
+            f"after-only={sorted(set(after.columns) - set(cols))}"
+        )
     if after.columns != cols:
         after = after.select(*cols)
     b = before.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_before")).alias("mb")

