@@ -1,0 +1,190 @@
+"""Temporal join operators Spark lacks natively — as-of join and range
+join — composed from built-in operators (option (a) of the custom-
+operator ladder: composition > pandas UDF > mapPartitions).
+
+* **As-of join**: for every purchase event, the latest click of the same
+  user at-or-before the purchase time.  Implemented as a union + running
+  ``last(..., ignorenulls)`` over a RANGE window — one shuffle on
+  user_id, no pair explosion, O(n log n) per partition.  (The pandas
+  alternative, ``merge_asof`` per group via applyInPandas, pays Arrow
+  round-trips; the window formulation stays in the JVM.)
+* **Range join**: events within ±1 hour of every error event of the same
+  user.  Implemented with the bucketize-then-equi-join trick: map each
+  probe to its hour bucket, explode each error to its 3 adjacent
+  buckets, equi-join on (user, bucket) — Catalyst gets a hash join on a
+  uniform key instead of an O(n²) theta join — then filter the exact
+  range.  At 100 TB the bucket width is the knob trading shuffle width
+  against candidate count.
+
+The DuckDB oracles use the engine-native formulations (ASOF JOIN and a
+plain inequality join) — different algorithms, identical semantics,
+which is exactly what an oracle should pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+RANGE_US = 3600 * 1_000_000  # ±1 hour
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the same user's latest click at-or-before
+    it.  Clicks are deduplicated to one per (user, instant) — max
+    event_id — so exact-tie behavior is deterministic and matches the
+    ASOF oracle."""
+    ev = _events_us(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    tagged = purchases.select(
+        "user_id",
+        F.col("ts_us"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(None).cast("long").alias("click_id"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("long").alias("purchase_id"),
+            "click_id",
+        )
+    )
+    # RANGE frame on ts: a click at the exact purchase instant matches
+    # (ASOF's ts <= ts), regardless of interleave order within the tie
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    with_asof = tagged.withColumn(
+        "asof",
+        F.last(
+            # only click rows contribute state: a struct with a NULL
+            # click_id is itself non-null and would defeat ignorenulls
+            F.when(
+                F.col("click_id").isNotNull(), F.struct("ts_us", "click_id")
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        with_asof.filter(F.col("purchase_id").isNotNull())
+        .select(
+            F.col("purchase_id"),
+            F.col("user_id"),
+            F.col("ts_us").alias("purchase_ts_us"),
+            F.col("asof.click_id").alias("asof_click_id"),
+            F.col("asof.ts_us").alias("asof_click_ts_us"),
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+clicks AS (
+  SELECT user_id, ts_us, max(event_id) AS click_id
+  FROM ev WHERE event_type = 'click' GROUP BY user_id, ts_us
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+       c.click_id AS asof_click_id, c.ts_us AS asof_click_ts_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
+def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count events of the same user within ±1 hour of each error event
+    (the error itself excluded) — bucketized range join."""
+    ev = _events_us(spark, sf_dir)
+    probes = ev.select(
+        "user_id",
+        F.col("event_id").alias("probe_id"),
+        F.col("ts_us").alias("probe_ts"),
+        (F.col("ts_us") - F.col("ts_us") % RANGE_US).alias("bucket"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts_us").alias("error_ts"),
+    )
+    # each error probes its 3 adjacent buckets → equi-join, no theta join
+    error_buckets = errors.select(
+        "user_id",
+        "error_id",
+        "error_ts",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("error_ts") - F.col("error_ts") % RANGE_US) + F.lit(d)
+                    for d in (-RANGE_US, 0, RANGE_US)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    joined = error_buckets.join(probes, on=["user_id", "bucket"]).filter(
+        (F.abs(F.col("probe_ts") - F.col("error_ts")) <= RANGE_US)
+        & (F.col("probe_id") != F.col("error_id"))
+    )
+    counted = joined.groupBy("error_id", "user_id", "error_ts").agg(
+        F.count(F.lit(1)).alias("n_context_events")
+    )
+    # keep errors with empty context too (left join back)
+    return (
+        errors.join(counted, on=["error_id", "user_id", "error_ts"], how="left")
+        .select(
+            "error_id",
+            "user_id",
+            F.col("error_ts").alias("error_ts_us"),
+            F.coalesce(F.col("n_context_events"), F.lit(0)).alias("n_context_events"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+errors AS (
+  SELECT event_id AS error_id, user_id, ts_us AS error_ts
+  FROM ev WHERE event_type = 'error'
+)
+SELECT e.error_id, e.user_id, e.error_ts AS error_ts_us,
+       CAST(count(p.event_id) AS BIGINT) AS n_context_events
+FROM errors e
+LEFT JOIN ev p
+  ON p.user_id = e.user_id
+ AND abs(p.ts_us - e.error_ts) <= {RANGE_US}
+ AND p.event_id <> e.error_id
+GROUP BY e.error_id, e.user_id, e.error_ts
+"""
+
+
+QUERIES = {
+    "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
+    "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
+}
