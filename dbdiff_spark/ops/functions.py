@@ -197,7 +197,52 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_ABOVE_AVG_SQL)
 
 
+def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): the priority-count pivot melted back to
+    (status, priority, n) rows via stack()."""
+    from dbdiff_spark.ops.analytics import _PRIORITIES, orders_priority_pivot
+
+    piv = orders_priority_pivot(spark, sf_dir)
+    stack_args = ", ".join(f"'{p}', n_{p[0]}" for p in _PRIORITIES)
+    return piv.selectExpr(
+        "o_orderstatus",
+        f"stack({len(_PRIORITIES)}, {stack_args}) AS (priority, n_orders)",
+    ).filter(F.col("n_orders") > 0)
+
+
+ORDERS_UNPIVOT_SQL = """
+SELECT o_orderstatus, o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+HAVING count(*) > 0
+"""
+
+
+def agg_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: per user the SORTED distinct event types
+    (collect_set order is nondeterministic — array_sort pins it) and the
+    csv rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("array_join(array_sort(collect_set(event_type)), ',')").alias(
+            "event_types_csv"
+        ),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+AGG_COLLECTIONS_SQL = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types_csv,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+
 QUERIES = {
+    "orders_unpivot": (orders_unpivot, ORDERS_UNPIVOT_SQL),
+    "agg_collections": (agg_collections, AGG_COLLECTIONS_SQL),
     "set_ops": (set_ops, SET_OPS_SQL),
     "scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),
     "json_extract_props": (json_extract_props, JSON_EXTRACT_SQL),
