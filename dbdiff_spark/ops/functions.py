@@ -210,9 +210,13 @@ def orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_orders") > 0)
 
 
+# the IN filter keeps the oracle symmetric with the Spark side, which
+# stacks exactly the fixed priority list (a value outside it would
+# appear here but be dropped by stack())
 ORDERS_UNPIVOT_SQL = """
 SELECT o_orderstatus, o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
 GROUP BY o_orderstatus, o_orderpriority
 HAVING count(*) > 0
 """

@@ -5,16 +5,18 @@ implementation-specific).
 
 Count-min sketch over the document token stream:
 
-* depth 4 × width 256; row hashes are the first hex byte of
+* depth 4 × width 256; row hashes are the leading hex chars of
   ``md5('<d>:' || token)`` — independent uniform hashes, identical in
   every engine.
-* Construction is one grouped count per (depth, bucket) — map-side
-  combinable, one shuffle of at most depth×width rows per partition:
-  the classic mergeable-summary shape (sketches merge by cell-wise add,
-  which is how a 1000-executor build combines partial sketches for
-  free).
-* Point queries lower-bound nothing and over-count by at most
-  n/width per row; taking the min over rows is the CM estimate.
+* Construction is ONE corpus pass: each token expands to its
+  (depth, bucket) cells and a single grouped count builds every row at
+  once — map-side combinable, one shuffle of ≤ depth×width rows per
+  partition: the classic mergeable-summary shape (sketches merge by
+  cell-wise add, which is how a 1000-executor build combines partial
+  sketches for free).
+* Point queries never under-count; the EXPECTED over-count per row is
+  n/width (the 2n/width bound holds per row only with probability ≥ ½ —
+  Markov).  Taking the min over rows is the CM estimate.
 
 ``cms_token_counts`` builds the sketch AND evaluates five fixed probe
 tokens against their true counts in one result — construction,
@@ -30,23 +32,29 @@ from dbdiff_spark.io import load_table
 from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS
 
 CMS_DEPTH = 4
-CMS_WIDTH = 256  # one hex byte
-
-PROBE_TOKENS = ("the", "spark", "table", "row", "zzz-absent")
+_HEX_CHARS = 2  # bucket = first _HEX_CHARS of the md5 → width 16^_HEX_CHARS
+CMS_WIDTH = 16 ** _HEX_CHARS
 
 
 def _bucket_spark(depth: int, token_col: str) -> str:
-    # first hex byte of md5 → 0..255
     return (
-        f"CAST(conv(substr(md5(concat('{depth}:', {token_col})), 1, 2), 16, 10) AS INT)"
+        f"CAST(conv(substr(md5(concat('{depth}:', {token_col})), 1, {_HEX_CHARS}), 16, 10) AS INT)"
     )
 
 
 def _bucket_duck(depth: int, token_col: str) -> str:
-    h = f"substr(md5(concat('{depth}:', {token_col})), 1, 2)"
-    hi = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
-    lo = f"(strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
-    return f"CAST(16 * {hi} + {lo} AS INT)"
+    h = f"substr(md5(concat('{depth}:', {token_col})), 1, {_HEX_CHARS})"
+    digits = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        for i in range(_HEX_CHARS)
+    ]
+    acc = digits[0]
+    for d in digits[1:]:
+        acc = f"(16 * {acc} + {d})"
+    return f"CAST({acc} AS INT)"
+
+
+PROBE_TOKENS = ("the", "spark", "table", "row", "zzz-absent")
 
 
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,25 +63,28 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the CM estimate (min over depths), and the true count."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.selectExpr(f"explode({_TOKENS}) AS token")
-    # sketch cells touched by any probe's buckets; counts come from the
-    # FULL stream (that's what makes it a sketch, not a filter)
-    cells = None
-    for d in range(CMS_DEPTH):
-        layer = tokens.selectExpr(
-            f"{d} AS depth", f"{_bucket_spark(d, 'token')} AS bucket"
-        ).groupBy("depth", "bucket").agg(F.count(F.lit(1)).alias("cell_count"))
-        cells = layer if cells is None else cells.unionByName(layer)
+    # ONE corpus pass: each token expands to its CMS_DEPTH (depth,
+    # bucket) cells, one grouped count builds the whole table.  Counts
+    # come from the FULL stream (that's what makes it a sketch).
+    cell_structs = ", ".join(
+        f"struct({d} AS depth, {_bucket_spark(d, 'token')} AS bucket)"
+        for d in range(CMS_DEPTH)
+    )
+    cells = (
+        tokens.selectExpr(f"explode(array({cell_structs})) AS cell")
+        .groupBy("cell.depth", "cell.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
     probes = spark.createDataFrame(
         [(t,) for t in PROBE_TOKENS], "probe_token string"
     )
-    probe_cells = None
-    for d in range(CMS_DEPTH):
-        pl = probes.selectExpr(
-            "probe_token",
-            f"{d} AS depth",
-            f"{_bucket_spark(d, 'probe_token')} AS bucket",
-        )
-        probe_cells = pl if probe_cells is None else probe_cells.unionByName(pl)
+    probe_structs = ", ".join(
+        f"struct({d} AS depth, {_bucket_spark(d, 'probe_token')} AS bucket)"
+        for d in range(CMS_DEPTH)
+    )
+    probe_cells = probes.selectExpr(
+        "probe_token", f"explode(array({probe_structs})) AS cell"
+    ).select("probe_token", "cell.depth", "cell.bucket")
     looked_up = probe_cells.join(cells, on=["depth", "bucket"], how="left").select(
         "probe_token",
         "depth",

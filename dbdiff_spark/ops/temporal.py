@@ -38,6 +38,12 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    ).filter(
+        # NULL timestamps have no temporal position: Spark's RANGE window
+        # would group NULL-ordered rows as peers (a NULL-ts purchase
+        # could 'match' a NULL-ts click) while SQL inequality predicates
+        # never match NULL — exclude them from temporal joins outright
+        F.col("ts_us").isNotNull()
     )
 
 
