@@ -84,11 +84,17 @@ def main() -> None:
 
     spark = get_spark(app_name="dbdiff_spark_bench")
     qs = entrymod.queries()
-    # JVM/codegen/shuffle warmup so the first query doesn't pay one-time
-    # startup cost (exercises codegen, exchange, sort-merge join paths)
-    a = spark.range(500_000).selectExpr("id", "id % 1000 AS k")
-    b = spark.range(500_000).selectExpr("id AS id2", "id % 1000 AS k")
-    a.join(b, "k").groupBy("k").count().write.format("noop").mode("overwrite").save()
+    # Per-plan warmup at sf0.001: whole-stage codegen compiles per plan
+    # shape and is cached by generated source, so one tiny-SF run of each
+    # query pays the JIT cost up front and the timed sf0.1 runs measure
+    # engine throughput, not first-compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name in qs:
+            try:
+                run_query(qs[name](spark, warm_dir))
+            except Exception as exc:  # warmup must never sink the bench
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
@@ -96,10 +102,10 @@ def main() -> None:
     for name in HEADLINE:
         if name not in qs:
             continue
-        # min of two runs: this host shows 3-10x run-to-run noise from
+        # min of three runs: this host shows 3-10x run-to-run noise from
         # outside interference; min is the engine's actual cost
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             run_query(qs[name](spark, SF_DIR))
             dt = round(time.time() - t0, 3)
