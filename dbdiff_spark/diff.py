@@ -277,9 +277,12 @@ def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
     A row present 3× before and 1× after is DELETED with n_rows=2 —
     information the reference's last-wins keyed map silently destroys.
 
-    Scale shape: two partial-aggregated counts + one join, all on the
-    same grouping key; at 100 TB this is strictly cheaper than the keyed
-    diff because the payload per group is two longs."""
+    Scale shape: ONE shuffle total — union the sides with a per-side
+    tally column and aggregate both multiplicities in a single grouped
+    pass (conditional counts with map-side combine).  Strictly better
+    than groupBy-each-side + full-outer join (three shuffles of the same
+    rows plus a sort-merge) and cheaper than the keyed diff because the
+    payload per group is two longs."""
     cols = before.columns
     if set(after.columns) != set(cols):
         # column drift has no meaningful multiset semantics — refuse
@@ -291,20 +294,12 @@ def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
         )
     if after.columns != cols:
         after = after.select(*cols)
-    b = before.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_before")).alias("mb")
-    a = after.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_after")).alias("ma")
-    cond = reduce(
-        lambda acc, c: acc & c,
-        [F.col(f"mb.`{c}`").eqNullSafe(F.col(f"ma.`{c}`")) for c in cols],
+    tagged = before.withColumn("__side", F.lit(0)).unionByName(
+        after.withColumn("__side", F.lit(1))
     )
-    joined = b.join(a, on=cond, how="full_outer")
-    out = joined.select(
-        *[
-            F.coalesce(F.col(f"mb.`{c}`"), F.col(f"ma.`{c}`")).alias(c)
-            for c in cols
-        ],
-        F.coalesce(F.col("mb.n_before"), F.lit(0)).alias("n_before"),
-        F.coalesce(F.col("ma.n_after"), F.lit(0)).alias("n_after"),
+    out = tagged.groupBy(*cols).agg(
+        F.count_if(F.col("__side") == 0).alias("n_before"),
+        F.count_if(F.col("__side") == 1).alias("n_after"),
     )
     return (
         out.filter(F.col("n_before") != F.col("n_after"))
