@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dbdiff_spark import testkit
 from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
 from dbdiff_spark.io import TABLES, load_table
-from dbdiff_spark.ops import analytics, dedup, functions, multimodal, similarity, sketch, temporal, text
+from dbdiff_spark.ops import analytics, dedup, functions, multimodal, similarity, sketch, skew, temporal, text
 from dbdiff_spark.streaming import cdc
 
 DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
@@ -94,7 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "nation", mode=DiffMode.STRING
         )
     )
-    for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, cdc):
+    for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
         for name, fn in getattr(mod, "NO_ORACLE_QUERIES", {}).items():
@@ -125,7 +125,7 @@ GROUP BY diff_status
     )
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
-    for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, cdc):
+    for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql
     return out

@@ -383,6 +383,111 @@ FROM (
 """
 
 
+def q4_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS, TPC-H Q4 shape): orders with at least one
+    returned line item, counted per priority.  The semi join streams the
+    orders side and never materializes the match payload — at scale the
+    probe side carries only ``l_orderkey`` through the shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed sliding window: per-day order revenue with a 7-day
+    trailing moving average.
+
+    The window frame is RANGE (value-based, ``[day-6, day]``) — distinct
+    from the engine's ROWS-framed windows — so gap days genuinely shrink
+    the average.  Scale shape: the window input is the DAILY aggregate
+    (bounded at one row per calendar day, ~36k rows per century), so the
+    single-partition global sort after the groupBy is deliberate and
+    safe; the unbounded-cardinality work all happens in the partial-agg
+    groupBy before it.  Revenue stays on the exact 1e-4 BIGINT grid
+    through the window sum; one double division at the end.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias(
+            "day_num"
+        )
+    ).agg(
+        F.expr("SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))").alias("rev_e4")
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        "day_num",
+        (F.col("rev_e4").cast("double") / 10000).alias("day_revenue"),
+        (
+            F.sum("rev_e4").over(w).cast("double") / 10000
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7_revenue"),
+    )
+
+
+DAILY_REVENUE_MA7_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day_num,
+         SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT)) AS rev_e4
+  FROM orders
+  GROUP BY 1
+)
+SELECT day_num,
+       CAST(rev_e4 AS DOUBLE) / 10000 AS day_revenue,
+       CAST(SUM(rev_e4) OVER w AS DOUBLE) / 10000 / COUNT(*) OVER w AS ma7_revenue
+FROM daily
+WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (both already covered): (status, priority), (status), and grand
+    total in ONE pass with grouping() flags disambiguating the NULLs
+    of higher aggregation levels."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_dsum("o_totalprice")).alias("total_price"),
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
@@ -397,4 +502,7 @@ QUERIES = {
     "top_events_per_user": (top_events_per_user, TOP_EVENTS_PER_USER_SQL),
     "user_sessions": (user_sessions, USER_SESSIONS_SQL),
     "brand_revenue_share": (brand_revenue_share, BRAND_REVENUE_SHARE_SQL),
+    "q4_orders_with_returns": (q4_orders_with_returns, Q4_SQL),
+    "daily_revenue_ma7": (daily_revenue_ma7, DAILY_REVENUE_MA7_SQL),
+    "orders_grouping_sets": (orders_grouping_sets, ORDERS_GROUPING_SETS_SQL),
 }
