@@ -488,6 +488,33 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
 
 
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside a plain count — Catalyst plans this as
+    the two-phase expand aggregation (partial distinct per partition,
+    then merge), the scale-correct shape for distinct counts; swap in
+    ``approx_count_distinct`` (HLL++) when a ~2% error is acceptable and
+    the distinct set per group no longer fits a hash set."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
@@ -505,4 +532,5 @@ QUERIES = {
     "q4_orders_with_returns": (q4_orders_with_returns, Q4_SQL),
     "daily_revenue_ma7": (daily_revenue_ma7, DAILY_REVENUE_MA7_SQL),
     "orders_grouping_sets": (orders_grouping_sets, ORDERS_GROUPING_SETS_SQL),
+    "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
 }

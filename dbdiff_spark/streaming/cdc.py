@@ -4,7 +4,7 @@ reference's keypress-triggered snapshot loop (``cmd/dbdiff/main.go:66``).
 The reference re-snapshots the whole database every iteration; a CDC
 stream of row-change events subsumes that loop: each event is
 (key, payload, ts), and the engine maintains watermarked state instead of
-full copies.  Three operators:
+full copies.  Four operators:
 
 * ``windowed_event_counts`` — tumbling-window counts + grid-exact value
   sums with a watermark for late data.
@@ -13,6 +13,8 @@ full copies.  Three operators:
 * ``latest_state_by_key`` — applyInPandasWithState keeping the last seen
   payload hash per key — the running "after snapshot" that a periodic
   batch diff would otherwise recompute.
+* ``stream_purchase_click_join`` — watermarked stream-stream inner join
+  with a two-sided event-time bound (bounded state store eviction).
 
 All three are driven in tests from bounded parquet input with the memory
 sink + ``processAllAvailable`` (synchronous completion), per the public
@@ -146,6 +148,58 @@ def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, result, "latest_state_by_key", "update")
 
 
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's clicks in the hour before it.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both sides, so the state store can evict rows once the watermark
+    passes ``p_ts`` / ``c_ts`` — THE requirement for an unbounded
+    stream-stream join to run with bounded state at scale.  On bounded
+    test input the result equals the batch time-bounded self-join, which
+    is exactly what the oracle asserts."""
+    ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+    )
+    return _run_to_completion(spark, joined, "stream_purchase_click_join", "append")
+
+
+STREAM_PC_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
+FROM events p
+JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+"""
+
+
 def _run_to_completion(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -173,6 +227,7 @@ def _run_to_completion(
 
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
 }
 # Non-SQL-expressible streaming ops → rows-only driver checks
 NO_ORACLE_QUERIES = {
