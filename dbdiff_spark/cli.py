@@ -23,7 +23,7 @@ import sys
 import time
 from pathlib import Path
 
-from dbdiff_spark.catalog import FileCatalog, JdbcCatalog, TESTDATA_KEYS, jdbc_table
+from dbdiff_spark.catalog import FileCatalog, JdbcCatalog, TESTDATA_KEYS, jdbc_table_auto
 from dbdiff_spark.config import load_configuration
 from dbdiff_spark.diff import DiffMode
 from dbdiff_spark.session import get_spark
@@ -43,7 +43,9 @@ def _load_sources(spark, args):
     cat = JdbcCatalog(spark, conf.db)
     tables = cat.list_tables()
     keys = cat.primary_keys(tables)
-    sources = {t: jdbc_table(spark, conf.db, t) for t in tables}
+    # range-partitioned parallel scans on the first integral PK column
+    # (falls back per table to a single-connection read)
+    sources = {t: jdbc_table_auto(spark, conf.db, t, keys.get(t)) for t in tables}
     return sources, keys
 
 

@@ -47,3 +47,54 @@ def test_jdbc_options_partitioned():
 def test_jdbc_options_partitioned_requires_bounds():
     with pytest.raises(ValueError):
         jdbc_read_options(_db(), "orders", partition_column="o_orderkey")
+
+
+def _auto(monkeypatch, spark, sf_dir, key_cols, bounds_row):
+    """Drive jdbc_table_auto with the JDBC seams stubbed: the table read
+    returns a local parquet frame, the bounds query returns a canned row."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.io import load_table
+
+    calls = {}
+
+    def fake_jdbc_table(spark_, db_, table_, **kwargs):
+        calls.update(kwargs)
+        return load_table(spark_, sf_dir, "orders")
+
+    class _Bounds:
+        def collect(self):
+            return [bounds_row]
+
+    def fake_read_query(spark_, db_, sql_):
+        calls["bounds_sql"] = sql_
+        return _Bounds()
+
+    monkeypatch.setattr(cat, "jdbc_table", fake_jdbc_table)
+    monkeypatch.setattr(cat, "_read_query", fake_read_query)
+    cat.jdbc_table_auto(spark, _db(), "orders", key_cols)
+    return calls
+
+
+def test_jdbc_auto_partitions_on_integral_key(monkeypatch, spark, sf_dir):
+    calls = _auto(
+        monkeypatch, spark, sf_dir, ["o_orderkey"], {"lo": 1, "hi": 60_000}
+    )
+    assert calls["partition_column"] == "o_orderkey"
+    assert calls["lower_bound"] == 1 and calls["upper_bound"] == 60_000
+    # the bounds round-trip quotes the column per dialect
+    assert '"o_orderkey"' in calls["bounds_sql"]
+
+
+def test_jdbc_auto_falls_back_without_integral_key(monkeypatch, spark, sf_dir):
+    # o_orderstatus is a string column → no partitioning, no bounds query
+    calls = _auto(monkeypatch, spark, sf_dir, ["o_orderstatus"], {"lo": 1, "hi": 2})
+    assert "bounds_sql" not in calls
+    assert "partition_column" not in calls and "partitionColumn" not in calls
+
+
+def test_jdbc_auto_falls_back_on_empty_bounds(monkeypatch, spark, sf_dir):
+    calls = _auto(
+        monkeypatch, spark, sf_dir, ["o_orderkey"], {"lo": None, "hi": None}
+    )
+    assert "bounds_sql" in calls  # probed, then declined
+    assert "partition_column" not in calls and "partitionColumn" not in calls
