@@ -211,6 +211,39 @@ FROM documents
 """
 
 
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the boilerplate/template signal used
+    by large-corpus quality filters: ``1 - distinct/total`` over word
+    3-grams.  A doc that repeats one sentence scores near 1; fresh prose
+    scores near 0.  Narrow per-row projection, no shuffle; ratio is one
+    double division (bit-identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles_expr_spark()
+    return docs.selectExpr(
+        "doc_id",
+        f"CAST(size({sh}) AS BIGINT) AS n_shingles",
+        f"CAST(size(array_distinct({sh})) AS BIGINT) AS n_distinct",
+    ).selectExpr(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        "CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS rep_ratio",
+    )
+
+
+REPETITION_RATIO_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len({shingles_expr_duck()}) AS BIGINT) AS n_shingles,
+         CAST(len(list_distinct({shingles_expr_duck()})) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_shingles, n_distinct,
+       CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles AS rep_ratio
+FROM sized
+"""
+
+
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text ops composed into a cleaning pipeline: quality-filter →
     per-language acceptance stats.  This is the shape of a real
@@ -288,4 +321,5 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
     "corpus_clean_stats": (corpus_clean_stats, CORPUS_CLEAN_STATS_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
+    "repetition_ratio": (repetition_ratio, REPETITION_RATIO_SQL),
 }
