@@ -42,6 +42,36 @@ TABLE_DROPPED = "TABLE_DROPPED"
 
 MANIFEST_NAME = "_snapshot_manifest.json"
 
+# Hash-group count for incremental change tracking.  At scale this should
+# be ≥ the cluster's parallelism (it bounds how finely a re-diff can skip
+# unchanged data); groups are cheap — the manifest carries 2 ints each.
+HASH_GROUPS = 256
+
+
+def _group_expr(key: list[str]) -> F.Column:  # type: ignore[name-defined]
+    """Deterministic row → hash-group assignment on the key columns.
+    Duplicate keys land in one group, so per-group comparison is stable
+    under the diff's duplicate-key collapse."""
+    return F.pmod(F.hash(*[F.col(f"`{k}`") for k in key]), F.lit(HASH_GROUPS))
+
+
+def _group_fingerprints(df: DataFrame, key: list[str]) -> dict[str, list[int]]:
+    """Per-group content fingerprint: (row count, bit_xor of full-row
+    xxhash64).  Both are order-independent and map-side combinable (one
+    tiny aggregation, ≤ HASH_GROUPS output rows), and bit_xor cannot
+    overflow — ANSI-safe where a SUM of hashes is not.  A change escapes
+    detection only if a group keeps its exact row count AND the xor of
+    changed row hashes collides — vanishing for change *detection*
+    purposes (the full diff remains available as the fallback)."""
+    cols = [F.col(f"`{c}`") for c in df.columns]
+    xx = F.xxhash64(*cols)
+    rows = (
+        df.groupBy(_group_expr(key).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor(xx).alias("x"))
+        .collect()
+    )
+    return {str(r["g"]): [int(r["n"]), int(r["x"])] for r in rows}
+
 
 @dataclass
 class Snapshot:
@@ -60,6 +90,9 @@ class Snapshot:
     total_count: int = 0  # TotalDataCount analogue (extract_data.go:23)
     catalog_tables: dict[str, str] = field(default_factory=dict)
     buckets: int = 0
+    # table → {group: [count, xor-fingerprint]} when collected with
+    # track_changes=True; drives the incremental diff
+    group_hashes: dict[str, dict[str, list[int]]] = field(default_factory=dict)
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table in self.catalog_tables:
@@ -83,6 +116,7 @@ class Snapshot:
                     "total_count": self.total_count,
                     "catalog_tables": self.catalog_tables,
                     "buckets": self.buckets,
+                    "group_hashes": self.group_hashes,
                 },
                 indent=2,
             )
@@ -99,6 +133,7 @@ class Snapshot:
             total_count=data["total_count"],
             catalog_tables=data.get("catalog_tables", {}),
             buckets=data.get("buckets", 0),
+            group_hashes=data.get("group_hashes", {}),
         )
 
 
@@ -116,6 +151,7 @@ class SnapshotStore:
         snapshot_root: str,
         count_rows: bool = True,
         buckets: int = 0,
+        track_changes: bool = False,
     ) -> Snapshot:
         """Persist every source DataFrame to Parquet under
         ``snapshot_root`` and return the manifest.
@@ -132,6 +168,13 @@ class SnapshotStore:
         reference enforces single-use with a guard
         (``extract_data.go:20-22``); immutability of a written Parquet
         dir gives us the same property structurally.
+
+        ``track_changes=True`` additionally records per-hash-group
+        content fingerprints in the manifest (one extra pass over the
+        WRITTEN snapshot — point-in-time, never the live source;
+        ≤ ``HASH_GROUPS`` rows of output per table), enabling
+        ``diff_snapshots(..., incremental=True)`` to restrict later
+        diffs to changed groups only.
         """
         snap = Snapshot(root=str(snapshot_root), buckets=buckets)
         total = 0
@@ -154,7 +197,12 @@ class SnapshotStore:
             snap.tables[name] = path
             snap.keys[name] = key
             snap.columns[name] = list(df.columns)
-            if count_rows:
+            if track_changes:
+                # count falls out of the same tiny aggregation for free
+                fps = _group_fingerprints(snap.load(self.spark, name), key)
+                snap.group_hashes[name] = fps
+                total += sum(n for n, _x in fps.values())
+            elif count_rows:
                 total += snap.load(self.spark, name).count()
         snap.total_count = total
         snap.save_manifest()
@@ -182,8 +230,22 @@ def diff_snapshots(
     after: Snapshot,
     mode: DiffMode = DiffMode.STRING,
     assume_keys_not_null: bool | None = None,
+    incremental: bool = False,
 ) -> dict[str, DiffResult]:
     """Diff every table across two snapshots.
+
+    ``incremental=True`` (both snapshots collected with
+    ``track_changes=True``): each table's diff is restricted to the
+    hash-groups whose manifest fingerprints differ — the unchanged
+    majority of a 100 TB re-diff never enters the match at all, and a
+    table with NO changed groups folds to an empty plan (Catalyst
+    rewrites the ``false`` filter to an empty relation; no scan, no
+    join).  The filter preserves bucketed output partitioning, so it
+    composes with the zero-exchange bucketed path.  Tables without
+    tracked fingerprints on BOTH sides (or with differing keys) fall
+    back to the full diff.  Note the group filter prunes shuffle/join
+    work, not the scan itself — scan-level skipping needs bucket-file
+    pruning, a future step.
 
     The reference iterates only the BEFORE table set
     (``extract_data.go:199``), silently ignoring tables created between
@@ -218,6 +280,23 @@ def diff_snapshots(
             b = before.load(spark, name)
             a = after.load(spark, name)
             key = after.keys.get(name) or before.keys.get(name) or a.columns
+            if incremental:
+                bh = before.group_hashes.get(name)
+                ah = after.group_hashes.get(name)
+                if (
+                    bh is not None
+                    and ah is not None
+                    and before.keys.get(name) == after.keys.get(name)
+                ):
+                    changed = sorted(
+                        int(g)
+                        for g in set(bh) | set(ah)
+                        if bh.get(g) != ah.get(g)
+                    )
+                    cond = (
+                        _group_expr(key).isin(changed) if changed else F.lit(False)
+                    )
+                    b, a = b.filter(cond), a.filter(cond)
             # all-columns fallback keys treat NULLs as data → always null-safe
             is_declared_pk = set(key) != set(a.columns)
             results[name] = diff_tables(

@@ -76,3 +76,77 @@ def test_file_catalog_testdata(spark, sf_dir):
     assert keys["events"] == [
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
+
+
+# --- incremental (change-tracked) diff --------------------------------------
+
+
+def _tracked_pair(spark, tmp_path, mutate=True):
+    store = SnapshotStore(spark)
+    cust = (
+        FileCatalog(spark, "/root/testdata/sf0.001", TESTDATA_KEYS)
+        .load("customer")
+        .dropDuplicates(["c_custkey"])
+    )
+    before = store.collect(
+        {"customer": cust},
+        {"customer": ["c_custkey"]},
+        str(tmp_path / "tb"),
+        track_changes=True,
+    )
+    after_df = (
+        cust.withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 50 == 0, F.col("c_acctbal") + 1).otherwise(
+                F.col("c_acctbal")
+            ),
+        ).filter(F.col("c_custkey") % 97 != 0)
+        if mutate
+        else cust
+    )
+    after = store.collect(
+        {"customer": after_df},
+        {"customer": ["c_custkey"]},
+        str(tmp_path / "ta"),
+        track_changes=True,
+    )
+    return before, after
+
+
+def test_incremental_diff_equals_full_diff(spark, tmp_path):
+    before, after = _tracked_pair(spark, tmp_path)
+    full = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)["customer"].df
+    inc = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"].df
+    flat_full = full.withColumn("mc", F.array_join("modified_columns", ",")).drop(
+        "modified_columns"
+    )
+    flat_inc = inc.withColumn("mc", F.array_join("modified_columns", ",")).drop(
+        "modified_columns"
+    )
+    assert flat_full.exceptAll(flat_inc).count() == 0
+    assert flat_inc.exceptAll(flat_full).count() == 0
+    assert full.count() > 0  # the mutation produced real changes
+
+
+def test_incremental_identical_snapshots_never_scan(spark, tmp_path):
+    before, after = _tracked_pair(spark, tmp_path, mutate=False)
+    res = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"]
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst folds the false filter: no file scan, no join survives
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert res.df.count() == 0
+
+
+def test_manifest_roundtrips_group_hashes(spark, tmp_path):
+    before, _ = _tracked_pair(spark, tmp_path, mutate=False)
+    loaded = Snapshot.load_manifest(str(tmp_path / "tb"))
+    assert loaded.group_hashes == before.group_hashes
+    assert loaded.group_hashes["customer"]
+    # count fell out of the fingerprint pass
+    assert before.total_count == sum(
+        n for n, _x in loaded.group_hashes["customer"].values()
+    )
