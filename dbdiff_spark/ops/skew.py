@@ -58,6 +58,11 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     if SALT_COL in left.columns or SALT_COL in right.columns:
         raise ValueError(f"{SALT_COL} column name is reserved")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        # the output carries both sides' columns flat — require the
+        # caller to rename (a self-join MUST alias anyway)
+        raise ValueError(f"column names overlap across sides: {sorted(overlap)}")
     salt = F.pmod(
         F.xxhash64(*[F.col(f"`{c}`") for c in left.columns]), F.lit(num_salts)
     ).cast("int")

@@ -58,3 +58,6 @@ def test_reserved_salt_column_and_bad_how_raise(spark, sf_dir):
         salted_join(events.withColumn(SALT_COL, F.lit(1)), cust, "user_id", "c_custkey")
     with pytest.raises(ValueError):
         salted_join(events, cust, "user_id", "c_custkey", how="full")
+    with pytest.raises(ValueError):
+        # overlapping output columns (self-join without rename)
+        salted_join(events, events, "user_id", "user_id")
