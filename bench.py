@@ -79,6 +79,45 @@ def bench_bucketed_diff(spark) -> float:
     return dt
 
 
+def bench_incremental_diff(spark) -> float:
+    """The re-diff posture: both snapshots change-tracked, the mutation
+    a point update (~6 order keys, a few dozen rows — the "poll again
+    after small drift" case re-diffing exists for), so >99% of the
+    hash-groups are pruned from the match.  Snapshot writes are setup,
+    not part of the timed diff."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import DiffMode
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+    spec = testkit.SPECS["lineitem"]
+    base = testkit.prep(load_table(spark, SF_DIR, "lineitem"), spec)
+    after_df = base.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") % 100_000 == 7, F.col("l_quantity") + 1).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="bench_incr_")
+    store = SnapshotStore(spark)
+    keys = {"lineitem": list(spec.key)}
+    before = store.collect({"lineitem": base}, keys, f"{root}/b", track_changes=True)
+    after = store.collect({"lineitem": after_df}, keys, f"{root}/a", track_changes=True)
+    t0 = time.time()
+    res = diff_snapshots(spark, before, after, mode=DiffMode.TYPED, incremental=True)[
+        "lineitem"
+    ]
+    run_query(res.df)
+    dt = round(time.time() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -118,6 +157,14 @@ def main() -> None:
     )
     total += times["diff_lineitem_bucketed"]
     print(f"# diff_lineitem_bucketed: {times['diff_lineitem_bucketed']:.3f}s", file=sys.stderr)
+    times["diff_lineitem_incremental"] = min(
+        bench_incremental_diff(spark), bench_incremental_diff(spark)
+    )
+    total += times["diff_lineitem_incremental"]
+    print(
+        f"# diff_lineitem_incremental: {times['diff_lineitem_incremental']:.3f}s",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

@@ -42,10 +42,12 @@ TABLE_DROPPED = "TABLE_DROPPED"
 
 MANIFEST_NAME = "_snapshot_manifest.json"
 
-# Hash-group count for incremental change tracking.  At scale this should
-# be ≥ the cluster's parallelism (it bounds how finely a re-diff can skip
-# unchanged data); groups are cheap — the manifest carries 2 ints each.
-HASH_GROUPS = 256
+# Hash-group count for incremental change tracking.  Pruning ratio for K
+# changed rows is (1 - 1/G)^K — hash-groups do NOT correlate with
+# business locality, so G must comfortably exceed the expected changed
+# ROW count, not the changed-entity count.  Groups are cheap (2 ints of
+# manifest each), so default high.
+HASH_GROUPS = 4096
 
 
 def _group_expr(key: list[str]) -> F.Column:  # type: ignore[name-defined]
