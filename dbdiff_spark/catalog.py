@@ -154,23 +154,30 @@ def jdbc_read_options(
     table: str,
     partition_column: str | None = None,
     num_partitions: int = 16,
-    lower_bound: int | None = None,
-    upper_bound: int | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
     fetch_size: int = 10_000,
 ) -> dict[str, str]:
     """Options for a partitioned JDBC table read.
 
     The reference scans each table over ONE connection sequentially
     (``extract_data.go:30-43``; its own TODO at ``:33`` wishes for
-    parallelism).  With a numeric partition column (typically the first
-    PK column) Spark issues ``num_partitions`` range-predicated queries
-    in parallel — the snapshot of a 100 TB table becomes as parallel as
-    the source database allows.  Bounds should come from
-    ``SELECT min(c), max(c)`` when not provided (one cheap round-trip).
+    parallelism).  With a numeric/date/timestamp partition column
+    (typically the first PK column) Spark issues ``num_partitions``
+    range-predicated queries in parallel — the snapshot of a 100 TB
+    table becomes as parallel as the source database allows.  Bounds
+    should come from ``SELECT min(c), max(c)`` when not provided (one
+    cheap round-trip); date/timestamp bounds are their string literals.
+
+    The table identifier is quoted per dialect: catalog-listed names can
+    contain spaces/hyphens/quote characters, which would otherwise break
+    the generated SQL (or inject into it).  ``db.schema`` stays a raw
+    prefix — the reference's documented contract (README.md:28) is that
+    config supplies it verbatim, trailing dot included.
     """
     opts: dict[str, str] = {
         "url": db.jdbc_url(),
-        "dbtable": f"{db.schema}{table}",
+        "dbtable": f"{db.schema}{quote_ident(db.type, table)}",
         "fetchsize": str(fetch_size),
         **db.jdbc_properties(),
     }
@@ -202,12 +209,27 @@ def jdbc_table(
     return spark.read.format("jdbc").options(**jdbc_read_options(db, table, **kwargs)).load()
 
 
-_IDENT_QUOTE = {"postgresql": '"{}"', "mysql": "`{}`", "sqlserver": "[{}]"}
+# (open-quote, close-quote) per dialect; embedded close-quote characters
+# escape by doubling, per each dialect's quoting rules.
+_IDENT_QUOTE = {"postgresql": ('"', '"'), "mysql": ("`", "`"), "sqlserver": ("[", "]")}
 
-# JDBC partition columns must be integral (Spark ranges them with
-# lowerBound/upperBound longs); date/timestamp also work but need typed
-# bounds — integral keys cover the common PK case.
+
+def quote_ident(db_type: str, name: str) -> str:
+    """Dialect-quoted identifier, safe for names containing spaces,
+    hyphens, or the quote character itself.  Catalog queries return raw
+    names (``list_tables``); interpolating them unquoted into generated
+    SQL breaks on such names and is an identifier-injection vector."""
+    try:
+        lo, hi = _IDENT_QUOTE[db_type]
+    except KeyError:
+        raise ValueError(f"unsupported db type: {db_type!r}") from None
+    return f"{lo}{name.replace(hi, hi + hi)}{hi}"
+
+
+# JDBC partition columns: Spark ranges integral columns with long
+# bounds and date/timestamp columns with literal string bounds.
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_DATETIME_TYPES = {"date", "timestamp", "timestamp_ntz"}
 
 
 def jdbc_table_auto(
@@ -219,10 +241,11 @@ def jdbc_table_auto(
 ):
     """Load a table over JDBC with automatic range partitioning.
 
-    Picks the first integral key column, fetches its min/max in ONE
-    pushed-down round-trip, and issues ``num_partitions`` range-predicated
-    parallel scans — the parallelism the reference's own TODO wishes for
-    (``extract_data.go:33``).  Tables with no integral key (or empty
+    Picks the first integral key column (else the first date/timestamp
+    key column), fetches its min/max in ONE pushed-down round-trip, and
+    issues ``num_partitions`` range-predicated parallel scans — the
+    parallelism the reference's own TODO wishes for
+    (``extract_data.go:33``).  Tables with no rangeable key (or empty
     tables) fall back to the single-connection read.
 
     The 100 TB posture for snapshotting a live database: scan parallelism
@@ -231,25 +254,38 @@ def jdbc_table_auto(
     """
     frame = jdbc_table(spark, db, table)
     types = dict(frame.dtypes)
-    part_col = next(
-        (k for k in (key_cols or []) if types.get(k) in _INTEGRAL_TYPES), None
-    )
+    keys = key_cols or []
+    part_col = next((k for k in keys if types.get(k) in _INTEGRAL_TYPES), None)
+    integral = part_col is not None
+    if part_col is None:
+        part_col = next((k for k in keys if types.get(k) in _DATETIME_TYPES), None)
     if part_col is None:
         return frame
-    q = _IDENT_QUOTE[db.type].format(part_col)
+    q = quote_ident(db.type, part_col)
     bounds = _read_query(
-        spark, db, f"SELECT MIN({q}) AS lo, MAX({q}) AS hi FROM {db.schema}{table}"
+        spark,
+        db,
+        f"SELECT MIN({q}) AS lo, MAX({q}) AS hi "
+        f"FROM {db.schema}{quote_ident(db.type, table)}",
     ).collect()[0]
     if bounds["lo"] is None or bounds["lo"] == bounds["hi"]:
         return frame
+    # integral bounds go through as longs; date/timestamp bounds as the
+    # driver's string rendering ("YYYY-MM-DD[ HH:MM:SS[.ffffff]]"),
+    # which Spark's JDBC partitioner parses for datetime columns
+    lo, hi = (
+        (int(bounds["lo"]), int(bounds["hi"]))
+        if integral
+        else (str(bounds["lo"]), str(bounds["hi"]))
+    )
     return jdbc_table(
         spark,
         db,
         table,
         partition_column=part_col,
         num_partitions=num_partitions,
-        lower_bound=int(bounds["lo"]),
-        upper_bound=int(bounds["hi"]),
+        lower_bound=lo,
+        upper_bound=hi,
     )
 
 

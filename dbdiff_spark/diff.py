@@ -81,6 +81,32 @@ def _null_safe_key_condition(b: DataFrame, a: DataFrame, key_cols: list[str]) ->
     )
 
 
+# Spark cannot ORDER/MAX/compare these types (recursively): max(struct(...))
+# over — or `<=>` between — rows containing one raises AnalysisException
+# at plan time.
+_UNORDERABLE_MARKERS = ("map<", "variant")
+
+
+def _is_orderable(dtype: str) -> bool:
+    return not any(m in dtype for m in _UNORDERABLE_MARKERS)
+
+
+def _canonical_comparable(col: Column, dtype: str) -> Column:
+    """A comparable canonical rendering of an unorderable-typed column.
+
+    Single-level maps become their entry array sorted by key —
+    content-equal maps compare equal regardless of entry order, and
+    ``<=>`` supports array<struct>.  Deeper nestings (map inside the
+    value type, variant) fall back to the string cast, whose rendering
+    follows stored entry order — stable for data read back from files,
+    which is what snapshot diffs compare."""
+    if _is_orderable(dtype):
+        return col
+    if dtype.startswith("map<") and _is_orderable(dtype[4:]):
+        return F.array_sort(F.map_entries(col))
+    return col.cast("string")
+
+
 def dedup_last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Collapse duplicate keys to ONE deterministic representative row.
 
@@ -89,18 +115,45 @@ def dedup_last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     the max-by-remaining-columns row instead: same contract (one row per
     key), deterministic on any cluster.  One aggregation with map-side
     partial combine; shuffles on the same key as the downstream diff join
-    so AQE/bucketing can reuse the exchange."""
+    so AQE/bucketing can reuse the exchange.
+
+    Rows containing unorderable column types (maps, variant) cannot feed
+    ``max(struct(...))`` — those tables instead rank duplicates by the
+    STRING rendering of the non-key columns (unorderable ones cast for
+    the sort key only; the surviving row keeps its native values) via a
+    row_number window: still one shuffle on the join key, still
+    deterministic for distinct rows (two different maps with an
+    identical rendering tie arbitrarily, matching the reference's own
+    nondeterminism only in that degenerate corner)."""
     others = [c for c in df.columns if c not in key_cols]
     if not others:
         return df.dropDuplicates(key_cols)
-    packed = df.groupBy(*[F.col(k) for k in key_cols]).agg(
-        F.max(F.struct(*[F.col(c) for c in others])).alias("__rep")
-    )
-    return packed.select(
-        *[
-            F.col(c) if c in key_cols else F.col(f"__rep.`{c}`").alias(c)
-            for c in df.columns
-        ]
+    types = dict(df.dtypes)
+    if all(_is_orderable(types[c]) for c in others):
+        packed = df.groupBy(*[F.col(k) for k in key_cols]).agg(
+            F.max(F.struct(*[F.col(c) for c in others])).alias("__rep")
+        )
+        return packed.select(
+            *[
+                F.col(c) if c in key_cols else F.col(f"__rep.`{c}`").alias(c)
+                for c in df.columns
+            ]
+        )
+    from pyspark.sql import Window
+
+    order_by = [
+        (
+            F.col(f"`{c}`")
+            if _is_orderable(types[c])
+            else F.col(f"`{c}`").cast("string")
+        ).desc_nulls_last()
+        for c in others
+    ]
+    w = Window.partitionBy(*[F.col(f"`{k}`") for k in key_cols]).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 
@@ -131,6 +184,18 @@ def diff_tables(
     for k in key_cols:
         if k not in before.columns or k not in after.columns:
             raise ValueError(f"key column {k!r} missing from before/after")
+    if mode == DiffMode.TYPED:
+        # Join/group/dedup on an unorderable KEY type is unsupported by
+        # Spark itself (maps cannot be hashed or compared); STRING mode
+        # normalizes every column to its rendering first, which is the
+        # supported path for such tables.
+        key_types = {c: t for c, t in before.dtypes + after.dtypes if c in key_cols}
+        bad = sorted(k for k, t in key_types.items() if not _is_orderable(t))
+        if bad:
+            raise ValueError(
+                f"key columns {bad} have unorderable types (map/variant); "
+                "diff such tables with mode=DiffMode.STRING"
+            )
 
     if mode == DiffMode.STRING:
         before = normalize_to_strings(before)
@@ -202,6 +267,11 @@ def diff_tables(
                 # rendering the output carries — implicit numeric
                 # coercion would hide real changes (1 vs '1.00')
                 col = col.cast("string")
+            else:
+                # unorderable value types (map/variant) cannot feed `<=>`
+                # directly; compare a canonical rendering instead (the
+                # output still carries the native value)
+                col = _canonical_comparable(col, b_types[c])
             return col
 
         per_col = [

@@ -34,6 +34,7 @@ from dbdiff_spark.diff import (
     INSERTED,
     DiffMode,
     DiffResult,
+    _is_orderable,
     diff_tables,
 )
 
@@ -45,34 +46,51 @@ MANIFEST_NAME = "_snapshot_manifest.json"
 # Hash-group count for incremental change tracking.  Pruning ratio for K
 # changed rows is (1 - 1/G)^K — hash-groups do NOT correlate with
 # business locality, so G must comfortably exceed the expected changed
-# ROW count, not the changed-entity count.  Groups are cheap (2 ints of
-# manifest each), so default high.
+# ROW count, not the changed-entity count.  Groups are cheap (3 ints of
+# manifest each), so default high.  The count in force when a snapshot
+# was collected is persisted in its manifest (``group_hash_mod``) —
+# incremental diffs compare fingerprints in the STORED domain, never the
+# current default, so changing this constant cannot silently misalign
+# old snapshots (they fall back to the full diff instead).
 HASH_GROUPS = 4096
 
 
-def _group_expr(key: list[str]) -> F.Column:  # type: ignore[name-defined]
+def _group_expr(key: list[str], groups: int) -> F.Column:  # type: ignore[name-defined]
     """Deterministic row → hash-group assignment on the key columns.
     Duplicate keys land in one group, so per-group comparison is stable
     under the diff's duplicate-key collapse."""
-    return F.pmod(F.hash(*[F.col(f"`{k}`") for k in key]), F.lit(HASH_GROUPS))
+    return F.pmod(F.hash(*[F.col(f"`{k}`") for k in key]), F.lit(groups))
 
 
-def _group_fingerprints(df: DataFrame, key: list[str]) -> dict[str, list[int]]:
+def _group_fingerprints(
+    df: DataFrame, key: list[str], groups: int
+) -> dict[str, list[int]]:
     """Per-group content fingerprint: (row count, bit_xor of full-row
-    xxhash64).  Both are order-independent and map-side combinable (one
-    tiny aggregation, ≤ HASH_GROUPS output rows), and bit_xor cannot
-    overflow — ANSI-safe where a SUM of hashes is not.  A change escapes
-    detection only if a group keeps its exact row count AND the xor of
-    changed row hashes collides — vanishing for change *detection*
-    purposes (the full diff remains available as the fallback)."""
+    xxhash64, sum of the same hashes).  All three are order-independent
+    and map-side combinable (one tiny aggregation, ≤ ``groups`` output
+    rows).
+
+    Why both xor AND sum: xor alone cancels DETERMINISTICALLY when rows
+    occur with even multiplicity — a key stored as two identical rows
+    (dedup_keys handles those) with both copies updated identically
+    leaves count and xor unchanged.  The sum shifts by
+    ``multiplicity × (new_hash − old_hash)``, which no duplicate pattern
+    cancels; a missed change now needs a genuine 128-bit-ish collision
+    (xor AND sum both preserved), not a structural duplicate pattern.
+    The sum aggregates as ``decimal(38,0)`` so it is exact and cannot
+    overflow (≥1e19 rows/group would be needed) under ANSI on or off."""
     cols = [F.col(f"`{c}`") for c in df.columns]
     xx = F.xxhash64(*cols)
     rows = (
-        df.groupBy(_group_expr(key).alias("g"))
-        .agg(F.count(F.lit(1)).alias("n"), F.bit_xor(xx).alias("x"))
+        df.groupBy(_group_expr(key, groups).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(xx).alias("x"),
+            F.sum(xx.cast("decimal(38,0)")).alias("s"),
+        )
         .collect()
     )
-    return {str(r["g"]): [int(r["n"]), int(r["x"])] for r in rows}
+    return {str(r["g"]): [int(r["n"]), int(r["x"]), int(r["s"])] for r in rows}
 
 
 @dataclass
@@ -92,9 +110,13 @@ class Snapshot:
     total_count: int = 0  # TotalDataCount analogue (extract_data.go:23)
     catalog_tables: dict[str, str] = field(default_factory=dict)
     buckets: int = 0
-    # table → {group: [count, xor-fingerprint]} when collected with
+    # table → {group: [count, xor, sum]} when collected with
     # track_changes=True; drives the incremental diff
     group_hashes: dict[str, dict[str, list[int]]] = field(default_factory=dict)
+    # hash-group modulus the fingerprints were computed under; 0 = not
+    # tracked.  Manifests written before this field existed load as 0
+    # and incremental diffs against them fall back to the full diff.
+    group_hash_mod: int = 0
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table in self.catalog_tables:
@@ -119,6 +141,7 @@ class Snapshot:
                     "catalog_tables": self.catalog_tables,
                     "buckets": self.buckets,
                     "group_hashes": self.group_hashes,
+                    "group_hash_mod": self.group_hash_mod,
                 },
                 indent=2,
             )
@@ -136,6 +159,7 @@ class Snapshot:
             catalog_tables=data.get("catalog_tables", {}),
             buckets=data.get("buckets", 0),
             group_hashes=data.get("group_hashes", {}),
+            group_hash_mod=data.get("group_hash_mod", 0),
         )
 
 
@@ -179,6 +203,8 @@ class SnapshotStore:
         diffs to changed groups only.
         """
         snap = Snapshot(root=str(snapshot_root), buckets=buckets)
+        if track_changes:
+            snap.group_hash_mod = HASH_GROUPS
         total = 0
         for name, df in sources.items():
             path = str(Path(snapshot_root) / name)
@@ -199,11 +225,14 @@ class SnapshotStore:
             snap.tables[name] = path
             snap.keys[name] = key
             snap.columns[name] = list(df.columns)
-            if track_changes:
+            types = dict(df.dtypes)
+            if track_changes and all(_is_orderable(types[k]) for k in key):
                 # count falls out of the same tiny aggregation for free
-                fps = _group_fingerprints(snap.load(self.spark, name), key)
+                fps = _group_fingerprints(
+                    snap.load(self.spark, name), key, snap.group_hash_mod
+                )
                 snap.group_hashes[name] = fps
-                total += sum(n for n, _x in fps.values())
+                total += sum(n for n, *_ in fps.values())
             elif count_rows:
                 total += snap.load(self.spark, name).count()
         snap.total_count = total
@@ -285,9 +314,18 @@ def diff_snapshots(
             if incremental:
                 bh = before.group_hashes.get(name)
                 ah = after.group_hashes.get(name)
+                # Fingerprints are only comparable in the SAME group
+                # domain: both manifests must record the modulus they
+                # were computed under and agree on it (a 256-group xor
+                # filtered with a 4096-group expression would silently
+                # drop genuinely changed rows).  Older manifests without
+                # the field (mod 0) take the full diff.
+                mod = before.group_hash_mod
                 if (
                     bh is not None
                     and ah is not None
+                    and mod > 0
+                    and mod == after.group_hash_mod
                     and before.keys.get(name) == after.keys.get(name)
                 ):
                     changed = sorted(
@@ -296,7 +334,9 @@ def diff_snapshots(
                         if bh.get(g) != ah.get(g)
                     )
                     cond = (
-                        _group_expr(key).isin(changed) if changed else F.lit(False)
+                        _group_expr(key, mod).isin(changed)
+                        if changed
+                        else F.lit(False)
                     )
                     b, a = b.filter(cond), a.filter(cond)
             # all-columns fallback keys treat NULLs as data → always null-safe

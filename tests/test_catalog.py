@@ -8,6 +8,7 @@ from dbdiff_spark.catalog import (
     PK_SQL,
     TABLE_LIST_SQL,
     jdbc_read_options,
+    quote_ident,
 )
 from dbdiff_spark.config import DbConfig
 
@@ -28,9 +29,18 @@ def test_dialect_sql_covers_reference_dialects():
 def test_jdbc_options_plain():
     opts = jdbc_read_options(_db(), "orders")
     assert opts["url"] == "jdbc:postgresql://h:5432/d"
-    assert opts["dbtable"] == "s.orders"  # schema prefix contract (README.md:28)
+    # raw schema prefix contract (README.md:28) + quoted table name
+    assert opts["dbtable"] == 's."orders"'
     assert opts["user"] == "u" and opts["password"] == "p"
     assert "partitionColumn" not in opts
+
+
+def test_quote_ident_escapes_per_dialect():
+    assert quote_ident("postgresql", 'odd "name"') == '"odd ""name"""'
+    assert quote_ident("mysql", "back`tick") == "`back``tick`"
+    assert quote_ident("sqlserver", "br]acket") == "[br]]acket]"
+    with pytest.raises(ValueError):
+        quote_ident("oracle", "t")
 
 
 def test_jdbc_options_partitioned():
@@ -83,6 +93,26 @@ def test_jdbc_auto_partitions_on_integral_key(monkeypatch, spark, sf_dir):
     assert calls["lower_bound"] == 1 and calls["upper_bound"] == 60_000
     # the bounds round-trip quotes the column per dialect
     assert '"o_orderkey"' in calls["bounds_sql"]
+
+
+def test_jdbc_auto_partitions_on_datetime_key(monkeypatch, spark, sf_dir):
+    # no integral key → first date/timestamp key ranges the scan, with
+    # literal string bounds (Spark's JDBC datetime partitioning contract)
+    import datetime
+
+    calls = _auto(
+        monkeypatch,
+        spark,
+        sf_dir,
+        ["o_orderstatus", "o_orderdate"],
+        {"lo": datetime.date(1995, 1, 1), "hi": datetime.date(1998, 8, 2)},
+    )
+    assert calls["partition_column"] == "o_orderdate"
+    assert calls["lower_bound"] == "1995-01-01"
+    assert calls["upper_bound"] == "1998-08-02"
+    # probe SQL quotes both the column and the table identifier
+    assert '"o_orderdate"' in calls["bounds_sql"]
+    assert 's."orders"' in calls["bounds_sql"]
 
 
 def test_jdbc_auto_falls_back_without_integral_key(monkeypatch, spark, sf_dir):

@@ -225,3 +225,60 @@ def test_seeded_mutation_recovery(spark, sf_dir):
     for r in rows:
         if r["diff_status"] == UPDATED:
             assert r["modified_columns"] == ["c_acctbal"]
+
+
+# --- unorderable (map) column support — ADVICE r1 #3 ------------------------
+
+
+def _map_frames(spark):
+    b = spark.createDataFrame(
+        [(1, {"a": "1"}, "x"), (2, {"b": "2"}, "y"), (3, {"c": "3"}, "z")],
+        "id int, props map<string,string>, s string",
+    )
+    a = spark.createDataFrame(
+        [(1, {"a": "1"}, "x"), (2, {"b": "9"}, "y"), (4, {"d": "4"}, "w")],
+        "id int, props map<string,string>, s string",
+    )
+    return b, a
+
+
+def test_typed_diff_with_map_value_column(spark):
+    b, a = _map_frames(spark)
+    res = diff_tables(b, a, ["id"], mode=DiffMode.TYPED, dedup_keys=True)
+    by_status = {}
+    for r in res.df.collect():
+        by_status.setdefault(r["diff_status"], []).append(r)
+    assert len(by_status[UPDATED]) == 2  # id=2 before/after pair
+    assert by_status[UPDATED][0]["modified_columns"] == ["props"]
+    assert len(by_status[DELETED]) == 1 and by_status[DELETED][0]["id"] == 3
+    assert len(by_status[INSERTED]) == 1 and by_status[INSERTED][0]["id"] == 4
+    # the native map value survives to the output
+    upd_after = [r for r in by_status[UPDATED] if not r["is_before"]][0]
+    assert upd_after["props"] == {"b": "9"}
+
+
+def test_typed_diff_map_identical_snapshots_empty(spark):
+    b, _ = _map_frames(spark)
+    res = diff_tables(b, b, ["id"], mode=DiffMode.TYPED, dedup_keys=True)
+    assert res.df.count() == 0
+
+
+def test_dedup_last_wins_with_map_column_deterministic(spark):
+    from dbdiff_spark.diff import dedup_last_wins
+
+    df = spark.createDataFrame(
+        [(1, {"a": "1"}, "x"), (1, {"a": "2"}, "y"), (2, {"b": "3"}, "z")],
+        "id int, props map<string,string>, s string",
+    )
+    out1 = {r["id"]: (r["props"], r["s"]) for r in dedup_last_wins(df, ["id"]).collect()}
+    out2 = {r["id"]: (r["props"], r["s"]) for r in dedup_last_wins(df, ["id"]).collect()}
+    assert len(out1) == 2 and out1 == out2
+
+
+def test_typed_diff_map_in_key_raises_clear_error(spark):
+    b, a = _map_frames(spark)
+    with pytest.raises(ValueError, match="STRING"):
+        diff_tables(b, a, ["id", "props"], mode=DiffMode.TYPED)
+    # STRING mode is the supported path for map-keyed tables
+    res = diff_tables(b, a, ["id", "props"], mode=DiffMode.STRING)
+    assert res.df.count() > 0

@@ -146,7 +146,49 @@ def test_manifest_roundtrips_group_hashes(spark, tmp_path):
     loaded = Snapshot.load_manifest(str(tmp_path / "tb"))
     assert loaded.group_hashes == before.group_hashes
     assert loaded.group_hashes["customer"]
+    # the fingerprint domain is persisted alongside the fingerprints
+    assert loaded.group_hash_mod == before.group_hash_mod > 0
     # count fell out of the fingerprint pass
     assert before.total_count == sum(
-        n for n, _x in loaded.group_hashes["customer"].values()
+        n for n, *_ in loaded.group_hashes["customer"].values()
     )
+
+
+def test_incremental_detects_even_multiplicity_duplicate_update(spark, tmp_path):
+    """A key stored as TWO identical rows, both copies updated the same
+    way: the per-row xor of hashes cancels in pairs (count and xor both
+    unchanged) — only the multiplicity-sensitive sum component catches
+    it.  Regression for the deterministic blind spot ADVICE r1 #1."""
+    store = SnapshotStore(spark)
+    dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, s string")
+    before = store.collect(
+        {"t": dup}, {"t": ["id"]}, str(tmp_path / "db"), track_changes=True
+    )
+    dup2 = spark.createDataFrame([(1, "A"), (1, "A"), (2, "b")], "id int, s string")
+    after = store.collect(
+        {"t": dup2}, {"t": ["id"]}, str(tmp_path / "da"), track_changes=True
+    )
+    inc = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["t"].df
+    assert sorted(r["diff_status"] for r in inc.collect()) == [UPDATED, UPDATED]
+
+
+def test_incremental_modulus_mismatch_falls_back_to_full_diff(spark, tmp_path):
+    """Fingerprints computed under different group counts are not
+    comparable; the diff must NOT filter rows with the wrong modulus.
+    Regression for ADVICE r1 #2."""
+    before, after = _tracked_pair(spark, tmp_path)
+    # simulate a manifest written by a build with a different HASH_GROUPS
+    before.group_hash_mod = 256
+    inc = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"].df
+    full = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)["customer"].df
+    assert inc.count() == full.count() > 0
+    # absent field (legacy manifest) likewise falls back
+    before.group_hash_mod = 0
+    inc0 = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"].df
+    assert inc0.count() == full.count()
