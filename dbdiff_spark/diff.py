@@ -157,6 +157,55 @@ def dedup_last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def _diff_all_columns_key(
+    before: DataFrame, after: DataFrame, value_cols: list[str]
+) -> DiffResult:
+    """Diff for tables keyed on ALL columns, as one grouped pass.
+
+    Equivalence with the full-outer-join formulation: with every column
+    in the key, a row's "key" is the whole row, so for a distinct row
+    with multiplicity ``m`` before and ``n`` after the FOJ emits
+
+    * ``m × n`` NOT_MODIFIED matches (dropped) when both sides have it,
+    * ``m`` DELETED rows when it exists only before,
+    * ``n`` INSERTED rows when it exists only after,
+
+    and UPDATED is impossible (keys equal ⇒ all columns equal).  Exactly
+    that is reproduced from per-side multiplicities: group the union of
+    both sides by the full row (ONE shuffle, map-side combined, two
+    longs of payload per group) and re-expand the exclusive side's
+    count.  The FOJ plan needs two exchanges plus two sorts of the same
+    rows; at 100 TB the saved exchange is the diff's dominant cost.
+    NULL grouping values compare equal in groupBy — the same null-safe
+    key semantics as the join formulation (SURVEY §1.4).
+    """
+    tagged = before.select(*value_cols).withColumn(
+        "__side", F.lit(0)
+    ).unionByName(after.select(*value_cols).withColumn("__side", F.lit(1)))
+    counted = tagged.groupBy(*[F.col(f"`{c}`") for c in value_cols]).agg(
+        F.count_if(F.col("__side") == 0).alias("__nb"),
+        F.count_if(F.col("__side") == 1).alias("__na"),
+    )
+    exclusive = counted.filter((F.col("__nb") == 0) | (F.col("__na") == 0))
+    out = (
+        exclusive.select(
+            *value_cols,
+            F.when(F.col("__na") == 0, F.lit(DELETED))
+            .otherwise(F.lit(INSERTED))
+            .alias("diff_status"),
+            F.greatest(F.col("__nb"), F.col("__na")).alias("__n"),
+        )
+        .withColumn("__i", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .select(
+            F.col("diff_status"),
+            (F.col("diff_status") == DELETED).alias("is_before"),
+            F.array().cast("array<string>").alias("modified_columns"),
+            *[F.col(f"`{c}`") for c in value_cols],
+        )
+    )
+    return DiffResult(df=out, key_columns=list(value_cols), value_columns=value_cols)
+
+
 def diff_tables(
     before: DataFrame,
     after: DataFrame,
@@ -215,6 +264,16 @@ def diff_tables(
     common_cols = [c for c in a_cols if c in set(b_cols)]
     schema_drift = set(b_cols) != set(a_cols)
 
+    if (
+        not include_unchanged
+        and set(key_cols) == set(b_cols) == set(a_cols)
+    ):
+        # All-columns key (the reference's no-PK fallback): the diff
+        # degenerates to keyed symmetric difference, which ONE grouped
+        # pass computes — vs. two exchanges plus a sort-merge FOJ.  See
+        # _diff_all_columns_key for the exact FOJ-equivalence argument.
+        return _diff_all_columns_key(before, after, value_cols)
+
     b_types = dict(before.dtypes)
     a_types = dict(after.dtypes)
 
@@ -253,6 +312,45 @@ def diff_tables(
 
     both_present = F.col("b.__b_present").isNotNull() & F.col("a.__a_present").isNotNull()
 
+    def cmp_col(side: str, c: str) -> Column:
+        col = F.col(f"{side}.`{c}`")
+        if b_types[c] != a_types[c]:
+            # cross-side type conflict: compare the same string
+            # rendering the output carries — implicit numeric
+            # coercion would hide real changes (1 vs '1.00')
+            col = col.cast("string")
+        else:
+            # unorderable value types (map/variant) cannot feed `<=>`
+            # directly; compare a canonical rendering instead (the
+            # output still carries the native value)
+            col = _canonical_comparable(col, b_types[c])
+        return col
+
+    value_compares = [
+        ~cmp_col("b", c).eqNullSafe(cmp_col("a", c))
+        for c in common_cols
+        if c not in key_cols  # keys matched null-safely ⇒ never modified
+    ]
+
+    if not include_unchanged and not schema_drift:
+        # Drop the unchanged majority (at scale, nearly every matched
+        # row) straight off the join with a flat OR over the per-column
+        # comparisons.  Filtering on diff_status instead would push the
+        # whole modified_columns ARRAY construction into the filter
+        # (Catalyst inlines it through the projection), making every
+        # joined row pay the array+lambda allocation twice; the OR chain
+        # allocates nothing and short-circuits on the first difference.
+        changed_any = (
+            reduce(lambda x, y: x | y, value_compares)
+            if value_compares
+            else F.lit(False)
+        )
+        joined = joined.filter(
+            F.col("b.__b_present").isNull()
+            | F.col("a.__a_present").isNull()
+            | changed_any
+        )
+
     if schema_drift:
         # Reference: column-set change ⇒ every column marked modified and
         # the row counted as UPDATED (extract_data.go:162-171).
@@ -260,24 +358,11 @@ def diff_tables(
             both_present, F.array(*[F.lit(c) for c in value_cols])
         ).otherwise(F.array().cast("array<string>"))
     else:
-        def cmp_col(side: str, c: str) -> Column:
-            col = F.col(f"{side}.`{c}`")
-            if b_types[c] != a_types[c]:
-                # cross-side type conflict: compare the same string
-                # rendering the output carries — implicit numeric
-                # coercion would hide real changes (1 vs '1.00')
-                col = col.cast("string")
-            else:
-                # unorderable value types (map/variant) cannot feed `<=>`
-                # directly; compare a canonical rendering instead (the
-                # output still carries the native value)
-                col = _canonical_comparable(col, b_types[c])
-            return col
-
         per_col = [
-            F.when(~cmp_col("b", c).eqNullSafe(cmp_col("a", c)), F.lit(c))
-            for c in common_cols
-            if c not in key_cols  # keys matched null-safely ⇒ never modified
+            F.when(cmp, F.lit(c))
+            for cmp, c in zip(
+                value_compares, [c for c in common_cols if c not in key_cols]
+            )
         ]
         changed_array = (
             F.array_compact(F.array(*per_col)) if per_col else F.array().cast("array<string>")
@@ -301,10 +386,11 @@ def diff_tables(
         F.col("a.__a_present").alias("__a_present"),
     ).withColumn("diff_status", status)
 
-    if not include_unchanged:
-        # Prune the (at scale, overwhelming) unchanged majority BEFORE the
-        # pair expansion — reference drops NOT_MODIFIED at
-        # extract_data.go:219-222.
+    if not include_unchanged and schema_drift:
+        # Under schema drift every matched row is UPDATED, so only the
+        # matched/unmatched split matters; the cheap pre-filter above is
+        # skipped and NOT_MODIFIED cannot occur — this filter is kept as
+        # a semantic guard only.
         classified = classified.filter(F.col("diff_status") != NOT_MODIFIED)
 
     pair = F.when(

@@ -67,14 +67,22 @@ SELECT doc_id + {EXACT_COPY_OFFSET} AS doc_id, text FROM documents
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Original docs plus tail-truncated variants (drop the last 10
-    tokens) — near-duplicates by construction."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    trunc = docs.select(
-        (F.col("doc_id") + NEARDUP_OFFSET).alias("doc_id"),
-        F.expr(
-            f"array_join(slice({_TOKENS}, 1, "
-            f"greatest(1, size({_TOKENS}) - {TRUNCATE_TOKENS})), ' ')"
-        ).alias("text"),
+    tokens) — near-duplicates by construction.
+
+    Emits ``doc_id, tokens`` (not text): the regexp tokenization runs
+    ONCE per original document, and the truncated variant is an array
+    slice of the original's token array.  Equivalent to re-tokenizing
+    the re-joined text — tokens match ``[a-z0-9]+`` so they contain no
+    separators and round-trip through a space join — but the old
+    text-shaped corpus paid the regexp THREE times per doc (variant
+    construction + re-tokenization of both corpus halves downstream),
+    and the regexp is the single most expensive scalar in the pipeline."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_TOKENS} AS tokens"
+    )
+    trunc = docs.selectExpr(
+        f"doc_id + {NEARDUP_OFFSET} AS doc_id",
+        f"slice(tokens, 1, greatest(1, size(tokens) - {TRUNCATE_TOKENS})) AS tokens",
     )
     return docs.unionByName(trunc)
 
@@ -150,14 +158,14 @@ def _minhash_select_duck() -> list[str]:
 
 
 def _signatures_spark(corpus: DataFrame) -> DataFrame:
-    """Explode-based signature computation: md5 over exploded shingles is
-    whole-stage-codegen'd (higher-order ``transform`` lambdas are
-    interpreted per element — measurably slower), and the per-doc min
-    is a partially-aggregated groupBy, so the shuffle carries one row
-    per (doc, slice-mins) after map-side combine."""
+    """Explode-based signature computation over a ``doc_id, tokens``
+    corpus: md5 over exploded shingles is whole-stage-codegen'd
+    (higher-order ``transform`` lambdas are interpreted per element —
+    measurably slower), and the per-doc min is a partially-aggregated
+    groupBy, so the shuffle carries one row per (doc, slice-mins) after
+    map-side combine."""
     exploded = (
-        corpus.selectExpr("doc_id", f"{_TOKENS} AS tokens")
-        .selectExpr("doc_id", f"explode({shingles_expr_spark('tokens')}) AS shingle")
+        corpus.selectExpr("doc_id", f"explode({shingles_expr_spark('tokens')}) AS shingle")
         .selectExpr(
             "doc_id",
             "md5(shingle) AS m1",
@@ -252,17 +260,6 @@ DEDUP_MINHASH_SQL = _lsh_pairs_sql()
 SIMHASH_BITS = 16
 
 
-def _simhash_bits_spark() -> str:
-    """Bits computed from a PRE-HASHED token array column ``hs`` (one md5
-    pass per token, staged)."""
-    bits = [
-        f"CASE WHEN 2 * size(filter(hs, h -> instr('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
-        f"> size(hs) THEN '1' ELSE '0' END"
-        for j in range(SIMHASH_BITS)
-    ]
-    return f"concat({', '.join(bits)})"
-
-
 def _simhash_bits_duck() -> str:
     bits = [
         f"CASE WHEN 2 * len(list_filter(hs, h -> strpos('89abcdef', substr(h, {j + 1}, 1)) > 0)) "
@@ -275,11 +272,31 @@ def _simhash_bits_duck() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: 16-bit majority-vote fingerprint over the
     token multiset; docs sharing a fingerprint are near-dup candidates.
-    Staged projection (tokens hashed once) + one group-by shuffle."""
+
+    Explode-shaped like the minhash signatures: per-token md5 + 16 bit
+    indicators run as codegen'd conditional counts with map-side combine
+    (the prior ``transform``/``filter`` formulation walked the hashed
+    token array 16× through interpreted lambdas — ~3k interpreted array
+    ops per doc).  The extra doc_id aggregation shuffles one 17-long row
+    per doc — noise next to the saved CPU.  ``explode_outer`` keeps
+    zero-token docs (md5(NULL) counts nothing), which fingerprint as
+    all-zeros exactly as the array formulation did."""
     corpus = _neardup_corpus(spark, sf_dir)
-    fp = (
-        corpus.selectExpr("doc_id", f"transform({_TOKENS}, x -> md5(x)) AS hs")
-        .selectExpr("doc_id", f"{_simhash_bits_spark()} AS simhash")
+    ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
+        "doc_id", "md5(t) AS h"
+    )
+    aggs = [F.count(F.col("h")).alias("n")] + [
+        F.count_if(
+            F.expr(f"instr('89abcdef', substr(h, {j + 1}, 1)) > 0")
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    bits = ", ".join(
+        f"CASE WHEN 2 * b{j} > n THEN '1' ELSE '0' END"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = ex.groupBy("doc_id").agg(*aggs).selectExpr(
+        "doc_id", f"concat({bits}) AS simhash"
     )
     return (
         fp.groupBy("simhash")
@@ -312,7 +329,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-then-verify near-dedup pipeline end-to-end.  Only candidate
     pairs (not n²) reach the verification join."""
     corpus = _neardup_corpus(spark, sf_dir)
-    shingled = corpus.selectExpr("doc_id", f"{_TOKENS} AS tokens").selectExpr(
+    shingled = corpus.selectExpr(
         "doc_id", f"array_distinct({shingles_expr_spark('tokens')}) AS shingle_set"
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
