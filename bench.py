@@ -80,11 +80,12 @@ def bench_bucketed_diff(spark) -> float:
 
 
 def bench_incremental_diff(spark) -> float:
-    """The re-diff posture: both snapshots change-tracked, the mutation
-    a point update (~6 order keys, a few dozen rows — the "poll again
-    after small drift" case re-diffing exists for), so >99% of the
-    hash-groups are pruned from the match.  Snapshot writes are setup,
-    not part of the timed diff."""
+    """The re-diff posture: both snapshots change-tracked AND bucketed,
+    the mutation a point update (~6 order keys, a few dozen rows — the
+    "poll again after small drift" case re-diffing exists for), so >99%
+    of the hash-groups are pruned from the match and the bucket files
+    holding only unchanged groups are never read at all (scan-level
+    pruning).  Snapshot writes are setup, not part of the timed diff."""
     import shutil
     import tempfile
 
@@ -106,14 +107,20 @@ def bench_incremental_diff(spark) -> float:
     root = tempfile.mkdtemp(prefix="bench_incr_")
     store = SnapshotStore(spark)
     keys = {"lineitem": list(spec.key)}
-    before = store.collect({"lineitem": base}, keys, f"{root}/b", track_changes=True)
-    after = store.collect({"lineitem": after_df}, keys, f"{root}/a", track_changes=True)
+    before = store.collect(
+        {"lineitem": base}, keys, f"{root}/b", track_changes=True, buckets=32
+    )
+    after = store.collect(
+        {"lineitem": after_df}, keys, f"{root}/a", track_changes=True, buckets=32
+    )
     t0 = time.time()
     res = diff_snapshots(spark, before, after, mode=DiffMode.TYPED, incremental=True)[
         "lineitem"
     ]
     run_query(res.df)
     dt = round(time.time() - t0, 3)
+    for ident in list(before.catalog_tables.values()) + list(after.catalog_tables.values()):
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
     shutil.rmtree(root, ignore_errors=True)
     return dt
 

@@ -129,6 +129,53 @@ class Snapshot:
                 pass
         return spark.read.parquet(self.tables[table])
 
+    def load_groups_pruned(
+        self, spark: SparkSession, table: str, changed_groups: list[int]
+    ) -> tuple[DataFrame, bool]:
+        """Load only the bucket FILES that can contain the changed
+        hash-groups — scan-level pruning for the incremental diff.
+
+        Spark's bucketed-write file assignment is
+        ``pmod(murmur3_hash(key_cols), buckets)`` (seed 42) — the same
+        hash family as ``_group_expr`` — so when the group modulus is a
+        multiple of the bucket count, group ``g`` lives entirely in
+        bucket ``g % buckets``: the unchanged buckets need not be READ
+        at all, not merely filtered after the scan.  At 100 TB this
+        turns a K-row drift re-diff from a full scan + pruned join into
+        a scan of ~K bucket files.
+
+        Returns ``(df, pruned)``; ``pruned=False`` means the caller got
+        the plain full-table frame (bucket layout unusable — not
+        bucketed, modulus misaligned, or unrecognized file names) and
+        must rely on the group filter alone.  The caller applies the
+        group filter in BOTH cases: a bucket holds ``mod/buckets``
+        groups, of which only the changed ones may join.
+        """
+        if (
+            self.buckets <= 0
+            or self.group_hash_mod <= 0
+            or self.group_hash_mod % self.buckets != 0
+        ):
+            return self.load(spark, table), False
+        import re
+
+        wanted = {g % self.buckets for g in changed_groups}
+        files: list[str] = []
+        for f in Path(self.tables[table]).glob("part-*"):
+            m = re.search(r"_(\d{5})[.]", f.name)
+            if m is None:  # not a recognizable bucketed layout
+                return self.load(spark, table), False
+            if int(m.group(1)) in wanted:
+                files.append(str(f))
+        if not files:
+            # all of this side's changed-group rows live on the other
+            # side (pure inserts/deletes): empty frame, full schema
+            return (
+                spark.createDataFrame([], spark.read.parquet(self.tables[table]).schema),
+                True,
+            )
+        return spark.read.parquet(*files), True
+
     def save_manifest(self) -> None:
         Path(self.root).mkdir(parents=True, exist_ok=True)
         (Path(self.root) / MANIFEST_NAME).write_text(
@@ -333,11 +380,16 @@ def diff_snapshots(
                         for g in set(bh) | set(ah)
                         if bh.get(g) != ah.get(g)
                     )
-                    cond = (
-                        _group_expr(key, mod).isin(changed)
-                        if changed
-                        else F.lit(False)
-                    )
+                    if changed:
+                        # scan-level file pruning where the bucket
+                        # layout aligns with the group domain (see
+                        # load_groups_pruned); the group filter still
+                        # applies — a bucket holds many groups
+                        b, _ = before.load_groups_pruned(spark, name, changed)
+                        a, _ = after.load_groups_pruned(spark, name, changed)
+                        cond = _group_expr(key, mod).isin(changed)
+                    else:
+                        cond = F.lit(False)
                     b, a = b.filter(cond), a.filter(cond)
             # all-columns fallback keys treat NULLs as data → always null-safe
             is_declared_pk = set(key) != set(a.columns)

@@ -174,6 +174,51 @@ def test_incremental_detects_even_multiplicity_duplicate_update(spark, tmp_path)
     assert sorted(r["diff_status"] for r in inc.collect()) == [UPDATED, UPDATED]
 
 
+def test_incremental_bucketed_scan_pruning_parity_and_files(spark, tmp_path):
+    """Bucketed + change-tracked snapshots: the incremental diff must
+    (a) equal the full diff and (b) READ only the bucket files that can
+    hold changed groups — scan-level pruning, not just a post-scan
+    filter."""
+    store = SnapshotStore(spark)
+    cust = (
+        FileCatalog(spark, "/root/testdata/sf0.001", TESTDATA_KEYS)
+        .load("customer")
+        .dropDuplicates(["c_custkey"])
+    )
+    after_df = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 42, F.col("c_acctbal") + 1).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    kw = dict(track_changes=True, buckets=8)
+    before = store.collect(
+        {"customer": cust}, {"customer": ["c_custkey"]}, str(tmp_path / "pb"), **kw
+    )
+    after = store.collect(
+        {"customer": after_df}, {"customer": ["c_custkey"]}, str(tmp_path / "pa"), **kw
+    )
+    full = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)["customer"].df
+    inc_res = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"]
+    inc = inc_res.df
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+    assert inc.count() == 2  # one UPDATED pair
+    # one changed key -> one changed group -> exactly one bucket file
+    # per side enters the scan (8 buckets were written per side)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    paths = [int(m) for m in _re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)]
+    assert paths and max(paths) == 1, plan
+    for ident in list(before.catalog_tables.values()) + list(
+        after.catalog_tables.values()
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {ident}")
+
+
 def test_incremental_modulus_mismatch_falls_back_to_full_diff(spark, tmp_path):
     """Fingerprints computed under different group counts are not
     comparable; the diff must NOT filter rows with the wrong modulus.
