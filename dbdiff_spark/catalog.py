@@ -123,23 +123,39 @@ class JdbcCatalog:
 
 
 class FileCatalog:
-    """Parquet-directory catalog for snapshot/fixture mode.
+    """File-directory catalog for snapshot/fixture mode.
 
-    Tables = ``*.parquet`` entries in the directory; keys come from an
-    explicit ``{table: [cols]}`` mapping, with the reference's no-PK
-    fallback (all columns) when a table has no declared key."""
+    Tables = files with a supported data extension (parquet/orc/csv/
+    json) in the directory; keys come from an explicit
+    ``{table: [cols]}`` mapping, with the reference's no-PK fallback
+    (all columns) when a table has no declared key.  When one table name
+    exists in several formats, parquet wins (the scale format)."""
 
     def __init__(self, spark: SparkSession, directory: str, keys: dict[str, list[str]] | None = None):
         self.spark = spark
         self.directory = str(directory)
         self.keys = dict(keys or {})
 
+    def _table_files(self) -> dict[str, Path]:
+        from dbdiff_spark.io import infer_format
+
+        found: dict[str, Path] = {}
+        for p in sorted(Path(self.directory).iterdir()) if Path(self.directory).is_dir() else []:
+            if infer_format(p.name) is None:
+                continue
+            if p.stem not in found or p.suffix.lower() == ".parquet":
+                found[p.stem] = p
+        return found
+
     def list_tables(self) -> list[str]:
-        return sorted(p.stem for p in Path(self.directory).glob("*.parquet"))
+        return sorted(self._table_files())
 
     def load(self, table: str):
-        from dbdiff_spark.io import load_table
+        from dbdiff_spark.io import load_table, read_source
 
+        path = self._table_files().get(table)
+        if path is not None and path.suffix.lower() != ".parquet":
+            return read_source(self.spark, str(path))
         return load_table(self.spark, self.directory, table)
 
     def primary_keys(self, tables: list[str]) -> dict[str, list[str]]:

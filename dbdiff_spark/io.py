@@ -45,3 +45,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+# --- generic multi-format sources ------------------------------------------
+#
+# The reference reads only live JDBC tables (extract_data.go:30-43); the
+# Spark build adds file sources so snapshots can be taken of data-lake
+# tables directly.  Parquet/ORC are the scale formats (columnar,
+# predicate pushdown, column pruning); CSV/JSON are supported for
+# ingest-edge fixtures but documented as scan-everything formats.
+
+_EXT_FORMAT = {
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+}
+
+# formats needing an optional runtime: gate behind a probe so the error
+# is actionable rather than a ClassNotFoundException mid-plan
+_OPTIONAL_FORMATS = {"delta": "delta-spark", "iceberg": "iceberg-spark-runtime", "avro": "spark-avro"}
+
+
+def infer_format(path: str) -> str | None:
+    return _EXT_FORMAT.get(Path(path).suffix.lower())
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read a file-based table of any supported format.
+
+    ``fmt`` defaults to the file extension (``.parquet/.orc/.csv/.json``;
+    a directory defaults to parquet).  CSV defaults to
+    ``header=true, inferSchema=true`` unless an explicit ``schema`` is
+    given — at scale pass the schema: inference is an extra full scan.
+    ``delta``/``iceberg``/``avro`` are forwarded to their Spark data
+    sources when the matching runtime jar is on the classpath, with a
+    clear error when it is not.
+    """
+    fmt = fmt or infer_format(path) or "parquet"
+    if fmt in _OPTIONAL_FORMATS:
+        try:
+            reader = spark.read.format(fmt)
+            if schema:
+                reader = reader.schema(schema)
+            return reader.options(**options).load(path)
+        except Exception as exc:  # pragma: no cover - depends on runtime jars
+            raise ImportError(
+                f"format {fmt!r} needs the {_OPTIONAL_FORMATS[fmt]} runtime "
+                f"on the Spark classpath: {exc}"
+            ) from exc
+    reader = spark.read.format(fmt)
+    if schema:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    return reader.options(**options).load(path)

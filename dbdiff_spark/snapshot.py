@@ -117,6 +117,9 @@ class Snapshot:
     # tracked.  Manifests written before this field existed load as 0
     # and incremental diffs against them fall back to the full diff.
     group_hash_mod: int = 0
+    # storage format of the snapshot data files (parquet default;
+    # delta/iceberg when the matching runtime is on the classpath)
+    format: str = "parquet"
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table in self.catalog_tables:
@@ -127,7 +130,7 @@ class Snapshot:
                 # fall back to the path (bucketing metadata lost, diff
                 # still correct — just pays the exchange again)
                 pass
-        return spark.read.parquet(self.tables[table])
+        return spark.read.format(self.format).load(self.tables[table])
 
     def load_groups_pruned(
         self, spark: SparkSession, table: str, changed_groups: list[int]
@@ -155,6 +158,7 @@ class Snapshot:
             self.buckets <= 0
             or self.group_hash_mod <= 0
             or self.group_hash_mod % self.buckets != 0
+            or self.format != "parquet"
         ):
             return self.load(spark, table), False
         import re
@@ -189,6 +193,7 @@ class Snapshot:
                     "buckets": self.buckets,
                     "group_hashes": self.group_hashes,
                     "group_hash_mod": self.group_hash_mod,
+                    "format": self.format,
                 },
                 indent=2,
             )
@@ -207,6 +212,7 @@ class Snapshot:
             buckets=data.get("buckets", 0),
             group_hashes=data.get("group_hashes", {}),
             group_hash_mod=data.get("group_hash_mod", 0),
+            format=data.get("format", "parquet"),
         )
 
 
@@ -225,6 +231,7 @@ class SnapshotStore:
         count_rows: bool = True,
         buckets: int = 0,
         track_changes: bool = False,
+        format: str = "parquet",
     ) -> Snapshot:
         """Persist every source DataFrame to Parquet under
         ``snapshot_root`` and return the manifest.
@@ -249,7 +256,12 @@ class SnapshotStore:
         ``diff_snapshots(..., incremental=True)`` to restrict later
         diffs to changed groups only.
         """
-        snap = Snapshot(root=str(snapshot_root), buckets=buckets)
+        if format != "parquet" and buckets > 0:
+            raise ValueError(
+                "bucketed snapshots are parquet-only (hive-style bucketing); "
+                "delta/iceberg tables cluster via their own layout services"
+            )
+        snap = Snapshot(root=str(snapshot_root), buckets=buckets, format=format)
         if track_changes:
             snap.group_hash_mod = HASH_GROUPS
         total = 0
@@ -267,8 +279,23 @@ class SnapshotStore:
                     .saveAsTable(ident)
                 )
                 snap.catalog_tables[name] = ident
-            else:
+            elif format == "parquet":
                 df.write.mode("errorifexists").parquet(path)
+            else:
+                # delta / iceberg / orc …: same point-in-time contract;
+                # the transactional formats additionally give atomic
+                # snapshot swaps and their own time travel.  Gated: a
+                # missing runtime jar surfaces as an actionable error,
+                # not a ClassNotFoundException mid-write.
+                try:
+                    df.write.format(format).mode("errorifexists").save(path)
+                except Exception as exc:
+                    if format in ("delta", "iceberg"):
+                        raise ImportError(
+                            f"snapshot format {format!r} needs its Spark runtime "
+                            f"jar on the classpath: {exc}"
+                        ) from exc
+                    raise
             snap.tables[name] = path
             snap.keys[name] = key
             snap.columns[name] = list(df.columns)

@@ -128,3 +128,29 @@ def test_jdbc_auto_falls_back_on_empty_bounds(monkeypatch, spark, sf_dir):
     )
     assert "bounds_sql" in calls  # probed, then declined
     assert "partition_column" not in calls and "partitionColumn" not in calls
+
+
+def test_file_catalog_multi_format(spark, tmp_path):
+    """CSV/JSON/ORC tables are listed and loadable next to parquet;
+    parquet wins when the same name exists twice."""
+    from dbdiff_spark.catalog import FileCatalog
+    from dbdiff_spark.io import load_table, read_source
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").limit(50)
+    cust.write.option("header", "true").csv(str(tmp_path / "c_csv.csv"))
+    cust.write.json(str(tmp_path / "c_json.json"))
+    cust.write.orc(str(tmp_path / "c_orc.orc"))
+    cust.write.parquet(str(tmp_path / "c_orc.parquet"))  # name collision
+
+    cat = FileCatalog(spark, str(tmp_path), {"c_csv": ["c_custkey"]})
+    assert cat.list_tables() == ["c_csv", "c_json", "c_orc"]
+    assert cat.load("c_csv").count() == 50
+    assert cat.load("c_json").count() == 50
+    # collision resolved to parquet
+    assert dict(cat.load("c_orc").dtypes)["c_custkey"] == "bigint"
+    assert cat.primary_keys(["c_csv", "c_json"]) == {
+        "c_csv": ["c_custkey"],
+        "c_json": sorted(cat.load("c_json").columns, key=cat.load("c_json").columns.index),
+    }
+    # read_source format inference
+    assert read_source(spark, str(tmp_path / "c_csv.csv")).count() == 50

@@ -237,3 +237,29 @@ def test_incremental_modulus_mismatch_falls_back_to_full_diff(spark, tmp_path):
         spark, before, after, mode=DiffMode.TYPED, incremental=True
     )["customer"].df
     assert inc0.count() == full.count()
+
+
+def test_snapshot_orc_format_roundtrip(spark, tmp_path):
+    store = SnapshotStore(spark)
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    snap = store.collect({"t": t}, {"t": ["id"]}, str(tmp_path / "orc"), format="orc")
+    loaded = Snapshot.load_manifest(str(tmp_path / "orc"))
+    assert loaded.format == "orc"
+    assert loaded.load(spark, "t").count() == 2
+    t2 = spark.createDataFrame([(1, "a"), (2, "B")], "id int, s string")
+    snap2 = store.collect({"t": t2}, {"t": ["id"]}, str(tmp_path / "orc2"), format="orc")
+    res = diff_snapshots(spark, snap, snap2, mode=DiffMode.TYPED)["t"].df
+    assert sorted(r["diff_status"] for r in res.collect()) == [UPDATED, UPDATED]
+
+
+def test_snapshot_delta_format_gated(spark, tmp_path):
+    import pytest
+
+    store = SnapshotStore(spark)
+    t = spark.createDataFrame([(1, "a")], "id int, s string")
+    with pytest.raises(ImportError, match="delta"):
+        store.collect({"t": t}, {"t": ["id"]}, str(tmp_path / "d"), format="delta")
+    with pytest.raises(ValueError, match="parquet-only"):
+        store.collect(
+            {"t": t}, {"t": ["id"]}, str(tmp_path / "d2"), format="delta", buckets=4
+        )
