@@ -515,8 +515,47 @@ ORDER BY event_type
 """
 
 
+def order_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) quartile assignment per priority class, summarized to
+    per-(priority, quartile) count and exact value bounds.  The ntile
+    ORDER BY carries the key as a tiebreaker so the assignment (and the
+    oracle comparison) is deterministic under equal prices; min/max are
+    order-insensitive so no float-summation hazard."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    q = orders.select(
+        "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        q.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+ORDER_VALUE_QUARTILES_SQL = """
+SELECT o_orderpriority, quartile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo_price,
+       max(o_totalprice) AS hi_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "order_value_quartiles": (order_value_quartiles, ORDER_VALUE_QUARTILES_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_regional_revenue": (q5_regional_revenue, Q5_SQL),
     "customer_order_stats": (customer_order_stats, CUSTOMER_ORDER_STATS_SQL),

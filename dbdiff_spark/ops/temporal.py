@@ -190,7 +190,45 @@ GROUP BY e.error_id, e.user_id, e.error_ts
 """
 
 
+HOUR_US = 3600 * 1_000_000
+
+
+def events_hourly_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts with ZERO-FILLED gaps — the resample/gap-fill
+    primitive time-series pipelines need (a plain groupBy silently drops
+    empty buckets).  The dense hour axis is generated from the observed
+    min/max bin with ``sequence``+``explode`` — no calendar table — and
+    the per-bin counts join back onto it; both sides of that join are
+    tiny (one row per hour), so at 100 TB the cost remains the single
+    counting pass over the events."""
+    ev = _events_us(spark, sf_dir)
+    binned = ev.selectExpr(f"ts_us div {HOUR_US} AS hour_bin")
+    counts = binned.groupBy("hour_bin").agg(F.count(F.lit(1)).alias("n"))
+    bins = counts.agg(
+        F.min("hour_bin").alias("lo"), F.max("hour_bin").alias("hi")
+    ).selectExpr("explode(sequence(lo, hi)) AS hour_bin")
+    return bins.join(counts, "hour_bin", "left").select(
+        "hour_bin", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+EVENTS_HOURLY_FILL_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL
+),
+c AS (
+  SELECT ts_us // {HOUR_US} AS hour_bin, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1
+),
+b AS (SELECT min(hour_bin) AS lo, max(hour_bin) AS hi FROM c),
+bins AS (SELECT unnest(generate_series(lo, hi)) AS hour_bin FROM b)
+SELECT bins.hour_bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+FROM bins LEFT JOIN c USING (hour_bin)
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
+    "events_hourly_fill": (events_hourly_fill, EVENTS_HOURLY_FILL_SQL),
 }

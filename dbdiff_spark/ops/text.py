@@ -314,8 +314,106 @@ GROUP BY 1
 """
 
 
+# --- deterministic stratified sampling --------------------------------------
+#
+# Per-language keep rates out of 65536 hash buckets: downsample the
+# dominant language, keep the rest at higher rates.  Hash-based (not
+# random) so the sample is reproducible across engines, runs, and
+# cluster layouts — the property a training-data pipeline needs for
+# auditable mixes.
+SAMPLE_RATE_CASE = (
+    "CASE lang WHEN 'en' THEN 16384 "  # 25%
+    "WHEN 'zh' THEN 32768 "  # 50%
+    "ELSE 49152 END"  # 75%
+)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample of the documents table.
+
+    Bucket = first 4 hex chars of md5(doc_id) → uniform 0..65535; a doc
+    is kept when its bucket falls under its language's rate threshold.
+    Pure per-row filter — no shuffle, no RNG state, trivially parallel
+    at any scale, and the SAME docs are kept on Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.selectExpr(
+            "doc_id",
+            "lang",
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+            " AS bucket",
+            f"CAST({SAMPLE_RATE_CASE} AS BIGINT) AS rate_per_64k",
+        )
+        .filter(F.col("bucket") < F.col("rate_per_64k"))
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, bucket, rate_per_64k
+FROM (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)))::BIGINT AS bucket,
+         CAST({SAMPLE_RATE_CASE} AS BIGINT) AS rate_per_64k
+  FROM documents
+)
+WHERE bucket < rate_per_64k
+"""
+
+
+def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document: rank by term frequency,
+    breaking ties toward RARER terms (lower document frequency) then
+    lexicographically — a tf-idf-shaped ranking with integer-only
+    arithmetic (no log, so the oracle comparison is exact; memory rule:
+    libm last-ulp divergence).
+
+    Scale shape: one explode + (doc,term) aggregation; the document-
+    frequency side aggregates to vocabulary size and joins back keyed on
+    term (broadcastable — vocabularies are small next to corpora); the
+    final top-k is a row_number window partitioned by doc."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.selectExpr("doc_id", f"explode({_TOKENS}) AS term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_D_TOKENS}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT doc_id, term, tf, df, rank
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(row_number() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)
+              AS INTEGER) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "top_terms_per_doc": (top_terms_per_doc, TOP_TERMS_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
