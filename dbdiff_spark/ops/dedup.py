@@ -370,9 +370,91 @@ WHERE len(list_intersect(a.shingle_set, b.shingle_set))
 """
 
 
+# --- near-dup clustering (connected components over candidate pairs) --------
+
+CC_MAX_ITERS = 20
+
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: every doc
+    that appears in a candidate pair gets a cluster id = the minimum
+    doc_id reachable from it — the group assignment a dedup pipeline
+    keeps one representative per.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood; a driver-side convergence count
+    stops the loop (bounded by CC_MAX_ITERS; rounds needed = graph
+    diameter, and near-dup components are shallow by construction).
+    Each round is one join + one groupBy on the EDGE list — the classic
+    Spark formulation.  At much larger graph scales the
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce") halves round count; label propagation is
+    kept here for its direct oracle equivalence.
+
+    The result is independent of iteration order (min over a component
+    is order-free), so the DuckDB oracle can compute it as a recursive
+    transitive closure instead — different algorithm, same fixpoint."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    # propagation runs over the edge list every round: persist it
+    edges = edges.persist()
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    prev = None
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        ).persist()
+        # the count materializes this round's labels, so the previous
+        # round's cache (its lineage parent) can be released
+        changed = new_labels.filter(F.col("__changed")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = new_labels
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY a
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
 }
