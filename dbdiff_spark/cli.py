@@ -56,6 +56,26 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--parquet-dir", default="", help="fixture mode: parquet dir as DB")
     parser.add_argument("--snapshot-dir", default="/tmp/dbdiff_snapshots")
     parser.add_argument("--mode", choices=["string", "typed"], default="string")
+    parser.add_argument(
+        "--buckets",
+        type=int,
+        default=0,
+        help="write snapshots bucketed+sorted by key (N buckets): "
+        "repeat diffs run exchange-free",
+    )
+    parser.add_argument(
+        "--incremental",
+        action="store_true",
+        help="track per-hash-group fingerprints at snapshot time and "
+        "restrict each diff to changed groups (with bucket-file scan "
+        "pruning when --buckets aligns)",
+    )
+    parser.add_argument(
+        "--format",
+        default="parquet",
+        help="snapshot storage format (parquet/orc; delta/iceberg with "
+        "their runtime jars)",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="dbdiff_spark_cli")
@@ -63,9 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     mode = DiffMode(args.mode)
     run_root = Path(args.snapshot_dir) / time.strftime("%Y%m%d_%H%M%S")
 
+    collect_kw = dict(
+        buckets=args.buckets, track_changes=args.incremental, format=args.format
+    )
     sources, keys = _load_sources(spark, args)
     print(f"[Collect] snapshotting {len(sources)} tables (before)")
-    before = store.collect(sources, keys, str(run_root / "snap0"))
+    before = store.collect(sources, keys, str(run_root / "snap0"), **collect_kw)
     print(f"[Collect] total record count: {before.total_count}")
 
     generation = 1
@@ -76,10 +99,14 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         sources, keys = _load_sources(spark, args)  # re-read live data
         print(f"[Collect] snapshotting {len(sources)} tables (after)")
-        after = store.collect(sources, keys, str(run_root / f"snap{generation}"))
+        after = store.collect(
+            sources, keys, str(run_root / f"snap{generation}"), **collect_kw
+        )
         print(f"[Collect] total record count: {after.total_count}")
 
-        results = diff_snapshots(spark, before, after, mode=mode)
+        results = diff_snapshots(
+            spark, before, after, mode=mode, incremental=args.incremental
+        )
         print_diffs(results)
         out_name = args.o or default_output_name()
         write_diff_xlsx(results, out_name)

@@ -65,3 +65,41 @@ def test_diff_recovers_any_mutation_exactly(spark, plan):
         expect_cols = (["a"] if k in upd_a else []) + (["b"] if k in upd_b else [])
         for r in pair:
             assert r["modified_columns"] == expect_cols
+
+
+ROWS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.sampled_from(["x", "y"])),
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b_rows=ROWS, a_rows=ROWS)
+def test_all_columns_key_equals_foj_formulation(spark, b_rows, a_rows):
+    """The one-shuffle all-columns-key rewrite must emit exactly what the
+    full-outer-join formulation emits, for ANY multisets on either side
+    (duplicates exercise the m×n match/m-exclusive expansion cases).
+    include_unchanged=True forces the generic FOJ path, giving the
+    reference behavior to compare against."""
+    from pyspark.sql import functions as F
+
+    schema = "id int, s string"
+    before = spark.createDataFrame(b_rows, schema)
+    after = spark.createDataFrame(a_rows, schema)
+    fast = diff_tables(before, after, ["id", "s"], mode=DiffMode.TYPED)
+    foj = diff_tables(
+        before, after, ["id", "s"], mode=DiffMode.TYPED, include_unchanged=True
+    )
+    fast_rows = sorted(
+        (r["diff_status"], r["is_before"], r["id"], r["s"])
+        for r in fast.df.collect()
+    )
+    foj_rows = sorted(
+        (r["diff_status"], r["is_before"], r["id"], r["s"])
+        for r in foj.df.filter(F.col("diff_status") != "NOT_MODIFIED").collect()
+    )
+    assert fast_rows == foj_rows
