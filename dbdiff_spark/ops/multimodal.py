@@ -157,7 +157,83 @@ FROM (SELECT doc_id, sha256(text) AS h FROM documents)
 """
 
 
+# --- frame sampling ---------------------------------------------------------
+
+FRAME_BYTES = 64  # fixed-width frame grid over the payload
+FRAME_STEP = 4  # keep every 4th frame
+
+
+def sample_frames(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Deterministic frame sampling over opaque binary payloads: treat
+    the payload as a fixed-width frame grid (a raw video buffer shape)
+    and keep every ``FRAME_STEP``-th frame — ``explode(sequence(...))``
+    over computed offsets, one output row per sampled frame with the
+    frame bytes as a new binary column.
+
+    This is the real distributed plumbing for video frame extraction
+    (per-row explode, no shuffle, composes with ``extract_features`` for
+    per-frame encoding); a real container format swaps the fixed-width
+    offset arithmetic for decoder-reported keyframe offsets inside the
+    same plan shape."""
+    n_frames = f"greatest(0, CAST(ceil(length({payload_col}) / {FRAME_BYTES}) AS BIGINT) - 1)"
+    return df.selectExpr(
+        "*", f"explode(sequence(0, {n_frames}, {FRAME_STEP})) AS frame_idx"
+    ).selectExpr(
+        *[c for c in df.columns if c != payload_col],
+        "frame_idx",
+        f"substring({payload_col}, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), "
+        f"{FRAME_BYTES}) AS frame",
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable frame sampling: the comparison runs over the HEX
+    rendering of the payload (DuckDB cannot slice blobs; hex is
+    byte-faithful at 2 chars/byte and both engines render it
+    identically), hashing each sampled frame's hex with sha256."""
+    m = media_manifest(spark, sf_dir)
+    w = 2 * FRAME_BYTES
+    return (
+        m.selectExpr("doc_id", "hex(payload) AS hx", "byte_len")
+        .selectExpr(
+            "doc_id",
+            "hx",
+            f"explode(sequence(0, greatest(0, CAST(ceil(byte_len / {FRAME_BYTES}) "
+            f"AS BIGINT) - 1), {FRAME_STEP})) AS frame_idx",
+        )
+        .selectExpr(
+            "doc_id",
+            "frame_idx",
+            f"CAST(length(substr(hx, CAST(frame_idx * {w} + 1 AS INT), {w})) / 2 "
+            "AS BIGINT) AS frame_bytes",
+            f"sha2(substr(hx, CAST(frame_idx * {w} + 1 AS INT), {w}), 256) AS frame_sha",
+        )
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+  FROM documents
+),
+f AS (
+  SELECT doc_id, hx,
+         unnest(generate_series(0, greatest(0, CAST(ceil(byte_len / {FRAME_BYTES}.0)
+                AS BIGINT) - 1), {FRAME_STEP})) AS frame_idx
+  FROM m
+)
+SELECT doc_id, frame_idx,
+       CAST(length(substr(hx, CAST(frame_idx * {2 * FRAME_BYTES} + 1 AS INT),
+            {2 * FRAME_BYTES})) / 2 AS BIGINT) AS frame_bytes,
+       sha256(substr(hx, CAST(frame_idx * {2 * FRAME_BYTES} + 1 AS INT),
+              {2 * FRAME_BYTES})) AS frame_sha
+FROM f
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_features": (multimodal_features, _features_oracle_sql()),
+    "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
 }

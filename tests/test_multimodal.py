@@ -42,3 +42,26 @@ def test_decode_image_stub_raises():
         pytest.skip("PIL unexpectedly present")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+
+
+def test_sample_frames_composes_with_feature_extraction(spark, sf_dir):
+    """Per-frame encoding pipeline: payload → fixed-grid frame explode →
+    mapInPandas features per FRAME — the video path's full plan shape."""
+    m = multimodal.media_manifest(spark, sf_dir).limit(5)
+    frames = multimodal.sample_frames(m)
+    assert dict(frames.dtypes)["frame"] == "binary"
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    # sampled count = ceil(n_frames / step) over the doc's frame grid
+    import math
+
+    for r in m.select("doc_id", "byte_len").collect():
+        total = max(1, math.ceil(r["byte_len"] / multimodal.FRAME_BYTES))
+        expect = len(range(0, total, multimodal.FRAME_STEP))
+        assert per_doc[r["doc_id"]] == expect
+    feats = multimodal.extract_features(frames, payload_col="frame")
+    row = feats.orderBy("doc_id", "frame_idx").first()
+    assert len(row["features"]) == multimodal.FEATURE_DIM
+    assert "frame_idx" in feats.columns and "frame" not in feats.columns
