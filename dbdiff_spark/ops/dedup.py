@@ -451,8 +451,150 @@ GROUP BY a
 """
 
 
+# --- passage-level exact dedup ----------------------------------------------
+#
+# Sub-document dedup: chunk every document into aligned 16-token
+# passages, hash each passage, and surface passages that occur more than
+# once across the corpus — the contamination / boilerplate detector that
+# document-level dedup misses (a repeated paragraph inside otherwise
+# distinct pages).  One explode + one map-side-combinable groupBy; the
+# shuffle carries (passage_hash, doc_id) pairs only, uniformly
+# distributed by md5.  Runs over the near-dup corpus so shared prefixes
+# actually exist.
+
+PASSAGE_TOKENS = 16
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
+    chunks = corpus.selectExpr(
+        "doc_id",
+        f"explode(transform(sequence(0, (greatest(size(tokens), 1) - 1) div {PASSAGE_TOKENS}),"
+        f" i -> md5(array_join(slice(tokens, i * {PASSAGE_TOKENS} + 1, {PASSAGE_TOKENS}), ' '))))"
+        " AS passage_hash",
+    )
+    return (
+        chunks.groupBy("passage_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_D_TOKENS} AS tokens FROM corpus),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(0, (greatest(len(tokens), 1) - 1) // {PASSAGE_TOKENS}),
+                i -> md5(array_to_string(tokens[i * {PASSAGE_TOKENS} + 1 : i * {PASSAGE_TOKENS} + {PASSAGE_TOKENS}], ' '))))
+         AS passage_hash
+  FROM toks
+)
+SELECT passage_hash,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks
+GROUP BY passage_hash
+HAVING count(*) > 1
+"""
+
+
+# --- connected components via large-star / small-star ------------------------
+#
+# The at-scale alternative to min-label propagation (neardup_clusters):
+# Kiveris et al., "Connected Components in MapReduce and Beyond" —
+# alternating large-star / small-star contractions converge in
+# O(log² n) rounds on ANY graph (label propagation needs diameter
+# rounds, fatal on chain-shaped graphs), and every round is one
+# groupBy over the edge list.  Same fixpoint: every node maps to the
+# minimum doc_id of its component, so the oracle is the identical
+# recursive closure.
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}).  Keeps (big → small) edges, shrinks tall trees."""
+    grouped = edges.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs")
+    )
+    return grouped.selectExpr(
+        "explode(filter(nbrs, v -> v > src)) AS src",
+        "least(src, array_min(nbrs)) AS dst",
+    ).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over (big → small) edges: connect u and all its
+    smaller neighbors to the minimum among them."""
+    directed = edges.selectExpr(
+        "greatest(src, dst) AS src", "least(src, dst) AS dst"
+    ).filter(F.col("src") != F.col("dst"))
+    grouped = directed.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    return grouped.selectExpr(
+        "explode(concat(array(src), filter(nbrs, v -> v != array_min(nbrs)))) AS src",
+        "array_min(nbrs) AS dst",
+    ).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Connected components of a symmetric edge list ``(src, dst)`` via
+    alternating large-star/small-star contraction.  Returns
+    ``(doc_id, cluster_id)`` where cluster_id is the component minimum."""
+    # localCheckpoint per round TRUNCATES LINEAGE — without it the
+    # logical plan doubles every contraction and the driver OOMs just
+    # stringifying it by round ~6 (the classic iterative-algorithm trap;
+    # on a real cluster use reliable checkpointing to survive executor
+    # loss, same call shape)
+    edges = sym_edges.localCheckpoint()
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    for _ in range(max_iters):
+        contracted = _small_star(_large_star(edges)).localCheckpoint()
+        # converged when the (big → small) edge set is stable
+        changed = contracted.subtract(
+            edges.selectExpr("greatest(src, dst) AS src", "least(src, dst) AS dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        ).count()
+        # re-symmetrize for the next large-star round
+        edges = contracted.unionByName(
+            contracted.selectExpr("dst AS src", "src AS dst")
+        )
+        if changed == 0:
+            break
+    # stars: child → root on the (big → small) half; roots map to themselves
+    parents = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .groupBy(F.col("src").alias("doc_id"))
+        .agg(F.min("dst").alias("cluster_id"))
+    )
+    out = (
+        nodes.join(parents, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    return out
+
+
+def neardup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph via alternating
+    large-star/small-star contraction; output identical to
+    ``neardup_clusters`` (doc_id → component-minimum doc_id)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    base = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return bigstar_components(base)
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
+    "neardup_clusters_bigstar": (neardup_clusters_bigstar, NEARDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),

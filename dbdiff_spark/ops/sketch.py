@@ -143,6 +143,88 @@ FROM estimates e LEFT JOIN truth t ON e.probe_token = t.probe_token
 
 CMS_SQL = _cms_sql()
 
+# --- KMV (k-minimum-values) distinct-count sketch ----------------------------
+#
+# The deterministic alternative to HLL: per group keep the k smallest
+# distinct 48-bit hashes of the value; the k-th minimum estimates the
+# hash-space density, so distinct ≈ (k-1) · 2^48 / kth_min.  Unlike
+# engine-native approx_count_distinct the construction is exact given
+# the hash function — identical on every engine and every cluster
+# layout, which is why it oracle-checks bit-for-bit.
+#
+# Scale shape: (group, hash) distinct is one map-side-combinable
+# shuffle; the per-group k-minimum is a row_number window over groups
+# (each group's distinct-hash set, not the raw rows).  Sketches merge
+# by unioning hash sets and re-taking the k minimum — the mergeable-
+# summary property that lets 1000 executors build partials
+# independently.  Integer-only estimate arithmetic (48-bit domain keeps
+# (k-1)·2^48 inside BIGINT); groups smaller than k report exactly.
+
+KMV_K = 64
+_KMV_HEX = 12  # 48-bit hash domain
+_KMV_DOMAIN = 16**_KMV_HEX
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-partkey estimate per lineitem return flag, with the
+    exact distinct count alongside for calibration."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.selectExpr(
+        "l_returnflag AS grp",
+        f"CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, {_KMV_HEX}), 16, 10)"
+        " AS BIGINT) AS h",
+    ).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    sketch = topk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sketch_hashes"),
+        F.max("h").alias("kth_min_hash"),
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return sketch.join(exact, "grp").selectExpr(
+        "grp",
+        "n_sketch_hashes",
+        "kth_min_hash",
+        f"CAST(CASE WHEN n_sketch_hashes < {KMV_K} THEN n_sketch_hashes"
+        f" ELSE (({KMV_K} - 1) * {_KMV_DOMAIN}) div kth_min_hash END AS BIGINT)"
+        " AS kmv_estimate",
+        "exact_distinct",
+    )
+
+
+KMV_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT l_returnflag AS grp,
+         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT AS h
+  FROM lineitem
+),
+topk AS (
+  SELECT grp, h FROM (
+    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hashes
+  ) WHERE rn <= {KMV_K}
+),
+sketch AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_sketch_hashes, max(h) AS kth_min_hash
+  FROM topk GROUP BY grp
+),
+exact AS (
+  SELECT l_returnflag AS grp, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.grp, n_sketch_hashes, kth_min_hash,
+       CAST(CASE WHEN n_sketch_hashes < {KMV_K} THEN n_sketch_hashes
+            ELSE (({KMV_K} - 1) * {_KMV_DOMAIN}) // kth_min_hash END AS BIGINT) AS kmv_estimate,
+       exact_distinct
+FROM sketch s JOIN exact e ON s.grp = e.grp
+"""
+
 QUERIES = {
     "cms_token_counts": (cms_token_counts, CMS_SQL),
+    "kmv_distinct": (kmv_distinct, KMV_SQL),
 }

@@ -410,8 +410,108 @@ WHERE rank <= 3
 """
 
 
+# --- deterministic train/val/test split -------------------------------------
+#
+# 80/10/10 by hashed doc_id (salted so the assignment is independent of
+# the stratified-sample buckets above).  Hash-based splits are the only
+# kind that survive re-partitioning, re-runs, and incremental corpus
+# growth: a doc's split never changes when other docs are added.
+_SPLIT_CASE = (
+    "CASE WHEN split_bucket < 52429 THEN 'train' "  # 80% of 65536
+    "WHEN split_bucket < 58982 THEN 'val' "  # +10%
+    "ELSE 'test' END"
+)
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment per document.
+    Pure per-row projection — no shuffle, no RNG, reproducible on any
+    cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 4), 16, 10)"
+        " AS BIGINT) AS split_bucket",
+    ).selectExpr("doc_id", "lang", "split_bucket", f"{_SPLIT_CASE} AS split")
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT doc_id, lang, split_bucket, {_SPLIT_CASE} AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS split_bucket
+  FROM documents
+)
+"""
+
+
+# --- PII scrubbing -----------------------------------------------------------
+#
+# The redaction pass every shared-corpus pipeline runs before training.
+# The testdata carries no contact strings, so the query SYNTHESIZES a
+# deterministic dirty contact line from customer columns (same pure
+# string expression on both engines — the analogue of the multimodal
+# tier's deterministic fake payloads), then runs the real scrub operator
+# over it: staged regexp_replace passes (email → phone → long digit
+# runs) with per-row redaction counts.  Per-row projection, no shuffle,
+# patterns chosen to mean the same thing in Java regex and RE2.
+_EMAIL_RE = "[a-z0-9.#]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-555-[0-9]{4}"
+_IDRUN_RE = "[0-9]{4,}"
+
+
+def _contact_expr(cast_str: str) -> str:
+    """Dirty contact line from customer columns; `cast_str` is the
+    engine's string-cast type name (STRING / VARCHAR)."""
+    return (
+        "concat(c_name, ' <', lower(replace(c_name, '#', '.')), '@example.com>',"
+        f" ' phone ', lpad(CAST(c_custkey % 1000 AS {cast_str}), 3, '0'),"
+        f" '-555-', lpad(CAST(c_custkey % 10000 AS {cast_str}), 4, '0'),"
+        f" ' acct ', CAST(10000000 + c_custkey AS {cast_str}))"
+    )
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customers = load_table(spark, sf_dir, "customer")
+    return (
+        customers.selectExpr("c_custkey", f"{_contact_expr('STRING')} AS contact")
+        .selectExpr(
+            "c_custkey",
+            f"CAST(size(regexp_extract_all(contact, '{_EMAIL_RE}', 0)) AS BIGINT) AS n_emails",
+            f"CAST(size(regexp_extract_all(contact, '{_PHONE_RE}', 0)) AS BIGINT) AS n_phones",
+            f"regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]'),"
+            f" '{_PHONE_RE}', '[PHONE]') AS partial",
+        )
+        .selectExpr(
+            "c_custkey",
+            "n_emails",
+            "n_phones",
+            f"CAST(size(regexp_extract_all(partial, '{_IDRUN_RE}', 0)) AS BIGINT) AS n_id_runs",
+            f"regexp_replace(partial, '{_IDRUN_RE}', '[NUM]') AS clean_text",
+        )
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT c_custkey, n_emails, n_phones,
+       CAST(len(regexp_extract_all(partial, '{_IDRUN_RE}')) AS BIGINT) AS n_id_runs,
+       regexp_replace(partial, '{_IDRUN_RE}', '[NUM]', 'g') AS clean_text
+FROM (
+  SELECT c_custkey,
+         CAST(len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(contact, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{_PHONE_RE}', '[PHONE]', 'g') AS partial
+  FROM (SELECT c_custkey, {_contact_expr('VARCHAR')} AS contact FROM customer)
+)
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "top_terms_per_doc": (top_terms_per_doc, TOP_TERMS_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),

@@ -1,0 +1,42 @@
+"""Dedup-tier unit tests: the two connected-components formulations
+must agree, and big-star must converge fast on shapes that defeat
+diameter-bound label propagation (SURVEY §7.1 M5 extension tier)."""
+
+from pyspark.sql import functions as F
+
+from dbdiff_spark.ops.dedup import (
+    bigstar_components,
+    neardup_clusters,
+    neardup_clusters_bigstar,
+)
+
+
+def _sym(spark, pairs):
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    return df.unionByName(df.selectExpr("dst AS src", "src AS dst"))
+
+
+def test_bigstar_equals_label_propagation(spark, sf_dir):
+    a = {tuple(r) for r in neardup_clusters(spark, sf_dir).collect()}
+    b = {tuple(r) for r in neardup_clusters_bigstar(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_bigstar_chain_graph(spark):
+    # a 64-node path: diameter 63, label propagation would need ~63
+    # rounds — big-star must label every node with the chain minimum
+    # within the default iteration budget (O(log^2 n) rounds)
+    chain = _sym(spark, [(i, i + 1) for i in range(63)])
+    out = bigstar_components(chain).collect()
+    assert len(out) == 64
+    assert all(r.cluster_id == 0 for r in out)
+
+
+def test_bigstar_multiple_components_and_singleton_pair(spark):
+    edges = _sym(spark, [(10, 11), (11, 12), (20, 21), (5, 30)])
+    got = {(r.doc_id, r.cluster_id) for r in bigstar_components(edges).collect()}
+    assert got == {
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (5, 5), (30, 5),
+    }
