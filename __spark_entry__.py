@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "nation", mode=DiffMode.STRING
         )
     )
+    out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
@@ -125,6 +126,7 @@ GROUP BY diff_status
     )
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
+    out["diff_customer_drift"] = testkit.drift_oracle_sql()
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql

@@ -91,6 +91,73 @@ GROUP BY 1, 2
 """
 
 
+SESSION_GAP = "10 minutes"
+_SESSION_GAP_US = 600_000_000
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows per user (gap-merged, not tumbling):
+    a session is [first event, last event + gap), merged while
+    consecutive events arrive strictly within the gap.  The streaming-
+    native sessionization — state is one open window per active user,
+    evicted once the watermark passes its close (the bounded-state
+    requirement at scale).  Batch twin: lag + cumulative-sum
+    sessionization, which is exactly the fixpoint the oracle asserts."""
+    stream = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+            ).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(spark, agg, "stream_session_windows", "complete")
+
+
+# Session semantics pinned by the oracle: a new session starts when the
+# gap to the previous event is >= the gap interval (Spark's window end
+# is EXCLUSIVE: an event exactly at prev + gap opens a new window).
+STREAM_SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(epoch_us(ts)) AS session_start_us,
+       max(epoch_us(ts)) + {_SESSION_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked duplicate suppression on (user_id, event_type) within
     the watermark horizon — streaming exact-dedup.  Returns the surviving
@@ -227,6 +294,7 @@ def _run_to_completion(
 
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
 }
 # Non-SQL-expressible streaming ops → rows-only driver checks

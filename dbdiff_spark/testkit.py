@@ -238,6 +238,75 @@ def diff_query_df(
     )
 
 
+# Schema-drift fixture: the after snapshot gains a column.  Reference
+# semantics (extract_data.go:162-171): a column-set change marks EVERY
+# column of every matched row modified and the row UPDATED.
+DRIFT_COL = "c_flag"
+DRIFT_EXPR = "c_custkey % 2 = 0"
+
+
+def drift_diff_query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff of (customer, mutate(customer) + added column) — exercises
+    the schema-drift path end-to-end: before-side rows render the new
+    column as NULL, every matched row classifies UPDATED with all
+    columns modified."""
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    base = prep(load_table(spark, sf_dir, "customer"), spec)
+    after = apply_mutation(base, spec, mut).withColumn(
+        DRIFT_COL, F.expr(DRIFT_EXPR)
+    )
+    res = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    return res.df.select(
+        F.col("diff_status"),
+        F.col("is_before"),
+        F.array_join(F.col("modified_columns"), ",").alias("modified_cols"),
+        *[F.col(c) for c in spec.cols],
+        F.col(DRIFT_COL),
+    )
+
+
+def drift_oracle_sql() -> str:
+    """ANSI-SQL twin of :func:`drift_diff_query_df`."""
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    all_cols = list(spec.cols) + [DRIFT_COL]
+    key_cond = " AND ".join(f'b."{k}" IS NOT DISTINCT FROM a."{k}"' for k in spec.key)
+    b_cols = ", ".join(f'b."{c}" AS "b_{c}"' for c in spec.cols)
+    a_cols = ", ".join(f'a."{c}" AS "a_{c}"' for c in all_cols)
+    modified_const = ",".join(all_cols)
+    b_out = ", ".join(f'"b_{c}" AS "{c}"' for c in spec.cols) + (
+        f', CAST(NULL AS BOOLEAN) AS "{DRIFT_COL}"'
+    )
+    a_out = ", ".join(f'"a_{c}" AS "{c}"' for c in all_cols)
+    return f"""
+WITH before AS ({_prep_sql(spec)}),
+after AS (
+  SELECT *, ({DRIFT_EXPR}) AS "{DRIFT_COL}" FROM (
+    {_after_sql(spec, mut)}
+  )
+),
+j AS (
+  SELECT {b_cols}, {a_cols}, b."__p" AS b_present, a."__p" AS a_present
+  FROM (SELECT *, TRUE AS "__p" FROM before) b
+  FULL OUTER JOIN (SELECT *, TRUE AS "__p" FROM after) a
+  ON {key_cond}
+),
+cls AS (
+  SELECT *,
+    CASE WHEN b_present IS NULL THEN 'INSERTED'
+         WHEN a_present IS NULL THEN 'DELETED'
+         ELSE 'UPDATED' END AS diff_status,
+    CASE WHEN b_present IS NOT NULL AND a_present IS NOT NULL
+         THEN '{modified_const}' ELSE '' END AS modified_cols
+  FROM j
+)
+SELECT diff_status, TRUE AS is_before, modified_cols, {b_out}
+FROM cls WHERE diff_status IN ('DELETED', 'UPDATED')
+UNION ALL
+SELECT diff_status, FALSE AS is_before, modified_cols, {a_out}
+FROM cls WHERE diff_status IN ('INSERTED', 'UPDATED')
+"""
+
+
 def multiset_diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Count-preserving diff of (base, mutate(base)) — the no-usable-key
     path (lineitem's declared composite key is not unique in this data;
