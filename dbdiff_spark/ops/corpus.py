@@ -1,0 +1,344 @@
+"""Corpus-preparation operators for the training-data pipeline tier:
+benchmark decontamination, deterministic sequence packing, per-domain
+capping, and bloom-filter semi-join pruning.
+
+These are the corpus-hygiene steps a large pretraining pipeline runs
+after dedup/quality filtering (the reference engine has no analogue —
+this tier extends SURVEY §2's inventory the way COVERAGE.md documents).
+
+Scale posture:
+- ``decontam_ngram_overlap``: the benchmark shingle set is tiny relative
+  to the corpus, so the overlap join broadcasts it; the only shuffle is
+  the per-doc hit count.  Shingling is per-row whole-stage-codegen
+  (``transform``/``slice`` over the token array — no UDF).
+- ``pack_sequences``: packing is per-shard (language) so the window
+  cumsum parallelizes across shards; a single global window would
+  serialize onto one reducer, which is exactly the trap to avoid at
+  100 TB.  Within a shard the assignment is a pure prefix-sum — one
+  shuffle on the shard key.
+- ``domain_cap``: row_number per domain — one shuffle on the domain key,
+  then a map-side filter.  AQE handles skewed domains.
+- ``bloom_join_prune``: the classic semi-join reduction — build a 4096-
+  bit bloom over the selective dimension keys (one small aggregation),
+  broadcast the 128-word filter as a single array row, and evaluate the
+  membership test as a map-side FILTER on the fact side.  No explode, no
+  extra shuffle on the probe path: at scale this prunes the fact table
+  before it ever reaches a join exchange.  No false negatives by
+  construction (the unit test asserts it).
+
+Cross-engine exactness: md5-derived bit positions (identical hex in
+both engines), 32-bit masks inside BIGINT words (bit 31 stays positive
+in both — Spark ``shiftleft(CAST(1 AS BIGINT), …)`` ≡ DuckDB
+``1::BIGINT << …``), and counts only via SUM(CASE …) cast to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+
+TOKEN_PATTERN = "[a-z0-9]+"
+_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
+_D_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+
+# --- benchmark decontamination ----------------------------------------------
+#
+# Mark training documents that share any N-token shingle with a held-out
+# benchmark set (here: a deterministic doc_id slice standing in for the
+# eval suite).  N-gram-overlap decontamination is the standard guard
+# against eval contamination in pretraining corpora.
+SHINGLE_N = 8
+BENCH_PRED = "doc_id % 23 = 0"  # ~4% of docs play the benchmark role
+
+
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per training document: how many distinct 8-token shingles it
+    shares with the benchmark slice, and the resulting contamination
+    flag.  Shingle build is staged through separate projections so
+    Catalyst cannot re-inline the regexp per downstream use."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", "lang", f"{_TOKENS} AS toks")
+    sh = toks.selectExpr(
+        "doc_id",
+        "lang",
+        f"CASE WHEN size(toks) >= {SHINGLE_N} THEN "
+        f"transform(sequence(1, size(toks) - {SHINGLE_N - 1}), "
+        f"i -> array_join(slice(toks, i, {SHINGLE_N}), ' ')) "
+        "ELSE array() END AS shingles",
+    )
+    bench = (
+        sh.filter(F.expr(BENCH_PRED))
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    train = sh.filter(~F.expr(BENCH_PRED))
+    train_sh = train.select("doc_id", F.explode("shingles").alias("sh")).distinct()
+    hits = (
+        train_sh.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        train.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("CAST(coalesce(n, 0) AS BIGINT)").alias("n_shingle_hits"),
+            F.expr("coalesce(n, 0) > 0").alias("is_contaminated"),
+        )
+    )
+
+
+DECONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= {SHINGLE_N}
+              THEN list_transform(generate_series(1, len(toks) - {SHINGLE_N - 1}),
+                                  i -> array_to_string(toks[i:i+{SHINGLE_N - 1}], ' '))
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, lang, {_D_TOKENS} AS toks FROM documents)
+),
+bench AS (
+  SELECT DISTINCT sh FROM (
+    SELECT unnest(shingles) AS sh FROM sh WHERE {BENCH_PRED}
+  )
+),
+train_sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE NOT ({BENCH_PRED})
+  )
+),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM train_sh JOIN bench USING (sh)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, t.lang,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shingle_hits,
+       COALESCE(h.n, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id, lang FROM sh WHERE NOT ({BENCH_PRED})) t
+LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+# --- deterministic sequence packing -----------------------------------------
+#
+# Assign documents to fixed-token-budget packs by running prefix sum in
+# a canonical order (doc_id) within each language shard: a doc opens in
+# the pack its exclusive prefix sum lands in (contiguous fill; a doc
+# straddling the boundary belongs to the pack it started in).  Identical
+# on every engine/run because the order and the arithmetic are exact.
+PACK_BUDGET = 256  # tokens per pack
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, pack): document count, token total, and doc_id span of
+    each training pack under a 256-token budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", "lang", f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens"
+    )
+    packed = toks.selectExpr(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        f"div {PACK_BUDGET} AS pack_id",
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+        F.expr("CAST(sum(n_tokens) AS BIGINT)").alias("total_tokens"),
+        F.expr("min(doc_id)").alias("first_doc"),
+        F.expr("max(doc_id)").alias("last_doc"),
+    )
+
+
+PACK_SQL = f"""
+SELECT lang, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         // {PACK_BUDGET} AS pack_id
+  FROM (
+    SELECT doc_id, lang, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+)
+GROUP BY lang, pack_id
+"""
+
+
+# --- per-domain capping ------------------------------------------------------
+#
+# Cap the number of documents any single domain (source) contributes:
+# rank within domain by a quality proxy (longer first, doc_id as the
+# unique tie-break) and keep the top CAP.  Guards the training mix
+# against a single crawl domain dominating.
+DOMAIN_CAP = 40
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: its within-domain rank and whether the 40-doc
+    domain cap keeps it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "CAST(row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cap_rank",
+    ).selectExpr("*", f"cap_rank <= {DOMAIN_CAP} AS is_kept")
+
+
+DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, n_chars, cap_rank, cap_rank <= {DOMAIN_CAP} AS is_kept
+FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cap_rank
+  FROM documents
+)
+"""
+
+
+# --- bloom-filter semi-join pruning -----------------------------------------
+#
+# Build a bloom filter over the keys of a selective dimension predicate
+# (customers with acctbal > 8000), broadcast it, and pre-filter the fact
+# table (orders) map-side before any join.  Reports, per order priority,
+# how many orders the bloom passes vs. truly match — the false-positive
+# overhead is the price of skipping the full semi-join shuffle.
+BLOOM_BITS = 4096  # 128 words x 32 bits
+BLOOM_WORDS = BLOOM_BITS // 32
+BLOOM_K = 3
+DIM_PRED = "c_acctbal > 8000"
+
+
+def _pos_spark(key_expr: str, i: int) -> str:
+    return (
+        f"CAST(conv(substr(md5(concat('bf{i}:', CAST({key_expr} AS STRING))), 1, 15),"
+        f" 16, 10) AS BIGINT) % {BLOOM_BITS}"
+    )
+
+
+def _pos_duck(key_expr: str, i: int) -> str:
+    return (
+        f"('0x' || substr(md5('bf{i}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {BLOOM_BITS}"
+    )
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order priority: total orders, bloom-filter survivors, true
+    semi-join matches, and false positives."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    sel = customer.filter(F.expr(DIM_PRED)).select("c_custkey")
+
+    positions = sel.selectExpr(
+        f"explode(array({', '.join(_pos_spark('c_custkey', i) for i in range(BLOOM_K))}))"
+        " AS pos"
+    )
+    words = positions.selectExpr(
+        "pos div 32 AS word",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
+    ).groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+    # Densify to all 128 words and pack into ONE array row for broadcast.
+    full = (
+        spark.range(BLOOM_WORDS)
+        .withColumnRenamed("id", "word")
+        .join(words, "word", "left")
+        .selectExpr("word", "coalesce(bits, CAST(0 AS BIGINT)) AS bits")
+    )
+    packed = full.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(word, bits))), s -> s.bits)"
+        ).alias("bf")
+    )
+
+    probe = orders.crossJoin(F.broadcast(packed))
+    pass_terms = " AND ".join(
+        f"(element_at(bf, CAST(({_pos_spark('o_custkey', i)}) div 32 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(({_pos_spark('o_custkey', i)}) % 32 AS INT))) != 0"
+        for i in range(BLOOM_K)
+    )
+    flagged = probe.selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        f"({pass_terms}) AS bloom_pass",
+    ).join(
+        F.broadcast(sel.withColumn("__true", F.lit(True))),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    return flagged.groupBy("o_orderpriority").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n_orders"),
+        F.expr("CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)").alias(
+            "n_bloom_pass"
+        ),
+        F.expr(
+            "CAST(sum(CASE WHEN __true IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_true_match"),
+        F.expr(
+            "CAST(sum(CASE WHEN bloom_pass AND __true IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_false_pos"),
+    )
+
+
+_D_PASS_TERMS = " AND ".join(
+    f"(bf[CAST(({_pos_duck('o_custkey', i)}) // 32 AS INT) + 1]"
+    f" & (1::BIGINT << CAST(({_pos_duck('o_custkey', i)}) % 32 AS INT))) != 0"
+    for i in range(BLOOM_K)
+)
+
+BLOOM_SQL = f"""
+WITH sel AS (SELECT c_custkey FROM customer WHERE {DIM_PRED}),
+pos AS (
+  SELECT unnest([{', '.join(_pos_duck('c_custkey', i) for i in range(BLOOM_K))}]) AS pos
+  FROM sel
+),
+wb AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+bfa AS (
+  SELECT array_agg(COALESCE(wb.bits, 0) ORDER BY d.w) AS bf
+  FROM generate_series(0, {BLOOM_WORDS - 1}) d(w)
+  LEFT JOIN wb ON wb.word = d.w
+),
+flagged AS (
+  SELECT o.o_orderpriority,
+         ({_D_PASS_TERMS}) AS bloom_pass,
+         s.c_custkey IS NOT NULL AS is_true
+  FROM orders o CROSS JOIN bfa
+  LEFT JOIN sel s ON o.o_custkey = s.c_custkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM flagged
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
+    "pack_sequences": (pack_sequences, PACK_SQL),
+    "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
+    "bloom_join_prune": (bloom_join_prune, BLOOM_SQL),
+}

@@ -1,0 +1,93 @@
+"""Invariant tests for the corpus-preparation operators (ops/corpus.py).
+
+Exactness vs. DuckDB is the oracle harness's job (tools/check_oracle.py);
+these tests pin the semantic invariants each operator promises.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dbdiff_spark.io import load_table
+from dbdiff_spark.ops import corpus
+
+
+def test_decontam_covers_all_train_docs_and_flags_consistent(spark, sf_dir):
+    res = corpus.decontam_ngram_overlap(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    n_train = docs.filter(~F.expr(corpus.BENCH_PRED)).count()
+    assert res.count() == n_train
+    bad = res.filter(
+        (F.col("is_contaminated") & (F.col("n_shingle_hits") == 0))
+        | (~F.col("is_contaminated") & (F.col("n_shingle_hits") > 0))
+    )
+    assert bad.count() == 0
+    # An exact duplicate of a benchmark doc in the train slice must be
+    # flagged (if the data contains one crossing the slice boundary).
+    dup = (
+        docs.filter(F.expr(corpus.BENCH_PRED))
+        .select("text")
+        .join(docs.filter(~F.expr(corpus.BENCH_PRED)), "text")
+        .select("doc_id")
+    )
+    n_dup = dup.count()
+    if n_dup:
+        flagged = res.join(dup, "doc_id").filter("is_contaminated").count()
+        assert flagged == n_dup
+    res.unpersist()
+
+
+def test_pack_sequences_conserves_tokens_and_is_contiguous(spark, sf_dir):
+    packs = corpus.pack_sequences(spark, sf_dir).cache()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.selectExpr(
+        f"CAST(size({corpus._TOKENS}) AS BIGINT) AS n"
+    ).agg(F.sum("n")).collect()[0][0]
+    assert packs.agg(F.sum("total_tokens")).collect()[0][0] == total
+    # pack ids are contiguous from 0 within each lang shard
+    per_lang = packs.groupBy("lang").agg(
+        F.min("pack_id").alias("lo"),
+        F.max("pack_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in per_lang.collect():
+        assert r.lo == 0 and r.n == r.hi + 1
+    # contiguous fill: every pack except a shard's last holds >= budget
+    # tokens only when a doc straddles INTO it; but its START is always
+    # below the next boundary — equivalently no pack is empty.
+    assert packs.filter("n_docs <= 0").count() == 0
+    packs.unpersist()
+
+
+def test_domain_cap_keeps_exactly_min_cap_groupsize(spark, sf_dir):
+    res = corpus.domain_cap(spark, sf_dir).cache()
+    per_src = res.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CASE WHEN is_kept THEN 1 ELSE 0 END")).alias("kept"),
+        F.countDistinct("cap_rank").alias("distinct_ranks"),
+        F.max("cap_rank").alias("max_rank"),
+    )
+    for r in per_src.collect():
+        assert r.kept == min(corpus.DOMAIN_CAP, r.n)
+        assert r.distinct_ranks == r.n and r.max_rank == r.n  # ranks 1..n unique
+    res.unpersist()
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    res = corpus.bloom_join_prune(spark, sf_dir).cache()
+    rows = res.collect()
+    assert rows, "bloom result empty"
+    for r in rows:
+        # every true match passes the bloom (no false negatives) …
+        assert r.n_bloom_pass >= r.n_true_match
+        # … and the accounting is exact
+        assert r.n_false_pos == r.n_bloom_pass - r.n_true_match
+        assert r.n_orders >= r.n_bloom_pass
+    res.unpersist()
+
+
+def test_bloom_prunes_probe_side(spark, sf_dir):
+    """The filter must actually prune: survivors are a strict subset at
+    this selectivity (~20% of customers selected)."""
+    res = corpus.bloom_join_prune(spark, sf_dir)
+    agg = res.agg(F.sum("n_orders").alias("n"), F.sum("n_bloom_pass").alias("p")).collect()[0]
+    assert agg.p < agg.n
