@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
+    out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
@@ -127,6 +128,7 @@ GROUP BY diff_status
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
+    out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql

@@ -423,6 +423,51 @@ def diff_tables(
     return DiffResult(df=out, key_columns=list(key_cols), value_columns=value_cols)
 
 
+def apply_diff(
+    base: DataFrame,
+    diff_df: DataFrame,
+    key_cols: list[str],
+    broadcast_changes: bool = True,
+) -> DataFrame:
+    """Reconstruct the *after* snapshot from the *before* snapshot plus a
+    diff — the consumer side of the engine: ``apply_diff(b, diff(b, a))``
+    is row-for-row equal to ``a`` (the round-trip law the driver query
+    ``diff_roundtrip_apply`` and ``tests/test_diff.py`` pin down).
+
+    The reference only ever *reports* diffs; applying one is the natural
+    completion (CDC apply / incremental materialization): drop every key
+    the diff DELETEs or UPDATEs, then union in the INSERTED and
+    UPDATED-after rows.
+
+    Scale shape: in incremental maintenance the changeset is orders of
+    magnitude smaller than the base, so with ``broadcast_changes`` the
+    removed-key set ships to every executor and the base table never
+    shuffles — the whole apply is a map-side anti probe plus a union.
+    Set ``broadcast_changes=False`` for pathological diffs comparable in
+    size to the base (falls back to a shuffled anti join on the key).
+    """
+    cols = base.columns
+    removed = diff_df.filter(
+        (F.col("diff_status") == DELETED)
+        | ((F.col("diff_status") == UPDATED) & F.col("is_before"))
+    ).select(*[F.col(f"`{k}`") for k in key_cols])
+    added = diff_df.filter(
+        (F.col("diff_status") == INSERTED)
+        | ((F.col("diff_status") == UPDATED) & ~F.col("is_before"))
+    ).select(*[F.col(f"`{c}`") for c in cols])
+    b = base.alias("__base")
+    r = (F.broadcast(removed) if broadcast_changes else removed).alias("__rm")
+    cond = reduce(
+        lambda acc, c: acc & c,
+        [
+            F.col(f"__base.`{k}`").eqNullSafe(F.col(f"__rm.`{k}`"))
+            for k in key_cols
+        ],
+    )
+    kept = b.join(r, cond, "left_anti").select(*[F.col(f"`{c}`") for c in cols])
+    return kept.unionByName(added)
+
+
 def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
     """Count-preserving (multiset) diff — the semantically correct diff
     for tables with no usable key (SURVEY §7.3.4): group both sides by

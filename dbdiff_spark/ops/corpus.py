@@ -336,9 +336,79 @@ GROUP BY o_orderpriority
 """
 
 
+# --- deterministic global corpus shuffle ------------------------------------
+#
+# Training wants the corpus in a reproducible pseudo-random order.  The
+# naive row_number() over a global ORDER BY collapses the window onto one
+# reducer — the canonical non-scalable plan.  Instead: hash every doc
+# into 65536 buckets, rank WITHIN each bucket (parallel windows), and
+# add the bucket's global offset from the 65536-row bucket histogram —
+# the only single-partition step touches 64 Ki rows regardless of corpus
+# size, and the mapping is identical on every engine, run, and layout.
+SHUFFLE_BUCKETS = 65536  # first 4 md5 hex chars
+
+
+def corpus_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: its position in the deterministic global shuffle
+    order (a permutation of 0..N-1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.selectExpr(
+        "doc_id",
+        "md5(concat('shuf:', CAST(doc_id AS STRING))) AS h",
+    ).selectExpr(
+        "doc_id",
+        "h",
+        "CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) AS bucket",
+    )
+    ranked = hashed.selectExpr(
+        "doc_id",
+        "bucket",
+        "CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)"
+        " AS BIGINT) AS local_rank",
+    )
+    offsets = (
+        hashed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .selectExpr(
+            "bucket",
+            "coalesce(sum(n) OVER (ORDER BY bucket"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset",
+        )
+    )
+    return ranked.join(F.broadcast(offsets), "bucket").selectExpr(
+        "doc_id", "bucket", "offset + local_rank - 1 AS shuffle_pos"
+    )
+
+
+SHUFFLE_INDEX_SQL = """
+WITH hashed AS (
+  SELECT doc_id,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h,
+         ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, bucket,
+         CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS BIGINT)
+           AS local_rank
+  FROM hashed
+),
+offsets AS (
+  SELECT bucket,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset
+  FROM (SELECT bucket, count(*) AS n FROM hashed GROUP BY bucket)
+)
+SELECT r.doc_id, r.bucket, o.offset + r.local_rank - 1 AS shuffle_pos
+FROM ranked r JOIN offsets o USING (bucket)
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_SQL),
+    "corpus_shuffle_index": (corpus_shuffle_index, SHUFFLE_INDEX_SQL),
 }

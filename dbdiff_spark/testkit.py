@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.diff import DiffMode, diff_tables
+from dbdiff_spark.diff import DiffMode, apply_diff, diff_tables
 from dbdiff_spark.io import load_table
 
 
@@ -305,6 +305,26 @@ UNION ALL
 SELECT diff_status, FALSE AS is_before, modified_cols, {a_out}
 FROM cls WHERE diff_status IN ('INSERTED', 'UPDATED')
 """
+
+
+def roundtrip_apply_query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff → apply round trip: reconstruct the after snapshot from
+    (base, diff(base, after)) via :func:`dbdiff_spark.diff.apply_diff`.
+    The oracle is the after snapshot derived directly — so the gate
+    verifies the round-trip law ``apply(b, diff(b, a)) == a`` value-for-
+    value, not just a re-implementation of the same plan."""
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    base = prep(load_table(spark, sf_dir, "customer"), spec)
+    after = apply_mutation(base, spec, mut)
+    d = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    return apply_diff(base, d.df, list(spec.key)).select(*spec.cols)
+
+
+def roundtrip_apply_oracle_sql() -> str:
+    """ANSI-SQL twin of :func:`roundtrip_apply_query_df` — simply the
+    after snapshot itself."""
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    return f"WITH before AS ({_prep_sql(spec)})\n{_after_sql(spec, mut)}"
 
 
 def multiset_diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

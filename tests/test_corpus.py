@@ -91,3 +91,18 @@ def test_bloom_prunes_probe_side(spark, sf_dir):
     res = corpus.bloom_join_prune(spark, sf_dir)
     agg = res.agg(F.sum("n_orders").alias("n"), F.sum("n_bloom_pass").alias("p")).collect()[0]
     assert agg.p < agg.n
+
+
+def test_shuffle_index_is_permutation(spark, sf_dir):
+    res = corpus.corpus_shuffle_index(spark, sf_dir).cache()
+    n = res.count()
+    stats = res.agg(
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.countDistinct("shuffle_pos").alias("d"),
+    ).collect()[0]
+    assert stats.lo == 0 and stats.hi == n - 1 and stats.d == n
+    # deterministic: recompute equals itself
+    again = corpus.corpus_shuffle_index(spark, sf_dir)
+    assert res.exceptAll(again).count() == 0
+    res.unpersist()

@@ -19,6 +19,7 @@ from dbdiff_spark.diff import (
     diff_tables,
     ordered_output,
 )
+from dbdiff_spark.io import load_table
 
 
 def collect_sorted(res):
@@ -282,3 +283,32 @@ def test_typed_diff_map_in_key_raises_clear_error(spark):
     # STRING mode is the supported path for map-keyed tables
     res = diff_tables(b, a, ["id", "props"], mode=DiffMode.STRING)
     assert res.df.count() > 0
+
+
+def test_apply_diff_roundtrip_law(spark, sf_dir):
+    """apply_diff(base, diff(base, after)) == after, exactly, for every
+    keyed fixture table (D/U/I mixes, null-valued updates, empty diff)."""
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import apply_diff, diff_tables
+
+    for table in ("customer", "orders", "supplier", "nation", "region"):
+        spec, mut = testkit.SPECS[table], testkit.MUTATIONS[table]
+        base = testkit.prep(load_table(spark, sf_dir, table), spec)
+        after = testkit.apply_mutation(base, spec, mut)
+        d = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+        rebuilt = apply_diff(base, d.df, list(spec.key))
+        assert rebuilt.exceptAll(after).count() == 0, table
+        assert after.exceptAll(rebuilt).count() == 0, table
+
+
+def test_apply_diff_shuffled_path_matches_broadcast(spark, sf_dir):
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import apply_diff, diff_tables
+
+    spec, mut = testkit.SPECS["nation"], testkit.MUTATIONS["nation"]
+    base = testkit.prep(load_table(spark, sf_dir, "nation"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    d = diff_tables(base, after, list(spec.key))
+    a = apply_diff(base, d.df, list(spec.key), broadcast_changes=True)
+    b = apply_diff(base, d.df, list(spec.key), broadcast_changes=False)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
