@@ -42,6 +42,8 @@ HEADLINE = [
     "text_quality",
     "knn_bruteforce",
     "ann_lsh_bitsample",
+    "decontam_ngram_overlap",
+    "bloom_join_prune",
 ]
 
 

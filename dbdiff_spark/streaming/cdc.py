@@ -267,6 +267,70 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a CDC stream of diff
+    rows is applied micro-batch by micro-batch to a parquet-backed
+    snapshot with ``foreachBatch`` + :func:`dbdiff_spark.diff.apply_diff`.
+
+    The change stream is the engine's own diff of (customer, mutated
+    customer), written key-partitioned so an UPDATED before/after pair
+    always lands in the same micro-batch; key-disjoint batches commute,
+    so the maintenance is order-independent.  The oracle is the after
+    snapshot derived directly in SQL — the gate checks that a snapshot
+    maintained only from change events converges to the true table
+    (streaming round-trip of the apply law).
+
+    At scale this is the standard Spark incremental-materialization
+    loop: each trigger's apply is a broadcast anti probe (the changeset
+    is small) + append — the base is never shuffled, and state versions
+    are atomic directory swaps.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import DiffMode, apply_diff, diff_tables
+
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    changes = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED).df
+
+    root = tempfile.mkdtemp(prefix="dbdiff_stream_apply_")
+    changes_dir = f"{root}/changes"
+    changes.repartition(4, F.col(spec.key[0])).write.parquet(changes_dir)
+    base.write.parquet(f"{root}/state_00000")
+    schema = spark.read.parquet(changes_dir).schema
+
+    def _apply_batch(bdf: DataFrame, _bid: int) -> None:
+        states = sorted(Path(root).glob("state_*"))
+        cur = spark.read.parquet(str(states[-1]))
+        new = apply_diff(cur, bdf, list(spec.key))
+        new.write.parquet(f"{root}/state_{len(states):05d}")
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(changes_dir)
+        .writeStream.foreachBatch(_apply_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    final = sorted(Path(root).glob("state_*"))[-1]
+    return spark.read.parquet(str(final)).select(*spec.cols)
+
+
+def _stream_apply_oracle_sql() -> str:
+    # local import: testkit is import-safe here (it depends only on
+    # diff/io), but keeping it out of module scope preserves the layering
+    from dbdiff_spark import testkit
+
+    return testkit.roundtrip_apply_oracle_sql()
+
+
 def _run_to_completion(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -296,6 +360,7 @@ QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
+    "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
 }
 # Non-SQL-expressible streaming ops → rows-only driver checks
 NO_ORACLE_QUERIES = {

