@@ -224,7 +224,80 @@ SELECT s.grp, n_sketch_hashes, kth_min_hash,
 FROM sketch s JOIN exact e ON s.grp = e.grp
 """
 
+# --- grid-histogram quantile sketch -----------------------------------------
+#
+# A mergeable quantile summary with deterministic cross-engine results:
+# quantize values onto a fixed grid (cell = floor(v / width)), histogram
+# by cell (cell-wise ADD is the merge — 1000 executors build partials
+# independently, exactly like CMS/KMV above), answer quantile queries
+# from the cumulative histogram as the first cell whose cumulative count
+# reaches ceil(q·n).  Error is bounded by the grid width; unlike
+# engine-native approx_percentile (t-digest/GK internals differ per
+# engine and layout) the answer is bit-identical everywhere.  Integer
+# rank arithmetic: ceil(q·n) = (q_pct·n + 99) // 100.
+QUANTILE_CELL_WIDTH = 100  # on l_extendedprice
+
+
+def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: grid-sketched p50/p95/p99 upper bounds of
+    l_extendedprice (cell width 100)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = (
+        li.selectExpr(
+            "l_returnflag AS grp",
+            f"CAST(floor(l_extendedprice / {QUANTILE_CELL_WIDTH}.0) AS BIGINT) AS cell",
+        )
+        .groupBy("grp", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.selectExpr(
+        "grp",
+        "cell",
+        "sum(cnt) OVER (PARTITION BY grp ORDER BY cell"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+        "sum(cnt) OVER (PARTITION BY grp) AS n",
+    )
+    qcols = []
+    for pct in (50, 95, 99):
+        qcols.append(
+            f"CAST(min(CASE WHEN cum >= ({pct} * n + 99) div 100"
+            f" THEN (cell + 1) * {QUANTILE_CELL_WIDTH} END) AS BIGINT)"
+            f" AS p{pct}_upper"
+        )
+    return cum.groupBy("grp").agg(
+        *[F.expr(q) for q in qcols], F.expr("CAST(max(n) AS BIGINT) AS n_rows")
+    )
+
+
+QUANTILE_HIST_SQL = f"""
+WITH hist AS (
+  SELECT l_returnflag AS grp,
+         CAST(floor(l_extendedprice / {QUANTILE_CELL_WIDTH}.0) AS BIGINT) AS cell,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, cell,
+         CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY cell
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+  FROM hist
+)
+SELECT grp,
+       CAST(min(CASE WHEN cum >= (50 * n + 99) // 100
+            THEN (cell + 1) * {QUANTILE_CELL_WIDTH} END) AS BIGINT) AS p50_upper,
+       CAST(min(CASE WHEN cum >= (95 * n + 99) // 100
+            THEN (cell + 1) * {QUANTILE_CELL_WIDTH} END) AS BIGINT) AS p95_upper,
+       CAST(min(CASE WHEN cum >= (99 * n + 99) // 100
+            THEN (cell + 1) * {QUANTILE_CELL_WIDTH} END) AS BIGINT) AS p99_upper,
+       CAST(max(n) AS BIGINT) AS n_rows
+FROM cum
+GROUP BY grp
+"""
+
+
 QUERIES = {
     "cms_token_counts": (cms_token_counts, CMS_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
+    "quantile_histogram": (quantile_histogram, QUANTILE_HIST_SQL),
 }
