@@ -47,6 +47,23 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def spread(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
+    """Hash-repartition a small input across the cluster's cores before a
+    CPU-heavy per-row stage (regexp tokenization, shingling, hashing).
+
+    A table tiny in BYTES can still carry seconds of per-row compute; the
+    scan planner sizes partitions by bytes (`files.maxPartitionBytes`),
+    so a single small parquet file plans as ONE task and the expensive
+    projection serializes onto one core.  One extra exchange of the raw
+    rows is orders of magnitude cheaper than forfeiting N-way
+    parallelism — and at real scale, where inputs arrive in many splits,
+    the same call is a cheap no-op-shaped rebalance.  Deterministic
+    (hash on the given key), never round-robin — task retries must not
+    reshuffle rows."""
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
+
+
 # --- generic multi-format sources ------------------------------------------
 #
 # The reference reads only live JDBC tables (extract_data.go:30-43); the

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, spread
 
 TOKEN_PATTERN = "[a-z0-9]+"
 _TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}', 0)"
@@ -58,7 +58,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares with the benchmark slice, and the resulting contamination
     flag.  Shingle build is staged through separate projections so
     Catalyst cannot re-inline the regexp per downstream use."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toks = docs.selectExpr("doc_id", "lang", f"{_TOKENS} AS toks")
     sh = toks.selectExpr(
         "doc_id",
@@ -68,18 +68,26 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> array_join(slice(toks, i, {SHINGLE_N}), ' ')) "
         "ELSE array() END AS shingles",
     )
+    # explode_outer, NOT explode: Catalyst infers `size(shingles) > 0`
+    # from a plain explode and pushes that predicate below the spread
+    # exchange — re-inlining the whole regexp+transform into a single-
+    # partition Filter and doubling the hot-path compute (measured; same
+    # family as the projection-collapse trap in ARCHITECTURE.md).  The
+    # outer variant emits NULL for empty arrays, filtered cheaply after.
     bench = (
         sh.filter(F.expr(BENCH_PRED))
-        .select(F.explode("shingles").alias("sh"))
+        .select(F.explode_outer("shingles").alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
     train = sh.filter(~F.expr(BENCH_PRED))
-    train_sh = train.select("doc_id", F.explode("shingles").alias("sh")).distinct()
-    hits = (
-        train_sh.join(F.broadcast(bench), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # broadcast-filter BEFORE any shuffle: only shingles that match the
+    # benchmark set reach the distinct-count exchange; the win grows
+    # with corpus size
+    matched = train.select(
+        "doc_id", F.explode_outer("shingles").alias("sh")
+    ).join(F.broadcast(bench), "sh")
+    hits = matched.groupBy("doc_id").agg(F.countDistinct("sh").alias("n"))
     return (
         train.select("doc_id", "lang")
         .join(hits, "doc_id", "left")

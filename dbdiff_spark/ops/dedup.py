@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, spread
 from dbdiff_spark.ops.text import (
     _D_TOKENS,
     _TOKENS,
@@ -77,9 +77,9 @@ def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-shaped corpus paid the regexp THREE times per doc (variant
     construction + re-tokenization of both corpus halves downstream),
     and the regexp is the single most expensive scalar in the pipeline."""
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", f"{_TOKENS} AS tokens"
-    )
+    docs = spread(
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    ).selectExpr("doc_id", f"{_TOKENS} AS tokens")
     trunc = docs.selectExpr(
         f"doc_id + {NEARDUP_OFFSET} AS doc_id",
         f"slice(tokens, 1, greatest(1, size(tokens) - {TRUNCATE_TOKENS})) AS tokens",
