@@ -445,11 +445,18 @@ def apply_diff(
     shuffles — the whole apply is a map-side anti probe plus a union.
     Set ``broadcast_changes=False`` for pathological diffs comparable in
     size to the base (falls back to a shuffled anti join on the key).
+
+    The apply is an UPSERT, deliberately: EVERY key the diff touches —
+    including INSERTED — is dropped from the base before the add-side
+    union.  On a consistent diff that is a no-op (inserted keys are
+    absent from the base by definition), but it makes re-applying the
+    same changeset idempotent — the property an at-least-once streaming
+    consumer (``streaming.cdc.stream_apply_cdc``) needs when a
+    micro-batch retries after a partial failure.
     """
     cols = base.columns
     removed = diff_df.filter(
-        (F.col("diff_status") == DELETED)
-        | ((F.col("diff_status") == UPDATED) & F.col("is_before"))
+        (F.col("diff_status") != UPDATED) | F.col("is_before")
     ).select(*[F.col(f"`{k}`") for k in key_cols])
     added = diff_df.filter(
         (F.col("diff_status") == INSERTED)

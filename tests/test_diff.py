@@ -312,3 +312,19 @@ def test_apply_diff_shuffled_path_matches_broadcast(spark, sf_dir):
     a = apply_diff(base, d.df, list(spec.key), broadcast_changes=True)
     b = apply_diff(base, d.df, list(spec.key), broadcast_changes=False)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_apply_diff_is_idempotent(spark, sf_dir):
+    """Re-applying the same changeset is a no-op — the at-least-once
+    guarantee a retried streaming micro-batch relies on."""
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import apply_diff, diff_tables
+
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    d = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED).df
+    once = apply_diff(base, d, list(spec.key))
+    twice = apply_diff(once, d, list(spec.key))
+    assert twice.exceptAll(after).count() == 0
+    assert after.exceptAll(twice).count() == 0
