@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
         help="snapshot storage format (parquet/orc; delta/iceberg with "
         "their runtime jars)",
     )
+    parser.add_argument(
+        "--apply-dir",
+        default="",
+        help="after each diff, materialize the reconstructed after-state "
+        "per table (before snapshot + diff, via apply_diff) under this "
+        "directory and verify it equals the after snapshot — the CDC-"
+        "apply consumer path",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="dbdiff_spark_cli")
@@ -111,6 +119,28 @@ def main(argv: list[str] | None = None) -> int:
         out_name = args.o or default_output_name()
         write_diff_xlsx(results, out_name)
         print(f"[ResultOutput] See {out_name}")
+
+        if args.apply_dir:
+            from dbdiff_spark.diff import apply_diff
+            from dbdiff_spark.normalize import normalize_to_strings
+
+            apply_root = Path(args.apply_dir) / f"gen{generation}"
+            for tname, res in results.items():
+                if tname not in before.tables or tname not in after.tables:
+                    continue  # added/dropped tables have no apply target
+                base_df = before.load(spark, tname)
+                target = after.load(spark, tname)
+                if mode is DiffMode.STRING:
+                    # STRING-mode diff rows carry normalized renderings;
+                    # apply in the same domain so types line up
+                    base_df = normalize_to_strings(base_df)
+                    target = normalize_to_strings(target)
+                rebuilt = apply_diff(base_df, res.df, res.key_columns)
+                rebuilt.write.mode("overwrite").parquet(str(apply_root / tname))
+                rb = spark.read.parquet(str(apply_root / tname))
+                mismatch = rb.exceptAll(target).count() + target.exceptAll(rb).count()
+                status = "OK" if mismatch == 0 else f"MISMATCH({mismatch})"
+                print(f"[Apply] {tname}: reconstructed -> {apply_root / tname} [{status}]")
 
         before = after  # manifest swap (main.go:83) — no data movement
         generation += 1

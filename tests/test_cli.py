@@ -35,3 +35,48 @@ def test_cli_fixture_mode_incremental_roundtrip(spark, tmp_path, monkeypatch, ca
     import os
 
     assert os.path.exists(out)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["typed", "string"])
+def test_cli_apply_dir_reconstructs_after_state(spark, tmp_path, monkeypatch, capsys, mode):
+    """--apply-dir materializes before+diff via apply_diff and verifies
+    it equals the after snapshot (CDC-apply consumer path).  The fixture
+    DB mutates between snapshots by rewriting the parquet dir."""
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+    ).write.parquet(str(src / "t1.parquet"))
+
+    real_stdin = io.StringIO("\nq\n")
+
+    def fake_readline():
+        # mutate the live "database" right before the second collect
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id int, s string"
+        ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", fake_readline)
+    apply_dir = tmp_path / "applied"
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", mode,
+            "--apply-dir", str(apply_dir),
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "[Apply] t1" in text and "[OK]" in text and "MISMATCH" not in text
+    rebuilt = {
+        (str(r.id), r.s)
+        for r in spark.read.parquet(str(apply_dir / "gen1" / "t1")).collect()
+    }
+    assert rebuilt == {("1", "a"), ("2", "B"), ("4", "d")}

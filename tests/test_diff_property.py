@@ -103,3 +103,38 @@ def test_all_columns_key_equals_foj_formulation(spark, b_rows, a_rows):
         for r in foj.df.filter(F.col("diff_status") != "NOT_MODIFIED").collect()
     )
     assert fast_rows == foj_rows
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=mutation_plan())
+def test_apply_diff_roundtrip_any_mutation(spark, plan):
+    """For ANY base and ANY mutation plan: apply(b, diff(b, a)) == a,
+    and re-applying is idempotent."""
+    from dbdiff_spark.diff import apply_diff
+
+    base_keys, deletes, upd_a, upd_b, inserts = plan
+    before = spark.createDataFrame(
+        [(k, f"a{k}", f"b{k}") for k in base_keys], "id int, a string, b string"
+    )
+    after_rows = [
+        (
+            k,
+            f"A{k}" if k in upd_a else f"a{k}",
+            f"B{k}" if k in upd_b else f"b{k}",
+        )
+        for k in base_keys
+        if k not in deletes
+    ] + [(k, f"a{k}", f"b{k}") for k in sorted(inserts)]
+    after = spark.createDataFrame(after_rows, "id int, a string, b string")
+
+    d = diff_tables(before, after, ["id"], mode=DiffMode.TYPED).df
+    rebuilt = apply_diff(before, d, ["id"])
+    assert rebuilt.exceptAll(after).count() == 0
+    assert after.exceptAll(rebuilt).count() == 0
+    again = apply_diff(rebuilt, d, ["id"])
+    assert again.exceptAll(after).count() == 0
+    assert after.exceptAll(again).count() == 0
