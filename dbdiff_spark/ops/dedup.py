@@ -591,8 +591,58 @@ def neardup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigstar_components(base)
 
 
+# --- record linkage / entity resolution -------------------------------------
+#
+# Fuzzy matching of entity names across (or within) tables: the classic
+# blocking + verification shape.  An all-pairs Levenshtein is O(n²) and
+# dead at scale; instead pairs are generated only WITHIN a blocking key
+# (here: the head noun of the part name), then verified with the exact
+# edit distance.  One shuffle on the block key; block sizes bound the
+# per-reducer work and AQE splits skewed blocks.  Levenshtein is unit-
+# cost DP in both engines → integer-exact oracle.
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-duplicate part-name pairs: same head noun, edit
+    distance in [1, 2], keyed a < b (distance 0 — exact duplicates —
+    is dedup_exact's province)."""
+    parts = load_table(spark, sf_dir, "part").selectExpr(
+        "p_partkey", "p_name", "regexp_extract(p_name, '[a-z]+$', 0) AS block"
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.expr("a.p_partkey < b.p_partkey"))
+        .selectExpr(
+            "a.p_partkey AS a_key",
+            "b.p_partkey AS b_key",
+            "a.p_name AS a_name",
+            "b.p_name AS b_name",
+            "block",
+            "levenshtein(a.p_name, b.p_name) AS dist",
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= FUZZY_MAX_DIST))
+    )
+
+
+FUZZY_MATCH_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, regexp_extract(p_name, '[a-z]+$') AS block
+  FROM part
+)
+SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+       a.p_name AS a_name, b.p_name AS b_name,
+       a.block AS block,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM p a JOIN p b ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "neardup_clusters_bigstar": (neardup_clusters_bigstar, NEARDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

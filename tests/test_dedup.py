@@ -40,3 +40,18 @@ def test_bigstar_multiple_components_and_singleton_pair(spark):
         (20, 20), (21, 20),
         (5, 5), (30, 5),
     }
+
+
+def test_fuzzy_part_match_blocking_and_band(spark, sf_dir):
+    from dbdiff_spark.ops.dedup import FUZZY_MAX_DIST, fuzzy_part_match
+
+    res = fuzzy_part_match(spark, sf_dir).cache()
+    assert res.count() > 0
+    bad = res.filter(
+        "a_key >= b_key OR dist < 1 OR dist > {} OR "
+        "regexp_extract(a_name, '[a-z]+$', 0) != regexp_extract(b_name, '[a-z]+$', 0)".format(
+            FUZZY_MAX_DIST
+        )
+    )
+    assert bad.count() == 0
+    res.unpersist()
