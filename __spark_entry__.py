@@ -79,12 +79,28 @@ def _snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _diff_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which columns change most across a diff — the drill-down a schema
+    owner asks after "8k rows UPDATED".  One explode + one
+    map-side-combinable groupBy over the (already small) diff output;
+    after-rows only, so each updated row counts once per column."""
+    _ensure_session_conf(spark)
+    d = testkit.diff_query_df(spark, sf_dir, "lineitem")
+    return (
+        d.filter((F.col("diff_status") == "UPDATED") & ~F.col("is_before"))
+        .select(F.explode(F.split("modified_cols", ",")).alias("column_name"))
+        .groupBy("column_name")
+        .agg(F.count(F.lit(1)).alias("n_rows_changed"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in DIFF_TABLES:
         out[f"diff_{t}"] = _diff_query(t)
     out["diff_summary_customer"] = _diff_summary_query
+    out["diff_column_stats"] = _diff_column_stats
     out["snapshot_counts"] = _snapshot_counts
     out["diff_lineitem_multiset"] = _with_conf(
         lambda spark, sf_dir: testkit.multiset_diff_query_df(spark, sf_dir, "lineitem")
@@ -121,6 +137,15 @@ SELECT diff_status, count(*) AS n_rows
 FROM ({testkit.diff_oracle_sql('customer')})
 WHERE (NOT is_before) OR diff_status = 'DELETED'
 GROUP BY diff_status
+"""
+    out["diff_column_stats"] = f"""
+SELECT column_name, count(*) AS n_rows_changed
+FROM (
+  SELECT unnest(string_split(modified_cols, ',')) AS column_name
+  FROM ({testkit.diff_oracle_sql('lineitem')})
+  WHERE diff_status = 'UPDATED' AND NOT is_before
+)
+GROUP BY column_name
 """
     out["snapshot_counts"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES

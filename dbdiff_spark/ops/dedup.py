@@ -640,8 +640,68 @@ WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
 """
 
 
+# --- representative selection (the "keep one" step) -------------------------
+#
+# Clustering alone doesn't dedup a corpus — the pipeline must then pick
+# ONE representative per cluster and drop the rest.  Policy here: keep
+# the longest member (most tokens), tie-broken by smallest doc_id, so
+# truncated near-dup variants lose to their originals deterministically.
+# Spark shape: min(struct(-n_tokens, doc_id)) per cluster — a single
+# map-side-combinable groupBy, no window sort over the full corpus (a
+# row_number() window would shuffle AND sort every member; the struct-min
+# carries one 16-byte value per group through partial aggregation).  The
+# oracle uses the window formulation — different algorithm, same fixpoint.
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: the representative to keep (longest member,
+    then lowest doc_id) and the member count — the decision table a
+    dedup pipeline applies as an anti-join against the corpus."""
+    clusters = neardup_clusters(spark, sf_dir)
+    sizes = _neardup_corpus(spark, sf_dir).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+    return (
+        clusters.join(sizes, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.expr("named_struct('neg', -n_tokens, 'id', doc_id)")).alias("__b"),
+        )
+        .select(
+            "cluster_id",
+            F.col("__b.id").alias("keep_id"),
+            (-F.col("__b.neg")).alias("keep_tokens"),
+            "n_members",
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH clusters AS ({NEARDUP_CLUSTERS_SQL}),
+sizes AS (
+  SELECT doc_id, CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens
+  FROM ({_NEARDUP_CORPUS_SQL})
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, s.n_tokens
+  FROM clusters c JOIN sizes s USING (doc_id)
+),
+r AS (
+  SELECT cluster_id, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_tokens DESC, doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+  FROM j
+)
+SELECT cluster_id, doc_id AS keep_id, n_tokens AS keep_tokens, n_members
+FROM r WHERE rn = 1
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "neardup_clusters_bigstar": (neardup_clusters_bigstar, NEARDUP_CLUSTERS_SQL),

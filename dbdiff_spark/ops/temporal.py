@@ -227,8 +227,77 @@ FROM bins LEFT JOIN c USING (hour_bin)
 """
 
 
+# --- cascading rollup (continuous-aggregate / hypertable pattern) -----------
+#
+# The 100 TB rollup posture: aggregate raw events ONCE into fine-grained
+# (hourly) partials, then derive every coarser resolution (daily,
+# monthly, ...) by re-aggregating the partials — never re-reading raw
+# data.  That requires every measure to be a mergeable partial: count
+# and sum merge by sum; min/max merge by min/max.  avg is NOT stored —
+# it's derived (sum/count) at read time.  Doubles are quantized to a
+# 1e-4 integer grid per row (parallel double summation is
+# order-dependent; see analytics._dsum) so the cascade is bit-exact.
+# The oracle aggregates raw→daily directly: identical results prove the
+# two-level merge is lossless.
+
+_VQ = "CAST(ROUND(value * 10000) AS BIGINT)"
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type stats computed FROM hourly partial aggregates
+    (sum/count/min/max merge; avg derived) — the mergeable cascade a
+    continuous aggregate maintains incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.selectExpr(
+        "event_type",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000) AS BIGINT) AS hour",
+        f"{_VQ} AS vq",
+    )
+    hourly = base.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").alias("sq"),
+        F.min("vq").alias("mn"),
+        F.max("vq").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.expr("CAST(FLOOR(hour / 24) AS BIGINT)").alias("day"),
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("sq") / 10000).alias("total_value"),
+            (F.min("mn") / 10000).alias("min_value"),
+            (F.max("mx") / 10000).alias("max_value"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "total_value",
+            (F.col("total_value") / F.col("n_events")).alias("avg_value"),
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+EVENTS_ROLLUP_CASCADE_SQL = f"""
+SELECT event_type,
+       CAST(FLOOR(FLOOR(epoch_us(ts) / 3600000000) / 24) AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum({_VQ}) AS BIGINT) / 10000 AS total_value,
+       (CAST(sum({_VQ}) AS BIGINT) / 10000) / count(*) AS avg_value,
+       CAST(min({_VQ}) AS BIGINT) / 10000 AS min_value,
+       CAST(max({_VQ}) AS BIGINT) / 10000 AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
     "events_hourly_fill": (events_hourly_fill, EVENTS_HOURLY_FILL_SQL),
+    "events_rollup_cascade": (events_rollup_cascade, EVENTS_ROLLUP_CASCADE_SQL),
 }
