@@ -106,3 +106,37 @@ def test_shuffle_index_is_permutation(spark, sf_dir):
     again = corpus.corpus_shuffle_index(spark, sf_dir)
     assert res.exceptAll(again).count() == 0
     res.unpersist()
+
+
+def test_rollup_cascade_merges_losslessly(spark, sf_dir):
+    # daily stats re-aggregated from hourly partials must equal a direct
+    # raw->daily aggregation (mergeability law for the quantized grid)
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.temporal import _VQ, events_rollup_cascade
+
+    cascade = {
+        (r.event_type, r.day): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in events_rollup_cascade(spark, sf_dir).collect()
+    }
+    direct = {
+        (r.event_type, r.day): (r.n_events, r.total_value, r.min_value, r.max_value)
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .selectExpr(
+                "event_type",
+                "CAST(FLOOR(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 3600000000) / 24) AS BIGINT) AS day",
+                f"{_VQ} AS vq",
+            )
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.sum("vq") / 10000).alias("total_value"),
+                (F.min("vq") / 10000).alias("min_value"),
+                (F.max("vq") / 10000).alias("max_value"),
+            )
+            .collect()
+        )
+    }
+    assert cascade == direct

@@ -55,3 +55,38 @@ def test_fuzzy_part_match_blocking_and_band(spark, sf_dir):
     )
     assert bad.count() == 0
     res.unpersist()
+
+
+def test_keep_best_is_cluster_argmax(spark, sf_dir):
+    # the kept doc must be the (max tokens, then min doc_id) member of
+    # its cluster — checked against independently recomputed membership;
+    # in particular a truncated variant never beats its own original
+    from dbdiff_spark.ops.dedup import (
+        NEARDUP_OFFSET,
+        _neardup_corpus,
+        dedup_keep_best,
+        neardup_clusters,
+    )
+
+    kept = {r.cluster_id: r for r in dedup_keep_best(spark, sf_dir).collect()}
+    assert len(kept) > 0
+    sizes = {
+        r.doc_id: r.n
+        for r in _neardup_corpus(spark, sf_dir)
+        .select("doc_id", F.size("tokens").alias("n"))
+        .collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in neardup_clusters(spark, sf_dir).collect():
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert set(members) == set(kept)
+    for cid, docs in members.items():
+        best = min(docs, key=lambda d: (-sizes[d], d))
+        r = kept[cid]
+        assert (r.keep_id, r.keep_tokens, r.n_members) == (
+            best,
+            sizes[best],
+            len(docs),
+        )
+        if best + NEARDUP_OFFSET in docs:  # original present → variant loses
+            assert r.keep_id < NEARDUP_OFFSET
