@@ -55,6 +55,11 @@ def _event_stream_from_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize the nanos-long ts the same way load_table does
     if dict(raw.dtypes).get("ts") == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # watermarks require TIMESTAMP_LTZ; parquet may carry NTZ.  The
+    # session timezone is pinned to UTC, so the cast is a deterministic
+    # reinterpretation and unix_micros() values are unchanged.
+    if dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw.select(*batch.columns)
 
 
