@@ -1,0 +1,154 @@
+"""Z-order (Morton-curve) clustered storage layout.
+
+Snapshot diffs, incremental re-diffs and analytics all win when a scan
+can skip files, and parquet min/max pruning only skips on dimensions the
+layout actually clusters.  A linear sort clusters ONE dimension — file
+spans on every other column cover the whole domain.  Interleaving the
+bits of two bucketized dimensions into a Morton z-value and range-
+partitioning on it bounds every file's span on BOTH dimensions, so
+predicates on either column (or both) prune files.
+
+Scale shape of the write path (:func:`cluster_by_zorder`):
+
+* one map-side-combinable ``agg(min, max)`` per dimension (a metadata
+  read for parquet sources) to fix the scaling,
+* a narrow projection computing the z-value,
+* ``repartitionByRange(z)`` — Spark samples range boundaries, no global
+  sort, no single-partition window — then a within-partition sort so
+  parquet row groups inherit the clustering.
+
+Nothing here is driver-resident; the same code lays out 16 files at
+sf0.001 or 100k files at 100 TB.
+
+The driver query (:func:`zorder_layout_stats`) demonstrates the
+clustering property itself in pure SQL (rank both dimensions, z-
+interleave, carve equal-width z-ranges as file surrogates, report each
+"file's" per-dimension span) so the DuckDB oracle verifies the curve
+math bit-for-bit.  The demo uses a global NTILE rank for cross-engine
+determinism — report-sized only; the write path above never does this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark import testkit
+from dbdiff_spark.io import load_table
+
+BITS = 8  # 256 buckets per dimension -> z in [0, 65536)
+
+
+def _interleave_sql(xv: str, yv: str, bits: int = BITS) -> str:
+    """Bit interleave via integer arithmetic only (portable: Spark SQL
+    and DuckDB share FLOOR / CAST / %, unlike shift operators)."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(CAST(FLOOR(({xv}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}"
+        )
+        terms.append(
+            f"(CAST(FLOOR(({yv}) / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}"
+        )
+    return " + ".join(terms)
+
+
+def zorder_value(
+    x: Column, y: Column, x_min, x_max, y_min, y_max, bits: int = BITS
+) -> Column:
+    """Morton z-value of two numeric columns, scaled into ``bits``-bit
+    buckets from their [min, max] ranges."""
+    n = 1 << bits
+
+    def bucket(col: Column, lo, hi) -> Column:
+        span = float(hi) - float(lo) + 1.0
+        return F.least(
+            F.floor((col.cast("double") - F.lit(float(lo))) * n / span),
+            F.lit(n - 1),
+        ).cast("bigint")
+
+    xb, yb = bucket(x, x_min, x_max), bucket(y, y_min, y_max)
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + (F.floor(xb / (1 << i)) % 2) * (1 << (2 * i))
+            + (F.floor(yb / (1 << i)) % 2) * (1 << (2 * i + 1))
+        )
+    return z.cast("bigint")
+
+
+def cluster_by_zorder(
+    df: DataFrame, x: str, y: str, num_partitions: int, bits: int = BITS
+) -> DataFrame:
+    """Return ``df`` re-arranged so a write produces z-clustered files:
+    ``repartitionByRange`` on the z-value (sampled boundaries — fully
+    distributed) plus a within-partition sort for row-group locality.
+    The helper z column is dropped; only the physical order changes."""
+    lo_hi = df.agg(
+        F.min(x).alias("xlo"), F.max(x).alias("xhi"),
+        F.min(y).alias("ylo"), F.max(y).alias("yhi"),
+    ).first()
+    z = zorder_value(
+        F.col(x), F.col(y), lo_hi.xlo, lo_hi.xhi, lo_hi.ylo, lo_hi.yhi, bits
+    )
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_partitions, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+# --- driver query: clustering quality report (oracle-checked) --------------
+
+_N_FILES = 32  # z-domain 65536 / 2048
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per z-range "file": row count and the span each file covers on
+    each dimension — the numbers a pruning planner consumes.  With
+    z-ordering both spans stay bounded (~1/sqrt(files) of the domain);
+    a linear sort would show span ~= full domain on the second dim."""
+    spec = testkit.SPECS["orders"]
+    orders = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
+    ranked = orders.select(
+        F.expr("ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1").alias("xb"),
+        F.expr("ntile(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1").alias("yb"),
+    )
+    z = ranked.select(
+        "xb", "yb", F.expr(_interleave_sql("xb", "yb")).alias("z")
+    )
+    return (
+        z.withColumn("file_id", F.expr(f"CAST(FLOOR(z / {65536 // _N_FILES}) AS BIGINT)"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("xb") - F.min("xb")).alias("x_span"),
+            (F.max("yb") - F.min("yb")).alias("y_span"),
+        )
+    )
+
+
+def _zorder_layout_stats_sql() -> str:
+    spec = testkit.SPECS["orders"]
+    return f"""
+WITH before AS ({testkit._prep_sql(spec)}),
+ranked AS (
+  SELECT NTILE(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS xb,
+         NTILE(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS yb
+  FROM before
+),
+zed AS (SELECT xb, yb, {_interleave_sql("xb", "yb")} AS z FROM ranked)
+SELECT CAST(FLOOR(z / {65536 // _N_FILES}) AS BIGINT) AS file_id,
+       count(*) AS n_rows,
+       MAX(xb) - MIN(xb) AS x_span,
+       MAX(yb) - MIN(yb) AS y_span
+FROM zed
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "zorder_layout_stats": (zorder_layout_stats, _zorder_layout_stats_sql()),
+}
