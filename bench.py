@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_lsh_bitsample",
     "decontam_ngram_overlap",
     "bloom_join_prune",
+    "mv_maintain_orders",
 ]
 
 

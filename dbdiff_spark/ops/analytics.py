@@ -553,6 +553,74 @@ ORDER BY o_orderpriority, quartile
 """
 
 
+def customer_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer linear trend of order value (OLS slope, cents/day)
+    from exact integer moments — the statistical-aggregate family
+    (regr_slope/corr) with the float-summation hazard removed: n, Σx,
+    Σy, Σxy, Σxx accumulate as BIGINTs (associative, order-insensitive,
+    map-side combinable), and the ONLY floating-point step is one IEEE
+    division both engines perform identically.
+
+    Scale shape: a single groupBy(custkey) with five integer sums —
+    partial aggregation does almost all the work executor-side; no
+    window, no second pass.  Slope is NULL for a customer whose orders
+    share one day (zero date variance)."""
+    orders = load_table(spark, sf_dir, "orders")
+    moments = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+            ).alias("x"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("y"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+    den = F.col("n_orders") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n_orders") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return moments.select(
+        "o_custkey",
+        "n_orders",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_day"
+        ),
+    )
+
+
+CUSTOMER_VALUE_TREND_SQL = """
+WITH moments AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM (
+    SELECT o_custkey,
+           CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS x,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+    FROM orders
+  )
+  GROUP BY o_custkey
+  HAVING count(*) >= 5
+)
+SELECT o_custkey, n_orders,
+       CASE WHEN n_orders * sxx - sx * sx <> 0
+            THEN CAST(n_orders * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_orders * sxx - sx * sx AS DOUBLE)
+       END AS slope_cents_per_day
+FROM moments
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "order_value_quartiles": (order_value_quartiles, ORDER_VALUE_QUARTILES_SQL),
@@ -572,4 +640,5 @@ QUERIES = {
     "daily_revenue_ma7": (daily_revenue_ma7, DAILY_REVENUE_MA7_SQL),
     "orders_grouping_sets": (orders_grouping_sets, ORDERS_GROUPING_SETS_SQL),
     "distinct_users_per_type": (distinct_users_per_type, DISTINCT_USERS_SQL),
+    "customer_value_trend": (customer_value_trend, CUSTOMER_VALUE_TREND_SQL),
 }
