@@ -413,8 +413,68 @@ FROM ranked r JOIN offsets o USING (bucket)
 """
 
 
+# --- fractional-epoch dataset mixing ---------------------------------------
+
+# Per-source epoch weights: a training mix up-samples scarce high-value
+# sources (>1 epoch), down-samples bulk ones (<1), drops the rest.
+_EPOCHS_PER_64K = (
+    "CASE WHEN source IN ('src0','src1','src2','src3') THEN 163840 "  # 2.5 epochs
+    "WHEN source IN ('src4','src5','src6','src7') THEN 65536 "  # 1.0
+    "WHEN source IN ('src8','src9','src10','src11') THEN 16384 "  # 0.25
+    "ELSE 0 END"  # dropped from the mix
+)
+
+
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional-epoch replication — the *up-sampling*
+    half of dataset mixing that rate-sampling (``stratified_sample``)
+    cannot express: 2.5 epochs means every doc appears twice and a
+    hash-selected 50% get a third copy.
+
+    ``n_copies = floor(epochs) + (md5-bucket < frac·2^16)`` — per-row
+    arithmetic, then one explode; no shuffle, no RNG state, and the
+    SAME replica multiset on every engine, run, and cluster layout, so
+    a training mix is auditable and resumable.  Scale shape: output
+    size is Σ epochs·|source| by construction; the explode is narrow
+    and streams — nothing accumulates."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"CAST(({_EPOCHS_PER_64K}) AS BIGINT) div 65536"
+        " + CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+        f" < CAST(({_EPOCHS_PER_64K}) AS BIGINT) % 65536 THEN 1 ELSE 0 END AS n_copies",
+    )
+    return (
+        sized.filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.expr("sequence(1, n_copies)")).alias("copy_idx"),
+        )
+    )
+
+
+MIXTURE_EPOCHS_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(({_EPOCHS_PER_64K}) AS BIGINT) // 65536
+         + CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)))::BIGINT
+                     < CAST(({_EPOCHS_PER_64K}) AS BIGINT) % 65536 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM documents
+)
+SELECT doc_id, source, n_copies,
+       CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+FROM sized
+WHERE n_copies >= 1
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
+    "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_SQL),
