@@ -11,6 +11,8 @@ def test_windowed_counts_match_batch(spark, sf_dir):
     streamed = cdc.windowed_event_counts(spark, sf_dir)
     batch = (
         load_table(spark, sf_dir, "events")
+        # match the stream source's NTZ->LTZ cast (UTC session timezone)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
         .groupBy(
             F.window("ts", cdc.WINDOW).alias("w"), F.col("event_type")
         )
