@@ -475,7 +475,9 @@ def apply_diff(
     return kept.unionByName(added)
 
 
-def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
+def diff_multiset(
+    before: DataFrame, after: DataFrame, hash_first: bool = True
+) -> DataFrame:
     """Count-preserving (multiset) diff — the semantically correct diff
     for tables with no usable key (SURVEY §7.3.4): group both sides by
     ALL columns, compare multiplicities.
@@ -485,12 +487,19 @@ def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
     A row present 3× before and 1× after is DELETED with n_rows=2 —
     information the reference's last-wins keyed map silently destroys.
 
-    Scale shape: ONE shuffle total — union the sides with a per-side
-    tally column and aggregate both multiplicities in a single grouped
-    pass (conditional counts with map-side combine).  Strictly better
-    than groupBy-each-side + full-outer join (three shuffles of the same
-    rows plus a sort-merge) and cheaper than the keyed diff because the
-    payload per group is two longs."""
+    Scale shape (``hash_first``, the default): the heavy aggregation
+    runs over a 128-bit row fingerprint (two independently-salted
+    xxhash64s), so the cluster-wide shuffle carries ~24 bytes/row
+    instead of the full row — at 100 TB that is the difference between
+    shuffling 100 TB and shuffling ~2 TB.  Row values are then
+    recovered by probing the (diff-sized) changed-fingerprint set as a
+    broadcast semi-join on a second scan — no second shuffle of data.
+    The 128-bit fingerprint makes a masked change a ~2^-128-per-pair
+    event (no adversarial inputs can be constructed without knowing the
+    salt split, and the keyed diff is available when certainty is
+    required); ``hash_first=False`` keeps the exact one-shuffle
+    full-row grouping.
+    """
     cols = before.columns
     if set(after.columns) != set(cols):
         # column drift has no meaningful multiset semantics — refuse
@@ -505,22 +514,51 @@ def diff_multiset(before: DataFrame, after: DataFrame) -> DataFrame:
     tagged = before.withColumn("__side", F.lit(0)).unionByName(
         after.withColumn("__side", F.lit(1))
     )
-    out = tagged.groupBy(*cols).agg(
-        F.count_if(F.col("__side") == 0).alias("n_before"),
-        F.count_if(F.col("__side") == 1).alias("n_after"),
-    )
-    return (
-        out.filter(F.col("n_before") != F.col("n_after"))
-        .withColumn(
-            "diff_status",
-            F.when(F.col("n_after") > F.col("n_before"), F.lit(INSERTED)).otherwise(
-                F.lit(DELETED)
-            ),
+
+    def finish(grouped: DataFrame) -> DataFrame:
+        return (
+            grouped.filter(F.col("n_before") != F.col("n_after"))
+            .withColumn(
+                "diff_status",
+                F.when(
+                    F.col("n_after") > F.col("n_before"), F.lit(INSERTED)
+                ).otherwise(F.lit(DELETED)),
+            )
+            .withColumn("n_rows", F.abs(F.col("n_after") - F.col("n_before")))
         )
-        .withColumn(
-            "n_rows", F.abs(F.col("n_after") - F.col("n_before"))
+
+    if not hash_first:
+        return finish(
+            tagged.groupBy(*cols).agg(
+                F.count_if(F.col("__side") == 0).alias("n_before"),
+                F.count_if(F.col("__side") == 1).alias("n_after"),
+            )
         )
+
+    value_cols = [F.col(f"`{c}`") for c in cols]
+    fp = [
+        F.xxhash64(*value_cols).alias("__h1"),
+        F.xxhash64(F.lit("dbdiff_multiset_salt"), *value_cols).alias("__h2"),
+    ]
+    changed = (
+        tagged.select(*fp, "__side")
+        .groupBy("__h1", "__h2")
+        .agg(
+            F.count_if(F.col("__side") == 0).alias("n_before"),
+            F.count_if(F.col("__side") == 1).alias("n_after"),
+        )
+        .filter(F.col("n_before") != F.col("n_after"))
     )
+    # second scan: recover the row values for changed fingerprints only;
+    # dropDuplicates collapses the (diff-sized) probe hits to one row
+    # per distinct content — tiny relative to the inputs by definition
+    probed = (
+        tagged.select(*[F.col(f"`{c}`") for c in cols], *fp)
+        .join(F.broadcast(changed), ["__h1", "__h2"])
+        .dropDuplicates(["__h1", "__h2"])
+        .drop("__h1", "__h2")
+    )
+    return finish(probed)
 
 
 def diff_summary(diff_df: DataFrame, group_extra: list[str] | None = None) -> DataFrame:
