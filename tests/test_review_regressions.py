@@ -66,3 +66,24 @@ def test_sanitized_catalog_identifier():
     # distinct raw names must stay distinct after sanitization
     other = SnapshotStore._catalog_identifier("/tmp/x", "order items")
     assert ident != other
+
+def test_multiset_hash_first_matches_exact_grouping(spark):
+    """Both multiset formulations (hash-first fingerprint aggregation vs
+    exact full-row grouping) must produce the identical changed-row
+    multiset, including multiplicities (3 copies -> 1 copy = DELETED x2)
+    and NULL-valued rows."""
+    before = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "a"), (2, None), (3, "c")],
+        "id int, v string",
+    )
+    after = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, None), (4, "d")], "id int, v string"
+    )
+    fast = diff_multiset(before, after)
+    exact = diff_multiset(before, after, hash_first=False)
+    f = sorted((tuple(r) for r in fast.collect()), key=lambda t: str(t))
+    e = sorted((tuple(r) for r in exact.collect()), key=lambda t: str(t))
+    assert f == e
+    by_id = {r["id"]: r for r in fast.collect()}
+    assert by_id[1]["diff_status"] == "DELETED" and by_id[1]["n_rows"] == 2
+    assert by_id[2]["diff_status"] == "INSERTED" and by_id[2]["n_rows"] == 1
