@@ -13,7 +13,7 @@ does not preserve order).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dbdiff_spark.io import load_table
@@ -508,8 +508,63 @@ FROM (
 """
 
 
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + a capped,
+    sorted posting list — the secondary-index structure a corpus search
+    or decontamination probe reads instead of rescanning text.
+
+    Scale shape: per-doc ``array_distinct`` BEFORE the explode keeps the
+    dedup narrow (each doc emits each term once — no global distinct
+    shuffle); the posting cap is applied with a ``row_number`` window
+    partitioned by term, NOT by collecting every posting and slicing —
+    a stop-word term at corpus scale would otherwise materialize a
+    multi-GB array in one aggregation buffer.  The groupBy reuses the
+    window's hash partitioning on term, so the whole build is ONE
+    shuffle of distinct (term, doc) pairs.  Restricted to df ≥ 5 terms
+    to keep the report query bounded; the full index drops the HAVING.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # explode_outer: plain explode makes Catalyst infer a size()>0
+    # filter that re-evaluates the regex per row (see corpus.py note)
+    td = docs.selectExpr(
+        "doc_id", f"explode_outer(array_distinct({_TOKENS})) AS term"
+    ).filter(F.col("term").isNotNull())
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        td.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.expr(
+                "array_join(array_sort(collect_list(CASE WHEN rn <= 20"
+                " THEN doc_id END)), ',')"
+            ).alias("postings_csv"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH td AS (
+  SELECT doc_id, unnest(list_distinct({_D_TOKENS})) AS term FROM documents
+),
+r AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM td
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= 20)), ',')
+         AS postings_csv
+FROM r
+GROUP BY term
+HAVING count(*) >= 5
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
