@@ -149,10 +149,22 @@ class Snapshot:
 
         Returns ``(df, pruned)``; ``pruned=False`` means the caller got
         the plain full-table frame (bucket layout unusable — not
-        bucketed, modulus misaligned, or unrecognized file names) and
-        must rely on the group filter alone.  The caller applies the
-        group filter in BOTH cases: a bucket holds ``mod/buckets``
-        groups, of which only the changed ones may join.
+        bucketed, modulus misaligned, unrecognized file names, or the
+        file listing itself unavailable) and must rely on the group
+        filter alone.  The caller applies the group filter in BOTH
+        cases: a bucket holds ``mod/buckets`` groups, of which only the
+        changed ones may join.
+
+        File discovery goes through the Hadoop FileSystem API — the
+        same resolver Spark's own scans use — so it works on any store
+        the cluster can read (``s3a://``, ``hdfs://``, local), not just
+        driver-local paths.  Failure modes degrade to correctness, not
+        silence: "could not list" or "listed but found no data files"
+        or "found a file I can't parse a bucket id out of" all return
+        the FULL frame with ``pruned=False``; only a successful listing
+        with recognizable bucket files may conclude "this side has no
+        files for the changed buckets" (pure inserts/deletes on the
+        other side) and return an empty frame.
         """
         if (
             self.buckets <= 0
@@ -161,24 +173,55 @@ class Snapshot:
             or self.format != "parquet"
         ):
             return self.load(spark, table), False
+        names = self._list_data_files(spark, self.tables[table])
+        if not names:  # listing failed or directory held no data files
+            return self.load(spark, table), False
         import re
 
         wanted = {g % self.buckets for g in changed_groups}
         files: list[str] = []
-        for f in Path(self.tables[table]).glob("part-*"):
-            m = re.search(r"_(\d{5})[.]", f.name)
+        for uri, name in names:
+            m = re.search(r"_(\d{5})[.]", name)
             if m is None:  # not a recognizable bucketed layout
                 return self.load(spark, table), False
             if int(m.group(1)) in wanted:
-                files.append(str(f))
+                files.append(uri)
         if not files:
-            # all of this side's changed-group rows live on the other
-            # side (pure inserts/deletes): empty frame, full schema
+            # listing succeeded and every file parsed: all of this
+            # side's changed-group rows live on the other side (pure
+            # inserts/deletes): empty frame, full schema
             return (
                 spark.createDataFrame([], spark.read.parquet(self.tables[table]).schema),
                 True,
             )
         return spark.read.parquet(*files), True
+
+    @staticmethod
+    def _list_data_files(
+        spark: SparkSession, path: str
+    ) -> list[tuple[str, str]] | None:
+        """List a snapshot table directory's data files as
+        ``(uri, basename)`` pairs via Hadoop's FileSystem API (resolves
+        any scheme the cluster is configured for).  Returns ``None``
+        when the listing cannot be obtained (no JVM gateway — e.g.
+        Spark Connect — or the filesystem call fails): callers must
+        treat that as "prune unavailable", never as "no files"."""
+        try:
+            jvm = spark._jvm  # type: ignore[attr-defined]
+            hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(hconf)
+            out = []
+            for st in fs.listStatus(hpath):
+                if not st.isFile():
+                    continue
+                name = st.getPath().getName()
+                if name.startswith("_") or name.startswith("."):
+                    continue  # _SUCCESS, hidden/metadata files
+                out.append((st.getPath().toString(), name))
+            return out
+        except Exception:
+            return None
 
     def save_manifest(self) -> None:
         Path(self.root).mkdir(parents=True, exist_ok=True)

@@ -239,6 +239,78 @@ def test_incremental_modulus_mismatch_falls_back_to_full_diff(spark, tmp_path):
     assert inc0.count() == full.count()
 
 
+def test_pruning_resolves_uri_paths_via_hadoop_fs(spark, tmp_path):
+    """Regression (VERDICT r2 #1): file discovery for bucket pruning
+    must go through the Hadoop FS API, not a driver-side ``Path.glob``.
+    A manifest path with a scheme (``file:``, and on a real cluster
+    ``s3a://``/``hdfs://``) yields NOTHING from ``Path.glob`` — the old
+    code then returned an empty pruned frame, silently diffing against
+    nothing.  With FS-based listing the same URI lists fine and the
+    incremental diff still equals the full one."""
+    store = SnapshotStore(spark)
+    cust = (
+        FileCatalog(spark, "/root/testdata/sf0.001", TESTDATA_KEYS)
+        .load("customer")
+        .dropDuplicates(["c_custkey"])
+    )
+    after_df = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") == 42, F.col("c_acctbal") + 1).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    kw = dict(track_changes=True, buckets=8)
+    before = store.collect(
+        {"customer": cust}, {"customer": ["c_custkey"]}, str(tmp_path / "ub"), **kw
+    )
+    after = store.collect(
+        {"customer": after_df}, {"customer": ["c_custkey"]}, str(tmp_path / "ua"), **kw
+    )
+    # rewrite manifest paths as scheme-qualified URIs and drop the
+    # catalog identifiers so the path-based loader is exercised
+    for snap in (before, after):
+        snap.tables = {k: "file:" + v for k, v in snap.tables.items()}
+        snap.catalog_tables = {}
+    inc = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, incremental=True
+    )["customer"].df
+    assert sorted(r["diff_status"] for r in inc.collect()) == [UPDATED, UPDATED]
+    for ident in spark.catalog.listTables():
+        if ident.name.startswith("snap_"):
+            spark.sql(f"DROP TABLE IF EXISTS {ident.name}")
+
+
+def test_pruning_unrecognized_layout_falls_back_to_full_frame(spark, tmp_path):
+    """A directory whose data files carry no bucket id (plain
+    non-bucketed write) must yield the FULL frame with pruned=False,
+    never an empty frame."""
+    df = spark.createDataFrame([(i, str(i)) for i in range(20)], "id int, s string")
+    path = str(tmp_path / "plain")
+    df.write.parquet(path)
+    snap = Snapshot(
+        root=str(tmp_path),
+        tables={"t": path},
+        keys={"t": ["id"]},
+        buckets=8,
+        group_hash_mod=4096,
+    )
+    out, pruned = snap.load_groups_pruned(spark, "t", [0])
+    assert pruned is False
+    assert out.count() == 20
+
+
+def test_list_data_files_unavailable_is_none_not_empty(spark, tmp_path):
+    """'Could not list' must be distinguishable from 'listed, zero
+    files' — the former means the prune is unavailable, not that the
+    side is empty."""
+    assert Snapshot._list_data_files(spark, str(tmp_path / "missing")) is None
+    # a listable dir with only marker files counts as no data files
+    d = tmp_path / "markers"
+    d.mkdir()
+    (d / "_SUCCESS").write_text("")
+    assert Snapshot._list_data_files(spark, str(d)) == []
+
+
 def test_snapshot_orc_format_roundtrip(spark, tmp_path):
     store = SnapshotStore(spark)
     t = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
