@@ -377,79 +377,162 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def _centroid_literal(comps: list[float]) -> str:
+    # string-parse round-trip: repr(float) → CAST(... AS DOUBLE) is
+    # exact for every finite f64, so the literal re-injected into the
+    # next iteration's plan is bit-identical to the collected value
+    return "array({})".format(
+        ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in comps)
+    )
+
+
+def _argmin_struct(centroids: dict[int, list[float]]) -> str:
+    """``array_min`` over ``struct(d2, cell)`` literals: lexicographic
+    struct ordering gives nearest-centroid with smallest-cell tie-break
+    — the same total order as ``ORDER BY d2, cell`` — as ONE projection
+    expression, no join, no window, no shuffle."""
+    parts = ", ".join(
+        f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+        f"'cell', CAST({k} AS BIGINT))"
+        for k, c in sorted(centroids.items())
+    )
+    return f"array_min(array({parts}))"
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column — the iterative-
-    algorithm pattern: a driver-side loop of (assign → grid-exact
-    centroid update) DataFrame jobs, seeds = first K vectors.
+    algorithm pattern done the Spark-native way: centroids are K×dim
+    DRIVER-side values (collected each round, re-injected as literals),
+    so each iteration is
 
-    Deterministic: assignment ties break on smallest centroid id and
-    centroid updates use integer-grid sums (order-independent), so every
-    run converges identically.  Declared rows-only to the driver
-    (iterative SQL would need KMEANS_ITERS nested CTE layers).
+    * assignment: a zero-shuffle projection — argmin over K literal
+      centroids fused into the corpus scan (``_argmin_struct``); no
+      corpus×K join, no per-row window (the r2-flagged full-corpus
+      shuffle per iteration is gone), and
+    * update: one map-side-combinable groupBy(cell, pos) over the
+      exploded assignment, ≤ K×dim output rows collected to the driver.
 
-    Scale shape per iteration: broadcast K centroids against a corpus
-    scan (no shuffle) + one groupBy(cell) aggregation — identical to the
-    IVF assignment step, run K times.
+    Lineage is flat by construction: every iteration's job hangs off
+    the cached base scan plus literals — nothing accumulates across
+    iterations, so no checkpoint is needed at any iteration count.
+
+    Deterministic end-to-end: ties break on smallest cell, centroid
+    updates use integer-grid sums (order-independent), and the
+    literal round-trip (repr → CAST AS DOUBLE) is exact — which is
+    what makes the nested-CTE DuckDB oracle (``KMEANS_SQL``) valid.
+
+    Returns per-cell membership count and grid-exact inertia.
     """
-    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding")
-    centroids = (
-        vecs.filter(F.col("vec_id") < KMEANS_K)
-        .selectExpr(
-            "vec_id AS cell",
-            "transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid",
-        )
-    )
-    for _ in range(KMEANS_ITERS):
-        scored = vecs.join(F.broadcast(centroids)).select(
-            "vec_id",
-            "embedding",
-            "cell",
-            F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cell")
-        )
-        # grid-exact per-dimension mean → order-independent updates
-        exploded = assigned.select(
-            "cell", F.posexplode("embedding").alias("pos", "component")
-        )
-        means = exploded.groupBy("cell", "pos").agg(
-            F.expr(
-                "CAST(SUM(CAST(ROUND(CAST(component AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
-                " / 1000000 / COUNT(*)"
-            ).alias("m")
-        )
-        centroids = (
-            means.groupBy("cell")
-            .agg(
-                F.expr("array_sort(collect_list(struct(pos, m)))").alias("pm")
+    vecs = _vectors(spark, sf_dir).select("vec_id", "embedding").persist()
+    try:
+        seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+        centroids = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+        }
+        for _ in range(KMEANS_ITERS):
+            assigned = vecs.select(
+                "embedding",
+                F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
             )
-            .selectExpr("cell", "transform(pm, p -> p.m) AS centroid")
+            means = (
+                assigned.select(
+                    "cell", F.posexplode("embedding").alias("pos", "component")
+                )
+                .groupBy("cell", "pos")
+                .agg(
+                    F.expr(
+                        "CAST(SUM(CAST(ROUND(CAST(component AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
+                        " / 1000000 / COUNT(*)"
+                    ).alias("m")
+                )
+                .collect()
+            )
+            centroids = {}
+            for r in means:
+                centroids.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(
+                    r["m"]
+                )
+            centroids = {
+                cell: [by_pos[p] for p in sorted(by_pos)]
+                for cell, by_pos in centroids.items()
+            }
+        final = vecs.select(
+            F.expr(_argmin_struct(centroids)).alias("best")
+        ).select(F.col("best.cell").alias("cell"), F.col("best.d2").alias("d2"))
+        return final.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
+            ).alias("inertia"),
         )
-    final_assign = (
-        vecs.join(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "cell",
-            F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
+    finally:
+        vecs.unpersist()
+
+
+def _kmeans_sql() -> str:
+    """Nested-CTE DuckDB twin: seed layer + KMEANS_ITERS (assign →
+    grid-mean) layers + final assignment — the oracle re-derives every
+    intermediate centroid itself, so it is a fully independent
+    computation of the same deterministic fixpoint."""
+    layers = [
+        f"""c0 AS (
+  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+)"""
+    ]
+    for i in range(1, KMEANS_ITERS + 1):
+        layers.append(
+            f"""s{i} AS (
+  SELECT v.vec_id, v.embedding, c.cell,
+         {_dist2_duck('v.embedding', 'c.centroid')} AS d2
+  FROM embeddings v CROSS JOIN c{i - 1} c
+),
+a{i} AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT vec_id, embedding, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM s{i}
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT cell, array_agg(m ORDER BY pos) AS centroid FROM (
+    SELECT cell, pos,
+           CAST(SUM(CAST(ROUND(component * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS m
+    FROM (
+      SELECT cell,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS component
+      FROM a{i}
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)"""
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
-            ),
-        )
-        .filter(F.col("rn") == 1)
+    n = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f""",
+fs AS (
+  SELECT v.vec_id, c.cell,
+         {_dist2_duck('v.embedding', 'c.centroid')} AS d2
+  FROM embeddings v CROSS JOIN c{n} c
+),
+fin AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM fs
+  ) WHERE rn = 1
+)
+SELECT cell, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS inertia
+FROM fin GROUP BY cell
+"""
     )
-    return final_assign.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.expr(
-            "CAST(SUM(CAST(ROUND(d2 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
-        ).alias("inertia"),
-    )
+
+
+KMEANS_SQL = _kmeans_sql()
 
 
 def _qvec_spark() -> str:
@@ -545,9 +628,8 @@ QUERIES = {
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
+    # deterministic grid math end-to-end → the iterative loop has an
+    # exact nested-CTE twin (one layer per Lloyd iteration)
+    "kmeans_lloyd": (kmeans_lloyd, KMEANS_SQL),
 }
-# Iterative algorithm → rows-only driver check (KMEANS_ITERS nested CTE
-# layers would be needed for a SQL twin)
-NO_ORACLE_QUERIES = {
-    "kmeans_lloyd": kmeans_lloyd,
-}
+NO_ORACLE_QUERIES = {}

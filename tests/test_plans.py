@@ -42,3 +42,13 @@ def test_diff_pushes_mutation_filters_to_scan(spark, sf_dir):
 def test_knn_broadcasts_query_set(spark, sf_dir):
     plan = _plan(entry.queries()["knn_bruteforce"](spark, sf_dir))
     assert "Broadcast" in plan  # corpus never shuffles for brute force
+
+
+def test_kmeans_final_plan_is_joinless_single_exchange(spark, sf_dir):
+    """Regression (VERDICT r2 #3): k-means assignment must be a literal
+    argmin PROJECTION fused into the scan — no corpus×K join, no per-row
+    window — leaving exactly one exchange (the per-cell aggregation) in
+    the returned plan."""
+    plan = _plan(entry.queries()["kmeans_lloyd"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
