@@ -165,25 +165,44 @@ GROUP BY user_id, sess_id
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked duplicate suppression on (user_id, event_type) within
-    the watermark horizon — streaming exact-dedup.  Returns the surviving
-    events as a batch DataFrame."""
+    the watermark horizon — streaming exact-dedup.
+
+    The deterministic CONTRACT of this operator is the surviving key
+    set: WHICH physical event survives per key is arrival-order-
+    dependent (partition race), so the output projects the dedup key
+    only — that is exactly the set of keys seen within the horizon,
+    expressible as DISTINCT in the batch oracle.  On the bounded
+    fixture everything arrives in one micro-batch, so no state is
+    evicted mid-run and the horizon covers the whole input."""
     stream = _event_stream_from_table(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", WATERMARK)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("event_id", "user_id", "event_type")
+        .select("user_id", "event_type")
     )
     return _run_to_completion(spark, deduped, "stream_dedup", "append")
 
 
-STATE_SCHEMA = "last_hash string, n_seen long"
+STREAM_DEDUP_SQL = """
+SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+"""
+
+
+STATE_SCHEMA = "last_hash string, n_seen long, last_ts_us long, last_eid long"
 OUTPUT_SCHEMA = "user_id long, n_seen long, last_hash string"
 
 
 def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running state (count + last payload hash — the running 'after
-    snapshot' entry for this key)."""
+    snapshot' entry for this key).
+
+    "Last" is defined by EVENT TIME (ts, event_id), not arrival order:
+    chunks are concatenated before ordering (a group's data may span
+    Arrow batches) and the state carries the last-seen event-time pair
+    so later micro-batches can't regress it — which is what makes the
+    operator deterministic and gives it a lag/window batch oracle
+    (``STREAM_LATEST_STATE_SQL``)."""
     stream = _event_stream_from_table(spark, sf_dir)
 
     # closure, not a module-level function: workers pickle it by value,
@@ -195,13 +214,21 @@ def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import pandas as _pd
 
-        last_hash, n_seen = state.get if state.exists else ("", 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for payload in pdf["props"]:
-                last_hash = hashlib.md5(str(payload).encode()).hexdigest()
+        if state.exists:
+            last_hash, n_seen, last_ts_us, last_eid = state.get
+        else:
+            last_hash, n_seen, last_ts_us, last_eid = "", 0, -(1 << 62), -(1 << 62)
+        chunks = list(pdfs)
+        if chunks:
+            pdf = _pd.concat(chunks).sort_values(["ts", "event_id"])
             n_seen += len(pdf)
-        state.update((last_hash, n_seen))
+            tail = pdf.iloc[-1]
+            ts_us = int(_pd.Timestamp(tail["ts"]).value // 1000)
+            eid = int(tail["event_id"])
+            if (ts_us, eid) >= (last_ts_us, last_eid):
+                last_hash = hashlib.md5(str(tail["props"]).encode()).hexdigest()
+                last_ts_us, last_eid = ts_us, eid
+        state.update((last_hash, n_seen, last_ts_us, last_eid))
         yield _pd.DataFrame(
             {"user_id": [key[0]], "n_seen": [n_seen], "last_hash": [last_hash]}
         )
@@ -361,14 +388,26 @@ def _run_to_completion(
     return out
 
 
+# md5 of the raw props string: the stateful op hashes str(payload) of a
+# non-null VARCHAR column, so the SQL twin is a plain md5() — the
+# fixture has no null props (a null would hash as the literal 'None').
+STREAM_LATEST_STATE_SQL = """
+SELECT user_id, n_seen, md5(props) AS last_hash FROM (
+  SELECT user_id, props,
+         CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_seen,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
+    "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
+    "stream_latest_state": (latest_state_by_key, STREAM_LATEST_STATE_SQL),
 }
-# Non-SQL-expressible streaming ops → rows-only driver checks
-NO_ORACLE_QUERIES = {
-    "stream_dedup": stream_dedup,
-    "stream_latest_state": latest_state_by_key,
-}
+NO_ORACLE_QUERIES = {}
