@@ -81,9 +81,27 @@ def test_multiset_hash_first_matches_exact_grouping(spark):
     )
     fast = diff_multiset(before, after)
     exact = diff_multiset(before, after, hash_first=False)
+    one_pass = diff_multiset(before, after, strategy="one_pass")
     f = sorted((tuple(r) for r in fast.collect()), key=lambda t: str(t))
     e = sorted((tuple(r) for r in exact.collect()), key=lambda t: str(t))
-    assert f == e
+    o = sorted((tuple(r) for r in one_pass.collect()), key=lambda t: str(t))
+    assert f == e == o
     by_id = {r["id"]: r for r in fast.collect()}
     assert by_id[1]["diff_status"] == "DELETED" and by_id[1]["n_rows"] == 2
     assert by_id[2]["diff_status"] == "INSERTED" and by_id[2]["n_rows"] == 1
+
+
+def test_multiset_one_pass_plan_has_single_scan_branch(spark, sf_dir):
+    """one_pass must not rescan the input: exactly one parquet scan per
+    side in the plan (hash_first deliberately has two — the rescan is
+    the price of the 24-byte shuffle)."""
+    from dbdiff_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "part")
+    shifted = li.withColumn("p_retailprice", F.col("p_retailprice") + 1)
+    one = diff_multiset(li, shifted, strategy="one_pass")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan  # one per side
+    two = diff_multiset(li, shifted)
+    plan2 = two._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("FileScan") == 4, plan2  # agg branch + probe branch
