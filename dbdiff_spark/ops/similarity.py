@@ -38,6 +38,26 @@ SIGN_BITS = 8
 NEARDUP_THRESHOLD = 0.999
 NEARDUP_OFFSET = 100_000
 
+# Broadcast guard for query sets (VERDICT r2 #4): a broadcast ships the
+# whole query set to every executor, so an unbounded one is an OOM
+# waiting for a big caller.  At 64Ki queries × (say) 1 KiB of embedding
+# the broadcast is ≤64 MiB — comfortably under Spark's limit; past the
+# bound the joins fall back to fully distributed plans instead.
+MAX_BROADCAST_QUERIES = 65_536
+
+
+def _query_side(queries: DataFrame, max_broadcast: int, fallback_hint: str) -> DataFrame:
+    """Broadcast the query side only when it is provably small: one
+    cheap count (column-pruned scan) decides.  Above the bound the
+    side is hinted to the distributed fallback instead — ``merge``
+    (sort-merge) for the bucket/cell equi-joins,
+    ``shuffle_replicate_nl`` (partition-wise cartesian) for the
+    non-equi brute-force scoring join — so a large query set degrades
+    to a shuffled plan rather than an executor OOM."""
+    if queries.count() <= max_broadcast:
+        return F.broadcast(queries)
+    return queries.hint(fallback_hint)
+
 
 def _dot_spark(a: str, b: str) -> str:
     return (
@@ -84,18 +104,25 @@ FROM embeddings
 """
 
 
-def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_bruteforce(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """Exact cosine top-5 for the query subset.  The query set is
-    broadcast (small side); the corpus streams partition-local — no
-    corpus shuffle, which is what makes brute-force viable as a scale
-    baseline."""
+    broadcast when ≤ ``max_broadcast_queries`` (small side); the corpus
+    streams partition-local — no corpus shuffle, which is what makes
+    brute-force viable as a scale baseline.  Larger query sets fall
+    back to a partition-wise replicated-NL plan (see
+    ``_query_side``)."""
     vecs = _vectors(spark, sf_dir)
     queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
-    scored = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+    q = _query_side(queries, max_broadcast_queries, "shuffle_replicate_nl")
+    scored = vecs.join(q, F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias("cosine"),
@@ -131,10 +158,15 @@ WHERE rank <= {KNN_K}
 """
 
 
-def ann_lsh_bitsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bitsample(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """Approximate top-3: search only within the query's sign-bit LSH
     bucket.  At scale the bucket join replaces the full cross product
-    with a shuffle on an 8-bit key (≈1/256 of the pair space)."""
+    with a shuffle on an 8-bit key (≈1/256 of the pair space); query
+    sets past the broadcast bound sort-merge on the bucket key."""
     vecs = _vectors(spark, sf_dir).withColumn(
         "bucket", F.expr(_sign_bucket_spark("embedding"))
     )
@@ -145,7 +177,7 @@ def ann_lsh_bitsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
     )
     scored = vecs.join(
-        F.broadcast(queries),
+        _query_side(queries, max_broadcast_queries, "merge"),
         (F.col("bucket") == F.col("q_bucket"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
@@ -289,14 +321,19 @@ def _dist2_duck(a: str, b: str) -> str:
     )
 
 
-def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest seed centroid (vec_id < IVF_CELLS as deterministic seeds),
     then answer queries within their cell only.
 
     Scale shape: assignment is a broadcast of C centroids against a
     corpus scan (no shuffle), the inverted file is one repartition by
-    cell, and each query touches ~n/C candidates.  Swapping seeds for
+    cell, and each query touches ~n/C candidates; query sets past the
+    broadcast bound sort-merge on the cell key.  Swapping seeds for
     trained centroids (label_centroids / k-means) changes no plumbing."""
     vecs = _vectors(spark, sf_dir)
     seeds = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
@@ -322,7 +359,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").alias("q_cell"),
     )
     cand = assigned.join(
-        F.broadcast(queries),
+        _query_side(queries, max_broadcast_queries, "merge"),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -556,7 +593,11 @@ def _qdot_duck(a: str, b: str) -> str:
     )
 
 
-def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_int8_quantized(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
     """Quantized brute-force ANN: int8 vectors, integer dot products.
 
     The 100 TB memory story for vector search: unit-normalize each
@@ -573,7 +614,8 @@ def ann_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
     )
     scored = qvecs.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        _query_side(queries, max_broadcast_queries, "shuffle_replicate_nl"),
+        F.col("vec_id") != F.col("query_id"),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -44,6 +44,23 @@ def test_knn_broadcasts_query_set(spark, sf_dir):
     assert "Broadcast" in plan  # corpus never shuffles for brute force
 
 
+def test_query_set_broadcast_guard(spark, sf_dir):
+    """Regression (VERDICT r2 #4): the ANN/KNN query-set broadcast is
+    bounded.  Below the bound the plan broadcasts (existing tests);
+    forcing the bound to 0 must yield a fully distributed fallback —
+    partition-wise replicated NL for the non-equi brute-force join,
+    sort-merge for the bucket equi-join — with no broadcast of the
+    query side anywhere."""
+    from dbdiff_spark.ops.similarity import ann_lsh_bitsample, knn_bruteforce
+
+    plan = _plan(knn_bruteforce(spark, sf_dir, max_broadcast_queries=0))
+    assert "CartesianProduct" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    plan2 = _plan(ann_lsh_bitsample(spark, sf_dir, max_broadcast_queries=0))
+    assert "SortMergeJoin" in plan2, plan2
+    assert "BroadcastHashJoin" not in plan2, plan2
+
+
 def test_kmeans_final_plan_is_joinless_single_exchange(spark, sf_dir):
     """Regression (VERDICT r2 #3): k-means assignment must be a literal
     argmin PROJECTION fused into the scan — no corpus×K join, no per-row
