@@ -88,16 +88,30 @@ def _read_query(spark: SparkSession, db: DbConfig, sql: str):
 
 
 class JdbcCatalog:
-    """Live-database catalog (reference fidelity path)."""
+    """Live-database catalog (reference fidelity path).
+
+    The reference supports exactly three dialects via hand-written
+    system-catalog SQL (``dbutil.go:15-19``); those keep the pushed-down
+    set-oriented queries here.  Every OTHER JDBC source goes through the
+    standard ``java.sql.DatabaseMetaData`` API (``getTables`` /
+    ``getPrimaryKeys``) — dialect-independent by JDBC contract, so any
+    driver on the classpath (Derby, H2, Oracle, …) works without new
+    SQL.  Metadata calls run on the driver over one connection: catalog
+    metadata is tiny, and only the TABLE DATA scans need Spark's
+    parallel JDBC machinery."""
 
     def __init__(self, spark: SparkSession, db: DbConfig):
-        if db.type not in TABLE_LIST_SQL:
-            raise ValueError(f"unsupported db type: {db.type!r}")
+        # any type is accepted: dialects outside TABLE_LIST_SQL use the
+        # JDBC metadata path, which needs a resolvable URL
         self.spark = spark
         self.db = db
+        if db.type not in TABLE_LIST_SQL:
+            db.jdbc_url()  # raises early for unconfigurable sources
 
     def list_tables(self) -> list[str]:
         """Reference operator #1 (dbutil.go:9-38): all user tables, sorted."""
+        if self.db.type not in TABLE_LIST_SQL:
+            return sorted(self._meta_tables())
         rows = _read_query(self.spark, self.db, TABLE_LIST_SQL[self.db.type]).collect()
         return sorted(r[0] for r in rows)
 
@@ -107,12 +121,15 @@ class JdbcCatalog:
         (the fallback at dbutil.go:136-141, improved per SURVEY §2 row 3:
         we read the column list from the DataFrame schema, which is
         correct even for empty tables)."""
-        pk_rows = _read_query(self.spark, self.db, PK_SQL[self.db.type]).collect()
-        by_table: dict[str, list[tuple[int, str]]] = {}
-        for r in pk_rows:
-            by_table.setdefault(r["table_name"], []).append(
-                (int(r["ordinal"]), r["column_name"])
-            )
+        if self.db.type in PK_SQL:
+            pk_rows = _read_query(self.spark, self.db, PK_SQL[self.db.type]).collect()
+            by_table: dict[str, list[tuple[int, str]]] = {}
+            for r in pk_rows:
+                by_table.setdefault(r["table_name"], []).append(
+                    (int(r["ordinal"]), r["column_name"])
+                )
+        else:
+            by_table = self._meta_primary_keys(tables)
         out: dict[str, list[str]] = {}
         for t in tables:
             if t in by_table:
@@ -120,6 +137,59 @@ class JdbcCatalog:
             else:
                 out[t] = list(jdbc_table(self.spark, self.db, t).columns)
         return out
+
+    # -- generic JDBC metadata path (driver-side, one connection) ----------
+
+    def _meta_schema_pattern(self) -> str | None:
+        # db.schema is a raw SQL prefix incl. trailing dot (reference
+        # contract); the metadata API wants the bare schema name
+        return self.db.schema.rstrip(".") or None
+
+    def _with_connection(self, fn):
+        jvm = self.spark._jvm  # type: ignore[attr-defined]
+        props = jvm.java.util.Properties()
+        for k, v in self.db.jdbc_properties().items():
+            if k != "driver" and v:
+                props.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(self.db.jdbc_url(), props)
+        try:
+            return fn(conn.getMetaData())
+        finally:
+            conn.close()
+
+    def _meta_tables(self) -> list[str]:
+        def go(md):
+            # getTables wants a Java String[] (py4j would pass a List)
+            gw = self.spark.sparkContext._gateway  # type: ignore[attr-defined]
+            types = gw.new_array(gw.jvm.java.lang.String, 1)
+            types[0] = "TABLE"
+            rs = md.getTables(None, self._meta_schema_pattern(), "%", types)
+            names = []
+            while rs.next():
+                names.append(rs.getString("TABLE_NAME"))
+            rs.close()
+            return names
+
+        return self._with_connection(go)
+
+    def _meta_primary_keys(
+        self, tables: list[str]
+    ) -> dict[str, list[tuple[int, str]]]:
+        # getPrimaryKeys is per-table by API shape — the N round-trips
+        # the dialect SQL avoids — but they run driver-local on one
+        # connection, so the cost is metadata latency only
+        def go(md):
+            out: dict[str, list[tuple[int, str]]] = {}
+            for t in tables:
+                rs = md.getPrimaryKeys(None, self._meta_schema_pattern(), t)
+                while rs.next():
+                    out.setdefault(t, []).append(
+                        (int(rs.getShort("KEY_SEQ")), rs.getString("COLUMN_NAME"))
+                    )
+                rs.close()
+            return out
+
+        return self._with_connection(go)
 
 
 class FileCatalog:
@@ -234,11 +304,10 @@ def quote_ident(db_type: str, name: str) -> str:
     """Dialect-quoted identifier, safe for names containing spaces,
     hyphens, or the quote character itself.  Catalog queries return raw
     names (``list_tables``); interpolating them unquoted into generated
-    SQL breaks on such names and is an identifier-injection vector."""
-    try:
-        lo, hi = _IDENT_QUOTE[db_type]
-    except KeyError:
-        raise ValueError(f"unsupported db type: {db_type!r}") from None
+    SQL breaks on such names and is an identifier-injection vector.
+    Dialects without a special rule (the generic-JDBC path) use the SQL
+    standard double-quote."""
+    lo, hi = _IDENT_QUOTE.get(db_type, ('"', '"'))
     return f"{lo}{name.replace(hi, hi + hi)}{hi}"
 
 
@@ -278,21 +347,23 @@ def jdbc_table_auto(
     if part_col is None:
         return frame
     q = quote_ident(db.type, part_col)
+    # positional access: dialects disagree on alias case folding (Derby
+    # uppercases unquoted aliases), so field-name lookup is not portable
     bounds = _read_query(
         spark,
         db,
         f"SELECT MIN({q}) AS lo, MAX({q}) AS hi "
         f"FROM {db.schema}{quote_ident(db.type, table)}",
     ).collect()[0]
-    if bounds["lo"] is None or bounds["lo"] == bounds["hi"]:
+    if bounds[0] is None or bounds[0] == bounds[1]:
         return frame
     # integral bounds go through as longs; date/timestamp bounds as the
     # driver's string rendering ("YYYY-MM-DD[ HH:MM:SS[.ffffff]]"),
     # which Spark's JDBC partitioner parses for datetime columns
     lo, hi = (
-        (int(bounds["lo"]), int(bounds["hi"]))
+        (int(bounds[0]), int(bounds[1]))
         if integral
-        else (str(bounds["lo"]), str(bounds["hi"]))
+        else (str(bounds[0]), str(bounds[1]))
     )
     return jdbc_table(
         spark,

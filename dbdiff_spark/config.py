@@ -34,9 +34,20 @@ class DbConfig:
     # The reference treats `schema` as a raw SQL prefix including the
     # trailing dot (README.md:28, e.g. "hoge."); we keep that contract.
     schema: str = ""
+    # Generic-JDBC extension beyond the reference's 3 dialects: an
+    # explicit connection URL (embedded/bespoke sources, e.g.
+    # ``jdbc:derby:/path/db``) overrides dialect URL building, and an
+    # explicit driver class overrides the dialect driver table.  With
+    # ``url`` set, ``type`` is free-form (used only for identifier
+    # quoting, which falls back to the SQL standard).
+    url: str = ""
+    driver: str = ""
 
     def jdbc_url(self) -> str:
-        """Dialect connection string (reference: db_impl.go:30-44)."""
+        """Dialect connection string (reference: db_impl.go:30-44), or
+        the explicit ``url`` override for generic JDBC sources."""
+        if self.url:
+            return self.url
         if self.type == "postgresql":
             return f"jdbc:postgresql://{self.host}:{self.port}/{self.name}"
         if self.type == "mysql":
@@ -48,7 +59,7 @@ class DbConfig:
         raise ValueError(f"unsupported db type: {self.type!r}")
 
     def jdbc_properties(self) -> dict[str, str]:
-        driver = {
+        driver = self.driver or {
             "postgresql": "org.postgresql.Driver",
             "mysql": "com.mysql.cj.jdbc.Driver",
             "sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
@@ -131,6 +142,8 @@ def load_configuration(path: str | Path) -> Configuration:
         password=str(db_raw.get("password", "")),
         name=str(db_raw.get("name", "")),
         schema=str(db_raw.get("schema", "") or ""),
+        url=str(db_raw.get("url", "") or ""),
+        driver=str(db_raw.get("driver", "") or ""),
     )
     keys = {
         str(t): [str(c) for c in cols]

@@ -39,8 +39,9 @@ def test_quote_ident_escapes_per_dialect():
     assert quote_ident("postgresql", 'odd "name"') == '"odd ""name"""'
     assert quote_ident("mysql", "back`tick") == "`back``tick`"
     assert quote_ident("sqlserver", "br]acket") == "[br]]acket]"
-    with pytest.raises(ValueError):
-        quote_ident("oracle", "t")
+    # generic-JDBC dialects fall back to SQL-standard double quotes
+    assert quote_ident("oracle", 'o"dd') == '"o""dd"'
+    assert quote_ident("derby", "t") == '"t"'
 
 
 def test_jdbc_options_partitioned():
@@ -87,7 +88,7 @@ def _auto(monkeypatch, spark, sf_dir, key_cols, bounds_row):
 
 def test_jdbc_auto_partitions_on_integral_key(monkeypatch, spark, sf_dir):
     calls = _auto(
-        monkeypatch, spark, sf_dir, ["o_orderkey"], {"lo": 1, "hi": 60_000}
+        monkeypatch, spark, sf_dir, ["o_orderkey"], (1, 60_000)
     )
     assert calls["partition_column"] == "o_orderkey"
     assert calls["lower_bound"] == 1 and calls["upper_bound"] == 60_000
@@ -105,7 +106,7 @@ def test_jdbc_auto_partitions_on_datetime_key(monkeypatch, spark, sf_dir):
         spark,
         sf_dir,
         ["o_orderstatus", "o_orderdate"],
-        {"lo": datetime.date(1995, 1, 1), "hi": datetime.date(1998, 8, 2)},
+        (datetime.date(1995, 1, 1), datetime.date(1998, 8, 2)),
     )
     assert calls["partition_column"] == "o_orderdate"
     assert calls["lower_bound"] == "1995-01-01"
@@ -117,14 +118,14 @@ def test_jdbc_auto_partitions_on_datetime_key(monkeypatch, spark, sf_dir):
 
 def test_jdbc_auto_falls_back_without_integral_key(monkeypatch, spark, sf_dir):
     # o_orderstatus is a string column → no partitioning, no bounds query
-    calls = _auto(monkeypatch, spark, sf_dir, ["o_orderstatus"], {"lo": 1, "hi": 2})
+    calls = _auto(monkeypatch, spark, sf_dir, ["o_orderstatus"], (1, 2))
     assert "bounds_sql" not in calls
     assert "partition_column" not in calls and "partitionColumn" not in calls
 
 
 def test_jdbc_auto_falls_back_on_empty_bounds(monkeypatch, spark, sf_dir):
     calls = _auto(
-        monkeypatch, spark, sf_dir, ["o_orderkey"], {"lo": None, "hi": None}
+        monkeypatch, spark, sf_dir, ["o_orderkey"], (None, None)
     )
     assert "bounds_sql" in calls  # probed, then declined
     assert "partition_column" not in calls and "partitionColumn" not in calls

