@@ -28,7 +28,7 @@ from dbdiff_spark.config import load_configuration
 from dbdiff_spark.diff import DiffMode
 from dbdiff_spark.session import get_spark
 from dbdiff_spark.sinks.console import print_diffs
-from dbdiff_spark.sinks.xlsx import default_output_name, write_diff_xlsx
+from dbdiff_spark.sinks.xlsx import default_output_name, maybe_open, write_diff_xlsx
 from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
 
 
@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
         "their runtime jars)",
     )
     parser.add_argument(
+        "--open",
+        dest="auto_open",
+        action="store_true",
+        help="open the written xlsx in the OS viewer (macOS/Windows; "
+        "no-op on headless platforms) — reference main.go:261-269, "
+        "made opt-in",
+    )
+    parser.add_argument(
         "--apply-dir",
         default="",
         help="after each diff, materialize the reconstructed after-state "
@@ -119,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
         out_name = args.o or default_output_name()
         write_diff_xlsx(results, out_name)
         print(f"[ResultOutput] See {out_name}")
+        maybe_open(out_name, args.auto_open)
 
         if args.apply_dir:
             from dbdiff_spark.diff import apply_diff

@@ -193,3 +193,36 @@ def default_output_name(prefix: str = "dbdiff", now: datetime | None = None) -> 
     main.go:273-282 — dbdiff_YYYYMMDD_HHMMSS.xlsx)."""
     now = now or datetime.now()
     return f"{prefix}_{now.strftime('%Y%m%d_%H%M%S')}.xlsx"
+
+
+def open_command(path: str | Path, platform: str | None = None) -> list[str] | None:
+    """Viewer command for the written report — reference behavior parity
+    (``cmd/dbdiff/main.go:261-269``): the reference launches the OS
+    viewer on macOS (``/usr/bin/open``) and Windows (``cmd /C``), and
+    does nothing elsewhere.  Returns the argv to spawn, or ``None`` on
+    platforms with no auto-open (Linux servers — where this engine
+    usually runs headless)."""
+    import sys
+
+    platform = platform or sys.platform
+    if platform == "darwin":
+        return ["/usr/bin/open", str(path)]
+    if platform.startswith("win"):
+        return ["cmd", "/C", str(path)]
+    return None
+
+
+def maybe_open(path: str | Path, auto_open: bool = False) -> bool:
+    """Spawn the platform viewer when ``auto_open`` is set (opt-in flag,
+    vs the reference's unconditional launch — a headless Spark driver
+    should never pop a GUI by default).  Returns True when a viewer was
+    started."""
+    if not auto_open:
+        return False
+    cmd = open_command(path)
+    if cmd is None:
+        return False
+    import subprocess
+
+    subprocess.Popen(cmd)  # fire-and-forget, like the reference's .Start()
+    return True

@@ -85,3 +85,19 @@ def test_packed_parquet_sink_partitioned(spark, tmp_path):
     assert (out / "table_name=t1").is_dir()  # partition pruning layout
     back = spark.read.parquet(str(out))
     assert back.count() == 2  # one UPDATED pair
+
+
+def test_xlsx_open_command_per_platform(tmp_path):
+    """Reference parity (main.go:261-269): viewer command per platform;
+    command construction only — nothing is spawned in CI."""
+    from dbdiff_spark.sinks.xlsx import maybe_open, open_command
+
+    assert open_command("r.xlsx", platform="darwin") == ["/usr/bin/open", "r.xlsx"]
+    assert open_command("r.xlsx", platform="win32") == ["cmd", "/C", "r.xlsx"]
+    assert open_command("r.xlsx", platform="linux") is None
+    # default off: never spawns; linux: no viewer even when asked
+    assert maybe_open("r.xlsx") is False
+    import sys
+
+    if sys.platform.startswith("linux"):
+        assert maybe_open("r.xlsx", auto_open=True) is False
