@@ -1,8 +1,10 @@
 """Text-analysis operators for the training-data pipeline tier:
 quality scoring, language-ID heuristic, tokenization stats, document
 fingerprinting.  All pure built-in expressions (regexp + higher-order
-array functions) — no UDFs, fully inside whole-stage codegen, embarrass-
-ingly parallel (per-row projections, zero shuffles except final aggs).
+array functions) — no UDFs, fully inside whole-stage codegen.  The
+per-document ops are embarrassingly parallel projections; the corpus-
+level ops (``inverted_index``, ``top_terms_per_doc``, ``top_terms``)
+additionally shuffle on term for their index/frequency aggregations.
 
 Cross-engine exactness: tokenization is ``regexp_extract_all(lower(text),
 '[a-z0-9]+')`` (same RE2-compatible pattern semantics in Spark's Java
@@ -371,8 +373,6 @@ def top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency side aggregates to vocabulary size and joins back keyed on
     term (broadcastable — vocabularies are small next to corpora); the
     final top-k is a row_number window partitioned by doc."""
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.selectExpr("doc_id", f"explode({_TOKENS}) AS term")
@@ -535,9 +535,14 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
+            # cast AFTER the sort: the list must order numerically (as
+            # DuckDB's list_sort does); casting first would sort
+            # lexicographically.  The explicit transform replaces the
+            # version-fragile implicit array<bigint>→array<string>
+            # coercion inside array_join (ADVICE r2).
             F.expr(
-                "array_join(array_sort(collect_list(CASE WHEN rn <= 20"
-                " THEN doc_id END)), ',')"
+                "array_join(transform(array_sort(collect_list(CASE WHEN rn <= 20"
+                " THEN doc_id END)), x -> CAST(x AS STRING)), ',')"
             ).alias("postings_csv"),
         )
         .filter(F.col("df") >= 5)
