@@ -110,6 +110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "nation", mode=DiffMode.STRING
         )
     )
+    # same logical diff routed through an ORC snapshot round trip:
+    # certifies the format's write→read value fidelity against the
+    # format-independent oracle
+    out["diff_customer_orc_snapshot"] = _with_conf(
+        lambda spark, sf_dir: testkit.format_snapshot_diff_query_df(
+            spark, sf_dir, "customer", "orc"
+        )
+    )
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, cdc):
@@ -152,6 +160,7 @@ GROUP BY column_name
     )
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
+    out["diff_customer_orc_snapshot"] = testkit.diff_oracle_sql("customer")
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
     out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()
     for mod in (analytics, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, cdc):

@@ -128,6 +128,40 @@ def bench_incremental_diff(spark) -> float:
     return dt
 
 
+def bench_format_diff(spark, fmt: str) -> float:
+    """Storage-format overhead, measured like-for-like: the SAME
+    unbucketed snapshot→diff of lineitem, with both snapshots stored as
+    ``fmt`` — run for parquet and orc, the delta between the two entries
+    is the format's scan-side cost.  Snapshot writes are setup, not part
+    of the timed diff."""
+    import shutil
+    import tempfile
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import DiffMode
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+    spec, mut = testkit.SPECS["lineitem"], testkit.MUTATIONS["lineitem"]
+    base = testkit.prep(load_table(spark, SF_DIR, "lineitem"), spec)
+    after_df = testkit.apply_mutation(base, spec, mut)
+    root = tempfile.mkdtemp(prefix=f"bench_fmt_{fmt}_")
+    store = SnapshotStore(spark)
+    keys = {"lineitem": list(spec.key)}
+    before = store.collect(
+        {"lineitem": base}, keys, f"{root}/b", count_rows=False, format=fmt
+    )
+    after = store.collect(
+        {"lineitem": after_df}, keys, f"{root}/a", count_rows=False, format=fmt
+    )
+    t0 = time.time()
+    res = diff_snapshots(spark, before, after, mode=DiffMode.TYPED)["lineitem"]
+    run_query(res.df)
+    dt = round(time.time() - t0, 3)
+    shutil.rmtree(root, ignore_errors=True)
+    return dt
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -175,6 +209,11 @@ def main() -> None:
         f"# diff_lineitem_incremental: {times['diff_lineitem_incremental']:.3f}s",
         file=sys.stderr,
     )
+    for fmt in ("parquet", "orc"):
+        key = f"diff_lineitem_snap_{fmt}"
+        times[key] = min(bench_format_diff(spark, fmt), bench_format_diff(spark, fmt))
+        total += times[key]
+        print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)
     print(
         json.dumps(
             {

@@ -238,6 +238,36 @@ def diff_query_df(
     )
 
 
+def format_snapshot_diff_query_df(
+    spark: SparkSession, sf_dir: str, table: str, format: str
+) -> DataFrame:
+    """Same logical diff as :func:`diff_query_df`, but routed through a
+    full SNAPSHOT round trip in the given storage format: both sides are
+    written with ``SnapshotStore.collect(format=...)``, re-read, and
+    diffed via ``diff_snapshots`` — so the query certifies the format's
+    value fidelity end-to-end (write → read → typed compare) against
+    the format-independent diff oracle."""
+    import tempfile
+
+    from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
+
+    spec, mut = SPECS[table], MUTATIONS[table]
+    base = prep(load_table(spark, sf_dir, table), spec)
+    after = apply_mutation(base, spec, mut)
+    root = tempfile.mkdtemp(prefix=f"dbdiff_{format}_snap_")
+    store = SnapshotStore(spark)
+    keys = {table: list(spec.key)}
+    b = store.collect({table: base}, keys, f"{root}/b", count_rows=False, format=format)
+    a = store.collect({table: after}, keys, f"{root}/a", count_rows=False, format=format)
+    res = diff_snapshots(spark, b, a, mode=DiffMode.TYPED)[table]
+    return res.df.select(
+        F.col("diff_status"),
+        F.col("is_before"),
+        F.array_join(F.col("modified_columns"), ",").alias("modified_cols"),
+        *[F.col(c) for c in spec.cols],
+    )
+
+
 # Schema-drift fixture: the after snapshot gains a column.  Reference
 # semantics (extract_data.go:162-171): a column-set change marks EVERY
 # column of every matched row modified and the row UPDATED.
