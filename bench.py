@@ -42,6 +42,10 @@ HEADLINE = [
     "text_quality",
     "knn_bruteforce",
     "ann_lsh_bitsample",
+    "ann_ivf",
+    "kmeans_lloyd",
+    "fuzzy_part_match",
+    "passage_dedup",
     "decontam_ngram_overlap",
     "bloom_join_prune",
     "mv_maintain_orders",

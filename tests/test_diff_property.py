@@ -138,3 +138,26 @@ def test_apply_diff_roundtrip_any_mutation(spark, plan):
     again = apply_diff(rebuilt, d, ["id"])
     assert again.exceptAll(after).count() == 0
     assert after.exceptAll(again).count() == 0
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(b_rows=ROWS, a_rows=ROWS)
+def test_multiset_strategies_agree_on_any_multisets(spark, b_rows, a_rows):
+    """All three diff_multiset strategies (hash_first / one_pass /
+    full_row) must produce the identical changed-row multiset for ANY
+    pair of input multisets — duplicates, NULL-free small domains, and
+    empty sides included."""
+    from dbdiff_spark.diff import diff_multiset
+
+    schema = "id int, s string"
+    before = spark.createDataFrame(b_rows, schema)
+    after = spark.createDataFrame(a_rows, schema)
+    outs = [
+        sorted(tuple(r) for r in diff_multiset(before, after, strategy=s).collect())
+        for s in ("hash_first", "one_pass", "full_row")
+    ]
+    assert outs[0] == outs[1] == outs[2]
