@@ -206,6 +206,121 @@ def _diff_all_columns_key(
     return DiffResult(df=out, key_columns=list(value_cols), value_columns=value_cols)
 
 
+def _diff_grouped_dedup(
+    before: DataFrame, after: DataFrame, key_cols: list[str]
+) -> DiffResult:
+    """Dedup-last-wins + keyed diff as ONE grouped pass over the tagged
+    union — the snapshot-diff hot path (``diff_snapshots`` always
+    dedups).
+
+    Per key group (groupBy treats NULL keys as one group — the same
+    null-safe semantics as the ``<=>`` join):
+
+    * each side's last-wins representative is ``max(struct(non-key
+      cols))`` over that side's rows — identical to ``dedup_last_wins``;
+      ``max`` ignores the other side's NULLed-out entries, and a
+      struct of all-NULL fields is still non-NULL, so presence
+      detection is exact,
+    * a missing before-rep ⇒ INSERTED, missing after-rep ⇒ DELETED,
+      both present ⇒ per-column null-safe compare ⇒ UPDATED pair or
+      dropped as unchanged.
+
+    One exchange total (both sides through the union), map-side
+    partial aggregation, vs FOUR for dedup-aggregate-then-null-safe-FOJ
+    (the aggregations hash-partition on raw keys, the rewritten join
+    keys on (coalesce, isnull) tuples — incompatible distributions, so
+    each side shuffled twice).  Caller gates semantics: same schema and
+    types both sides, orderable non-key columns, no include_unchanged.
+    """
+    value_cols = list(after.columns)
+    others = [c for c in value_cols if c not in key_cols]
+    tagged = before.select(*[F.col(f"`{c}`") for c in value_cols]).withColumn(
+        "__side", F.lit(0)
+    ).unionByName(
+        after.select(*[F.col(f"`{c}`") for c in value_cols]).withColumn(
+            "__side", F.lit(1)
+        )
+    )
+    rep = lambda side: F.max(  # noqa: E731
+        F.when(
+            F.col("__side") == side,
+            F.struct(*[F.col(f"`{c}`").alias(c) for c in others]),
+        )
+    )
+    grouped = tagged.groupBy(*[F.col(f"`{k}`") for k in key_cols]).agg(
+        rep(0).alias("__b"), rep(1).alias("__a")
+    )
+    # drop the unchanged majority with a flat OR chain before any array
+    # construction (same reasoning as the FOJ path's pre-filter)
+    value_compares = [
+        ~F.col(f"__b.`{c}`").eqNullSafe(F.col(f"__a.`{c}`")) for c in others
+    ]
+    changed_any = reduce(lambda x, y: x | y, value_compares)
+    grouped = grouped.filter(
+        F.col("__b").isNull() | F.col("__a").isNull() | changed_any
+    )
+    both = F.col("__b").isNotNull() & F.col("__a").isNotNull()
+    modified = F.when(
+        both,
+        F.array_compact(
+            F.array(
+                *[F.when(cmp, F.lit(c)) for cmp, c in zip(value_compares, others)]
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def row_struct(rep_col: str) -> Column:
+        return F.struct(
+            *[
+                F.col(f"`{c}`").alias(c)
+                if c in key_cols
+                else F.col(f"{rep_col}.`{c}`").alias(c)
+                for c in value_cols
+            ]
+        )
+
+    classified = grouped.select(
+        *[F.col(f"`{k}`") for k in key_cols],
+        modified.alias("modified_columns"),
+        row_struct("__b").alias("__b_row"),
+        row_struct("__a").alias("__a_row"),
+        F.when(F.col("__b").isNull(), F.lit(INSERTED))
+        .when(F.col("__a").isNull(), F.lit(DELETED))
+        .otherwise(F.lit(UPDATED))
+        .alias("diff_status"),
+    )
+    pair = (
+        F.when(
+            F.col("diff_status") == UPDATED,
+            F.array(
+                F.struct(F.lit(True).alias("is_before"), F.col("__b_row").alias("row")),
+                F.struct(F.lit(False).alias("is_before"), F.col("__a_row").alias("row")),
+            ),
+        )
+        .when(
+            F.col("diff_status") == DELETED,
+            F.array(
+                F.struct(F.lit(True).alias("is_before"), F.col("__b_row").alias("row"))
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(F.lit(False).alias("is_before"), F.col("__a_row").alias("row"))
+            )
+        )
+    )
+    exploded = classified.select(
+        "diff_status", "modified_columns", F.explode(pair).alias("__e")
+    )
+    out = exploded.select(
+        F.col("diff_status"),
+        F.col("__e.is_before").alias("is_before"),
+        F.col("modified_columns"),
+        *[F.col(f"__e.row.`{c}`").alias(c) for c in value_cols],
+    )
+    return DiffResult(df=out, key_columns=list(key_cols), value_columns=value_cols)
+
+
 def diff_tables(
     before: DataFrame,
     after: DataFrame,
@@ -251,9 +366,39 @@ def diff_tables(
         after = normalize_to_strings(after)
 
     if dedup_keys:
-        # tables whose declared key is not actually unique (or no-PK
+        # Tables whose declared key is not actually unique (or no-PK
         # tables with fully duplicate rows) would cross-match in the
         # full-outer join; identical snapshots MUST diff empty.
+        #
+        # Preferred shape: ONE union-shuffle groupBy computing dedup AND
+        # diff together.  Dedup-then-null-safe-FOJ costs FOUR exchanges —
+        # the dedup aggregation partitions on the raw key columns while
+        # Catalyst rewrites `<=>` join keys to (coalesce, isnull) pairs,
+        # a partitioning the aggregation's exchange does not satisfy, so
+        # every side shuffles twice.  groupBy is natively null-safe
+        # (NULL keys form one group — exactly the `<=>` semantics), so
+        # grouping the tagged union gives dedup + matching + classification
+        # off a single exchange.  Kept to the cases whose semantics the
+        # grouped form reproduces exactly; everything else (schema/type
+        # drift, unorderable value types, bucketed plain-key joins,
+        # include_unchanged) stays on the FOJ.
+        # ordered equality: the last-wins representative is max over a
+        # struct built in column order, so differing orders would pick
+        # differing representatives vs per-side dedup_last_wins
+        types_agree = before.dtypes == after.dtypes
+        grouped_ok = (
+            null_safe_keys
+            and not include_unchanged
+            and types_agree
+            and set(key_cols) != set(before.columns)
+            and all(
+                _is_orderable(t)
+                for c, t in before.dtypes
+                if c not in key_cols
+            )
+        )
+        if grouped_ok:
+            return _diff_grouped_dedup(before, after, key_cols)
         before = dedup_last_wins(before, key_cols)
         after = dedup_last_wins(after, key_cols)
 

@@ -328,3 +328,60 @@ def test_apply_diff_is_idempotent(spark, sf_dir):
     twice = apply_diff(once, d, list(spec.key))
     assert twice.exceptAll(after).count() == 0
     assert after.exceptAll(twice).count() == 0
+
+
+def test_grouped_dedup_diff_matches_foj_and_single_exchange(spark):
+    """The one-shuffle grouped dedup-diff must emit exactly what
+    dedup_last_wins + null-safe FOJ emits — duplicate keys, NULL keys,
+    NULL values, all three statuses — and its plan must hold ONE
+    exchange (the FOJ formulation pays four: dedup aggregations
+    partition on raw keys, the rewritten null-safe join on
+    (coalesce, isnull) tuples)."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.diff import DiffMode, dedup_last_wins, diff_tables
+
+    before = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (1, "a", 11.0),  # dup key: last-wins picks max struct
+            (2, "b", None),
+            (None, "n", 1.0),  # NULL key
+            (3, "c", 3.0),
+            (4, "d", 4.0),
+        ],
+        "id int, s string, v double",
+    )
+    after = spark.createDataFrame(
+        [
+            (1, "a", 11.0),
+            (2, "B", None),  # UPDATED (s)
+            (None, "n", 2.0),  # UPDATED via NULL key match
+            (3, "c", 3.0),  # unchanged
+            (5, "e", 5.0),  # INSERTED; 4 DELETED
+        ],
+        "id int, s string, v double",
+    )
+    grouped = diff_tables(
+        before, after, ["id"], mode=DiffMode.TYPED, dedup_keys=True
+    )
+    # reference semantics: per-side dedup then null-safe FOJ (force the
+    # FOJ by pre-deduping and calling without dedup_keys)
+    foj = diff_tables(
+        dedup_last_wins(before, ["id"]),
+        dedup_last_wins(after, ["id"]),
+        ["id"],
+        mode=DiffMode.TYPED,
+    )
+    ga = grouped.df.withColumn("mc", F.array_join("modified_columns", ",")).drop(
+        "modified_columns"
+    )
+    fa = foj.df.withColumn("mc", F.array_join("modified_columns", ",")).drop(
+        "modified_columns"
+    )
+    assert ga.exceptAll(fa).count() == 0
+    assert fa.exceptAll(ga).count() == 0
+    assert grouped.df.count() == 6  # 2 UPDATED pairs + 1 DELETED + 1 INSERTED
+    plan = grouped.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
