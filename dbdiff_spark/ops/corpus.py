@@ -374,6 +374,13 @@ def corpus_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)"
         " AS BIGINT) AS local_rank",
     )
+    # The unpartitioned running sum below triggers Spark's single-
+    # partition-window warning, but its input is the per-BUCKET count
+    # table — ≤ 65 536 rows by construction (4 hex chars of md5) at ANY
+    # corpus size.  That bound is the whole point of the bucket/offset
+    # design: the corpus-sized ranking above is partitioned per bucket,
+    # and only this fixed-size offset table ever passes through one
+    # reducer.
     offsets = (
         hashed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -121,4 +121,10 @@ def main(names: list[str], sf_dir: str = SF_DIR, spark=None) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    argv = sys.argv[1:]
+    sf_dir = SF_DIR
+    if "--sf-dir" in argv:
+        i = argv.index("--sf-dir")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    raise SystemExit(main(argv, sf_dir=sf_dir))
