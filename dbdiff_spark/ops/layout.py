@@ -24,8 +24,11 @@ The driver query (:func:`zorder_layout_stats`) demonstrates the
 clustering property itself in pure SQL (rank both dimensions, z-
 interleave, carve equal-width z-ranges as file surrogates, report each
 "file's" per-dimension span) so the DuckDB oracle verifies the curve
-math bit-for-bit.  The demo uses a global NTILE rank for cross-engine
-determinism — report-sized only; the write path above never does this.
+math bit-for-bit.  The per-dimension NTILE is computed DISTRIBUTED
+(:func:`_exact_ntile`: value-range bucketing + a ≤4096-row offset
+table, the same bounded-offset pattern as ``corpus_shuffle_index``) —
+bit-identical to the oracle's global NTILE window, without the
+corpus-sized single-reducer window that a literal NTILE costs.
 """
 
 from __future__ import annotations
@@ -105,6 +108,71 @@ def cluster_by_zorder(
 _N_FILES = 32  # z-domain 65536 / 2048
 
 
+RANGE_BUCKETS = 4096
+
+
+def _exact_ntile(
+    df: DataFrame,
+    val: str,
+    tiebreak: str,
+    n: int,
+    total: int,
+    out: str,
+) -> DataFrame:
+    """Exact distributed ``NTILE(n) OVER (ORDER BY val, tiebreak)``.
+
+    A literal NTILE window has no PARTITION BY, so Spark funnels the
+    whole input through ONE reducer — corpus-sized, the single-reducer
+    anti-pattern.  Instead: the global rank is derived from value-range
+    buckets (rows bucket by ``(val - lo) div width`` — value-aligned,
+    so ordering across buckets is preserved), a per-bucket row_number,
+    and a running-sum offset table bounded at ``RANGE_BUCKETS`` rows
+    (only THAT table crosses one reducer).  The NTILE bucket then falls
+    out of the rank arithmetically (first ``total % n`` tiles hold one
+    extra row — the standard NTILE split, matching Spark and DuckDB),
+    so the result is bit-identical to the window formulation at any
+    scale.  Requires a unique (val, tiebreak) total order (ranks must
+    be unambiguous) and integral ``val``.
+    """
+    lo, hi = df.agg(F.min(val), F.max(val)).first()
+    width = max(1, (int(hi) - int(lo)) // RANGE_BUCKETS + 1)
+    g = df.withColumn(
+        "__gb", ((F.col(val) - F.lit(int(lo))).cast("bigint") / width).cast("bigint")
+    )
+    from pyspark.sql import Window
+
+    local = F.row_number().over(
+        Window.partitionBy("__gb").orderBy(F.col(val), F.col(tiebreak))
+    )
+    offsets = (
+        g.groupBy("__gb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .selectExpr(
+            "__gb",
+            "coalesce(sum(__n) OVER (ORDER BY __gb"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off",
+        )
+    )
+    q, rem = divmod(total, n)
+    thresh = rem * (q + 1)
+    rank = F.col("__off") + local
+
+    def iceil(col, d: int):  # exact for ranks < 2^53 (double-exact ints)
+        return F.floor((col + (d - 1)) / d).cast("bigint")
+
+    if q == 0:  # fewer rows than tiles: tile == rank
+        bucket = rank
+    else:
+        bucket = F.when(rank <= thresh, iceil(rank, q + 1)).otherwise(
+            rem + iceil(rank - thresh, q)
+        )
+    return (
+        g.join(F.broadcast(offsets), "__gb")
+        .withColumn(out, bucket.cast("bigint"))
+        .drop("__gb", "__off")
+    )
+
+
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per z-range "file": row count and the span each file covers on
     each dimension — the numbers a pruning planner consumes.  With
@@ -112,10 +180,15 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a linear sort would show span ~= full domain on the second dim."""
     spec = testkit.SPECS["orders"]
     orders = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
-    ranked = orders.select(
-        F.expr("ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1").alias("xb"),
-        F.expr("ntile(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1").alias("yb"),
-    )
+    total = orders.count()
+    ranked = _exact_ntile(
+        _exact_ntile(orders, "o_custkey", "o_orderkey", 256, total, "xb"),
+        "o_orderdate",
+        "o_orderkey",
+        256,
+        total,
+        "yb",
+    ).select((F.col("xb") - 1).alias("xb"), (F.col("yb") - 1).alias("yb"))
     z = ranked.select(
         "xb", "yb", F.expr(_interleave_sql("xb", "yb")).alias("z")
     )
