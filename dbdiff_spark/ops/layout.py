@@ -135,6 +135,8 @@ def _exact_ntile(
     be unambiguous) and integral ``val``.
     """
     lo, hi = df.agg(F.min(val), F.max(val)).first()
+    if lo is None:  # empty input: schema-only result, no rows to rank
+        return df.withColumn(out, F.lit(None).cast("bigint"))
     width = max(1, (int(hi) - int(lo)) // RANGE_BUCKETS + 1)
     g = df.withColumn(
         "__gb", ((F.col(val) - F.lit(int(lo))).cast("bigint") / width).cast("bigint")

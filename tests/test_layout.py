@@ -75,3 +75,31 @@ def test_zorder_prunes_both_dimensions(spark, sf_dir):
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(ldir, ignore_errors=True)
+
+
+def test_exact_ntile_matches_window_ntile_and_handles_empty(spark):
+    """_exact_ntile must be bit-identical to NTILE(n) OVER (ORDER BY
+    val, tiebreak) — including the first-tiles-get-the-extra-row split
+    when n does not divide the row count — and survive empty input."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.layout import _exact_ntile
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, i) for i in range(103)], "v long, id long"
+    )
+    got = _exact_ntile(df, "v", "id", 8, 103, "tile")
+    want = df.select(
+        "v", "id", F.expr("ntile(8) OVER (ORDER BY v, id)").alias("tile")
+    )
+    assert got.select("v", "id", "tile").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("v", "id", "tile")).count() == 0
+    # fewer rows than tiles: tile == rank
+    small = spark.createDataFrame([(5, 1), (3, 2)], "v long, id long")
+    got_small = {
+        (r["v"], r["tile"])
+        for r in _exact_ntile(small, "v", "id", 8, 2, "tile").collect()
+    }
+    assert got_small == {(3, 1), (5, 2)}
+    empty = spark.createDataFrame([], "v long, id long")
+    assert _exact_ntile(empty, "v", "id", 8, 0, "tile").count() == 0
