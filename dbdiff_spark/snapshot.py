@@ -486,6 +486,39 @@ def diff_snapshots(
     return results
 
 
+def schema_changes(before: Snapshot, after: Snapshot) -> list[dict]:
+    """Structural diff of two snapshot manifests — the compact report a
+    schema owner reads before any row diff: tables added/dropped,
+    columns added/dropped per surviving table, and key changes.
+
+    Pure manifest arithmetic (no Spark jobs): the manifests already
+    carry each table's column list and key.  Row-level drift handling
+    (``diff_tables`` marking every column modified, reference
+    ``extract_data.go:162-171``) stays as-is; this is the summary view.
+    Sorted deterministically for stable rendering."""
+    out: list[dict] = []
+    for t in sorted(set(before.tables) - set(after.tables)):
+        out.append({"table": t, "change": "TABLE_DROPPED", "detail": ""})
+    for t in sorted(set(after.tables) - set(before.tables)):
+        out.append({"table": t, "change": "TABLE_ADDED", "detail": ""})
+    for t in sorted(set(before.tables) & set(after.tables)):
+        b_cols = before.columns.get(t, [])
+        a_cols = after.columns.get(t, [])
+        for c in sorted(set(b_cols) - set(a_cols)):
+            out.append({"table": t, "change": "COLUMN_DROPPED", "detail": c})
+        for c in sorted(set(a_cols) - set(b_cols)):
+            out.append({"table": t, "change": "COLUMN_ADDED", "detail": c})
+        if before.keys.get(t) != after.keys.get(t):
+            out.append(
+                {
+                    "table": t,
+                    "change": "KEY_CHANGED",
+                    "detail": f"{before.keys.get(t)} -> {after.keys.get(t)}",
+                }
+            )
+    return out
+
+
 def packed_diff(
     spark: SparkSession,
     before: Snapshot,

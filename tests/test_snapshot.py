@@ -335,3 +335,31 @@ def test_snapshot_delta_format_gated(spark, tmp_path):
         store.collect(
             {"t": t}, {"t": ["id"]}, str(tmp_path / "d2"), format="delta", buckets=4
         )
+
+
+def test_schema_changes_report(spark, tmp_path):
+    """Manifest-level structural diff: table add/drop, column add/drop,
+    key change — no Spark jobs, pure manifest arithmetic."""
+    from dbdiff_spark.snapshot import schema_changes
+
+    store = SnapshotStore(spark)
+    t1 = spark.createDataFrame([(1, "a")], "id int, s string")
+    t2 = spark.createDataFrame([(1,)], "id int")
+    before = store.collect(
+        {"t1": t1, "t2": t2}, {"t1": ["id"]}, str(tmp_path / "sb")
+    )
+    t1b = spark.createDataFrame([(1, "a", 0.5)], "id int, s2 string, v double")
+    t3 = spark.createDataFrame([(9,)], "id int")
+    after = store.collect(
+        {"t1": t1b, "t3": t3}, {"t1": ["id", "s2"]}, str(tmp_path / "sa")
+    )
+    got = schema_changes(before, after)
+    assert {(r["table"], r["change"], r["detail"]) for r in got} == {
+        ("t2", "TABLE_DROPPED", ""),
+        ("t3", "TABLE_ADDED", ""),
+        ("t1", "COLUMN_DROPPED", "s"),
+        ("t1", "COLUMN_ADDED", "s2"),
+        ("t1", "COLUMN_ADDED", "v"),
+        ("t1", "KEY_CHANGED", "['id'] -> ['id', 's2']"),
+    }
+    assert schema_changes(before, before) == []
