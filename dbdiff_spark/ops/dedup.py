@@ -403,13 +403,21 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    prev = None
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # localCheckpoint, not persist: a cached iterative DataFrame
+        # still carries the full LOGICAL plan, which nests the previous
+        # round's plan — Catalyst re-analysis grows exponentially with
+        # rounds even when execution hits the cache (measured 229 s for
+        # the sf0.1 propagation; 3 s with the lineage cut).  Eager
+        # checkpoint also materializes the round, so the convergence
+        # count below reads the checkpointed result.  Same pattern as
+        # bigstar_components; a real cluster wants reliable
+        # checkpointing for executor-loss recovery.
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -419,13 +427,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
-        ).persist()
-        # the count materializes this round's labels, so the previous
-        # round's cache (its lineage parent) can be released
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("__changed")).count()
-        if prev is not None:
-            prev.unpersist()
-        prev = new_labels
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
