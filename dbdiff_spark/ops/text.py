@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, spread
 
 TOKEN_PATTERN = "[a-z0-9]+"
 
@@ -196,7 +196,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the 4 smallest md5s of the word-3-gram
     shingle set, comma-joined.  Documents sharing a fingerprint are
     near-identical candidates."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread first: one md5 per shingle is seconds of CPU per core over
+    # a byte-tiny file the scan planner gives ONE task (io.spread note)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sh = shingles_expr_spark()
     return docs.select(
         "doc_id",
@@ -217,9 +219,11 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition — the boilerplate/template signal used
     by large-corpus quality filters: ``1 - distinct/total`` over word
     3-grams.  A doc that repeats one sentence scores near 1; fresh prose
-    scores near 0.  Narrow per-row projection, no shuffle; ratio is one
-    double division (bit-identical across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
+    scores near 0.  Narrow per-row projection; ratio is one double
+    division (bit-identical across engines).  The double shingle
+    evaluation (size + distinct-size) is CPU-heavy per row, so the
+    byte-tiny input is spread across cores first (io.spread note)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     sh = shingles_expr_spark()
     return docs.selectExpr(
         "doc_id",
