@@ -296,8 +296,135 @@ GROUP BY grp
 """
 
 
+# --- HyperLogLog distinct-count sketch ---------------------------------------
+#
+# The classic register sketch, built DETERMINISTICALLY so it oracle-
+# checks bit-for-bit (engine-native HLLs — Spark's approx_count_distinct,
+# DuckDB's approx_count_distinct — use private hash/bias tables and can
+# never cross-check):
+#
+# * register index = first 2 hex chars of md5(value) (p=8 → m=256);
+# * rho = 1 + number of leading zero BITS in the next 48 hash bits,
+#   computed from the hex string alone (strip leading '0' chars, then a
+#   16-way CASE on the first non-zero nibble) — no log2/bit_length, so
+#   both engines run the same exact string/integer ops;
+# * register value = max(rho) per (group, register): ONE map-side-
+#   combinable aggregation — registers merge by max, which is exactly
+#   how 1000 executors combine partial sketches;
+# * the harmonic-mean estimate stays exact: the indicator sum is kept as
+#   the INTEGER sum of 2^(49-rho) (max 256·2^49 = 2^57 < int64), and the
+#   only floating op is one final correctly-rounded IEEE division by a
+#   shared literal numerator — deterministic on every engine.
+#
+# The small-range linear-counting correction (m·ln(m/V)) is deliberately
+# NOT folded in: ln is libm-dependent (last-ulp divergence breaks the
+# oracle); zero_registers is reported so callers can apply it.
+
+_HLL_HEX_P = 2  # register index hex chars → m = 256
+HLL_M = 16**_HLL_HEX_P
+_HLL_RHO_HEX = 12  # 48 bits examined for the leading-zero run
+_HLL_MAX_RHO = 4 * _HLL_RHO_HEX + 1  # all-zero tail → rho = 49
+# alpha_m · m² · 2^49 as one shared literal: both engines divide the
+# integer register sum into the SAME double constant.
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUMERATOR = repr(_HLL_ALPHA * HLL_M * HLL_M * float(2**49))
+
+# leading zero bits inside the first non-zero nibble
+_NIBBLE_ZEROS = {"1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1}
+
+
+def _nibble_case(first_char: str) -> str:
+    whens = " ".join(
+        f"WHEN '{d}' THEN {z}" for d, z in _NIBBLE_ZEROS.items()
+    )
+    return f"CASE {first_char} {whens} ELSE 0 END"
+
+
+def _rho_exprs(tail: str) -> tuple[str, str]:
+    """(stripped, rho) SQL snippets shared by both engines."""
+    stripped = f"regexp_replace({tail}, '^0+', '')"
+    rho = (
+        f"CASE WHEN {stripped} = '' THEN {_HLL_MAX_RHO} "
+        f"ELSE 4 * ({_HLL_RHO_HEX} - length({stripped}))"
+        f" + {_nibble_case(f'substr({stripped}, 1, 1)')} + 1 END"
+    )
+    return stripped, rho
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event type (m=256 registers), with
+    the exact distinct count alongside for calibration."""
+    ev = load_table(spark, sf_dir, "events")
+    h = "md5(CAST(user_id AS STRING))"
+    reg = f"CAST(conv(substr({h}, 1, {_HLL_HEX_P}), 16, 10) AS INT)"
+    _, rho = _rho_exprs(f"substr({h}, {_HLL_HEX_P + 1}, {_HLL_RHO_HEX})")
+    registers = (
+        ev.selectExpr("event_type AS grp", f"{reg} AS reg", f"{rho} AS rho")
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    sketch = registers.groupBy("grp").agg(
+        F.expr(f"CAST({HLL_M} - count(*) AS INT) AS zero_registers"),
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {_HLL_MAX_RHO} - r))"
+            f" + ({HLL_M} - count(*)) * shiftleft(CAST(1 AS BIGINT), {_HLL_MAX_RHO})"
+            " AS register_sum"
+        ),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return sketch.join(exact, "grp").selectExpr(
+        "grp",
+        "zero_registers",
+        "register_sum",
+        f"CAST({_HLL_NUMERATOR} AS DOUBLE) / CAST(register_sum AS DOUBLE)"
+        " AS hll_estimate",
+        "exact_distinct",
+    )
+
+
+def _hll_sql() -> str:
+    h = "md5(CAST(user_id AS VARCHAR))"
+    idx_hex = f"substr({h}, 1, {_HLL_HEX_P})"
+    digits = [
+        f"(strpos('0123456789abcdef', substr({idx_hex}, {i + 1}, 1)) - 1)"
+        for i in range(_HLL_HEX_P)
+    ]
+    reg = digits[0]
+    for d in digits[1:]:
+        reg = f"(16 * {reg} + {d})"
+    _, rho = _rho_exprs(f"substr({h}, {_HLL_HEX_P + 1}, {_HLL_RHO_HEX})")
+    return f"""
+WITH registers AS (
+  SELECT event_type AS grp, CAST({reg} AS INT) AS reg, max({rho}) AS r
+  FROM events GROUP BY 1, 2
+),
+sketch AS (
+  SELECT grp,
+         CAST({HLL_M} - count(*) AS INT) AS zero_registers,
+         CAST(sum(CAST(1 AS BIGINT) << ({_HLL_MAX_RHO} - r)) AS BIGINT)
+           + ({HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_MAX_RHO})
+           AS register_sum
+  FROM registers GROUP BY grp
+),
+exact AS (
+  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT s.grp, zero_registers, register_sum,
+       CAST({_HLL_NUMERATOR} AS DOUBLE) / CAST(register_sum AS DOUBLE) AS hll_estimate,
+       exact_distinct
+FROM sketch s JOIN exact e ON s.grp = e.grp
+"""
+
+
+HLL_SQL = _hll_sql()
+
+
 QUERIES = {
     "cms_token_counts": (cms_token_counts, CMS_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "quantile_histogram": (quantile_histogram, QUANTILE_HIST_SQL),
+    "hll_distinct": (hll_distinct, HLL_SQL),
 }

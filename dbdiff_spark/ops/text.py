@@ -571,8 +571,114 @@ HAVING count(*) >= 5
 """
 
 
+# --- BM25-style ranked retrieval ---------------------------------------------
+#
+# Top-k documents for a fixed conjunctive probe query, scored with the
+# BM25 term-frequency saturation (k1=1.2, b=0.75) and a LOG-FREE
+# rational idf surrogate (N - df + 0.5)/(df + 0.5) — the classic
+# Robertson-Spärck-Jones odds WITHOUT the ln wrapper, which keeps every
+# arithmetic step a correctly-rounded IEEE double op (ln is libm-
+# dependent; last-ulp divergence would break the bit-exact oracle).
+# Per term the surrogate is strictly monotone in the classic idf.
+#
+# Scale shape — deliberately NOT the textbook explode+join pipeline:
+# per-document tf for a FIXED term set is a higher-order-function
+# projection (size(filter(tokens, = term))), so scoring is one corpus
+# scan; the corpus statistics (N, total length, per-term df) aggregate
+# to a SINGLE row that broadcasts back; top-k is orderBy+limit, which
+# Spark plans as TakeOrdered (per-partition heaps + driver merge of k
+# rows — no single-partition window at any scale).  Summation order
+# across terms is a fixed textual expression, so the double result is
+# bit-identical on every engine and any partitioning.
+
+BM25_TERMS = ("the", "data", "model")
+_D = "CAST({} AS DOUBLE)"
+
+
+def _bm25_score(doc_tf: str, df_col: str) -> str:
+    """Shared scoring snippet (both engines): BM25 saturation × rational
+    idf.  All literals explicitly DOUBLE so neither engine slips into
+    DECIMAL arithmetic."""
+    tf, df = _D.format(doc_tf), _D.format(df_col)
+    idf = f"(((CAST(n_docs AS DOUBLE) - {df}) + CAST(0.5 AS DOUBLE)) / ({df} + CAST(0.5 AS DOUBLE)))"
+    tfp = (
+        f"(({tf} * CAST(2.2 AS DOUBLE)) / "
+        f"({tf} + (CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + "
+        f"(CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))))))"
+    )
+    return (
+        f"CASE WHEN {doc_tf} > 0 THEN ({idf} * {tfp}) "
+        "ELSE CAST(0 AS DOUBLE) END"
+    )
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for the fixed probe query, BM25-scored."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf_cols = [
+        f"size(filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = docs.selectExpr("doc_id", f"{_TOKENS} AS toks").selectExpr(
+        "doc_id", "size(toks) AS dl", *tf_cols
+    )
+    stats = per_doc.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_docs",
+        "CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl",
+        *[
+            f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    score = " + ".join(
+        f"({_bm25_score(f'tf_{i}', f'df_{i}')})" for i in range(len(BM25_TERMS))
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).selectExpr(
+        "doc_id", f"({score}) AS score"
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "doc_id", "score"
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(
+        f"({_bm25_score(f'tf_{i}', f'df_{i}')})" for i in range(len(BM25_TERMS))
+    )
+    return f"""
+WITH toked AS (SELECT doc_id, {_D_TOKENS} AS toks FROM documents),
+per_doc AS (SELECT doc_id, len(toks) AS dl, {tf_cols} FROM toked),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {df_cols}
+  FROM per_doc
+),
+scored AS (
+  SELECT doc_id, ({score}) AS score FROM per_doc CROSS JOIN stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+       doc_id, score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+BM25_RANK_SQL = _bm25_sql()
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "bm25_rank": (bm25_rank, BM25_RANK_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),

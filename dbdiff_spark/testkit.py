@@ -409,7 +409,7 @@ def _prep_sql(spec: TableSpec) -> str:
     return f'SELECT {cols} FROM "{spec.name}"'
 
 
-def _after_sql(spec: TableSpec, mut: Mutation) -> str:
+def _after_sql(spec: TableSpec, mut: Mutation, src: str = "before") -> str:
     upd_by_col: dict[str, list[tuple[str, str]]] = {}
     for cond, col, expr in mut.updates:
         upd_by_col.setdefault(col, []).append((cond, expr))
@@ -423,13 +423,13 @@ def _after_sql(spec: TableSpec, mut: Mutation) -> str:
         else:
             sel.append(f'"{c}"')
     where = f"WHERE NOT ({mut.delete_where})" if mut.delete_where else ""
-    sql = f"SELECT {', '.join(sel)} FROM before {where}"
+    sql = f"SELECT {', '.join(sel)} FROM {src} {where}"
     if mut.insert_where:
         ins_sel = ", ".join(
             f'({mut.insert_overrides[c]}) AS "{c}"' if c in mut.insert_overrides else f'"{c}"'
             for c in spec.cols
         )
-        sql += f"\n  UNION ALL SELECT {ins_sel} FROM before WHERE {mut.insert_where}"
+        sql += f"\n  UNION ALL SELECT {ins_sel} FROM {src} WHERE {mut.insert_where}"
     return sql
 
 

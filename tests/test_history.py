@@ -1,0 +1,49 @@
+"""SCD2 snapshot-history operator — interval semantics pinned on a
+hand-built lineage that exercises every transition: stable row, update,
+double update, delete-after-update, late insert, and delete-then-
+reappear (which must open a NEW version, not extend the old one)."""
+
+from dbdiff_spark.ops.history import scd2_history
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_scd2_intervals(spark):
+    s0 = _snap(spark, [(1, "a"), (2, "b"), (3, "c"), (5, "e")])
+    s1 = _snap(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e2")])  # 3 deleted
+    s2 = _snap(spark, [(1, "a"), (2, "B2"), (3, "c9"), (4, "d")])  # 5 deleted, 3 back
+    out = scd2_history(spark, [s0, s1, s2], ["k"], ["v"])
+    rows = {
+        (r.k, r.valid_from): (r.v, r.valid_to, r.is_current)
+        for r in out.collect()
+    }
+    # stable key: one open interval from s0
+    assert rows[(1, 0)] == ("a", None, True)
+    # double update: three versions, two closed
+    assert rows[(2, 0)] == ("b", 1, False)
+    assert rows[(2, 1)] == ("B", 2, False)
+    assert rows[(2, 2)] == ("B2", None, True)
+    # delete then reappear: first version CLOSED at s1, fresh version at s2
+    assert rows[(3, 0)] == ("c", 1, False)
+    assert rows[(3, 2)] == ("c9", None, True)
+    # late insert: opens at s1
+    assert rows[(4, 1)] == ("d", None, True)
+    # update then delete: final version closed at s2, nothing current
+    assert rows[(5, 0)] == ("e", 1, False)
+    assert rows[(5, 1)] == ("e2", 2, False)
+    assert len(rows) == 9
+
+
+def test_scd2_null_attrs_are_versions(spark):
+    """NULL attribute values are real states: NULL→'x'→NULL is three
+    versions (null-safe comparison, not IS NULL blindness)."""
+    s0 = spark.createDataFrame([(1, None)], "k int, v string")
+    s1 = spark.createDataFrame([(1, "x")], "k int, v string")
+    s2 = spark.createDataFrame([(1, None)], "k int, v string")
+    out = scd2_history(spark, [s0, s1, s2], ["k"], ["v"])
+    got = sorted(
+        (r.valid_from, r.v, r.valid_to, r.is_current) for r in out.collect()
+    )
+    assert got == [(0, None, 1, False), (1, "x", 2, False), (2, None, None, True)]
