@@ -770,3 +770,141 @@ def ordered_output(result: DiffResult) -> DataFrame:
     return result.df.orderBy(
         *result.key_columns, F.col("is_before").desc()
     )
+
+
+# --- three-way merge (diff3) -------------------------------------------------
+
+MERGE_OURS = "OURS"
+MERGE_THEIRS = "THEIRS"
+MERGE_BOTH_SAME = "BOTH_SAME"
+MERGE_CONFLICT = "CONFLICT"
+
+
+def diff3_tables(
+    base: DataFrame,
+    ours: DataFrame,
+    theirs: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """Three-way snapshot merge with conflict detection — the natural
+    extension of the reference's two-snapshot REPL (`cmd/dbdiff/main.go:
+    62-87`) to two environments that diverged from a common base.
+
+    Per key (unchanged keys are dropped):
+
+    * changed only in ours            → ``OURS``      (merged = ours)
+    * changed only in theirs          → ``THEIRS``    (merged = theirs)
+    * both changed, identically       → ``BOTH_SAME`` (merged = ours)
+    * both changed, differently       → ``CONFLICT``  — emitted as an
+      ours/theirs row PAIR (mirroring the reference's UPDATED
+      before/after pair rendering, extract_data.go:213-234)
+
+    "Changed" covers deletes and inserts; a merged delete carries
+    ``deleted = true`` with NULL value columns.
+
+    Scale shape: ONE shuffle — the three tagged snapshots union and a
+    single groupBy(key) folds each side into a fixed-size max(struct)
+    buffer (the `_diff_grouped_dedup` pattern; no FOJ chain, so there is
+    no second exchange and NULL keys group naturally without null-safe
+    join rewrites).  Classification and the conflict pair expansion are
+    narrow projections on changed keys only.
+    """
+    val_cols = [c for c in base.columns if c not in key_cols]
+    for df, name in ((ours, "ours"), (theirs, "theirs")):
+        if df.columns != base.columns:
+            raise ValueError(
+                f"diff3 requires identical schemas; {name} differs from base"
+            )
+
+    def tagged(df: DataFrame, side: int) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.lit(side).alias("_side"),
+            F.struct(*[F.col(c) for c in val_cols]).alias("_vals"),
+        )
+
+    unioned = (
+        tagged(base, 0)
+        .unionByName(tagged(ours, 1))
+        .unionByName(tagged(theirs, 2))
+    )
+    folded = unioned.groupBy(*key_cols).agg(
+        *[
+            F.max(F.when(F.col("_side") == s, F.col("_vals"))).alias(n)
+            for s, n in ((0, "_b"), (1, "_o"), (2, "_t"))
+        ],
+        *[
+            F.max(F.when(F.col("_side") == s, F.lit(True)))
+            .isNotNull()
+            .alias(f"_p{n}")
+            for s, n in ((0, "b"), (1, "o"), (2, "t"))
+        ],
+    )
+
+    def differs(x: str, y: str, px: str, py: str) -> Column:
+        col_diff = reduce(
+            lambda acc, c: acc
+            | ~F.col(f"{x}.{c}").eqNullSafe(F.col(f"{y}.{c}")),
+            val_cols,
+            F.lit(False),
+        )
+        return (F.col(px) != F.col(py)) | (F.col(px) & F.col(py) & col_diff)
+
+    changed_o = differs("_o", "_b", "_po", "_pb")
+    changed_t = differs("_t", "_b", "_pt", "_pb")
+    same_ot = ~differs("_o", "_t", "_po", "_pt")
+
+    classified = (
+        folded.withColumn("_co", changed_o)
+        .withColumn("_ct", changed_t)
+        .filter(F.col("_co") | F.col("_ct"))
+        .withColumn(
+            "merge_status",
+            F.when(F.col("_co") & ~F.col("_ct"), F.lit(MERGE_OURS))
+            .when(F.col("_ct") & ~F.col("_co"), F.lit(MERGE_THEIRS))
+            .when(same_ot, F.lit(MERGE_BOTH_SAME))
+            .otherwise(F.lit(MERGE_CONFLICT)),
+        )
+    )
+
+    def out_row(side_label: str, vals: str, present: str) -> Column:
+        return F.struct(
+            F.lit(side_label).alias("side"),
+            (~F.col(present)).alias("deleted"),
+            *[
+                F.when(F.col(present), F.col(f"{vals}.{c}")).alias(c)
+                for c in val_cols
+            ],
+        )
+
+    winner_vals = F.when(
+        F.col("merge_status") == MERGE_THEIRS, F.col("_t")
+    ).otherwise(F.col("_o"))
+    winner_present = F.when(
+        F.col("merge_status") == MERGE_THEIRS, F.col("_pt")
+    ).otherwise(F.col("_po"))
+    rows = F.when(
+        F.col("merge_status") == MERGE_CONFLICT,
+        F.array(out_row("ours", "_o", "_po"), out_row("theirs", "_t", "_pt")),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("merged").alias("side"),
+                (~winner_present).alias("deleted"),
+                *[
+                    F.when(winner_present, winner_vals[c]).alias(c)
+                    for c in val_cols
+                ],
+            )
+        )
+    )
+    exploded = classified.select(
+        *key_cols, "merge_status", F.explode(rows).alias("_r")
+    )
+    return exploded.select(
+        *key_cols,
+        "merge_status",
+        F.col("_r.side").alias("side"),
+        F.col("_r.deleted").alias("deleted"),
+        *[F.col(f"_r.{c}").alias(c) for c in val_cols],
+    )

@@ -8,27 +8,24 @@ snapshots s0..sN of a keyed table, emit one row per (key, version)
 with a validity interval — the standard dimension-history layout that
 downstream point-in-time joins consume.
 
-Scale shape (everything is keyed on the table's primary key):
-
-* tag + union the snapshots — a scan, no shuffle;
-* densify the (key × snapshot) timeline so DISAPPEARANCES are visible
-  (a deleted key must CLOSE its last version): distinct keys × S
-  ordinals, with the S-row ordinal side broadcast — output is keys×S
-  rows, linear in S;
-* one window (lag over snap ordinal per key) finds change points via
-  per-column null-safe comparison — no row hashing, so there is no
-  collision risk and no cross-engine hash to agree on;
-* a second window (lead over the change points) closes each interval.
-
-All shuffles hash on the key; at 100 TB the cost is S·|keys| window
-rows — the same order as reading the snapshots.  For large S the dense
-timeline should be built per-key with a pivot instead (noted inline);
-for the S≤4 audit-history case the cross join is the simpler plan.
+Scale shape: ONE shuffle.  The S tagged snapshots union and a single
+groupBy(key) folds each snapshot's row into a fixed-size max(struct)
+buffer (the `_diff_grouped_dedup` pattern from diff.py) — absence is a
+NULL buffer, so DISAPPEARANCES are visible without densifying a
+(key × snapshot) timeline, and there are no windows and no joins.
+Change points, interval closing, and the version explode are all
+generated per-ordinal expressions (S is a small compile-time constant),
+evaluated inside whole-stage codegen on changed keys only.  The DuckDB
+oracle deliberately uses the textbook lag/lead-window formulation —
+different plan, same semantics, which is exactly what the cross-check
+should pin.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dbdiff_spark import testkit
@@ -42,7 +39,7 @@ def scd2_history(
     keys: list[str],
     attrs: list[str],
 ) -> DataFrame:
-    """Fold ordered snapshots into SCD2 rows.
+    """Fold ordered keyed snapshots into SCD2 rows.
 
     Output: ``keys + attrs + (valid_from, valid_to, is_current)`` where
     ``valid_from``/``valid_to`` are snapshot ordinals (``valid_to`` NULL
@@ -53,46 +50,70 @@ def scd2_history(
     s_count = len(snaps)
     tagged = None
     for i, df in enumerate(snaps):
-        t = df.select(*keys, *attrs).withColumn("snap_ord", F.lit(i)).withColumn(
-            "_present", F.lit(True)
+        t = df.select(
+            *keys,
+            F.lit(i).alias("_ord"),
+            F.struct(*[F.col(a) for a in attrs]).alias("_vals"),
         )
         tagged = t if tagged is None else tagged.unionByName(t)
 
-    # Dense (key, snap_ord) grid so absence is a visible state.  The
-    # ordinal side is S literal rows — broadcast, so this is a map-side
-    # expand of the distinct-key set, not a shuffle.  (For large S,
-    # replace with a per-key pivot to arrays of length S.)
-    keyset = tagged.select(*keys).distinct()
-    ords = spark.range(s_count).select(F.col("id").cast("int").alias("snap_ord"))
-    dense = keyset.crossJoin(F.broadcast(ords))
-    state = dense.join(tagged, [*keys, "snap_ord"], "left").withColumn(
-        "present", F.coalesce(F.col("_present"), F.lit(False))
+    folded = tagged.groupBy(*keys).agg(
+        *[
+            F.max(F.when(F.col("_ord") == i, F.col("_vals"))).alias(f"_v{i}")
+            for i in range(s_count)
+        ],
+        *[
+            F.max(F.when(F.col("_ord") == i, F.lit(True)))
+            .isNotNull()
+            .alias(f"_p{i}")
+            for i in range(s_count)
+        ],
     )
 
-    w = Window.partitionBy(*keys).orderBy("snap_ord")
-    prev_present = F.lag("present").over(w)
-    # Per-column null-safe change detection — exact, no hashing.
-    attr_changed = None
-    for a in attrs:
-        c = ~F.col(a).eqNullSafe(F.lag(a).over(w))
-        attr_changed = c if attr_changed is None else (attr_changed | c)
-    is_event = F.when(prev_present.isNull(), F.col("present")).otherwise(
-        (F.col("present") != prev_present)
-        | (F.col("present") & prev_present & attr_changed)
-    )
-    events = state.withColumn("is_event", is_event).filter(F.col("is_event"))
-
-    we = Window.partitionBy(*keys).orderBy("snap_ord")
-    closed = events.withColumn("valid_to", F.lead("snap_ord").over(we))
-    return (
-        closed.filter(F.col("present"))
-        .select(
-            *keys,
-            *attrs,
-            F.col("snap_ord").alias("valid_from"),
-            F.col("valid_to"),
-            F.col("valid_to").isNull().alias("is_current"),
+    def changed(i: int) -> Column:
+        """State at ordinal i differs from ordinal i-1 (null-safe per
+        attribute; presence flips always count)."""
+        col_diff = reduce(
+            lambda acc, a: acc
+            | ~F.col(f"_v{i}.{a}").eqNullSafe(F.col(f"_v{i - 1}.{a}")),
+            attrs,
+            F.lit(False),
         )
+        pi, pj = F.col(f"_p{i}"), F.col(f"_p{i - 1}")
+        return (pi != pj) | (pi & pj & col_diff)
+
+    event = [F.col("_p0")] + [changed(i) for i in range(1, s_count)]
+
+    def valid_to(i: int) -> Column:
+        """First event ordinal after i closes the interval opened at i."""
+        expr: Column = F.lit(None).cast("int")
+        for j in reversed(range(i + 1, s_count)):
+            expr = F.when(event[j], F.lit(j)).otherwise(expr)
+        return expr
+
+    versions = F.array(
+        *[
+            F.when(
+                event[i] & F.col(f"_p{i}"),
+                F.struct(
+                    F.lit(i).alias("valid_from"),
+                    valid_to(i).alias("valid_to"),
+                    *[F.col(f"_v{i}.{a}").alias(a) for a in attrs],
+                ),
+            )
+            for i in range(s_count)
+        ]
+    )
+    exploded = folded.select(
+        *keys,
+        F.explode(F.filter(versions, lambda x: x.isNotNull())).alias("_r"),
+    )
+    return exploded.select(
+        *keys,
+        *[F.col(f"_r.{a}").alias(a) for a in attrs],
+        F.col("_r.valid_from").alias("valid_from"),
+        F.col("_r.valid_to").alias("valid_to"),
+        F.col("_r.valid_to").isNull().alias("is_current"),
     )
 
 

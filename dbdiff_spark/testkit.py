@@ -503,3 +503,101 @@ UNION ALL
 SELECT diff_status, FALSE AS is_before, modified_cols, {a_out}
 FROM cls WHERE diff_status IN ('INSERTED', 'UPDATED')
 """
+
+
+# --- three-way merge fixture -------------------------------------------------
+
+# "theirs" diverges from the same base as MUTATIONS["customer"] ("ours"):
+# same delete (clean BOTH_SAME), clashing c_acctbal update on %10=3
+# (CONFLICT pairs), a disjoint update (THEIRS), and an insert of the
+# SAME synthetic keys as ours with a different c_mktsegment
+# (insert-insert CONFLICT).  Ours' %10=4 update stays OURS-only.
+CUSTOMER_THEIRS = Mutation(
+    delete_where="c_custkey % 10 = 7",
+    updates=(
+        ("c_custkey % 10 = 3", "c_acctbal", "c_acctbal + 200.0"),
+        ("c_custkey % 10 = 5", "c_mktsegment", "'THEIRS'"),
+    ),
+    insert_where="c_custkey % 10 = 1",
+    insert_overrides={
+        "c_custkey": "c_custkey + 1000000",
+        "c_mktsegment": "'T_INS'",
+    },
+)
+
+
+def merge3_query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff3 of (customer, ours(customer), theirs(customer))."""
+    from dbdiff_spark.diff import diff3_tables
+
+    spec = SPECS["customer"]
+    base = prep(load_table(spark, sf_dir, "customer"), spec)
+    ours = apply_mutation(base, spec, MUTATIONS["customer"])
+    theirs = apply_mutation(base, spec, CUSTOMER_THEIRS)
+    return diff3_tables(base, ours, theirs, list(spec.key))
+
+
+def merge3_oracle_sql() -> str:
+    """ANSI-SQL twin of :func:`merge3_query_df` (FOJ-chain formulation —
+    different plan, identical semantics)."""
+    spec = SPECS["customer"]
+    keys = list(spec.key)
+    vals = [c for c in spec.cols if c not in keys]
+    k = keys[0]
+    o_diff = " OR ".join(
+        f'o."{c}" IS DISTINCT FROM b."{c}"' for c in vals
+    )
+    t_diff = " OR ".join(
+        f't."{c}" IS DISTINCT FROM b."{c}"' for c in vals
+    )
+    ot_diff = " OR ".join(
+        f'o."{c}" IS DISTINCT FROM t."{c}"' for c in vals
+    )
+    th = "'THEIRS'"
+    win_p = f"(CASE WHEN merge_status = {th} THEN pt ELSE po END)"
+    merged_cols = ", ".join(
+        f'CASE WHEN {win_p} THEN '
+        f'(CASE WHEN merge_status = {th} THEN "t_{c}" ELSE "o_{c}" END) '
+        f'END AS "{c}"'
+        for c in vals
+    )
+    return f"""
+WITH before AS ({_prep_sql(spec)}),
+ours AS ({_after_sql(spec, MUTATIONS["customer"], src="before")}),
+theirs AS ({_after_sql(spec, CUSTOMER_THEIRS, src="before")}),
+j AS (
+  SELECT coalesce(b."{k}", o."{k}", t."{k}") AS "{k}",
+         b."{k}" IS NOT NULL AS pb, o."{k}" IS NOT NULL AS po, t."{k}" IS NOT NULL AS pt,
+         (o."{k}" IS NOT NULL) <> (b."{k}" IS NOT NULL)
+           OR (o."{k}" IS NOT NULL AND b."{k}" IS NOT NULL AND ({o_diff})) AS co,
+         (t."{k}" IS NOT NULL) <> (b."{k}" IS NOT NULL)
+           OR (t."{k}" IS NOT NULL AND b."{k}" IS NOT NULL AND ({t_diff})) AS ct,
+         NOT ((o."{k}" IS NOT NULL) <> (t."{k}" IS NOT NULL)
+              OR (o."{k}" IS NOT NULL AND t."{k}" IS NOT NULL AND ({ot_diff}))) AS same_ot,
+         {", ".join(f'o."{c}" AS "o_{c}"' for c in vals)},
+         {", ".join(f't."{c}" AS "t_{c}"' for c in vals)}
+  FROM (SELECT * FROM before) b
+  FULL OUTER JOIN ours o ON b."{k}" = o."{k}"
+  FULL OUTER JOIN theirs t ON coalesce(b."{k}", o."{k}") = t."{k}"
+),
+cls AS (
+  SELECT *,
+    CASE WHEN co AND NOT ct THEN 'OURS'
+         WHEN ct AND NOT co THEN 'THEIRS'
+         WHEN same_ot THEN 'BOTH_SAME'
+         ELSE 'CONFLICT' END AS merge_status
+  FROM j WHERE co OR ct
+)
+SELECT "{k}", merge_status, 'merged' AS side,
+       NOT {win_p} AS deleted,
+       {merged_cols}
+FROM cls WHERE merge_status <> 'CONFLICT'
+UNION ALL
+SELECT "{k}", merge_status, 'ours' AS side, NOT po AS deleted,
+       {", ".join(f'CASE WHEN po THEN "o_{c}" END AS "{c}"' for c in vals)}
+FROM cls WHERE merge_status = 'CONFLICT'
+UNION ALL
+SELECT "{k}", merge_status, 'theirs' AS side, NOT pt AS deleted,
+       {", ".join(f'CASE WHEN pt THEN "t_{c}" END AS "{c}"' for c in vals)}
+FROM cls WHERE merge_status = 'CONFLICT'
+"""

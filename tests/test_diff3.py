@@ -1,0 +1,72 @@
+"""Three-way merge (diff3) classification semantics on a hand-built
+lineage covering every branch, plus integer-PageRank invariants."""
+
+from dbdiff_spark.diff import diff3_tables
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, w int")
+
+
+def test_diff3_classification(spark):
+    base = _t(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3), (4, "d", 4),
+                      (5, "e", 5), (6, "f", 6), (7, "g", 7)])
+    ours = _t(spark, [(1, "a", 1), (2, "B", 2), (3, "c", 3), (4, "D", 4),
+                      (6, "F", 6), (7, "g", 7), (8, "h", 8)])   # 5 deleted
+    theirs = _t(spark, [(1, "a", 1), (2, "b", 2), (3, "C", 3), (4, "D", 4),
+                        (5, "e", 5), (6, "Fx", 6), (7, "g", 7), (8, "hx", 8)])
+    out = diff3_tables(base, ours, theirs, ["k"])
+    rows = [
+        (r.k, r.merge_status, r.side, r.deleted, r.v) for r in out.collect()
+    ]
+    by_key = {}
+    for row in rows:
+        by_key.setdefault(row[0], []).append(row[1:])
+    assert 1 not in by_key  # unchanged everywhere → dropped
+    assert by_key[2] == [("OURS", "merged", False, "B")]
+    assert by_key[3] == [("THEIRS", "merged", False, "C")]
+    assert by_key[4] == [("BOTH_SAME", "merged", False, "D")]
+    # delete vs keep-unchanged → ours-only delete
+    assert by_key[5] == [("OURS", "merged", True, None)]
+    # both changed differently → conflict pair
+    assert sorted(by_key[6]) == [
+        ("CONFLICT", "ours", False, "F"),
+        ("CONFLICT", "theirs", False, "Fx"),
+    ]
+    assert 7 not in by_key
+    # insert-insert with different values → conflict pair
+    assert sorted(by_key[8]) == [
+        ("CONFLICT", "ours", False, "h"),
+        ("CONFLICT", "theirs", False, "hx"),
+    ]
+
+
+def test_diff3_delete_vs_update_conflict(spark):
+    base = _t(spark, [(1, "a", 1)])
+    ours = _t(spark, [])
+    theirs = _t(spark, [(1, "a2", 1)])
+    out = diff3_tables(base, ours, theirs, ["k"])
+    got = sorted((r.merge_status, r.side, r.deleted, r.v) for r in out.collect())
+    assert got == [("CONFLICT", "ours", True, None),
+                   ("CONFLICT", "theirs", False, "a2")]
+
+
+def test_diff3_both_delete_is_clean(spark):
+    base = _t(spark, [(1, "a", 1)])
+    out = diff3_tables(base, _t(spark, []), _t(spark, []), ["k"])
+    got = [(r.merge_status, r.side, r.deleted) for r in out.collect()]
+    assert got == [("BOTH_SAME", "merged", True)]
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    from dbdiff_spark.ops.graph import pagerank_copurchase, PR_SCALE, PR_TOP_K
+
+    out = pagerank_copurchase(spark, sf_dir).collect()
+    assert 0 < len(out) <= PR_TOP_K
+    ranks = [r.rank for r in out]
+    # descending, positive, and bounded sanity: teleport floor holds
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r >= (PR_SCALE * 15) // 100 for r in ranks)
+    # determinism across runs (same plan, different execution)
+    again = [r.rank for r in pagerank_copurchase(spark, sf_dir).collect()]
+    assert again == ranks

@@ -69,3 +69,22 @@ def test_kmeans_final_plan_is_joinless_single_exchange(spark, sf_dir):
     plan = _plan(entry.queries()["kmeans_lloyd"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_merge3_and_scd2_are_single_exchange_grouped(spark, sf_dir):
+    """diff3 and the SCD2 fold both use the grouped max(struct) pattern:
+    ONE exchange, no joins, no windows, no Python in the plan."""
+    for name in ("merge3_customer", "scd2_customer"):
+        plan = _plan(entry.queries()[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "Join" not in plan, name
+        assert "Window" not in plan, name
+
+
+def test_bm25_is_one_scan_takeordered(spark, sf_dir):
+    """BM25: stats side broadcasts; top-k plans as TakeOrdered (no
+    single-partition sort of the corpus)."""
+    plan = _plan(entry.queries()["bm25_rank"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
