@@ -117,6 +117,96 @@ def scd2_history(
     )
 
 
+def scd2_apply(
+    history: DataFrame,
+    new_snap: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    new_ord: int,
+) -> DataFrame:
+    """Incrementally fold ONE new snapshot into an existing SCD2 table
+    (the output of :func:`scd2_history`), producing exactly what
+    re-running the batch fold over all snapshots would produce — the
+    self-maintenance law ``apply(scd2(s0..sN-1), sN) == scd2(s0..sN)``,
+    which is how the registered query is oracle-verified.
+
+    Scale shape: CLOSED history rows (the unbounded bulk as history
+    accumulates) pass through untouched with no shuffle; only the open
+    (is_current) slice unions with the new snapshot into one grouped
+    max(struct) fold — a single exchange over live keys, independent of
+    history depth.  This is the same diff-rows-only posture as the MV
+    maintenance ops (ops/incremental.py).
+    """
+    closed = history.filter(~F.col("is_current"))
+
+    def tagged(df: DataFrame, side: int, vf: Column) -> DataFrame:
+        return df.select(
+            *keys,
+            F.lit(side).alias("_side"),
+            F.struct(
+                vf.alias("valid_from"), *[F.col(a) for a in attrs]
+            ).alias("_vals"),
+        )
+
+    unioned = tagged(
+        history.filter(F.col("is_current")), 0, F.col("valid_from")
+    ).unionByName(tagged(new_snap, 1, F.lit(new_ord).cast("int")))
+    folded = unioned.groupBy(*keys).agg(
+        F.max(F.when(F.col("_side") == 0, F.col("_vals"))).alias("_c"),
+        F.max(F.when(F.col("_side") == 1, F.col("_vals"))).alias("_n"),
+        F.max(F.when(F.col("_side") == 0, F.lit(True))).isNotNull().alias("_pc"),
+        F.max(F.when(F.col("_side") == 1, F.lit(True))).isNotNull().alias("_pn"),
+    )
+    col_diff = reduce(
+        lambda acc, a: acc | ~F.col(f"_c.{a}").eqNullSafe(F.col(f"_n.{a}")),
+        attrs,
+        F.lit(False),
+    )
+    pc, pn = F.col("_pc"), F.col("_pn")
+    changed = pc & pn & col_diff
+
+    def version(vals: str, valid_to: Column, current: Column) -> Column:
+        return F.struct(
+            F.col(f"{vals}.valid_from").alias("valid_from"),
+            valid_to.alias("valid_to"),
+            current.alias("is_current"),
+            *[F.col(f"{vals}.{a}").alias(a) for a in attrs],
+        )
+
+    none_int = F.lit(None).cast("int")
+    rows = F.array(
+        # surviving current row: unchanged key present on both sides
+        F.when(pc & pn & ~col_diff, version("_c", none_int, F.lit(True))),
+        # closed current row: value change or delete
+        F.when(
+            (changed | (pc & ~pn)),
+            version("_c", F.lit(new_ord).cast("int"), F.lit(False)),
+        ),
+        # fresh open version: value change or insert/reappear
+        F.when(
+            (changed | (pn & ~pc)), version("_n", none_int, F.lit(True))
+        ),
+    )
+    exploded = folded.select(
+        *keys, F.explode(F.filter(rows, lambda x: x.isNotNull())).alias("_r")
+    )
+    out_cols = [
+        *keys,
+        *attrs,
+        "valid_from",
+        "valid_to",
+        "is_current",
+    ]
+    updated = exploded.select(
+        *keys,
+        *[F.col(f"_r.{a}").alias(a) for a in attrs],
+        F.col("_r.valid_from").alias("valid_from"),
+        F.col("_r.valid_to").alias("valid_to"),
+        F.col("_r.is_current").alias("is_current"),
+    )
+    return closed.select(*out_cols).unionByName(updated)
+
+
 # --- the oracle-checked query: 3-snapshot customer history ------------------
 
 # Second mutation round, applied to the ALREADY-mutated snapshot s1:
@@ -202,6 +292,24 @@ FROM closed WHERE present
 
 SCD2_CUSTOMER_SQL = _scd2_oracle_sql()
 
+
+def scd2_incremental_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance law as a query: build SCD2 over (s0, s1)
+    with the batch fold, then :func:`scd2_apply` s2 — the oracle is the
+    BATCH fold over all three snapshots, so the gate verifies
+    ``apply(scd2(s0, s1), s2) == scd2(s0, s1, s2)`` value-for-value
+    (same verification style as ``diff_roundtrip_apply``)."""
+    spec = SPECS["customer"]
+    s0 = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    s1 = testkit.apply_mutation(s0, spec, MUTATIONS["customer"])
+    s2 = testkit.apply_mutation(s1, spec, CUSTOMER_MUT2)
+    keys = list(spec.key)
+    attrs = [c for c in spec.cols if c not in spec.key]
+    hist01 = scd2_history(spark, [s0, s1], keys, attrs)
+    return scd2_apply(hist01, s2, keys, attrs, new_ord=2)
+
+
 QUERIES = {
     "scd2_customer": (scd2_customer, SCD2_CUSTOMER_SQL),
+    "scd2_incremental_customer": (scd2_incremental_customer, SCD2_CUSTOMER_SQL),
 }

@@ -47,3 +47,20 @@ def test_scd2_null_attrs_are_versions(spark):
         (r.valid_from, r.v, r.valid_to, r.is_current) for r in out.collect()
     )
     assert got == [(0, None, 1, False), (1, "x", 2, False), (2, None, None, True)]
+
+
+def test_scd2_apply_matches_batch_fold(spark):
+    """apply(scd2(s0,s1), s2) == scd2(s0,s1,s2) on the hand-built
+    lineage (incl. delete-then-reappear, where the key has NO open row
+    in the history being extended)."""
+    from dbdiff_spark.ops.history import scd2_apply
+
+    s0 = _snap(spark, [(1, "a"), (2, "b"), (3, "c"), (5, "e")])
+    s1 = _snap(spark, [(1, "a"), (2, "B"), (4, "d"), (5, "e2")])
+    s2 = _snap(spark, [(1, "a"), (2, "B2"), (3, "c9"), (4, "d")])
+    batch = scd2_history(spark, [s0, s1, s2], ["k"], ["v"])
+    incr = scd2_apply(
+        scd2_history(spark, [s0, s1], ["k"], ["v"]), s2, ["k"], ["v"], 2
+    )
+    key = lambda r: (r.k, r.valid_from, r.v, r.valid_to, r.is_current)
+    assert sorted(map(key, batch.collect())) == sorted(map(key, incr.collect()))
