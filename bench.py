@@ -49,6 +49,12 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "bloom_join_prune",
     "mv_maintain_orders",
+    "merge3_customer",
+    "scd2_customer",
+    "scd2_incremental_customer",
+    "bm25_rank",
+    "pagerank_copurchase",
+    "hll_distinct",
 ]
 
 

@@ -50,33 +50,48 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 parts by integer PageRank over the co-purchase graph
     (3 iterations, damping 0.85); degree and final rank exposed."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, on=(F.col("a.l_orderkey") == F.col("b.l_orderkey")))
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    # Per-order pair expansion via higher-order functions: ONE shuffle
+    # on orderkey, no self-join — the nested transform emits each
+    # order's (src, dst) grid (orders hold a handful of parts, so the
+    # expansion is constant-bounded per order).
+    pairs = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .selectExpr(
+            "explode(flatten(transform(ps,"
+            " x -> transform(ps, y -> struct(x AS src, y AS dst))))) AS e"
         )
-        .distinct()
-        .persist()
+        .filter("e.src <> e.dst")
+        .select("e.src", "e.dst")
     )
+    edges = pairs.distinct()
+    # Degree folded into the edge list ONCE so each iteration is a
+    # single keyed join + keyed aggregation (not join-deg + join-edges).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Persist the degree-annotated edge list ALREADY hash-partitioned on
+    # the iteration join key: every round's join then reuses the cached
+    # distribution instead of re-shuffling the (data-sized) edge side —
+    # only the node-sized rank vector moves per iteration.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_deg = edges.join(deg, "src").repartition(n_part, "src").persist()
     ranks = deg.select("src", F.lit(PR_SCALE).cast("long").alias("rank"))
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    for _ in range(PR_ITERS):
-        contribs = (
-            ranks.join(deg, "src")
-            .selectExpr("src", "rank div deg AS contrib")
-            .join(edges, "src")
-            .groupBy(F.col("dst").alias("src"))
+    for i in range(PR_ITERS):
+        ranks = (
+            ranks.join(edges_deg, "src")
+            .selectExpr("dst AS src", "rank div deg AS contrib")
+            .groupBy("src")
             .agg(F.sum("contrib").alias("inflow"))
+            .selectExpr(
+                "src",
+                f"CAST({teleport} + ({PR_DAMP_NUM} * inflow) div {PR_DAMP_DEN}"
+                " AS BIGINT) AS rank",
+            )
         )
-        ranks = contribs.selectExpr(
-            "src",
-            f"CAST({teleport} + ({PR_DAMP_NUM} * inflow) div {PR_DAMP_DEN} AS BIGINT)"
-            " AS rank",
-        ).localCheckpoint(eager=False)
+        # Lineage-cut every 5 rounds (bigstar/kmeans policy): a shallow
+        # loop keeps one fused job, deep loops don't blow up re-analysis.
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     out = (
         ranks.join(deg, "src")
         .select(F.col("src").alias("p_partkey"), "deg", "rank")
