@@ -295,9 +295,133 @@ GROUP BY 1, 2
 """
 
 
+# --- funnel conversion -------------------------------------------------------
+#
+# Ordered-stage funnel (view → click → purchase): a user converts a
+# stage only with an event STRICTLY AFTER their entry into the previous
+# stage.  Each stage is one filtered keyed aggregation + one keyed join
+# against the (per-user, tiny) previous-stage table — no windows over
+# the raw event stream, no per-user event collection, so the plan holds
+# when one user has millions of events.  Conversion is integer ppm.
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    stage_users = []  # per stage: DataFrame(user_id, t)
+    prev = None
+    for st in _FUNNEL_STAGES:
+        cur = ev.filter(F.col("event_type") == st)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("ts_us") > F.col("t"))
+        cur = cur.groupBy("user_id").agg(F.min("ts_us").alias("t_new")).select(
+            "user_id", F.col("t_new").alias("t")
+        )
+        stage_users.append(cur)
+        prev = cur
+    counts = None
+    for i, (st, df) in enumerate(zip(_FUNNEL_STAGES, stage_users)):
+        c = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_ord"), F.lit(st).alias("stage"), "n_users"
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    prev_n = (
+        "CAST(CASE WHEN stage_ord = 0 THEN 1000000"
+        " ELSE (n_users * 1000000) div lag_n END AS BIGINT)"
+    )
+    return counts.selectExpr(
+        "stage_ord",
+        "stage",
+        "n_users",
+        "lag(n_users) OVER (ORDER BY stage_ord) AS lag_n",
+    ).selectExpr("stage_ord", "stage", "n_users", f"{prev_n} AS conv_ppm")
+
+
+def _funnel_sql() -> str:
+    stage_ctes, prev = [], None
+    for i, st in enumerate(_FUNNEL_STAGES):
+        name = f"s{i}"
+        if prev is None:
+            stage_ctes.append(
+                f"{name} AS (SELECT user_id, min(ts_us) AS t FROM ev"
+                f" WHERE event_type = '{st}' GROUP BY user_id)"
+            )
+        else:
+            stage_ctes.append(
+                f"{name} AS (SELECT ev.user_id, min(ts_us) AS t FROM ev"
+                f" JOIN {prev} p ON ev.user_id = p.user_id"
+                f" WHERE event_type = '{st}' AND ts_us > p.t GROUP BY ev.user_id)"
+            )
+        prev = name
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_ord, '{st}' AS stage,"
+        f" CAST((SELECT count(*) FROM s{i}) AS BIGINT) AS n_users"
+        for i, st in enumerate(_FUNNEL_STAGES)
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events WHERE ts IS NOT NULL
+),
+{", ".join(stage_ctes)},
+counts AS (
+{unions}
+)
+SELECT stage_ord, stage, n_users,
+       CAST(CASE WHEN stage_ord = 0 THEN 1000000
+            ELSE (n_users * 1000000) // lag(n_users) OVER (ORDER BY stage_ord)
+       END AS BIGINT) AS conv_ppm
+FROM counts
+"""
+
+
+FUNNEL_SQL = _funnel_sql()
+
+
+# --- retention cohorts -------------------------------------------------------
+#
+# Users grouped by their FIRST-activity day; per (cohort_day, day
+# offset) the distinct returning users.  Two keyed aggregations (first
+# day per user; distinct per cohort-offset) and one keyed join — the
+# canonical retention matrix, bounded to offsets 0-13 so the output is
+# O(days × 14) at any data size.
+
+RETENTION_MAX_OFFSET = 13
+_DAY_US = 86_400_000_000
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir).selectExpr(
+        "user_id", f"ts_us div {_DAY_US} AS day"
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .selectExpr("user_id", "cohort_day", "day - cohort_day AS offset")
+        .filter(F.col("offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events WHERE ts IS NOT NULL
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT cohort_day, day - cohort_day AS offset,
+       CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+FROM ev JOIN first ON ev.user_id = first.user_id
+WHERE day - cohort_day <= {RETENTION_MAX_OFFSET}
+GROUP BY cohort_day, day - cohort_day
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
     "events_hourly_fill": (events_hourly_fill, EVENTS_HOURLY_FILL_SQL),
     "events_rollup_cascade": (events_rollup_cascade, EVENTS_ROLLUP_CASCADE_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
 }

@@ -35,3 +35,27 @@ def test_integrity_audit_reports_real_orphans(spark, sf_dir):
     # synthetic data (composite key not unique) — just present
     assert ("pk_duplicate", "lineitem") in res
     assert res[("pk_null", "customer")] == 0
+
+
+def test_funnel_stage_counts_monotone(spark, sf_dir):
+    from dbdiff_spark.ops.temporal import funnel_conversion
+
+    rows = sorted(funnel_conversion(spark, sf_dir).collect(),
+                  key=lambda r: r.stage_ord)
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True)  # each stage loses users
+    assert rows[0].conv_ppm == 1_000_000
+    for r in rows[1:]:
+        assert 0 <= r.conv_ppm <= 1_000_000
+
+
+def test_retention_offset_zero_is_cohort_size(spark, sf_dir):
+    from dbdiff_spark.ops.temporal import retention_cohorts
+
+    rows = retention_cohorts(spark, sf_dir).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, {})[r.offset] = r.n_users
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs  # every cohort has its founding day
+        assert all(n <= offs[0] for n in offs.values())
