@@ -55,6 +55,10 @@ HEADLINE = [
     "bm25_rank",
     "pagerank_copurchase",
     "hll_distinct",
+    "column_drift_lineitem",
+    "integrity_audit",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

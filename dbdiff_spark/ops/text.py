@@ -676,9 +676,93 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 BM25_RANK_SQL = _bm25_sql()
 
 
+# --- n-gram language-model counts -------------------------------------------
+#
+# The count statistics a Kneser-Ney-smoothed bigram LM is built from,
+# all integers (the smoothing DIVISIONS stay with the consumer — ln/
+# float ratios never reach oracle-compared output):
+#   c(w1,w2)            bigram count
+#   c(w1,·)             left context total
+#   N1+(·,w2)           continuation count (distinct left contexts) —
+#                       the KN novelty signal
+#   N1+(w1,·)           distinct right continuations of w1
+# Top-50 bigrams by count (ties: lexicographic) keeps output bounded.
+#
+# Scale shape: adjacent pairs come from a per-document HOF zip of the
+# token array with itself shifted (no self-join, no posexplode+join);
+# one (w1,w2) aggregation; the context/continuation tables aggregate
+# FROM the bigram table (vocabulary-sized, not corpus-sized) and join
+# back broadcast-style.
+
+NGRAM_TOP_K = 50
+
+
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # explode_outer + NULL post-filter, NOT plain explode: Catalyst
+    # infers size>0 from explode and re-inlines the whole regexp+slice
+    # chain below the exchange (the decontam lesson, ARCHITECTURE.md).
+    pairs = docs.selectExpr(f"{_TOKENS} AS toks").selectExpr(
+        "explode_outer(zip_with("
+        " slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2))) AS p"
+    ).filter(F.col("p").isNotNull())
+    big = pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")).agg(
+        F.count(F.lit(1)).alias("c_bigram")
+    )
+    left_tot = big.groupBy("w1").agg(
+        F.sum("c_bigram").alias("c_left_total"),
+        F.count(F.lit(1)).alias("n_right_types"),
+    )
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("n_left_types"))
+    return (
+        big.join(F.broadcast(left_tot), "w1")
+        .join(F.broadcast(cont), "w2")
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_bigram",
+            "CAST(c_left_total AS BIGINT) AS c_left_total",
+            "CAST(n_right_types AS BIGINT) AS n_right_types",
+            "CAST(n_left_types AS BIGINT) AS n_left_types",
+        )
+        .orderBy(F.col("c_bigram").desc(), "w1", "w2")
+        .limit(NGRAM_TOP_K)
+    )
+
+
+NGRAM_LM_SQL = f"""
+WITH toked AS (SELECT {_D_TOKENS} AS toks FROM documents),
+pairs AS (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN list_zip([], [])
+                ELSE list_zip(toks[1:len(toks)-1], toks[2:len(toks)])
+                END) AS p
+  FROM toked
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c_bigram
+  FROM pairs GROUP BY 1, 2
+),
+left_tot AS (
+  SELECT w1, CAST(sum(c_bigram) AS BIGINT) AS c_left_total,
+         CAST(count(*) AS BIGINT) AS n_right_types
+  FROM big GROUP BY w1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n_left_types FROM big GROUP BY w2
+)
+SELECT big.w1, big.w2, c_bigram, c_left_total, n_right_types, n_left_types
+FROM big JOIN left_tot USING (w1) JOIN cont USING (w2)
+ORDER BY c_bigram DESC, w1, w2
+LIMIT {NGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "bm25_rank": (bm25_rank, BM25_RANK_SQL),
+    "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
     "train_val_split": (train_val_split, TRAIN_VAL_SPLIT_SQL),
     "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
