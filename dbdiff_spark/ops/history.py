@@ -309,7 +309,81 @@ def scd2_incremental_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(hist01, s2, keys, attrs, new_ord=2)
 
 
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    fact_key: list[str],
+    hist_key: list[str],
+    as_of_col: str,
+) -> DataFrame:
+    """Point-in-time join — each fact row picks the dimension VERSION
+    whose validity interval covers the fact's as-of ordinal: the read
+    side of SCD2 (a fact never sees attribute values from a later
+    version — the classic leakage bug PIT joins exist to prevent).
+
+    Plan: an equi-join on the dimension key with the interval predicate
+    as a post-join filter — versions per key are few, so the filter
+    discards a bounded number of rows per fact; everything shuffles on
+    the dimension key only."""
+    cond = None
+    for f, h in zip(fact_key, hist_key):
+        c = facts[f] == history[h]
+        cond = c if cond is None else cond & c
+    interval = (history["valid_from"] <= facts[as_of_col]) & (
+        history["valid_to"].isNull() | (history["valid_to"] > facts[as_of_col])
+    )
+    return facts.join(history, cond & interval, "left")
+
+
+def scd2_pit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders joined to the customer attributes that were CURRENT at
+    each order's (synthetic, deterministic) as-of snapshot ordinal —
+    the consumption query for the scd2_customer history table.  Orders
+    whose customer has no valid version at that ordinal (deleted, or
+    inserted later) surface with NULL attributes."""
+    spec = SPECS["customer"]
+    keys = list(spec.key)
+    attrs = [c for c in spec.cols if c not in keys]
+    hist = scd2_customer(spark, sf_dir)
+    orders = testkit.prep(
+        load_table(spark, sf_dir, "orders"), SPECS["orders"]
+    ).selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "CAST(o_orderkey % 3 AS INT) AS as_of",
+    )
+    joined = pit_join(orders, hist, ["o_custkey"], keys, "as_of")
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "as_of",
+        *[F.col(a) for a in attrs],
+        "valid_from",
+    )
+
+
+def _pit_oracle_sql() -> str:
+    spec = SPECS["customer"]
+    attrs = [c for c in spec.cols if c not in spec.key]
+    attr_cols = ", ".join(f'h."{a}"' for a in attrs)
+    return f"""
+WITH hist AS ({SCD2_CUSTOMER_SQL}),
+facts AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderkey % 3 AS INT) AS as_of FROM orders
+)
+SELECT f.o_orderkey, f.o_custkey, f.as_of, {attr_cols}, h.valid_from
+FROM facts f
+LEFT JOIN hist h
+  ON h."c_custkey" = f.o_custkey
+ AND h.valid_from <= f.as_of
+ AND (h.valid_to IS NULL OR h.valid_to > f.as_of)
+"""
+
+
+SCD2_PIT_SQL = _pit_oracle_sql()
+
 QUERIES = {
     "scd2_customer": (scd2_customer, SCD2_CUSTOMER_SQL),
     "scd2_incremental_customer": (scd2_incremental_customer, SCD2_CUSTOMER_SQL),
+    "scd2_pit_orders": (scd2_pit_orders, SCD2_PIT_SQL),
 }

@@ -64,3 +64,17 @@ def test_scd2_apply_matches_batch_fold(spark):
     )
     key = lambda r: (r.k, r.valid_from, r.v, r.valid_to, r.is_current)
     assert sorted(map(key, batch.collect())) == sorted(map(key, incr.collect()))
+
+
+def test_pit_join_picks_exactly_one_version_per_fact(spark, sf_dir):
+    """Validity intervals partition time per key, so a PIT join must
+    preserve fact cardinality (no duplicate matches) and never pick a
+    version opened after the as-of ordinal."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.history import scd2_pit_orders
+
+    out = scd2_pit_orders(spark, sf_dir)
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert out.count() == n_orders
+    assert out.filter("valid_from > as_of").count() == 0
+    assert out.groupBy("o_orderkey").count().filter("count > 1").count() == 0
