@@ -59,6 +59,8 @@ HEADLINE = [
     "integrity_audit",
     "funnel_conversion",
     "retention_cohorts",
+    "ngram_lm_counts",
+    "scd2_pit_orders",
 ]
 
 
