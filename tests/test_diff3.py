@@ -70,3 +70,24 @@ def test_pagerank_invariants(spark, sf_dir):
     # determinism across runs (same plan, different execution)
     again = [r.rank for r in pagerank_copurchase(spark, sf_dir).collect()]
     assert again == ranks
+
+
+def test_triangle_census_known_graphs(spark):
+    from dbdiff_spark.ops.graph import triangle_census
+
+    def sym(pairs):
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        return spark.createDataFrame(rows, "src int, dst int").distinct()
+
+    # K4: 4 triangles, 6 undirected edges
+    k4 = sym([(i, j) for i in range(4) for j in range(i + 1, 4)])
+    r = triangle_census(k4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # 4-cycle: wedges but no triangles
+    c4 = sym([(0, 1), (1, 2), (2, 3), (3, 0)])
+    r = triangle_census(c4).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 4, 0)
+    # triangle with a pendant vertex: exactly one
+    tp = sym([(0, 1), (1, 2), (0, 2), (2, 3)])
+    r = triangle_census(tp).collect()[0]
+    assert r.n_triangles == 1
