@@ -363,6 +363,83 @@ def _stream_apply_oracle_sql() -> str:
     return testkit.roundtrip_apply_oracle_sql()
 
 
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history maintained by a STREAM of full snapshots:
+    each arriving snapshot micro-batch folds into the current history
+    with :func:`dbdiff_spark.ops.history.scd2_apply` under
+    ``foreachBatch`` — the streaming form of the warehouse pattern
+    where a nightly extract lands and the dimension history advances.
+
+    Convergence is the law the oracle pins: after snapshots s1, s2
+    stream in over the s0-seeded history, the state must equal the
+    BATCH fold scd2(s0, s1, s2) value-for-value.  Per trigger the work
+    is scd2_apply's shape — closed history passes through untouched,
+    only open intervals + the arriving snapshot shuffle.
+
+    Snapshot files are written in arrival order; the file source orders
+    batches by (modification time, path), so ordinals replay correctly
+    — on a real bus the snapshot ordinal rides the message envelope
+    exactly as ``_ord`` rides the rows here.
+    """
+    import tempfile
+    from pathlib import Path
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.ops.history import (
+        CUSTOMER_MUT2,
+        scd2_apply,
+        scd2_history,
+    )
+
+    spec = testkit.SPECS["customer"]
+    keys = list(spec.key)
+    attrs = [c for c in spec.cols if c not in keys]
+    s0 = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    s1 = testkit.apply_mutation(s0, spec, testkit.MUTATIONS["customer"])
+    s2 = testkit.apply_mutation(s1, spec, CUSTOMER_MUT2)
+
+    root = tempfile.mkdtemp(prefix="dbdiff_stream_scd2_")
+    snaps_dir = f"{root}/snaps"
+    for i, df in ((1, s1), (2, s2)):
+        df.withColumn("_ord", F.lit(i)).coalesce(1).write.mode("append").parquet(
+            snaps_dir
+        )
+    scd2_history(spark, [s0], keys, attrs).write.parquet(f"{root}/state_00000")
+    schema = spark.read.parquet(snaps_dir).schema
+
+    def _fold_batch(bdf: DataFrame, _bid: int) -> None:
+        ords = [r[0] for r in bdf.select("_ord").distinct().collect()]
+        states = sorted(Path(root).glob("state_*"))
+        cur = spark.read.parquet(str(states[-1]))
+        for o in sorted(ords):  # one snapshot per trigger in this drive
+            cur = scd2_apply(
+                cur, bdf.filter(F.col("_ord") == o).drop("_ord"), keys, attrs, o
+            )
+        cur.write.parquet(f"{root}/state_{len(states):05d}")
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(snaps_dir)
+        .writeStream.foreachBatch(_fold_batch)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    final = sorted(Path(root).glob("state_*"))[-1]
+    return spark.read.parquet(str(final)).select(
+        *keys, *attrs, "valid_from", "valid_to", "is_current"
+    )
+
+
+def _stream_scd2_oracle_sql() -> str:
+    from dbdiff_spark.ops.history import SCD2_CUSTOMER_SQL
+
+    return SCD2_CUSTOMER_SQL
+
+
 def _run_to_completion(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
@@ -409,5 +486,6 @@ QUERIES = {
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_latest_state": (latest_state_by_key, STREAM_LATEST_STATE_SQL),
+    "stream_scd2_history": (stream_scd2_history, _stream_scd2_oracle_sql()),
 }
 NO_ORACLE_QUERIES = {}
