@@ -78,3 +78,55 @@ def test_pit_join_picks_exactly_one_version_per_fact(spark, sf_dir):
     assert out.count() == n_orders
     assert out.filter("valid_from > as_of").count() == 0
     assert out.groupBy("o_orderkey").count().filter("count > 1").count() == 0
+
+
+# --- property: SCD2 reconstruction law ---------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def snapshot_chain(draw):
+    """3 snapshots as dicts key -> value, with arbitrary inserts,
+    updates, deletes (incl. delete-then-reappear) between them."""
+    keys = st.integers(min_value=0, max_value=20)
+    vals = st.integers(min_value=0, max_value=5)
+    snaps = []
+    for _ in range(3):
+        snaps.append(dict(draw(st.dictionaries(keys, vals, max_size=12))))
+    return snaps
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snaps=snapshot_chain())
+def test_scd2_reconstruction_property(spark, snaps):
+    """For ANY snapshot chain: slicing the SCD2 history at ordinal k
+    (valid_from <= k < valid_to) reconstructs snapshot k exactly, and
+    the incremental fold equals the batch fold."""
+    from dbdiff_spark.ops.history import scd2_apply
+
+    dfs = [
+        spark.createDataFrame(
+            list(s.items()) or [(None, None)], "k int, v int"
+        ).filter("k IS NOT NULL")
+        for s in snaps
+    ]
+    hist = scd2_history(spark, dfs, ["k"], ["v"])
+    rows = hist.collect()
+    for ord_k, snap in enumerate(snaps):
+        got = {
+            r.k: r.v
+            for r in rows
+            if r.valid_from <= ord_k and (r.valid_to is None or r.valid_to > ord_k)
+        }
+        assert got == snap, (ord_k, got, snap)
+    # incremental == batch
+    incr = scd2_apply(
+        scd2_history(spark, dfs[:2], ["k"], ["v"]), dfs[2], ["k"], ["v"], 2
+    )
+    key = lambda r: (r.k, r.valid_from, r.v, r.valid_to, r.is_current)
+    assert sorted(map(key, rows)) == sorted(map(key, incr.collect()))
