@@ -91,3 +91,82 @@ def test_triangle_census_known_graphs(spark):
     tp = sym([(0, 1), (1, 2), (0, 2), (2, 3)])
     r = triangle_census(tp).collect()[0]
     assert r.n_triangles == 1
+
+
+# --- property: clean three-way merges commute --------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def disjoint_edits(draw):
+    """Base dict + two edit sets touching DISJOINT keys (clean merge)."""
+    base = dict(
+        draw(st.dictionaries(st.integers(0, 20), st.integers(0, 5), max_size=12))
+    )
+    keys = list(base) or [0]
+    half = len(keys) // 2
+    ours_keys, theirs_keys = keys[:half], keys[half:]
+
+    def edit(ks, fresh_base):
+        out = {}
+        for k in ks:
+            action = draw(st.sampled_from(["del", "upd", "keep"]))
+            if action == "upd":
+                out[k] = base[k] + 100
+            elif action == "keep":
+                out[k] = base[k]
+        if draw(st.booleans()):
+            out[fresh_base + draw(st.integers(0, 5))] = 999
+        return out
+
+    ours = {k: v for k, v in base.items() if k in theirs_keys} | edit(ours_keys, 100)
+    theirs = {k: v for k, v in base.items() if k in ours_keys} | edit(theirs_keys, 200)
+    return base, ours, theirs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=disjoint_edits())
+def test_diff3_clean_merge_reconstructs_both_edits(spark, case):
+    """Disjoint edits never conflict, and applying the merged rows over
+    base reproduces (base - dels + upds + inserts) from BOTH sides —
+    i.e. the merge result is order-independent."""
+    base_d, ours_d, theirs_d = case
+
+    def df(d):
+        return spark.createDataFrame(
+            list(d.items()) or [(None, None)], "k int, v int"
+        ).filter("k IS NOT NULL")
+
+    out = diff3_tables(df(base_d), df(ours_d), df(theirs_d), ["k"]).collect()
+    assert all(r.merge_status != "CONFLICT" for r in out)
+    merged = dict(base_d)
+    for r in out:
+        if r.deleted:
+            merged.pop(r.k, None)
+        else:
+            merged[r.k] = r.v
+    # expected = union of both sides' survivors (edits are disjoint, so
+    # for a key present on both sides the CHANGED side's value wins;
+    # a key missing from either side was deleted by that side)
+    exp = {}
+    for k in set(base_d) | set(ours_d) | set(theirs_d):
+        in_o, in_t = k in ours_d, k in theirs_d
+        if in_o and in_t:
+            b = base_d.get(k)
+            if k in base_d and ours_d[k] != b:
+                exp[k] = ours_d[k]
+            elif k in base_d:
+                exp[k] = theirs_d[k]
+            else:
+                exp[k] = ours_d[k]  # impossible for disjoint fresh keys
+        elif in_o and k not in base_d:
+            exp[k] = ours_d[k]  # ours insert
+        elif in_t and k not in base_d:
+            exp[k] = theirs_d[k]  # theirs insert
+        # else: present in base, deleted by one side -> gone
+    assert merged == exp, (merged, exp, base_d, ours_d, theirs_d)
