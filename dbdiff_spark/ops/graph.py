@@ -1,10 +1,11 @@
 """Graph operators over relationship structure latent in the tables.
 
 ``neardup_clusters`` / ``bigstar_components`` (ops/dedup.py) cover
-component-finding; this module adds importance SCORING — PageRank over
-the part co-purchase graph (parts are linked when they appear in the
-same order).  Rank here is the graph-derived quality/popularity signal
-a curation pipeline mixes into document- or item-level filtering.
+component-finding; this module adds importance SCORING (PageRank) and
+local STRUCTURE (triangle census) over the part co-purchase graph
+(parts are linked when they appear in the same order).  Rank here is
+the graph-derived quality/popularity signal a curation pipeline mixes
+into document- or item-level filtering.
 
 Determinism: the textbook formulation propagates double-precision rank
 mass, and a distributed sum of doubles depends on partition order — so
@@ -28,9 +29,10 @@ Scale shape:
 * each iteration: one join of the rank vector with the edge list on
   src (both hash-partitioned on the same key) + one keyed aggregation
   on dst — no broadcast of anything data-sized, no driver state except
-  the S-iteration loop counter; lineage is cut per round with
-  localCheckpoint (same policy as bigstar_components / kmeans_lloyd;
-  a real cluster would use reliable checkpoint).
+  the S-iteration loop counter; the edge side is cached pre-partitioned
+  on the join key so only the node-sized rank vector moves per round,
+  and lineage is cut every 5 rounds with localCheckpoint (a real
+  cluster would use reliable checkpoint).
 """
 
 from __future__ import annotations
