@@ -34,6 +34,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_regional_revenue",
+    "q8_market_share",
     "top_events_per_user",
     "user_sessions",
     "dedup_exact",

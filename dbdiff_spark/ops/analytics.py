@@ -621,8 +621,103 @@ FROM moments
 """
 
 
+# --- Q8-style market share (7-way join + share-of-total) --------------------
+#
+# The widest join in the suite — the shape that exercises Catalyst's
+# join reordering and broadcast selection: lineitem at the center, five
+# broadcast dimensions (part filtered, supplier, both nation roles,
+# customer, region filtered) and a keyed orders join.  The share is the
+# only double op: both volumes are exact integer cents, so the single
+# division is correctly-rounded IEEE — bit-identical in both engines.
+
+Q8_PART_TYPE = "PROMO"
+Q8_SUPP_NATION = "NATION_3"
+Q8_CUST_REGION = "ASIA"
+
+_CENTS = "CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS BIGINT)"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PART_TYPE)
+    supp = load_table(spark, sf_dir, "supplier")
+    sup_nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cust_nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_CUST_REGION
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sup_nation), supp.s_nationkey == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .select(
+            F.expr("year(CAST(o_orderdate AS TIMESTAMP))").alias("o_year"),
+            "l_extendedprice",
+            "l_discount",
+            "supp_nation",
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.expr(f"{_CENTS} AS total_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN supp_nation = "
+                f"'{Q8_SUPP_NATION}' THEN "
+                "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
+                " ELSE 0 END) AS BIGINT) AS nation_cents"
+            ),
+        )
+        .selectExpr(
+            "o_year",
+            "total_cents",
+            "nation_cents",
+            "CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share",
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+SELECT o_year, total_cents, nation_cents,
+       CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         {_CENTS} AS total_cents,
+         CAST(SUM(CASE WHEN supp_nation = '{Q8_SUPP_NATION}' THEN
+              CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS nation_cents
+  FROM (
+    SELECT o_orderdate, l_extendedprice, l_discount, sn.n_name AS supp_nation
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE p_type = '{Q8_PART_TYPE}' AND r_name = '{Q8_CUST_REGION}'
+  )
+  GROUP BY 1
+)
+ORDER BY o_year
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
     "order_value_quartiles": (order_value_quartiles, ORDER_VALUE_QUARTILES_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_regional_revenue": (q5_regional_revenue, Q5_SQL),

@@ -88,3 +88,12 @@ def test_bm25_is_one_scan_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q8_broadcasts_all_dimensions(spark, sf_dir):
+    """7-way join: every dimension side broadcasts; the only shuffled
+    join is lineitem-orders; no nested loops."""
+    plan = _plan(entry.queries()["q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
