@@ -104,7 +104,7 @@ def disjoint_edits(draw):
     base = dict(
         draw(st.dictionaries(st.integers(0, 20), st.integers(0, 5), max_size=12))
     )
-    keys = list(base) or [0]
+    keys = list(base)
     half = len(keys) // 2
     ours_keys, theirs_keys = keys[:half], keys[half:]
 
