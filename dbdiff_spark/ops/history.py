@@ -48,6 +48,13 @@ def scd2_history(
     version.  Unchanged rows collapse into one interval.
     """
     s_count = len(snaps)
+    want = set(keys) | set(attrs)
+    for i, df in enumerate(snaps):
+        missing = want - set(df.columns)
+        if missing:
+            raise ValueError(
+                f"scd2_history: snapshot {i} lacks columns {sorted(missing)}"
+            )
     tagged = None
     for i, df in enumerate(snaps):
         t = df.select(

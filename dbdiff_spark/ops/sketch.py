@@ -363,6 +363,17 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp", "reg")
         .agg(F.max("rho").alias("r"))
     )
+    # The '__all__' row is produced by MERGING the per-group register
+    # tables (register-wise max) — NOT by rescanning events.  This is
+    # the mergeable-summary property exercised end-to-end: the oracle
+    # computes the same row from raw data, so the hash match proves
+    # merge(sketch(A), sketch(B)) == sketch(A ∪ B).
+    merged = (
+        registers.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("__all__").alias("grp"), "reg", "r")
+    )
+    registers = registers.unionByName(merged)
     sketch = registers.groupBy("grp").agg(
         F.expr(f"CAST({HLL_M} - count(*) AS INT) AS zero_registers"),
         F.expr(
@@ -373,6 +384,11 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = ev.groupBy(F.col("event_type").alias("grp")).agg(
         F.countDistinct("user_id").alias("exact_distinct")
+    )
+    exact = exact.unionByName(
+        ev.agg(F.countDistinct("user_id").alias("exact_distinct")).select(
+            F.lit("__all__").alias("grp"), "exact_distinct"
+        )
     )
     return sketch.join(exact, "grp").selectExpr(
         "grp",
@@ -396,9 +412,14 @@ def _hll_sql() -> str:
         reg = f"(16 * {reg} + {d})"
     _, rho = _rho_exprs(f"substr({h}, {_HLL_HEX_P + 1}, {_HLL_RHO_HEX})")
     return f"""
-WITH registers AS (
+WITH per_grp AS (
   SELECT event_type AS grp, CAST({reg} AS INT) AS reg, max({rho}) AS r
   FROM events GROUP BY 1, 2
+),
+registers AS (
+  SELECT * FROM per_grp
+  UNION ALL
+  SELECT '__all__' AS grp, reg, max(r) AS r FROM per_grp GROUP BY reg
 ),
 sketch AS (
   SELECT grp,
@@ -411,6 +432,8 @@ sketch AS (
 exact AS (
   SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
   FROM events GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
 )
 SELECT s.grp, zero_registers, register_sum,
        CAST({_HLL_NUMERATOR} AS DOUBLE) / CAST(register_sum AS DOUBLE) AS hll_estimate,
