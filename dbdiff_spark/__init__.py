@@ -18,7 +18,16 @@ Design stance (vs. the reference):
   key-concatenation collision bug (``extract_data.go:149-160``).
 """
 
-from dbdiff_spark.diff import DiffMode, DiffResult, diff_tables, diff_summary
+from dbdiff_spark.diff import (
+    DiffMode,
+    DiffResult,
+    apply_diff,
+    diff3_tables,
+    diff_multiset,
+    diff_summary,
+    diff_tables,
+)
+from dbdiff_spark.ops.history import pit_join, scd2_apply, scd2_history
 from dbdiff_spark.normalize import normalize_to_strings, presentation_view
 from dbdiff_spark.snapshot import Snapshot, SnapshotStore, diff_snapshots
 from dbdiff_spark.config import Configuration, DbConfig, load_configuration
@@ -27,8 +36,14 @@ from dbdiff_spark.session import get_spark
 __all__ = [
     "DiffMode",
     "DiffResult",
+    "apply_diff",
+    "diff3_tables",
+    "diff_multiset",
     "diff_tables",
     "diff_summary",
+    "scd2_history",
+    "scd2_apply",
+    "pit_join",
     "normalize_to_strings",
     "presentation_view",
     "Snapshot",
