@@ -620,6 +620,50 @@ def apply_diff(
     return kept.unionByName(added)
 
 
+MULTISET_ONE_PASS_MAX_BYTES_CONF = "spark.dbdiff.multiset.onePassMaxBytes"
+MULTISET_ONE_PASS_MAX_BYTES_DEFAULT = 8 * 1024**3
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate for a frame (sum of leaf file sizes for
+    file sources), or ``None`` when no estimate is obtainable — e.g. no
+    JVM gateway (Spark Connect) or a source with unknown stats (Spark
+    then reports ``defaultSizeInBytes`` = Long.Max-ish, which we treat
+    as unknown rather than huge-but-known)."""
+    try:
+        raw = (
+            df._jdf.queryExecution()  # type: ignore[attr-defined]
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+        # py4j converts scala BigInt to int; older bridges hand back a
+        # JavaObject whose str() is the decimal rendering
+        size = raw if isinstance(raw, int) else int(str(raw))
+    except Exception:
+        return None
+    return size if 0 <= size < 2**62 else None
+
+
+def _pick_multiset_strategy(before: DataFrame, after: DataFrame) -> str:
+    """Size-based strategy election for ``diff_multiset(strategy="auto")``
+    — Spark's own broadcast-threshold idiom applied to the full-row-vs-
+    fingerprint shuffle trade.  Unknown size ⇒ the scale-safe shape."""
+    try:
+        threshold = int(
+            before.sparkSession.conf.get(
+                MULTISET_ONE_PASS_MAX_BYTES_CONF,
+                str(MULTISET_ONE_PASS_MAX_BYTES_DEFAULT),
+            )
+        )
+    except Exception:
+        threshold = MULTISET_ONE_PASS_MAX_BYTES_DEFAULT
+    b, a = _estimated_bytes(before), _estimated_bytes(after)
+    if b is None or a is None or b + a > threshold:
+        return "hash_first"
+    return "one_pass"
+
+
 def diff_multiset(
     before: DataFrame,
     after: DataFrame,
@@ -664,11 +708,23 @@ def diff_multiset(
       fallback.
 
     ``hash_first=False`` is back-compat shorthand for ``full_row``.
+
+    * ``auto``: pick between ``one_pass`` and ``hash_first`` from the
+      optimizer's size estimate of the two inputs — the same
+      size-threshold mechanism Spark uses to elect broadcast joins.
+      Below ``spark.dbdiff.multiset.onePassMaxBytes`` (default 8 GiB
+      combined) the full-row shuffle is comfortably cluster-local and
+      ``one_pass``'s single scan wins (measured 2x at sf0.1); above it
+      — or when either estimate is unavailable — the 24-byte/row
+      ``hash_first`` shape is the only one that survives, so auto
+      degrades conservatively.
     """
     if strategy is None:
         strategy = "hash_first" if hash_first else "full_row"
-    if strategy not in ("hash_first", "one_pass", "full_row"):
+    if strategy not in ("auto", "hash_first", "one_pass", "full_row"):
         raise ValueError(f"unknown diff_multiset strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = _pick_multiset_strategy(before, after)
     cols = before.columns
     if set(after.columns) != set(cols):
         # column drift has no meaningful multiset semantics — refuse

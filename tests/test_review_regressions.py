@@ -105,3 +105,28 @@ def test_multiset_one_pass_plan_has_single_scan_branch(spark, sf_dir):
     two = diff_multiset(li, shifted)
     plan2 = two._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("FileScan") == 4, plan2  # agg branch + probe branch
+
+
+def test_multiset_auto_strategy_election(spark, sf_dir):
+    """auto = the broadcast-threshold idiom applied to the multiset
+    shuffle: small estimated inputs elect one_pass (single scan per
+    side); a zero threshold forces the scale-safe hash_first (rescan
+    probe); results identical either way."""
+    from dbdiff_spark.diff import MULTISET_ONE_PASS_MAX_BYTES_CONF
+    from dbdiff_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "part")
+    shifted = li.withColumn("p_retailprice", F.col("p_retailprice") + 1)
+    auto = diff_multiset(li, shifted, strategy="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 2, plan  # sf0.001 fits: one_pass
+    spark.conf.set(MULTISET_ONE_PASS_MAX_BYTES_CONF, "0")
+    try:
+        forced = diff_multiset(li, shifted, strategy="auto")
+        plan0 = forced._jdf.queryExecution().executedPlan().toString()
+        assert plan0.count("FileScan") == 4, plan0  # hash_first shape
+        a = sorted((tuple(r) for r in auto.collect()), key=lambda t: str(t))
+        f = sorted((tuple(r) for r in forced.collect()), key=lambda t: str(t))
+        assert a == f
+    finally:
+        spark.conf.unset(MULTISET_ONE_PASS_MAX_BYTES_CONF)
