@@ -62,6 +62,10 @@ HEADLINE = [
     "retention_cohorts",
     "ngram_lm_counts",
     "scd2_pit_orders",
+    "profile_customer",
+    "delete_cascade",
+    "repeated_spans",
+    "ann_pq",
 ]
 
 

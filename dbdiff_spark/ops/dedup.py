@@ -782,8 +782,97 @@ FROM r WHERE rn = 1
 """
 
 
+# --- cross-document repeated-span extraction ---------------------------------
+#
+# Passage dedup hashes FIXED 16-token chunks, so a duplicated paragraph
+# that straddles a chunk boundary is invisible to it.  The sliding-
+# window variant (cf. Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" — the ExactSubstr cut list) hashes EVERY
+# 8-token window, marks windows whose hash occurs in >= 2 distinct
+# documents, and merges adjacent marked windows into maximal repeated
+# regions: the per-document cut list an excision pass consumes.
+
+SPAN_W = 8  # window width in tokens
+
+
+def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-document repeated token regions per document.
+
+    Output: ``doc_id, span_start, span_end`` (1-based token positions,
+    inclusive) and ``n_windows`` (how many w-grams the region merged).
+
+    Scale shape: the window frame carries ``(doc_id, pos, 128-bit-ish
+    md5)`` — ~50 B/window regardless of document size; one shuffle on
+    the hash for the distinct-doc count, one hash join back (AQE
+    broadcasts the repeated-hash side when it is small — repeated
+    content is the minority by volume in a healthy corpus), then the
+    interval merge is a per-document window over only the MARKED
+    positions.  No stage ever holds a whole document's text."""
+    corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
+    spans = corpus.selectExpr(
+        "doc_id",
+        f"posexplode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
+        f"transform(sequence(1, size(tokens) - {SPAN_W - 1}), "
+        f"i -> md5(array_join(slice(tokens, i, {SPAN_W}), ' '))) "
+        "ELSE array() END) AS (pos0, h)",
+    ).filter(F.col("h").isNotNull())
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = spans.join(repeated, "h").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + SPAN_W - 1).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("grp")
+    )
+
+
+REPEATED_SPANS_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_D_TOKENS} AS tokens FROM corpus),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tokens[i : i + {SPAN_W - 1}], ' ')) AS h
+  FROM toks, unnest(CASE WHEN len(tokens) >= {SPAN_W}
+                         THEN generate_series(1, len(tokens) - {SPAN_W - 1})
+                         ELSE [] END) AS u(i)
+),
+repeated AS (
+  SELECT h FROM spans GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT doc_id, pos FROM spans JOIN repeated USING (h)
+),
+grps AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM hits
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_W - 1} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grps
+GROUP BY doc_id, grp
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),

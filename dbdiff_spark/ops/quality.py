@@ -248,7 +248,243 @@ FROM cust_after WHERE c_custkey IS NULL
 
 INTEGRITY_AUDIT_SQL = _integrity_sql()
 
+
+# --- per-column table profile -----------------------------------------------
+#
+# The "DESCRIBE my data" operator every governance layer grows: one row
+# per column with row/null/distinct counts and type-appropriate extrema.
+# The reference has no analogue (it answers "what changed", not "what is
+# here"); this is the pre-diff triage step.
+
+
+def profile_table(
+    df: DataFrame, exact_distinct: bool = True
+) -> DataFrame:
+    """Per-column profile: ``n_rows, n_nulls, n_distinct``, numeric
+    min/max (as DOUBLE), string min/max and total length.
+
+    Scale shape: ONE aggregation job.  With ``exact_distinct`` the
+    multi-column COUNT(DISTINCT) is planned through Spark's Expand
+    (input duplicated once per profiled column before the partial agg —
+    exact, and the oracle-comparable default).  At 100 TB pass
+    ``exact_distinct=False``: ``approx_count_distinct`` (HLL++) keeps
+    the plan a plain single-pass partial/final agg with no Expand, the
+    same accuracy trade every warehouse's profiler makes.  Everything
+    else map-side combines either way.  The final unpivot explodes ONE
+    driver-sized row — no second scan.
+
+    BIGINT extrema are reported through DOUBLE (53-bit mantissa) —
+    exact for keys < 2^53, documented rather than silently assumed.
+    """
+    num_types = ("byte", "short", "integer", "long", "float", "double")
+    nd = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in df.schema.fields:
+        c, t = f.name, f.dataType.typeName()
+        aggs.append(F.count(F.col(c)).alias(f"{c}__nn"))
+        aggs.append(nd(c).alias(f"{c}__nd"))
+        if t in num_types:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min_num"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max_num"))
+        if t == "string":
+            aggs.append(F.min(c).alias(f"{c}__min_str"))
+            aggs.append(F.max(c).alias(f"{c}__max_str"))
+            aggs.append(
+                F.sum(F.length(F.col(c))).cast("bigint").alias(f"{c}__len")
+            )
+    row = df.agg(*aggs)
+    structs = []
+    for f in df.schema.fields:
+        c, t = f.name, f.dataType.typeName()
+        has_num = t in num_types
+        has_str = t == "string"
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__n").cast("bigint").alias("n_rows"),
+                (F.col("__n") - F.col(f"{c}__nn")).cast("bigint").alias("n_nulls"),
+                F.col(f"{c}__nd").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"{c}__min_num")
+                    if has_num
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{c}__max_num")
+                    if has_num
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"{c}__min_str")
+                    if has_str
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"{c}__max_str")
+                    if has_str
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+                (
+                    F.col(f"{c}__len") if has_str else F.lit(None).cast("bigint")
+                ).alias("total_len"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the raw customer table (mixed bigint/int/double/string
+    columns — every branch of the profiler exercised)."""
+    return profile_table(load_table(spark, sf_dir, "customer"))
+
+
+def _profile_sql() -> str:
+    cols = [
+        ("c_custkey", "num"),
+        ("c_name", "str"),
+        ("c_nationkey", "num"),
+        ("c_acctbal", "num"),
+        ("c_mktsegment", "str"),
+    ]
+    parts = []
+    for c, kind in cols:
+        min_num = f"CAST(min({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        max_num = f"CAST(max({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+        min_str = f"min({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        max_str = f"max({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+        tlen = (
+            f"CAST(sum(length({c})) AS BIGINT)"
+            if kind == "str"
+            else "CAST(NULL AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,\n"
+            f"       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"       {min_num} AS min_num, {max_num} AS max_num,\n"
+            f"       {min_str} AS min_str, {max_str} AS max_str,\n"
+            f"       {tlen} AS total_len\n"
+            "FROM customer"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_CUSTOMER_SQL = _profile_sql()
+
+
+# --- right-to-erasure cascade -----------------------------------------------
+#
+# Given a forget-set of root-entity keys, propagate the deletion through
+# the foreign-key graph and report per-table impact — the GDPR/CCPA
+# "delete this user everywhere" primitive a training-data pipeline must
+# answer before it may retrain.
+
+
+def cascade_delete(
+    frames: dict[str, DataFrame],
+    root: str,
+    root_condition,
+    edges: list[tuple[str, str, str, str]],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Propagate a root-table deletion through FK ``edges`` (processed
+    in order; each: ``(child, child_fk, parent, parent_key)``).
+
+    Returns ``(kept_frames, report)``: the per-table retained rows and a
+    per-table ``(table_name, n_deleted, n_remaining)`` report.
+
+    Scale shape: per edge, ONE left-semi join of the child against the
+    (projected, deleted-keys-only) parent — the forget-set is typically
+    a tiny fraction of each table, so AQE broadcasts the key side and
+    the child is never shuffled; worst case it degrades to a keyed semi
+    join.  No collect anywhere — key sets stay distributed frames.
+    """
+    cond = F.coalesce(root_condition, F.lit(False))  # NULL ⇒ keep
+    deleted: dict[str, DataFrame] = {root: frames[root].filter(cond)}
+    kept: dict[str, DataFrame] = {root: frames[root].filter(~cond)}
+    for child, child_fk, parent, parent_key in edges:
+        if parent not in deleted:
+            raise ValueError(
+                f"edge {child}->{parent} processed before {parent} had a"
+                " deletion set; order edges parent-first"
+            )
+        keys = deleted[parent].select(F.col(parent_key).alias(child_fk))
+        deleted[child] = frames[child].join(keys, child_fk, "leftsemi")
+        kept[child] = frames[child].join(keys, child_fk, "left_anti")
+    # report from counts computed relationally (one agg per table,
+    # unioned — a handful of rows)
+    parts = []
+    for name, df in frames.items():
+        if name not in deleted:
+            continue
+        n_del = deleted[name].agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("table_name"),
+            F.col("n").cast("bigint").alias("n_deleted"),
+        )
+        n_tot = df.agg(F.count(F.lit(1)).alias("t"))
+        parts.append(
+            n_del.crossJoin(n_tot).select(
+                "table_name",
+                "n_deleted",
+                (F.col("t") - F.col("n_deleted")).cast("bigint").alias("n_remaining"),
+            )
+        )
+    report = parts[0]
+    for p in parts[1:]:
+        report = report.unionByName(p)
+    return kept, report
+
+
+FORGET_MOD = 97  # c_custkey % 97 == 0 → the demo forget-set (~1%)
+
+
+def delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade impact report: forget ~1% of customers, propagate
+    through orders → lineitem, report per-table deleted/remaining."""
+    frames = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    _, report = cascade_delete(
+        frames,
+        root="customer",
+        root_condition=F.col("c_custkey") % FORGET_MOD == 0,
+        edges=[
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    return report
+
+
+DELETE_CASCADE_SQL = f"""
+WITH del_c AS (SELECT c_custkey FROM customer WHERE c_custkey % {FORGET_MOD} = 0),
+del_o AS (SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM del_c)),
+del_l AS (SELECT 1 AS x FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+SELECT 'customer' AS table_name,
+       CAST((SELECT count(*) FROM del_c) AS BIGINT) AS n_deleted,
+       CAST((SELECT count(*) FROM customer) - (SELECT count(*) FROM del_c) AS BIGINT)
+         AS n_remaining
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM del_o) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) - (SELECT count(*) FROM del_o) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM del_l) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM del_l) AS BIGINT)
+"""
+
+
 QUERIES = {
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
     "integrity_audit": (integrity_audit, INTEGRITY_AUDIT_SQL),
+    "profile_customer": (profile_customer, PROFILE_CUSTOMER_SQL),
+    "delete_cascade": (delete_cascade, DELETE_CASCADE_SQL),
 }

@@ -663,8 +663,146 @@ WHERE rank <= {KNN_K}
 """
 
 
+# --- product quantization (PQ) ANN -------------------------------------------
+#
+# The memory end-game for vector search (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search"): split each vector into M
+# subspaces, quantize each subvector to its nearest codebook centroid,
+# and store only the M small codes (here 4 bytes/vector instead of 64
+# floats).  Queries score against the codebook once (an M×K distance
+# table) and rank the corpus by summed table lookups (ADC — asymmetric
+# distance computation).  All arithmetic here is integer (int8-grid
+# subvectors, BIGINT squared distances): the ranking is exact-compare,
+# so the oracle twin is bit-for-bit.
+
+PQ_M = 4  # subspaces
+PQ_SEEDS = 8  # codebook size per subspace (deterministic seeds, IVF-style)
+PQ_K = 3
+
+
+def _qdist2_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+
+
+def _qdist2_duck(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def ann_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """PQ-coded ANN: corpus stored as M codebook codes per vector,
+    queries ranked by ADC (sum of per-subspace table distances).
+
+    Scale shape: code assignment is a corpus scan against a BROADCAST
+    codebook (M×K subcentroids — bytes) with a per-(vec, m) argmin
+    window over K rows; the inverted representation carries only
+    ``(vec_id, m, code)``.  Queries build their distance table against
+    the same broadcast codebook (Q×M×K rows — driver-tiny), and the ADC
+    join is codes × broadcast(table) followed by ONE (query, vec)
+    aggregation — the corpus is never shuffled with its payload, only
+    its codes.  Recall is a function of M×K; swapping seed codebooks
+    for k-means-trained ones (kmeans_lloyd) changes no plumbing."""
+    qvecs = _vectors(spark, sf_dir).selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
+    sub = "slice(qvec, m * (size(qvec) div {M}) + 1, size(qvec) div {M})".format(M=PQ_M)
+    subs = qvecs.selectExpr(
+        "vec_id",
+        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+    )
+    scored = subs.join(F.broadcast(codebook), "m").withColumn(
+        "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("seed_id"))
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("seed_id").alias("code"))
+    )
+    q_subs = subs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
+    )
+    dtable = q_subs.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "m",
+        F.col("seed_id").alias("code"),
+        F.expr(_qdist2_spark("q_sub", "seed_sub")).alias("qd2"),
+    )
+    adc = (
+        codes.join(
+            _query_side(dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"),
+            ["m", "code"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("bigint").alias("approx_l2sq"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2sq"), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= PQ_K)
+    )
+
+
+_PQ_SUB_DUCK = "qvec[m * (len(qvec) // {M}) + 1 : (m + 1) * (len(qvec) // {M})]".format(
+    M=PQ_M
+)
+
+ANN_PQ_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
+subs AS (
+  SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
+  FROM qvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+),
+codebook AS (
+  SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs WHERE vec_id < {PQ_SEEDS}
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_qdist2_duck('s.sub', 'c.seed_sub')}, c.seed_id) AS rn
+    FROM subs s JOIN codebook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS query_id, q.m, c.seed_id AS code,
+         {_qdist2_duck('q.sub', 'c.seed_sub')} AS qd2
+  FROM subs q JOIN codebook c ON q.m = c.m
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+adc AS (
+  SELECT query_id, vec_id AS neighbor_id, CAST(sum(qd2) AS BIGINT) AS approx_l2sq
+  FROM codes JOIN dtable ON codes.m = dtable.m AND codes.code = dtable.code
+  WHERE vec_id <> query_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM adc
+)
+WHERE rank <= {PQ_K}
+"""
+
+
 QUERIES = {
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
+    "ann_pq": (ann_pq, ANN_PQ_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),

@@ -163,3 +163,21 @@ def test_keep_best_is_cluster_argmax(spark, sf_dir):
         )
         if best + NEARDUP_OFFSET in docs:  # original present → variant loses
             assert r.keep_id < NEARDUP_OFFSET
+
+
+def test_repeated_spans_are_maximal_disjoint_and_wide_enough(spark, sf_dir):
+    from dbdiff_spark.ops.dedup import SPAN_W, repeated_spans
+
+    rows = repeated_spans(spark, sf_dir).collect()
+    assert rows  # the synthetic corpus contains near-duplicates
+    by_doc = {}
+    for r in rows:
+        assert r.span_end - r.span_start + 1 >= SPAN_W
+        # n_windows w-grams merged => exactly that many start positions
+        assert r.span_end - r.span_start + 1 == r.n_windows + SPAN_W - 1
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for spans in by_doc.values():
+        spans.sort()
+        # maximal merge: consecutive intervals cannot touch or overlap
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1 + 1

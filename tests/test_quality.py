@@ -59,3 +59,63 @@ def test_retention_offset_zero_is_cohort_size(spark, sf_dir):
     for cohort, offs in by_cohort.items():
         assert 0 in offs  # every cohort has its founding day
         assert all(n <= offs[0] for n in offs.values())
+
+
+def test_profile_table_per_type_branches(spark):
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.quality import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, None, None), (2, "b", 2.5)],
+        "k bigint, s string, x double",
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "x"}
+    k = prof["k"]
+    assert (k.n_rows, k.n_nulls, k.n_distinct) == (3, 0, 2)
+    assert (k.min_num, k.max_num) == (1.0, 2.0)
+    assert k.min_str is None and k.total_len is None
+    s = prof["s"]
+    assert (s.n_nulls, s.n_distinct) == (1, 2)
+    assert (s.min_str, s.max_str, s.total_len) == ("aa", "b", 3)
+    assert s.min_num is None
+    x = prof["x"]
+    assert (x.n_nulls, x.min_num, x.max_num) == (1, 1.5, 2.5)
+    # approx path keeps the same shape (values may differ on distinct)
+    approx = {r.column_name: r for r in profile_table(df, exact_distinct=False).collect()}
+    assert set(approx) == {"k", "s", "x"}
+    assert approx["k"].n_nulls == 0
+
+
+def test_cascade_delete_conservation_and_no_orphans(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.quality import FORGET_MOD, cascade_delete
+
+    frames = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "orders": load_table(spark, sf_dir, "orders"),
+        "lineitem": load_table(spark, sf_dir, "lineitem"),
+    }
+    kept, report = cascade_delete(
+        frames,
+        root="customer",
+        root_condition=F.col("c_custkey") % FORGET_MOD == 0,
+        edges=[
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    rep = {r.table_name: r for r in report.collect()}
+    for name, df in frames.items():
+        # conservation: deleted + remaining == total
+        assert rep[name].n_deleted + rep[name].n_remaining == df.count()
+        assert kept[name].count() == rep[name].n_remaining
+    # the point of the cascade: kept orders reference only kept customers
+    orphans = kept["orders"].join(
+        kept["customer"].selectExpr("c_custkey AS o_custkey"),
+        "o_custkey",
+        "left_anti",
+    )
+    assert orphans.count() == 0

@@ -1,0 +1,51 @@
+"""ANN-tier invariants (oracle parity covers exact values)."""
+
+from pyspark.sql import functions as F
+
+
+def test_pq_codes_cover_corpus_and_stay_in_codebook(spark, sf_dir):
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import PQ_K, PQ_M, PQ_SEEDS, ann_pq
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    res = ann_pq(spark, sf_dir).collect()
+    assert res
+    by_q = {}
+    for r in res:
+        assert r.neighbor_id != r.query_id
+        assert r.approx_l2sq >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert len(rows) <= PQ_K
+        # ADC distances ordered with the ranks
+        rows.sort(key=lambda r: r.rank)
+        dists = [r.approx_l2sq for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_pq_seed_vectors_have_zero_self_distance(spark, sf_dir):
+    """A codebook seed's own subvectors quantize to themselves, so a
+    query that IS a seed has a 0-distance entry in its table — the
+    classic PQ sanity check, done relationally (no collect of vectors)."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import (
+        PQ_M,
+        PQ_SEEDS,
+        _qdist2_spark,
+        _qvec_spark,
+        _vectors,
+    )
+
+    qvecs = _vectors(spark, sf_dir).selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
+    sub = f"slice(qvec, m * (size(qvec) div {PQ_M}) + 1, size(qvec) div {PQ_M})"
+    subs = qvecs.selectExpr(
+        "vec_id",
+        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    seeds = subs.filter(F.col("vec_id") < PQ_SEEDS)
+    self_d = seeds.select(F.expr(_qdist2_spark("sub", "sub")).alias("d")).agg(
+        F.max("d")
+    ).first()[0]
+    assert self_d == 0
