@@ -66,6 +66,7 @@ HEADLINE = [
     "delete_cascade",
     "repeated_spans",
     "ann_pq",
+    "join_skew_report",
 ]
 
 

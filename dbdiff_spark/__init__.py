@@ -28,8 +28,17 @@ from dbdiff_spark.diff import (
     diff_tables,
 )
 from dbdiff_spark.ops.history import pit_join, scd2_apply, scd2_history
+from dbdiff_spark.ops.quality import cascade_delete, profile_table
+from dbdiff_spark.ops.skew import join_skew_report, salted_join
 from dbdiff_spark.normalize import normalize_to_strings, presentation_view
-from dbdiff_spark.snapshot import Snapshot, SnapshotStore, diff_snapshots
+from dbdiff_spark.snapshot import (
+    Snapshot,
+    SnapshotStore,
+    diff_snapshots,
+    list_generations,
+    snapshot_file_stats,
+    vacuum_generations,
+)
 from dbdiff_spark.config import Configuration, DbConfig, load_configuration
 from dbdiff_spark.session import get_spark
 
@@ -49,6 +58,13 @@ __all__ = [
     "Snapshot",
     "SnapshotStore",
     "diff_snapshots",
+    "list_generations",
+    "vacuum_generations",
+    "snapshot_file_stats",
+    "profile_table",
+    "cascade_delete",
+    "salted_join",
+    "join_skew_report",
     "Configuration",
     "DbConfig",
     "load_configuration",

@@ -107,6 +107,80 @@ ORDER BY c_mktsegment
 """
 
 
+SKEW_TOP_N = 10
+
+
+def join_skew_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    top_n: int = SKEW_TOP_N,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_n`` join keys by estimated
+    inner-join fan-out (``n_left × n_right``) with both sides' counts —
+    the report that decides between plain join / AQE / ``salted_join``
+    BEFORE burning a cluster-day on a straggler.
+
+    Scale shape: one map-side-combinable count per side (shuffle
+    carries distinct keys only, never rows), an outer join of the two
+    key-count tables, and a top-n rank over that (distinct-key-sized)
+    table.  Nothing in the plan touches full fact rows.
+    """
+    from pyspark.sql import Window
+
+    lc = left.groupBy(F.col(f"`{left_key}`").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(f"`{right_key}`").alias("join_key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    keys = (
+        lc.join(rc, "join_key", "full_outer")
+        .select(
+            "join_key",
+            F.coalesce("n_left", F.lit(0)).cast("bigint").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("bigint").alias("n_right"),
+        )
+        .withColumn("est_pairs", (F.col("n_left") * F.col("n_right")).cast("bigint"))
+    )
+    # orderBy().limit() plans TakeOrderedAndProject — a distributed
+    # top-k (per-partition heaps + driver merge), NOT a global sort; the
+    # rank window then runs over only the surviving top_n rows.  A bare
+    # row_number() over the full key table would funnel every distinct
+    # key through one reducer.
+    top = keys.orderBy(F.col("est_pairs").desc(), F.col("join_key")).limit(top_n)
+    w = Window.orderBy(F.col("est_pairs").desc(), F.col("join_key"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def skew_report_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return join_skew_report(events, cust, "user_id", "c_custkey")
+
+
+SKEW_REPORT_SQL = f"""
+WITH lc AS (SELECT user_id AS join_key, CAST(count(*) AS BIGINT) AS n_left
+            FROM events GROUP BY user_id),
+rc AS (SELECT c_custkey AS join_key, CAST(count(*) AS BIGINT) AS n_right
+       FROM customer GROUP BY c_custkey),
+keys AS (
+  SELECT coalesce(lc.join_key, rc.join_key) AS join_key,
+         CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+         CAST(coalesce(n_right, 0) AS BIGINT) AS n_right,
+         CAST(coalesce(n_left, 0) * coalesce(n_right, 0) AS BIGINT) AS est_pairs
+  FROM lc FULL OUTER JOIN rc ON lc.join_key = rc.join_key
+)
+SELECT join_key, n_left, n_right, est_pairs, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY est_pairs DESC, join_key) AS rank
+  FROM keys
+)
+WHERE rank <= {SKEW_TOP_N}
+"""
+
+
 QUERIES = {
     "skew_join_user_segment": (skew_join_user_segment, SKEW_JOIN_SQL),
+    "join_skew_report": (skew_report_events_customer, SKEW_REPORT_SQL),
 }

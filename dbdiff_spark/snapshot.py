@@ -569,3 +569,107 @@ def packed_diff(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- snapshot lifecycle (generations, retention, file health) ----------------
+#
+# The reference's REPL holds exactly two snapshots in RAM and discards
+# them on exit (cmd/dbdiff/main.go:66-117).  A persistent store needs
+# the lifecycle the reference never faced: enumerate past snapshot
+# generations, expire old ones, and watch for the small-file problem
+# that kills scan throughput at scale.  All listing/deleting goes
+# through the Hadoop FileSystem API so the same code manages local,
+# hdfs:// and s3a:// stores.
+
+
+def list_generations(spark: SparkSession, base: str) -> list[str]:
+    """Snapshot generation roots under ``base`` (direct subdirectories
+    holding a manifest), sorted by name — name-ordered generations
+    (``gen-000001``, timestamps, ...) come back oldest-first."""
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        hbase = jvm.org.apache.hadoop.fs.Path(base)
+        fs = hbase.getFileSystem(hconf)
+        if not fs.exists(hbase):
+            return []
+        out = []
+        for st in fs.listStatus(hbase):
+            if not st.isDirectory():
+                continue
+            mpath = jvm.org.apache.hadoop.fs.Path(st.getPath(), MANIFEST_NAME)
+            if fs.exists(mpath):
+                out.append(st.getPath().toString())
+        return sorted(out)
+    except Exception:
+        # no JVM gateway (Spark Connect): local-path fallback
+        root = Path(base)
+        if not root.is_dir():
+            return []
+        return sorted(
+            str(p) for p in root.iterdir() if (p / MANIFEST_NAME).is_file()
+        )
+
+
+def vacuum_generations(
+    spark: SparkSession, base: str, keep_last: int
+) -> list[str]:
+    """Expire old snapshot generations, keeping the newest ``keep_last``
+    (by name order).  Returns the deleted generation roots.
+
+    Deletion is manifest-gated: only directories that ARE snapshot
+    generations (contain a manifest) are candidates — a stray file or
+    foreign directory under ``base`` is never touched.  Refuses
+    ``keep_last < 1``: an empty store is an explicit ``fs.delete`` the
+    caller must write themselves, not a vacuum outcome."""
+    if keep_last < 1:
+        raise ValueError("vacuum keeps at least one generation")
+    gens = list_generations(spark, base)
+    doomed = gens[:-keep_last] if len(gens) > keep_last else []
+    if not doomed:
+        return []
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        for g in doomed:
+            p = jvm.org.apache.hadoop.fs.Path(g)
+            p.getFileSystem(hconf).delete(p, True)
+    except Exception:
+        import shutil
+
+        for g in doomed:
+            shutil.rmtree(g, ignore_errors=True)
+    return doomed
+
+
+def snapshot_file_stats(spark: SparkSession, snap: Snapshot) -> list[dict]:
+    """Per-table data-file health report: file count, total bytes,
+    min/max/mean file size — the small-file detector (a 100 TB table in
+    4 MB files is a scan-planning disaster: one task per file, pure
+    scheduler overhead).  Driver-side metadata listing only — row counts
+    belong to ``total_count``/``snapshot_counts``, not here."""
+    out = []
+    for name in sorted(snap.tables):
+        files = Snapshot._list_data_files(spark, snap.tables[name]) or []
+        sizes = []
+        if files:
+            try:
+                jvm = spark._jvm  # type: ignore[attr-defined]
+                hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+                for uri, _ in files:
+                    p = jvm.org.apache.hadoop.fs.Path(uri)
+                    sizes.append(p.getFileSystem(hconf).getFileStatus(p).getLen())
+            except Exception:
+                sizes = [Path(uri.replace("file:", "")).stat().st_size for uri, _ in files]
+        total = sum(sizes)
+        out.append(
+            {
+                "table_name": name,
+                "n_files": len(sizes),
+                "total_bytes": total,
+                "min_bytes": min(sizes) if sizes else 0,
+                "max_bytes": max(sizes) if sizes else 0,
+                "mean_bytes": total // len(sizes) if sizes else 0,
+            }
+        )
+    return out

@@ -479,8 +479,62 @@ SELECT user_id, n_seen, md5(props) AS last_hash FROM (
 """
 
 
+TRENDING_K = 3
+
+
+def stream_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending event types: top-K per tumbling window by event count.
+
+    The streaming half is the watermarked windowed aggregation (the
+    state-store-bounded part — identical shape to
+    ``windowed_event_counts``); the rank is applied to the FINISHED
+    window aggregates at read time, the way a trending dashboard ranks
+    its serving table rather than maintaining rank inside streaming
+    state (rank is not an incremental aggregate — a late event can
+    reorder the whole window, so ranking belongs after the watermark
+    closes the window)."""
+    stream = _event_stream_from_table(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    done = _run_to_completion(spark, agg, "stream_trending_topk", "complete")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("window_start_us").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        done.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRENDING_K)
+    )
+
+
+STREAM_TRENDING_SQL = f"""
+WITH counts AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 300000000) AS BIGINT) * 300000000 AS window_start_us,
+         event_type, count(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n_events, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM counts
+)
+WHERE rank <= {TRENDING_K}
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),

@@ -363,3 +363,57 @@ def test_schema_changes_report(spark, tmp_path):
         ("t1", "KEY_CHANGED", "['id'] -> ['id', 's2']"),
     }
     assert schema_changes(before, before) == []
+
+
+def test_generation_lifecycle_vacuum_and_file_stats(spark, sf_dir, tmp_path):
+    """Generations list oldest-first, vacuum deletes only manifest-
+    bearing dirs beyond keep_last, and file stats see every data file."""
+    import pytest
+
+    from dbdiff_spark.catalog import FileCatalog, TESTDATA_KEYS
+    from dbdiff_spark.snapshot import (
+        Snapshot,
+        SnapshotStore,
+        list_generations,
+        snapshot_file_stats,
+        vacuum_generations,
+    )
+
+    cat = FileCatalog(spark, sf_dir, TESTDATA_KEYS)
+    region = cat.load("region")
+    store = SnapshotStore(spark)
+    base = tmp_path / "gens"
+    snaps = []
+    for i in range(3):
+        snaps.append(
+            store.collect(
+                {"region": region},
+                {"region": TESTDATA_KEYS["region"]},
+                str(base / f"gen-{i:06d}"),
+            )
+        )
+        snaps[-1].save_manifest()
+    # a foreign dir without a manifest must be invisible to the lifecycle
+    (base / "not-a-snapshot").mkdir()
+    (base / "not-a-snapshot" / "keep.txt").write_text("precious")
+
+    gens = list_generations(spark, str(base))
+    assert [g.rsplit("/", 1)[-1] for g in gens] == [
+        "gen-000000",
+        "gen-000001",
+        "gen-000002",
+    ]
+    with pytest.raises(ValueError):
+        vacuum_generations(spark, str(base), keep_last=0)
+    deleted = vacuum_generations(spark, str(base), keep_last=2)
+    assert [d.rsplit("/", 1)[-1] for d in deleted] == ["gen-000000"]
+    assert len(list_generations(spark, str(base))) == 2
+    assert (base / "not-a-snapshot" / "keep.txt").read_text() == "precious"
+    # idempotent once within retention
+    assert vacuum_generations(spark, str(base), keep_last=2) == []
+
+    stats = snapshot_file_stats(spark, Snapshot.load_manifest(str(base / "gen-000002")))
+    assert [s["table_name"] for s in stats] == ["region"]
+    s = stats[0]
+    assert s["n_files"] >= 1 and s["total_bytes"] > 0
+    assert s["min_bytes"] <= s["mean_bytes"] <= s["max_bytes"]
