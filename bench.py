@@ -67,6 +67,8 @@ HEADLINE = [
     "repeated_spans",
     "ann_pq",
     "join_skew_report",
+    "outlier_report_lineitem",
+    "peak_concurrency",
 ]
 
 

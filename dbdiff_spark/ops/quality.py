@@ -482,8 +482,78 @@ SELECT 'lineitem',
 """
 
 
+# --- IQR outlier report -------------------------------------------------------
+
+
+def outlier_report(
+    df: DataFrame, value_col: str, group_col: str, k_tenths: int = 15
+) -> DataFrame:
+    """Per-group Tukey fences (Q1 − k·IQR, Q3 + k·IQR; k = 1.5 by
+    default) and the count of rows outside them — the distributional
+    companion to ``integrity_audit``'s rule checks.
+
+    Scale shape: exact per-group quartiles are one sort-based
+    aggregation (grouped, so no global sort); the fence table is
+    group-count-sized and broadcasts back onto a second scan for the
+    outside-fence counts — no row ever shuffles with its payload.
+    (At 100 TB swap ``percentile`` for ``approx_percentile`` — same
+    plan, sketch accuracy; the oracle pins the exact form.)
+    """
+    k = k_tenths  # fences use exact decimal arithmetic: k/10
+    fences = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q3"),
+    )
+    fences = fences.select(
+        group_col,
+        "q1",
+        "q3",
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        (F.col("q1") - (F.col("q3") - F.col("q1")) * k / 10).alias("lo_fence"),
+        (F.col("q3") + (F.col("q3") - F.col("q1")) * k / 10).alias("hi_fence"),
+    )
+    return (
+        df.join(F.broadcast(fences), group_col)
+        .groupBy(group_col, "q1", "q3", "iqr", "lo_fence", "hi_fence")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_if(F.col(value_col) < F.col("lo_fence")).alias("n_below"),
+            F.count_if(F.col(value_col) > F.col("hi_fence")).alias("n_above"),
+        )
+    )
+
+
+def outlier_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return outlier_report(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice", "l_returnflag"
+    )
+
+
+OUTLIER_REPORT_SQL = """
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+),
+f AS (
+  SELECT l_returnflag, q1, q3, q3 - q1 AS iqr,
+         q1 - (q3 - q1) * 15 / 10 AS lo_fence,
+         q3 + (q3 - q1) * 15 / 10 AS hi_fence
+  FROM fences
+)
+SELECT f.l_returnflag, q1, q3, iqr, lo_fence, hi_fence,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE l_extendedprice < lo_fence) AS BIGINT) AS n_below,
+       CAST(count(*) FILTER (WHERE l_extendedprice > hi_fence) AS BIGINT) AS n_above
+FROM lineitem JOIN f ON lineitem.l_returnflag = f.l_returnflag
+GROUP BY f.l_returnflag, q1, q3, iqr, lo_fence, hi_fence
+"""
+
+
 QUERIES = {
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
+    "outlier_report_lineitem": (outlier_report_lineitem, OUTLIER_REPORT_SQL),
     "integrity_audit": (integrity_audit, INTEGRITY_AUDIT_SQL),
     "profile_customer": (profile_customer, PROFILE_CUSTOMER_SQL),
     "delete_cascade": (delete_cascade, DELETE_CASCADE_SQL),

@@ -417,8 +417,120 @@ GROUP BY cohort_day, day - cohort_day
 """
 
 
+# --- sequence-gap detection ---------------------------------------------------
+
+GAP_US = 3_600_000_000  # report inactivity gaps > 1 hour
+
+
+def sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity gaps longer than ``GAP_US`` — the monitoring
+    question "where did the feed stop?".  One lag window per user (one
+    shuffle on user_id, the natural event partitioning); output is
+    bounded by the number of GAPS, not events."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .filter(F.col("ts_us") - F.col("prev_us") > GAP_US)
+        .select(
+            "user_id",
+            F.col("prev_us").alias("gap_start_us"),
+            F.col("ts_us").alias("gap_end_us"),
+            (F.col("ts_us") - F.col("prev_us")).alias("gap_us"),
+        )
+    )
+
+
+SEQUENCE_GAPS_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT user_id, prev_us AS gap_start_us, ts_us AS gap_end_us,
+       ts_us - prev_us AS gap_us
+FROM ordered
+WHERE ts_us - prev_us > {GAP_US}
+"""
+
+
+# --- peak concurrency ---------------------------------------------------------
+
+HOLD_US = 300_000_000  # each event holds a resource for 5 minutes
+
+
+def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the maximum number of simultaneously-open
+    intervals ``[ts, ts + 5min)`` and the first instant that peak is
+    reached — the classic +1/−1 boundary sweep, partitioned by type.
+
+    Scale shape: the sweep's running sum is a per-type ordered window —
+    the one operator family that genuinely needs a total order, held
+    scale-safe by partitioning on the series key (types here; a
+    monitoring deployment sweeps per host/tenant the same way).  Ends
+    sort before starts at the same instant (half-open intervals: a
+    departure at t frees the slot before an arrival at t takes it)."""
+    ev = _events_us(spark, sf_dir)
+    pts = ev.select(
+        "event_type", F.col("ts_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("ts_us") + HOLD_US).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.withColumn("running", F.sum("delta").over(w))
+    wp = Window.partitionBy("event_type")
+    return (
+        swept.withColumn("peak", F.max("running").over(wp))
+        .filter(F.col("running") == F.col("peak"))
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak_concurrent"),
+            F.min("t").alias("peak_at_us"),
+        )
+    )
+
+
+PEAK_CONCURRENCY_SQL = f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta
+  FROM events WHERE ts IS NOT NULL
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + {HOLD_US} AS t, -1 AS delta
+  FROM events WHERE ts IS NOT NULL
+),
+swept AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM pts
+),
+peaks AS (
+  SELECT event_type, t, running,
+         max(running) OVER (PARTITION BY event_type) AS peak
+  FROM swept
+)
+SELECT event_type,
+       CAST(max(peak) AS BIGINT) AS peak_concurrent,
+       min(t) AS peak_at_us
+FROM peaks
+WHERE running = peak
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
+    "sequence_gaps": (sequence_gaps, SEQUENCE_GAPS_SQL),
+    "peak_concurrency": (peak_concurrency, PEAK_CONCURRENCY_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
     "events_hourly_fill": (events_hourly_fill, EVENTS_HOURLY_FILL_SQL),
     "events_rollup_cascade": (events_rollup_cascade, EVENTS_ROLLUP_CASCADE_SQL),

@@ -119,3 +119,27 @@ def test_cascade_delete_conservation_and_no_orphans(spark, sf_dir):
         "left_anti",
     )
     assert orphans.count() == 0
+
+
+def test_outlier_fences_order_and_bounds(spark, sf_dir):
+    from dbdiff_spark.ops.quality import outlier_report_lineitem
+
+    for r in outlier_report_lineitem(spark, sf_dir).collect():
+        assert r.lo_fence <= r.q1 <= r.q3 <= r.hi_fence
+        assert r.iqr == r.q3 - r.q1 >= 0
+        assert 0 <= r.n_below + r.n_above <= r.n_rows
+
+
+def test_sequence_gaps_exceed_threshold_and_peak_sane(spark, sf_dir):
+    from dbdiff_spark.ops.temporal import (
+        GAP_US,
+        peak_concurrency,
+        sequence_gaps,
+    )
+
+    gaps = sequence_gaps(spark, sf_dir).collect()
+    assert all(r.gap_us == r.gap_end_us - r.gap_start_us > GAP_US for r in gaps)
+    peaks = peak_concurrency(spark, sf_dir).collect()
+    assert peaks
+    for r in peaks:
+        assert r.peak_concurrent >= 1
