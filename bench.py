@@ -69,6 +69,7 @@ HEADLINE = [
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
+    "label_propagation",
 ]
 
 

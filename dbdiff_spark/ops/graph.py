@@ -239,7 +239,91 @@ SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
        CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles
 """
 
+# --- label propagation communities -------------------------------------------
+
+LP_ITERS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after ``LP_ITERS`` rounds of synchronous label
+    propagation over the co-purchase graph.
+
+    Determinism (the whole point of this formulation): classic LPA is
+    notoriously run-dependent — asynchronous updates + random tie
+    breaks.  Here every round is SYNCHRONOUS (labels read from round
+    i only) and a node adopts its neighbors' most frequent label with
+    ties broken toward the SMALLEST label — a pure (count DESC, label
+    ASC) argmax, so every engine converges identically and the DuckDB
+    twin replays the rounds exactly.
+
+    Scale shape per round: one keyed join of the node-sized label
+    vector with the cached pre-partitioned edge list (pagerank's
+    layout: only labels move), one (dst, label) aggregation, one
+    per-dst argmax — all keyed shuffles, no broadcast of anything
+    data-sized, no driver state.  Community sizes (not per-node rows)
+    keep the output community-bounded."""
+    from pyspark.sql import Window
+
+    edges = _copurchase_edges(spark, sf_dir)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges_p = edges.repartition(n_part, "src").persist()
+    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
+    for i in range(LP_ITERS):
+        labels = (
+            labels.join(edges_p, "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("src"), "label")
+        )
+        if (i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return (
+        labels.groupBy(F.col("label").alias("community_id"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
+def _label_propagation_sql() -> str:
+    iters = []
+    prev = "l0"
+    for i in range(LP_ITERS):
+        cur = f"l{i + 1}"
+        iters.append(
+            f"""{cur} AS (
+  SELECT dst AS src, label FROM (
+    SELECT e.dst, p.label, count(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, p.label) AS rn
+    FROM {prev} p JOIN edges e ON p.src = e.src
+    GROUP BY e.dst, p.label
+  ) WHERE rn = 1
+)"""
+        )
+        prev = cur
+    iter_sql = ",\n".join(iters)
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+l0 AS (SELECT DISTINCT src, src AS label FROM edges),
+{iter_sql}
+SELECT label AS community_id, CAST(count(*) AS BIGINT) AS n_members
+FROM {prev}
+GROUP BY label
+"""
+
+
+LABEL_PROPAGATION_SQL = _label_propagation_sql()
+
+
 QUERIES = {
     "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
     "triangle_count": (triangle_count, TRIANGLE_SQL),
+    "label_propagation": (label_propagation, LABEL_PROPAGATION_SQL),
 }

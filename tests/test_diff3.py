@@ -125,6 +125,20 @@ def disjoint_edits(draw):
     return base, ours, theirs
 
 
+def test_label_propagation_conserves_nodes(spark, sf_dir):
+    from dbdiff_spark.ops.graph import _copurchase_edges, label_propagation
+
+    n_nodes = _copurchase_edges(spark, sf_dir).select("src").distinct().count()
+    comms = label_propagation(spark, sf_dir).collect()
+    assert sum(r.n_members for r in comms) == n_nodes
+    assert all(r.n_members >= 1 for r in comms)
+    # deterministic: a second run yields the identical community map
+    again = label_propagation(spark, sf_dir).collect()
+    assert sorted((r.community_id, r.n_members) for r in comms) == sorted(
+        (r.community_id, r.n_members) for r in again
+    )
+
+
 @settings(
     max_examples=10,
     deadline=None,
