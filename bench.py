@@ -70,6 +70,7 @@ HEADLINE = [
     "outlier_report_lineitem",
     "peak_concurrency",
     "label_propagation",
+    "frequent_itemsets",
 ]
 
 

@@ -92,9 +92,47 @@ def main(argv: list[str] | None = None) -> int:
         "directory and verify it equals the after snapshot — the CDC-"
         "apply consumer path",
     )
+    parser.add_argument(
+        "--profile-only",
+        action="store_true",
+        help="print a per-column profile of every source table and exit "
+        "(pre-diff triage; no snapshots written)",
+    )
+    parser.add_argument(
+        "--vacuum",
+        default="",
+        metavar="BASE",
+        help="expire old snapshot generations under BASE and exit "
+        "(used with --keep-last)",
+    )
+    parser.add_argument(
+        "--keep-last",
+        type=int,
+        default=3,
+        help="generations to retain with --vacuum (default 3)",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="dbdiff_spark_cli")
+
+    if args.vacuum:
+        from dbdiff_spark.snapshot import vacuum_generations
+
+        deleted = vacuum_generations(spark, args.vacuum, keep_last=args.keep_last)
+        for d in deleted:
+            print(f"[Vacuum] removed {d}")
+        print(f"[Vacuum] {len(deleted)} generation(s) removed")
+        return 0
+
+    if args.profile_only:
+        from dbdiff_spark.ops.quality import profile_table
+
+        sources, _keys = _load_sources(spark, args)
+        for tname in sorted(sources):
+            print(f"[Profile] {tname}")
+            profile_table(sources[tname]).show(100, truncate=24)
+        return 0
+
     store = SnapshotStore(spark)
     mode = DiffMode(args.mode)
     run_root = Path(args.snapshot_dir) / time.strftime("%Y%m%d_%H%M%S")

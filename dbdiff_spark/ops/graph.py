@@ -322,8 +322,82 @@ GROUP BY label
 LABEL_PROPAGATION_SQL = _label_propagation_sql()
 
 
+# --- frequent itemsets (market-basket support counting) ----------------------
+
+FI_TOP_K = 15
+
+
+def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``FI_TOP_K`` single items and item PAIRS by order support —
+    the 1- and 2-itemset layers of market-basket mining (the support
+    table an association-rule pass consumes).
+
+    Scale shape: pair enumeration happens per order via higher-order
+    functions on the collected item set (orders hold a handful of
+    items, so pairs-per-order is constant-bounded and the pair stream
+    stays linear in lineitem — same argument as ``_copurchase_edges``);
+    supports are one map-side-combinable count each, and each top-k is
+    a TakeOrdered (distributed heaps), never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    items = (
+        op.groupBy(F.col("l_partkey").alias("item_a"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    pairs = (
+        op.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .selectExpr(
+            "explode(flatten(transform(ps, x ->"
+            " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))) AS e"
+        )
+        .groupBy(F.col("e.a").alias("item_a"), F.col("e.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    top_items = (
+        items.orderBy(F.col("support").desc(), "item_a")
+        .limit(FI_TOP_K)
+        .select(
+            F.lit("item").alias("kind"),
+            "item_a",
+            F.lit(None).cast("bigint").alias("item_b"),
+            "support",
+        )
+    )
+    top_pairs = (
+        pairs.orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(FI_TOP_K)
+        .select(F.lit("pair").alias("kind"), "item_a", "item_b", "support")
+    )
+    return top_items.unionByName(top_pairs)
+
+
+FREQUENT_ITEMSETS_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+items AS (
+  SELECT l_partkey AS item_a, CAST(count(*) AS BIGINT) AS support
+  FROM op GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT 'item' AS kind, item_a, CAST(NULL AS BIGINT) AS item_b, support FROM (
+  SELECT * FROM items ORDER BY support DESC, item_a LIMIT {FI_TOP_K}
+)
+UNION ALL
+SELECT 'pair' AS kind, item_a, item_b, support FROM (
+  SELECT * FROM pairs ORDER BY support DESC, item_a, item_b LIMIT {FI_TOP_K}
+)
+"""
+
+
 QUERIES = {
     "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
     "triangle_count": (triangle_count, TRIANGLE_SQL),
     "label_propagation": (label_propagation, LABEL_PROPAGATION_SQL),
+    "frequent_itemsets": (frequent_itemsets, FREQUENT_ITEMSETS_SQL),
 }

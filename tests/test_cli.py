@@ -80,3 +80,34 @@ def test_cli_apply_dir_reconstructs_after_state(spark, tmp_path, monkeypatch, ca
         for r in spark.read.parquet(str(apply_dir / "gen1" / "t1")).collect()
     }
     assert rebuilt == {("1", "a"), ("2", "B"), ("4", "d")}
+
+
+def test_cli_profile_only_and_vacuum(spark, tmp_path, capsys):
+    from dbdiff_spark import cli
+    from dbdiff_spark.catalog import TESTDATA_KEYS, FileCatalog
+    from dbdiff_spark.snapshot import SnapshotStore, list_generations
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, None)], "id int, s string"
+    ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+
+    rc = cli.main(["--parquet-dir", str(src), "--profile-only"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[Profile] t1" in out and "n_distinct" in out
+
+    base = tmp_path / "gens"
+    store = SnapshotStore(spark)
+    cat = FileCatalog(spark, str(src), {})
+    for i in range(3):
+        s = store.collect(
+            {"t1": cat.load("t1")}, {"t1": ["id"]}, str(base / f"gen-{i:03d}")
+        )
+        s.save_manifest()
+    rc = cli.main(["--vacuum", str(base), "--keep-last", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 generation(s) removed" in out
+    assert len(list_generations(spark, str(base))) == 1
