@@ -71,6 +71,7 @@ HEADLINE = [
     "peak_concurrency",
     "label_propagation",
     "frequent_itemsets",
+    "validate_orders",
 ]
 
 

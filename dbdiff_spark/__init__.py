@@ -28,7 +28,12 @@ from dbdiff_spark.diff import (
     diff_tables,
 )
 from dbdiff_spark.ops.history import pit_join, scd2_apply, scd2_history
-from dbdiff_spark.ops.quality import cascade_delete, profile_table
+from dbdiff_spark.ops.quality import (
+    cascade_delete,
+    outlier_report,
+    profile_table,
+    validate_rules,
+)
 from dbdiff_spark.ops.skew import join_skew_report, salted_join
 from dbdiff_spark.normalize import normalize_to_strings, presentation_view
 from dbdiff_spark.snapshot import (
@@ -63,6 +68,8 @@ __all__ = [
     "snapshot_file_stats",
     "profile_table",
     "cascade_delete",
+    "outlier_report",
+    "validate_rules",
     "salted_join",
     "join_skew_report",
     "Configuration",

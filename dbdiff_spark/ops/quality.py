@@ -551,9 +551,68 @@ GROUP BY f.l_returnflag, q1, q3, iqr, lo_fence, hi_fence
 """
 
 
+# --- expectation rules --------------------------------------------------------
+
+
+def validate_rules(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Evaluate row-local expectation rules (name, boolean SQL predicate)
+    in ONE scan: every rule becomes a ``count_if(NOT coalesce(pred,
+    FALSE))`` in a single aggregation (NULL predicate = violation — an
+    expectation that cannot be evaluated on a row has not been met),
+    then the one driver-sized result row unpivots to a row per rule.
+    The contract-testing primitive: N rules never cost N passes."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in rules:
+        aggs.append(
+            F.expr(f"count_if(NOT coalesce(({pred}), FALSE))").alias(f"v__{name}")
+        )
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule_name"),
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col(f"v__{name}").cast("bigint").alias("n_violations"),
+            (F.col(f"v__{name}") == 0).alias("passed"),
+        )
+        for name, _ in rules
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+ORDER_RULES = [
+    ("orderkey_not_null", "o_orderkey IS NOT NULL"),
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("status_known", "o_orderstatus IN ('F', 'O', 'P')"),
+    ("date_in_range", "o_orderdate >= TIMESTAMP '1990-01-01 00:00:00'"),
+    ("priority_prefixed", "o_orderpriority LIKE '%-%'"),
+]
+
+
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate_rules(load_table(spark, sf_dir, "orders"), ORDER_RULES)
+
+
+def _validate_sql() -> str:
+    parts = []
+    for name, pred in ORDER_RULES:
+        parts.append(
+            f"SELECT '{name}' AS rule_name, CAST(count(*) AS BIGINT) AS n_rows,\n"
+            f"       CAST(count(*) FILTER (WHERE NOT coalesce(({pred}), FALSE))"
+            " AS BIGINT) AS n_violations,\n"
+            f"       count(*) FILTER (WHERE NOT coalesce(({pred}), FALSE)) = 0"
+            " AS passed\n"
+            "FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+VALIDATE_ORDERS_SQL = _validate_sql()
+
+
 QUERIES = {
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
     "outlier_report_lineitem": (outlier_report_lineitem, OUTLIER_REPORT_SQL),
+    "validate_orders": (validate_orders, VALIDATE_ORDERS_SQL),
     "integrity_audit": (integrity_audit, INTEGRITY_AUDIT_SQL),
     "profile_customer": (profile_customer, PROFILE_CUSTOMER_SQL),
     "delete_cascade": (delete_cascade, DELETE_CASCADE_SQL),

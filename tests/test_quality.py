@@ -143,3 +143,22 @@ def test_sequence_gaps_exceed_threshold_and_peak_sane(spark, sf_dir):
     assert peaks
     for r in peaks:
         assert r.peak_concurrent >= 1
+
+
+def test_validate_rules_null_predicate_is_violation_one_scan(spark):
+    from dbdiff_spark.ops.quality import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id int, amount int"
+    )
+    res = {r.rule_name: r for r in validate_rules(
+        df,
+        [("amount_positive", "amount > 0"), ("id_small", "id < 100")],
+    ).collect()}
+    # NULL amount fails the expectation (cannot be shown to hold)
+    assert res["amount_positive"].n_violations == 2
+    assert not res["amount_positive"].passed
+    assert res["id_small"].n_violations == 0 and res["id_small"].passed
+    assert all(r.n_rows == 3 for r in res.values())
+    plan = validate_rules(df, [("p", "id > 0")])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1  # all rules in one pass
