@@ -40,6 +40,7 @@ from dbdiff_spark.snapshot import (
     Snapshot,
     SnapshotStore,
     diff_snapshots,
+    diff_timeline,
     list_generations,
     snapshot_file_stats,
     vacuum_generations,
@@ -63,6 +64,7 @@ __all__ = [
     "Snapshot",
     "SnapshotStore",
     "diff_snapshots",
+    "diff_timeline",
     "list_generations",
     "vacuum_generations",
     "snapshot_file_stats",

@@ -242,8 +242,23 @@ class Snapshot:
             )
         )
 
+    @staticmethod
+    def _local_root(root: str) -> str:
+        """Normalize a local Hadoop URI (``file:/x`` / ``file:///x``) to
+        a plain path — ``list_generations`` hands back FS URIs, and the
+        driver-local manifest IO must accept them.  Non-``file`` schemes
+        pass through untouched (and fail loudly in ``Path`` — manifest
+        IO on remote stores goes through the FS API, not this helper)."""
+        if root.startswith("file:"):
+            trimmed = root[5:]
+            while trimmed.startswith("//"):
+                trimmed = trimmed[1:]
+            return trimmed
+        return root
+
     @classmethod
     def load_manifest(cls, root: str) -> "Snapshot":
+        root = cls._local_root(root)
         data = json.loads((Path(root) / MANIFEST_NAME).read_text())
         return cls(
             root=root,
@@ -672,4 +687,55 @@ def snapshot_file_stats(spark: SparkSession, snap: Snapshot) -> list[dict]:
                 "mean_bytes": total // len(sizes) if sizes else 0,
             }
         )
+    return out
+
+
+def diff_timeline(
+    spark: SparkSession,
+    generations: list[str],
+    mode: DiffMode = DiffMode.STRING,
+    incremental: bool = False,
+) -> DataFrame:
+    """Change-velocity report across a CHAIN of snapshot generations:
+    for each consecutive pair, per-table counts by classification —
+    "how fast is each table churning, and when did it spike", the
+    question ``list_generations`` sets up and a single two-snapshot
+    diff cannot answer.
+
+    One row per (generation transition, table, status).  UPDATED pairs
+    count once (diff_summary semantics).  Cost: N−1 pairwise diffs —
+    with ``incremental=True`` on tracked snapshots each transition
+    prunes to its changed hash-groups, so a quiet timeline is nearly
+    free.  Output is transition×table×status-bounded (driver-tiny).
+    """
+    from dbdiff_spark.diff import DELETED
+
+    if len(generations) < 2:
+        raise ValueError("diff_timeline needs at least two generations")
+    parts = []
+    for i in range(len(generations) - 1):
+        before = Snapshot.load_manifest(generations[i])
+        after = Snapshot.load_manifest(generations[i + 1])
+        results = diff_snapshots(
+            spark, before, after, mode=mode, incremental=incremental
+        )
+        gen_label = Path(generations[i + 1]).name
+        for tname, res in results.items():
+            dedup = res.df.filter(
+                ~F.col("is_before") | (F.col("diff_status") == DELETED)
+            )
+            parts.append(
+                dedup.groupBy("diff_status").agg(
+                    F.count(F.lit(1)).alias("n_rows")
+                ).select(
+                    F.lit(i + 1).cast("int").alias("transition"),
+                    F.lit(gen_label).alias("generation"),
+                    F.lit(tname).alias("table_name"),
+                    "diff_status",
+                    "n_rows",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out

@@ -417,3 +417,63 @@ def test_generation_lifecycle_vacuum_and_file_stats(spark, sf_dir, tmp_path):
     s = stats[0]
     assert s["n_files"] >= 1 and s["total_bytes"] > 0
     assert s["min_bytes"] <= s["mean_bytes"] <= s["max_bytes"]
+
+
+def test_diff_timeline_reports_churn_per_transition(spark, sf_dir, tmp_path):
+    import pytest
+
+    from dbdiff_spark.catalog import FileCatalog, TESTDATA_KEYS
+    from dbdiff_spark.snapshot import SnapshotStore, diff_timeline
+
+    cat = FileCatalog(spark, sf_dir, TESTDATA_KEYS)
+    nation = cat.load("nation")
+    store = SnapshotStore(spark)
+    base = tmp_path / "tl"
+    versions = [
+        nation,
+        nation.withColumn(
+            "n_name",
+            F.when(F.col("n_nationkey") == 0, F.lit("XXX")).otherwise(F.col("n_name")),
+        ),
+        nation.filter("n_nationkey <> 1"),  # one delete vs v1 (+ the v1 update reverts)
+    ]
+    gens = []
+    for i, df in enumerate(versions):
+        s = store.collect(
+            {"nation": df}, {"nation": TESTDATA_KEYS["nation"]}, str(base / f"g{i}")
+        )
+        s.save_manifest()
+        gens.append(str(base / f"g{i}"))
+    with pytest.raises(ValueError):
+        diff_timeline(spark, gens[:1])
+    rows = diff_timeline(spark, gens).collect()
+    by = {(r.transition, r.diff_status): r.n_rows for r in rows}
+    assert by[(1, "UPDATED")] == 1  # v0→v1: the renamed nation
+    assert by[(2, "UPDATED")] == 1  # v1→v2: the rename reverts
+    assert by[(2, "DELETED")] == 1  # v1→v2: nationkey 1 removed
+    assert (1, "DELETED") not in by
+    assert all(r.table_name == "nation" and r.generation in ("g1", "g2") for r in rows)
+
+
+def test_manifest_loads_from_generation_uris(spark, sf_dir, tmp_path):
+    """list_generations returns Hadoop FS URIs (file:/...); manifest IO
+    must accept them so diff_timeline(list_generations(...)) composes."""
+    from dbdiff_spark.catalog import FileCatalog, TESTDATA_KEYS
+    from dbdiff_spark.snapshot import Snapshot, SnapshotStore, list_generations
+
+    cat = FileCatalog(spark, sf_dir, TESTDATA_KEYS)
+    store = SnapshotStore(spark)
+    s = store.collect(
+        {"region": cat.load("region")},
+        {"region": TESTDATA_KEYS["region"]},
+        str(tmp_path / "g0"),
+    )
+    s.save_manifest()
+    gens = list_generations(spark, str(tmp_path))
+    assert len(gens) == 1 and gens[0].startswith("file:")
+    loaded = Snapshot.load_manifest(gens[0])
+    assert "region" in loaded.tables
+    assert Snapshot._local_root("file:///a/b") == "/a/b"
+    assert Snapshot._local_root("file:/a/b") == "/a/b"
+    assert Snapshot._local_root("/a/b") == "/a/b"
+    assert Snapshot._local_root("s3a://bucket/x") == "s3a://bucket/x"
