@@ -72,6 +72,7 @@ HEADLINE = [
     "label_propagation",
     "frequent_itemsets",
     "validate_orders",
+    "dedup_ingest_incremental",
 ]
 
 

@@ -870,8 +870,111 @@ GROUP BY doc_id, grp
 """
 
 
+# --- incremental dedup ingestion ---------------------------------------------
+#
+# The batch LSH pass recomputes every signature each run; a production
+# corpus INGESTS — yesterday's band index is on disk, today's batch is
+# new.  The incremental form computes signatures ONLY for the new batch
+# and probes the stored index: per-ingest cost is O(batch), not
+# O(corpus) — the same maintenance inversion as diff_snapshots
+# (incremental=True) and mv_maintain, extended to the dedup tier.
+
+
+def lsh_band_index(corpus: DataFrame) -> DataFrame:
+    """The persistable LSH state: ``doc_id, band_idx, band_key`` rows.
+    Write this partitioned/bucketed by band_key and every future ingest
+    is a keyed probe, never a corpus rescan."""
+    sigs = _signatures_spark(corpus)
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, {expr} AS band_key)"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def lsh_ingest(new_corpus: DataFrame, band_index: DataFrame) -> DataFrame:
+    """Assign a new batch against a stored band index: per new doc, the
+    smallest existing doc sharing any band (NULL ⇒ no near-duplicate in
+    the corpus — a fresh cluster seed) plus how many of its bands hit.
+
+    Scale shape: signatures/bands for the BATCH only (the index side is
+    a scan of stored state), one keyed join on band_key, one per-new-doc
+    aggregation.  AQE broadcasts the batch side when it is small — the
+    common ingest case."""
+    new_b = lsh_band_index(new_corpus)
+    hits = (
+        new_b.alias("n")
+        .join(
+            band_index.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc_id"))
+        .agg(
+            F.min(F.col("o.doc_id")).alias("assigned_to"),
+            F.count_distinct(F.col("n.band_idx")).alias("n_shared_bands"),
+        )
+    )
+    return (
+        new_b.select(F.col("doc_id").alias("new_doc_id"))
+        .distinct()
+        .join(hits, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            "assigned_to",
+            F.coalesce("n_shared_bands", F.lit(0)).cast("bigint").alias(
+                "n_shared_bands"
+            ),
+        )
+    )
+
+
+def dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: originals are the stored corpus (their band index
+    stands in for the persisted state), truncated variants are the
+    arriving batch — near-duplicates of their originals by
+    construction, so nearly every ingested doc should assign."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
+    new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET)
+    return lsh_ingest(new, lsh_band_index(old))
+
+
+def _ingest_sql() -> str:
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return f"""
+WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
+banded AS (
+  {banded}
+),
+new_b AS (SELECT * FROM banded WHERE doc_id >= {NEARDUP_OFFSET}),
+old_b AS (SELECT * FROM banded WHERE doc_id < {NEARDUP_OFFSET}),
+hits AS (
+  SELECT n.doc_id AS new_doc_id,
+         min(o.doc_id) AS assigned_to,
+         CAST(count(DISTINCT n.band_idx) AS BIGINT) AS n_shared_bands
+  FROM new_b n JOIN old_b o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  GROUP BY n.doc_id
+)
+SELECT nd.new_doc_id, h.assigned_to,
+       CAST(coalesce(h.n_shared_bands, 0) AS BIGINT) AS n_shared_bands
+FROM (SELECT DISTINCT doc_id AS new_doc_id FROM new_b) nd
+LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
+"""
+
+
+DEDUP_INGEST_SQL = _ingest_sql()
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ingest_incremental": (dedup_ingest_incremental, DEDUP_INGEST_SQL),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),

@@ -181,3 +181,40 @@ def test_repeated_spans_are_maximal_disjoint_and_wide_enough(spark, sf_dir):
         # maximal merge: consecutive intervals cannot touch or overlap
         for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
             assert s2 > e1 + 1
+
+
+def test_lsh_ingest_assigns_variants_to_their_originals(spark, sf_dir):
+    """Truncated variants are near-dups of their originals: the ingest
+    must assign (nearly) all of them, and self-ingest against one's own
+    index assigns every doc to itself with ALL bands shared."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.dedup import (
+        N_BANDS,
+        NEARDUP_OFFSET,
+        _neardup_corpus,
+        dedup_ingest_incremental,
+        lsh_band_index,
+        lsh_ingest,
+    )
+
+    rows = dedup_ingest_incremental(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r.assigned_to is not None]
+    assert len(matched) / len(rows) > 0.8  # truncation keeps most minhashes
+    # a variant's natural match is its own original
+    hit_own = sum(1 for r in matched if r.assigned_to == r.new_doc_id - NEARDUP_OFFSET)
+    assert hit_own / len(matched) > 0.8
+    assert all(0 <= r.n_shared_bands <= N_BANDS for r in rows)
+
+    old = _neardup_corpus(spark, sf_dir).filter(F.col("doc_id") < NEARDUP_OFFSET)
+    self_assign = lsh_ingest(old, lsh_band_index(old)).collect()
+    # every doc matches itself on all bands, so assignment can never be
+    # NULL and never exceeds the doc's own id (exact duplicates in the
+    # corpus legitimately assign to the SMALLER duplicate)
+    assert all(
+        r.assigned_to is not None
+        and r.assigned_to <= r.new_doc_id
+        and r.n_shared_bands == N_BANDS
+        for r in self_assign
+    )
