@@ -404,7 +404,10 @@ def cascade_delete(
     """
     cond = F.coalesce(root_condition, F.lit(False))  # NULL ⇒ keep
     deleted: dict[str, DataFrame] = {root: frames[root].filter(cond)}
-    kept: dict[str, DataFrame] = {root: frames[root].filter(~cond)}
+    # tables outside the cascade pass through untouched — the caller
+    # gets a complete post-erasure view of every frame it handed in
+    kept: dict[str, DataFrame] = dict(frames)
+    kept[root] = frames[root].filter(~cond)
     for child, child_fk, parent, parent_key in edges:
         if parent not in deleted:
             raise ValueError(

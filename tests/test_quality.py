@@ -162,3 +162,22 @@ def test_validate_rules_null_predicate_is_violation_one_scan(spark):
     assert all(r.n_rows == 3 for r in res.values())
     plan = validate_rules(df, [("p", "id > 0")])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1  # all rules in one pass
+
+
+def test_cascade_delete_passes_through_uncascaded_tables(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.quality import cascade_delete
+
+    frames = {
+        "customer": load_table(spark, sf_dir, "customer"),
+        "region": load_table(spark, sf_dir, "region"),  # no edge touches it
+    }
+    kept, report = cascade_delete(
+        frames,
+        root="customer",
+        root_condition=F.col("c_custkey") % 2 == 0,
+        edges=[],
+    )
+    assert kept["region"].count() == frames["region"].count()
+    assert {r.table_name for r in report.collect()} == {"customer"}
