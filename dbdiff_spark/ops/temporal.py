@@ -460,16 +460,23 @@ WHERE ts_us - prev_us > {GAP_US}
 HOLD_US = 300_000_000  # each event holds a resource for 5 minutes
 
 
+PEAK_BUCKET_US = 86_400_000_000  # 1-day prefix-sum buckets
+
+
 def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: the maximum number of simultaneously-open
     intervals ``[ts, ts + 5min)`` and the first instant that peak is
-    reached — the classic +1/−1 boundary sweep, partitioned by type.
+    reached — the +1/−1 boundary sweep, computed as a DISTRIBUTED
+    two-phase prefix sum rather than one ordered window per series.
 
-    Scale shape: the sweep's running sum is a per-type ordered window —
-    the one operator family that genuinely needs a total order, held
-    scale-safe by partitioning on the series key (types here; a
-    monitoring deployment sweeps per host/tenant the same way).  Ends
-    sort before starts at the same instant (half-open intervals: a
+    A naive per-type running sum funnels each series through a single
+    reducer; here the timeline splits into day buckets, the within-
+    bucket sweep runs in parallel (window keyed on (type, bucket)),
+    bucket deltas roll up to a bucket-count-sized summary whose
+    exclusive prefix sum — the only totally-ordered step — runs over
+    rows-per-series = number of DAYS, not events (the same bucket-
+    offset decomposition as ``corpus_shuffle_index``).  Ends sort
+    before starts at the same instant (half-open intervals: a
     departure at t frees the slot before an arrival at t takes it)."""
     ev = _events_us(spark, sf_dir)
     pts = ev.select(
@@ -480,16 +487,33 @@ def peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts_us") + HOLD_US).alias("t"),
             F.lit(-1).alias("delta"),
         )
-    )
-    w = (
-        Window.partitionBy("event_type")
+    ).withColumn("bucket", F.expr(f"t div {PEAK_BUCKET_US}"))
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
         .orderBy("t", "delta")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = pts.withColumn("running", F.sum("delta").over(w))
-    wp = Window.partitionBy("event_type")
+    local = pts.withColumn("run_local", F.sum("delta").over(w_local))
+    totals = pts.groupBy("event_type", "bucket").agg(
+        F.sum("delta").alias("bucket_delta")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("bucket_delta").over(w_off), F.lit(0))
+    ).select("event_type", "bucket", "offset")
+    swept = local.join(F.broadcast(offsets), ["event_type", "bucket"]).withColumn(
+        "running", F.col("run_local") + F.col("offset")
+    )
+    # per-type max via map-side-combinable agg + broadcast back — a
+    # window max would re-shuffle every boundary row into one partition
+    # per series
+    peaks = swept.groupBy("event_type").agg(F.max("running").alias("peak"))
     return (
-        swept.withColumn("peak", F.max("running").over(wp))
+        swept.join(F.broadcast(peaks), "event_type")
         .filter(F.col("running") == F.col("peak"))
         .groupBy("event_type")
         .agg(
