@@ -800,9 +800,66 @@ WHERE rank <= {PQ_K}
 """
 
 
+# --- ANN self-evaluation ------------------------------------------------------
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH index against the exact brute-force baseline
+    — the evaluation loop every ANN deployment runs before trusting its
+    index.  Composes the two existing pipelines and joins their top-k
+    sets; all counts integer, recall reported in ppm (no float
+    division reaches the comparison).
+
+    One row: queries evaluated, k, total hits, recall_ppm.  Scale
+    shape: both sides are the already-bounded top-k outputs (Q×k rows),
+    so the evaluation join is driver-trivial regardless of corpus
+    size — the expensive parts are the two searches themselves."""
+    exact = knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_bitsample(spark, sf_dir).filter(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy().agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = exact.select("query_id").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    return nq.crossJoin(hits).select(
+        F.col("n_queries").cast("bigint"),
+        F.lit(ANN_K).cast("bigint").alias("k"),
+        F.col("n_hits").cast("bigint"),
+        F.expr(f"CAST((n_hits * 1000000) div (n_queries * {ANN_K}) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_k AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL}) WHERE rank <= {ANN_K}
+),
+approx_k AS (
+  SELECT query_id, neighbor_id FROM ({ANN_LSH_SQL}) WHERE rank <= {ANN_K}
+),
+h AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx_k JOIN exact_k USING (query_id, neighbor_id)
+),
+q AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
+)
+SELECT n_queries, CAST({ANN_K} AS BIGINT) AS k, n_hits,
+       CAST((n_hits * 1000000) // (n_queries * {ANN_K}) AS BIGINT) AS recall_ppm
+FROM q, h
+"""
+
+
 QUERIES = {
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
     "ann_pq": (ann_pq, ANN_PQ_SQL),
+    "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),

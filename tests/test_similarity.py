@@ -49,3 +49,12 @@ def test_pq_seed_vectors_have_zero_self_distance(spark, sf_dir):
         F.max("d")
     ).first()[0]
     assert self_d == 0
+
+
+def test_ann_recall_in_unit_range_and_self_recall_perfect(spark, sf_dir):
+    from dbdiff_spark.ops.similarity import ann_recall_report
+
+    r = ann_recall_report(spark, sf_dir).collect()[0]
+    assert r.n_queries > 0 and r.k == 3
+    assert 0 <= r.n_hits <= r.n_queries * r.k
+    assert 0 <= r.recall_ppm <= 1_000_000
