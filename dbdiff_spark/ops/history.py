@@ -389,8 +389,36 @@ LEFT JOIN hist h
 
 SCD2_PIT_SQL = _pit_oracle_sql()
 
+def scd2_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-lifetime distribution over the SCD2 history: how many
+    snapshot ordinals each version survived before being superseded
+    (NULL lifetime = still open) — the churn-rate summary a dimension
+    owner reads before deciding snapshot cadence.  One aggregation over
+    the (already key-folded) history; output is lifetime×flag-bounded."""
+    hist = scd2_customer(spark, sf_dir)
+    return (
+        hist.groupBy(
+            (F.col("valid_to") - F.col("valid_from")).cast("bigint").alias(
+                "lifetime_snaps"
+            ),
+            "is_current",
+        )
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+
+
+SCD2_SURVIVAL_SQL = f"""
+WITH h AS ({SCD2_CUSTOMER_SQL})
+SELECT CAST(valid_to - valid_from AS BIGINT) AS lifetime_snaps, is_current,
+       CAST(count(*) AS BIGINT) AS n_versions
+FROM h
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "scd2_customer": (scd2_customer, SCD2_CUSTOMER_SQL),
+    "scd2_survival": (scd2_survival, SCD2_SURVIVAL_SQL),
     "scd2_incremental_customer": (scd2_incremental_customer, SCD2_CUSTOMER_SQL),
     "scd2_pit_orders": (scd2_pit_orders, SCD2_PIT_SQL),
 }

@@ -479,6 +479,40 @@ SELECT user_id, n_seen, md5(props) AS last_hash FROM (
 """
 
 
+SLIDE = "5 minutes"
+_SLIDE_US = 300_000_000
+_WINDOW_US = 600_000_000
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window counts (10-minute windows every 5
+    minutes) — each event belongs to windowLength/slide = 2 overlapping
+    windows; Spark materializes the window set per event, state stays
+    bounded by the watermark.  The batch twin replays the expansion
+    with an explicit 2-offset grid."""
+    stream = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "10 minutes", SLIDE).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_completion(spark, agg, "stream_sliding_counts", "complete")
+
+
+STREAM_SLIDING_SQL = f"""
+SELECT (epoch_us(ts) // {_SLIDE_US}) * {_SLIDE_US} - off.o AS window_start_us,
+       event_type, count(*) AS n_events
+FROM events, (SELECT unnest([0, {_SLIDE_US}]) AS o) off
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 TRENDING_K = 3
 
 
@@ -535,6 +569,7 @@ WHERE rank <= {TRENDING_K}
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
+    "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
