@@ -262,21 +262,21 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dst argmax — all keyed shuffles, no broadcast of anything
     data-sized, no driver state.  Community sizes (not per-node rows)
     keep the output community-bounded."""
-    from pyspark.sql import Window
-
     edges = _copurchase_edges(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_p = edges.repartition(n_part, "src").persist()
     labels = edges.select("src").distinct().withColumn("label", F.col("src"))
-    w = Window.partitionBy("dst").orderBy(F.col("c").desc(), F.col("label"))
     for i in range(LP_ITERS):
+        # argmax by (count DESC, label ASC) as max(struct(c, -label)) —
+        # a pure two-level aggregation (both map-side combinable), no
+        # sort and no row_number window per round
         labels = (
             labels.join(edges_p, "src")
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("src"), "label")
+            .groupBy("dst")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("dst").alias("src"), (-F.col("m.nl")).alias("label"))
         )
         if (i + 1) % 5 == 0:
             labels = labels.localCheckpoint(eager=False)
