@@ -326,10 +326,29 @@ class SnapshotStore:
         for name, df in sources.items():
             path = str(Path(snapshot_root) / name)
             key = list(keys.get(name) or df.columns)
+            types = dict(df.dtypes)
+            fingerprintable = track_changes and all(
+                _is_orderable(types[k]) for k in key
+            )
+            # Piggyback the record count on the WRITE job itself
+            # (df.observe): the reference pays a full extra pass for its
+            # TotalDataCount (extract_data.go:23); at 100 TB that second
+            # scan is the entire cost of counting.  Fingerprinted tables
+            # skip this — their count falls out of the fingerprint agg.
+            obs = None
+            to_write = df
+            if count_rows and not fingerprintable:
+                try:
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    to_write = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                except Exception:
+                    obs = None
             if buckets > 0:
                 ident = self._catalog_identifier(snapshot_root, name)
                 (
-                    df.write.mode("errorifexists")
+                    to_write.write.mode("errorifexists")
                     .bucketBy(buckets, *key)
                     .sortBy(*key)
                     .option("path", path)
@@ -338,7 +357,7 @@ class SnapshotStore:
                 )
                 snap.catalog_tables[name] = ident
             elif format == "parquet":
-                df.write.mode("errorifexists").parquet(path)
+                to_write.write.mode("errorifexists").parquet(path)
             else:
                 # delta / iceberg / orc …: same point-in-time contract;
                 # the transactional formats additionally give atomic
@@ -346,7 +365,7 @@ class SnapshotStore:
                 # missing runtime jar surfaces as an actionable error,
                 # not a ClassNotFoundException mid-write.
                 try:
-                    df.write.format(format).mode("errorifexists").save(path)
+                    to_write.write.format(format).mode("errorifexists").save(path)
                 except Exception as exc:
                     if format in ("delta", "iceberg"):
                         raise ImportError(
@@ -357,8 +376,7 @@ class SnapshotStore:
             snap.tables[name] = path
             snap.keys[name] = key
             snap.columns[name] = list(df.columns)
-            types = dict(df.dtypes)
-            if track_changes and all(_is_orderable(types[k]) for k in key):
+            if fingerprintable:
                 # count falls out of the same tiny aggregation for free
                 fps = _group_fingerprints(
                     snap.load(self.spark, name), key, snap.group_hash_mod
@@ -366,7 +384,10 @@ class SnapshotStore:
                 snap.group_hashes[name] = fps
                 total += sum(n for n, *_ in fps.values())
             elif count_rows:
-                total += snap.load(self.spark, name).count()
+                if obs is not None:
+                    total += int(obs.get["n"])
+                else:  # observation unavailable: pay the re-scan
+                    total += snap.load(self.spark, name).count()
         snap.total_count = total
         snap.save_manifest()
         return snap
