@@ -760,3 +760,48 @@ def diff_timeline(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact_table(
+    spark: SparkSession,
+    snap: Snapshot,
+    table: str,
+    out_root: str,
+    target_file_bytes: int = 128 * 1024**2,
+) -> dict:
+    """Rewrite one table of a snapshot into ~``target_file_bytes`` data
+    files under ``out_root/<table>`` — the remedy for what
+    ``snapshot_file_stats`` diagnoses (a 100 TB table in 4 MB files is
+    one task per file of pure scheduler overhead; the classic
+    lakehouse OPTIMIZE).
+
+    File count comes from the MEASURED byte size (FS metadata), not a
+    row-count guess; the rewrite is a single ``repartition(n)`` +
+    write — one shuffle, which is the price of changing layout.
+    Bucketed tables refuse: their file layout IS the join optimization,
+    and collapsing it would silently forfeit the zero-exchange diff.
+    Returns ``{files_before, files_after, total_bytes, path}``.
+    """
+    if snap.buckets > 0:
+        raise ValueError(
+            "refusing to compact a bucketed snapshot table: the bucket "
+            "layout is load-bearing (zero-exchange diffs); re-collect "
+            "with different bucket counts instead"
+        )
+    stats = [
+        s for s in snapshot_file_stats(spark, snap) if s["table_name"] == table
+    ]
+    if not stats or stats[0]["n_files"] == 0:
+        raise ValueError(f"no data files found for table {table!r}")
+    st = stats[0]
+    n = max(1, -(-st["total_bytes"] // target_file_bytes))  # ceil div
+    out_path = str(Path(Snapshot._local_root(out_root)) / table)
+    df = snap.load(spark, table)
+    df.repartition(n).write.mode("errorifexists").format(snap.format).save(out_path)
+    after = len(Snapshot._list_data_files(spark, out_path) or [])
+    return {
+        "files_before": st["n_files"],
+        "files_after": after,
+        "total_bytes": st["total_bytes"],
+        "path": out_path,
+    }

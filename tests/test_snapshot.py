@@ -477,3 +477,33 @@ def test_manifest_loads_from_generation_uris(spark, sf_dir, tmp_path):
     assert Snapshot._local_root("file:/a/b") == "/a/b"
     assert Snapshot._local_root("/a/b") == "/a/b"
     assert Snapshot._local_root("s3a://bucket/x") == "s3a://bucket/x"
+
+
+def test_compact_table_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path):
+    import pytest
+
+    from dbdiff_spark.catalog import FileCatalog, TESTDATA_KEYS
+    from dbdiff_spark.snapshot import SnapshotStore, compact_table
+
+    cat = FileCatalog(spark, sf_dir, TESTDATA_KEYS)
+    # force a small-file mess: 16 partitions of a small table
+    messy = cat.load("customer").repartition(16)
+    store = SnapshotStore(spark)
+    snap = store.collect(
+        {"customer": messy}, {"customer": TESTDATA_KEYS["customer"]},
+        str(tmp_path / "snap"),
+    )
+    rep = compact_table(spark, snap, "customer", str(tmp_path / "compacted"))
+    assert rep["files_before"] >= 16
+    assert rep["files_after"] < rep["files_before"]
+    orig = snap.load(spark, "customer")
+    compacted = spark.read.parquet(rep["path"])
+    assert compacted.count() == orig.count()
+    assert compacted.exceptAll(orig).count() == 0
+
+    bucketed = store.collect(
+        {"customer": messy}, {"customer": TESTDATA_KEYS["customer"]},
+        str(tmp_path / "bsnap"), buckets=4,
+    )
+    with pytest.raises(ValueError):
+        compact_table(spark, bucketed, "customer", str(tmp_path / "nope"))
