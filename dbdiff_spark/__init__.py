@@ -39,6 +39,7 @@ from dbdiff_spark.normalize import normalize_to_strings, presentation_view
 from dbdiff_spark.snapshot import (
     Snapshot,
     SnapshotStore,
+    compact_table,
     diff_snapshots,
     diff_timeline,
     list_generations,
@@ -68,6 +69,7 @@ __all__ = [
     "list_generations",
     "vacuum_generations",
     "snapshot_file_stats",
+    "compact_table",
     "profile_table",
     "cascade_delete",
     "outlier_report",
