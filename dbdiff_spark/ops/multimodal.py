@@ -232,8 +232,89 @@ FROM f
 """
 
 
+# --- grouped feature normalization (applyInPandas) ---------------------------
+#
+# Completes the Arrow trio: mapInPandas (stateless scan, above),
+# applyInPandasWithState (streaming, streaming/cdc.py), and here the
+# batch GROUPED form — per-group logic that genuinely needs the whole
+# group in one pandas frame (cross-row normalization), the canonical
+# applyInPandas use.  Everything stays integer (grid = digest_byte *
+# 10^6 div 255, means by floor division), so even this Python path has
+# an exact SQL oracle.
+
+NORM_GRID = 1_000_000
+
+
+def per_group_feature_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean-centering of the fake features: for each source
+    group, subtract the per-position integer-grid group mean and report
+    each doc's centered feature sum.
+
+    Scale shape: ONE shuffle on the group key brings each group into a
+    pandas frame (Arrow batches); groups are source-sized — if a group
+    can exceed executor memory, pre-aggregate the means relationally
+    and broadcast them instead (that variant is the SQL oracle's
+    formulation, which is exactly why the two agree)."""
+    manifest = media_manifest(spark, sf_dir).select("doc_id", "payload", "mime")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    df = manifest.join(docs, "doc_id")
+    dim, grid = FEATURE_DIM, NORM_GRID
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        vecs = [
+            [(hashlib.sha256(bytes(b)).digest()[i] * grid) // 255 for i in range(dim)]
+            for b in pdf["payload"]
+        ]
+        n = len(vecs)
+        gm = [sum(v[i] for v in vecs) // n for i in range(dim)]
+        centered = [sum(v[i] - gm[i] for i in range(dim)) for v in vecs]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_group": n,
+                "centered_sum_grid": centered,
+            }
+        )
+
+    return df.groupBy("source").applyInPandas(
+        norm,
+        schema="doc_id bigint, source string, n_group bigint, centered_sum_grid bigint",
+    )
+
+
+def _group_norm_sql() -> str:
+    hexpos = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    byte_i = [
+        f"(16 * ({hexpos.format(p=2 * i + 1)}) + ({hexpos.format(p=2 * i + 2)}))"
+        for i in range(FEATURE_DIM)
+    ]
+    layers = "\n  UNION ALL ".join(
+        f"SELECT doc_id, source, {i} AS pos, ({b} * {NORM_GRID}) // 255 AS v FROM d"
+        for i, b in enumerate(byte_i)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, sha256(text) AS h FROM documents),
+pv AS (
+  {layers}
+),
+gm AS (
+  SELECT source, pos, CAST(sum(v) // count(*) AS BIGINT) AS m,
+         CAST(count(*) AS BIGINT) AS n_group
+  FROM pv GROUP BY source, pos
+)
+SELECT pv.doc_id, pv.source, CAST(max(gm.n_group) AS BIGINT) AS n_group,
+       CAST(sum(pv.v - gm.m) AS BIGINT) AS centered_sum_grid
+FROM pv JOIN gm ON pv.source = gm.source AND pv.pos = gm.pos
+GROUP BY pv.doc_id, pv.source
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
+    "multimodal_group_norm": (per_group_feature_norm, _group_norm_sql()),
     "multimodal_features": (multimodal_features, _features_oracle_sql()),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
 }

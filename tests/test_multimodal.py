@@ -65,3 +65,21 @@ def test_sample_frames_composes_with_feature_extraction(spark, sf_dir):
     row = feats.orderBy("doc_id", "frame_idx").first()
     assert len(row["features"]) == multimodal.FEATURE_DIM
     assert "frame_idx" in feats.columns and "frame" not in feats.columns
+
+
+def test_group_norm_centered_sums_balance_within_floor_slack(spark, sf_dir):
+    """Mean-centering with floor-divided means: per group, the centered
+    sums total in [0, dim * n) — zero if means divided exactly, plus at
+    most one grid unit of slack per (position, doc)."""
+    from dbdiff_spark.ops.multimodal import FEATURE_DIM, per_group_feature_norm
+
+    rows = per_group_feature_norm(spark, sf_dir).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.source, []).append(r)
+    for source, members in by_group.items():
+        n = members[0].n_group
+        assert len(members) == n
+        total = sum(r.centered_sum_grid for r in members)
+        assert 0 <= total < FEATURE_DIM * n
