@@ -242,6 +242,20 @@ def main() -> None:
         times[key] = min(bench_format_diff(spark, fmt), bench_format_diff(spark, fmt))
         total += times[key]
         print(f"# {key}: {times[key]:.3f}s", file=sys.stderr)
+    # Round-over-round comparability: the headline set GROWS each round
+    # (r2 had 20 entries, r3 has 50+), so the raw total is not
+    # comparable across rounds.  The r2-subset total is the
+    # like-for-like number to trend against BENCH_r02's 19.05 s.
+    r2_set = [
+        "diff_lineitem", "diff_lineitem_multiset", "diff_customer",
+        "diff_events", "q1_pricing_summary", "q3_top_revenue_orders",
+        "q5_regional_revenue", "top_events_per_user", "user_sessions",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "text_quality", "knn_bruteforce", "ann_lsh_bitsample",
+        "decontam_ngram_overlap", "bloom_join_prune", "mv_maintain_orders",
+        "diff_lineitem_bucketed", "diff_lineitem_incremental",
+    ]
+    r2_total = round(sum(times.get(k, 0.0) for k in r2_set), 3)
     print(
         json.dumps(
             {
@@ -250,6 +264,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf),
+                "n_queries": len(times),
+                "r2_subset_total": r2_total,
             }
         )
     )
