@@ -94,6 +94,36 @@ def _diff_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diff_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table change correlation: for every changed lineitem row,
+    did its parent order change too?  (parent_status, child_status)
+    counts — the FK-aware drill-down a reviewer asks when child churn
+    might just be cascade noise from parent updates.  Composes the two
+    per-table diffs with one keyed join of their (already diff-sized)
+    change sets."""
+    _ensure_session_conf(spark)
+    d_ord = testkit.diff_query_df(spark, sf_dir, "orders")
+    d_li = testkit.diff_query_df(spark, sf_dir, "lineitem")
+    ord_ch = d_ord.filter(
+        ~F.col("is_before") | (F.col("diff_status") == "DELETED")
+    ).select("o_orderkey", F.col("diff_status").alias("parent_status"))
+    li_ch = d_li.filter(
+        ~F.col("is_before") | (F.col("diff_status") == "DELETED")
+    ).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("diff_status").alias("child_status"),
+    )
+    return (
+        li_ch.join(ord_ch, "o_orderkey", "left")
+        .select(
+            F.coalesce("parent_status", F.lit("UNCHANGED")).alias("parent_status"),
+            "child_status",
+        )
+        .groupBy("parent_status", "child_status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -101,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"diff_{t}"] = _diff_query(t)
     out["diff_summary_customer"] = _diff_summary_query
     out["diff_column_stats"] = _diff_column_stats
+    out["diff_cascade_report"] = _diff_cascade_report
     out["snapshot_counts"] = _snapshot_counts
     out["diff_lineitem_multiset"] = _with_conf(
         lambda spark, sf_dir: testkit.multiset_diff_query_df(spark, sf_dir, "lineitem")
@@ -159,6 +190,22 @@ GROUP BY column_name
     out["snapshot_counts"] = "\nUNION ALL\n".join(
         f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM \"{t}\"" for t in TABLES
     )
+    out["diff_cascade_report"] = f"""
+WITH ord_ch AS (
+  SELECT o_orderkey, diff_status AS parent_status
+  FROM ({testkit.diff_oracle_sql('orders')})
+  WHERE (NOT is_before) OR diff_status = 'DELETED'
+),
+li_ch AS (
+  SELECT l_orderkey AS o_orderkey, diff_status AS child_status
+  FROM ({testkit.diff_oracle_sql('lineitem')})
+  WHERE (NOT is_before) OR diff_status = 'DELETED'
+)
+SELECT coalesce(parent_status, 'UNCHANGED') AS parent_status, child_status,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM li_ch LEFT JOIN ord_ch USING (o_orderkey)
+GROUP BY 1, 2
+"""
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
     out["diff_customer_orc_snapshot"] = testkit.diff_oracle_sql("customer")
