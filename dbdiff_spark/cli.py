@@ -111,9 +111,31 @@ def main(argv: list[str] | None = None) -> int:
         default=3,
         help="generations to retain with --vacuum (default 3)",
     )
+    parser.add_argument(
+        "--explain",
+        default="",
+        metavar="QUERY",
+        help="print the optimized/physical plan of a registry query "
+        "(from __spark_entry__.queries()) over --parquet-dir and exit — "
+        "the plan-inspection verb for tuning sessions",
+    )
     args = parser.parse_args(argv)
 
     spark = get_spark(app_name="dbdiff_spark_cli")
+
+    if args.explain:
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        if args.explain not in qs:
+            import difflib
+
+            near = difflib.get_close_matches(args.explain, qs, n=3)
+            print(f"unknown query {args.explain!r}; close: {near}")
+            return 2
+        sf_dir = args.parquet_dir or "/root/testdata/sf0.001"
+        qs[args.explain](spark, sf_dir).explain("formatted")
+        return 0
 
     if args.vacuum:
         from dbdiff_spark.snapshot import vacuum_generations

@@ -185,6 +185,37 @@ GROUP BY lang, pack_id
 """
 
 
+def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-utilization histogram over the packs ``pack_sequences``
+    produces: per language, how many packs land in each 10%-of-budget
+    fill decile, plus the overfull bucket (a doc straddling the
+    boundary stays in the pack it opened — deliberate packing
+    semantics, so fills > 100% exist and must be VISIBLE, not clipped).
+    The dashboard that tells you whether the token budget or the doc
+    length distribution is wasting training throughput."""
+    packs = pack_sequences(spark, sf_dir)
+    return (
+        packs.select(
+            "lang",
+            F.expr(
+                f"least(CAST((total_tokens * 10) div {PACK_BUDGET} AS BIGINT), 12)"
+            ).alias("fill_decile"),
+        )
+        .groupBy("lang", "fill_decile")
+        .agg(F.count(F.lit(1)).alias("n_packs"))
+    )
+
+
+PACK_UTILIZATION_SQL = f"""
+WITH packs AS ({PACK_SQL})
+SELECT lang,
+       CAST(least((total_tokens * 10) // {PACK_BUDGET}, 12) AS BIGINT) AS fill_decile,
+       CAST(count(*) AS BIGINT) AS n_packs
+FROM packs
+GROUP BY 1, 2
+"""
+
+
 # --- per-domain capping ------------------------------------------------------
 #
 # Cap the number of documents any single domain (source) contributes:
@@ -483,6 +514,7 @@ QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
+    "pack_utilization": (pack_utilization, PACK_UTILIZATION_SQL),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_SQL),
     "corpus_shuffle_index": (corpus_shuffle_index, SHUFFLE_INDEX_SQL),

@@ -111,3 +111,16 @@ def test_cli_profile_only_and_vacuum(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "2 generation(s) removed" in out
     assert len(list_generations(spark, str(base))) == 1
+
+
+def test_cli_explain_prints_plan_and_suggests_on_typo(spark, capsys):
+    from dbdiff_spark import cli
+
+    rc = cli.main(["--explain", "q1_pricing_summary"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+    rc = cli.main(["--explain", "q1_pricing_sumary"])
+    assert rc == 2
+    assert "q1_pricing_summary" in capsys.readouterr().out
