@@ -715,8 +715,65 @@ ORDER BY o_year
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: trade volume between DISTINCT supplier/customer nation
+    pairs by ship year — the classic two-dimension-table double-join
+    (nation joined twice under different roles), revenue in exact
+    cents.  Both nation sides broadcast; the fact chain shuffles only
+    on its join keys."""
+    supp = load_table(spark, sf_dir, "supplier")
+    sup_nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    cust_nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sup_nation), supp.s_nationkey == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cust_nation), cust.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.expr("year(CAST(l_shipdate AS TIMESTAMP))").alias("l_year"),
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.expr(f"{_CENTS} AS volume_cents"),
+            F.expr("CAST(count(*) AS BIGINT) AS n_lineitems"),
+        )
+    )
+
+
+Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {_CENTS} AS volume_cents,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "order_value_quartiles": (order_value_quartiles, ORDER_VALUE_QUARTILES_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),

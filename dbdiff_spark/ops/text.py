@@ -759,6 +759,69 @@ LIMIT {NGRAM_TOP_K}
 """
 
 
+
+
+# --- RAG chunking via a Python UDTF ------------------------------------------
+#
+# The one Python UDTF in the engine, and deliberately so: overlapping-
+# window chunking EMITS A VARIABLE NUMBER OF ROWS PER INPUT ROW with
+# per-row loop state (offset stepping) — the table-function shape, and
+# the RAG-ingestion primitive (chunk → embed → index).  Fixed-size
+# chunking IS expressible with sequence+transform (passage_dedup does
+# exactly that), so the docstring contract is: prefer the built-in HOF
+# form in hot paths; this covers the UDTF API surface with a real use.
+# Arrow-optimized (useArrow) and deterministic, so it oracle-checks.
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # size - overlap of 8
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document via a lateral-joined
+    Python UDTF: ``doc_id, chunk_idx, n_tokens, chunk_md5``."""
+    from pyspark.sql.functions import udtf
+
+    size, stride = CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx int, n_tokens bigint, chunk_md5 string")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            import hashlib
+            import re as _re
+
+            toks = _re.findall(r"[a-z0-9]+", (text or "").lower())
+            for k, off in enumerate(range(0, len(toks), stride)):
+                chunk = toks[off : off + size]
+                yield (
+                    k,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("dbdiff_chunk_udtf", ChunkUdtf)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__dbdiff_chunk_src")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens, c.chunk_md5 "
+        "FROM __dbdiff_chunk_src, LATERAL dbdiff_chunk_udtf(text) c"
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+offs AS (
+  SELECT doc_id, t, off,
+         CAST(off // {CHUNK_STRIDE} AS INT) AS chunk_idx
+  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+                         ELSE generate_series(0, len(t) - 1, {CHUNK_STRIDE}) END) AS u(off)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(t[off + 1 : off + {CHUNK_SIZE}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(t[off + 1 : off + {CHUNK_SIZE}], ' ')) AS chunk_md5
+FROM offs
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "bm25_rank": (bm25_rank, BM25_RANK_SQL),
@@ -774,4 +837,5 @@ QUERIES = {
     "corpus_clean_stats": (corpus_clean_stats, CORPUS_CLEAN_STATS_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
     "repetition_ratio": (repetition_ratio, REPETITION_RATIO_SQL),
+    "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
 }
