@@ -385,3 +385,21 @@ def test_grouped_dedup_diff_matches_foj_and_single_exchange(spark):
     plan = grouped.df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_typed_diff_handles_struct_and_array_columns(spark):
+    """Nested types diff structurally in TYPED mode: struct field
+    changes and array element changes both classify as modified."""
+    from dbdiff_spark.diff import DiffMode, diff_tables
+
+    schema = "id int, s struct<x:string,y:int>, a array<int>"
+    b = spark.createDataFrame([(1, ("a", 1), [1, 2]), (2, ("b", 2), [3])], schema)
+    af = spark.createDataFrame([(1, ("a", 9), [1, 2]), (2, ("b", 2), [3, 4])], schema)
+    rows = diff_tables(b, af, ["id"], mode=DiffMode.TYPED).df.collect()
+    by = {(r.id, r.is_before): r for r in rows}
+    assert by[(1, False)].diff_status == "UPDATED"
+    assert by[(1, False)].modified_columns == ["s"]
+    assert by[(2, False)].modified_columns == ["a"]
+    # unchanged nested values produce no phantom diffs
+    same = diff_tables(b, b, ["id"], mode=DiffMode.TYPED).df.count()
+    assert same == 0
