@@ -99,3 +99,26 @@ def test_live_snapshot_diff_roundtrip(spark, derby, tmp_path):
 def test_plain_jdbc_table_roundtrip(spark, derby):
     df = jdbc_table(spark, derby, "NOTES")
     assert sorted(r["TXT"] for r in df.collect()) == ["hello", "world"]
+
+
+def test_write_diff_jdbc_roundtrip_embedded_derby(spark, derby):
+    """JDBC SINK smoke: diff two frames, write the result into a live
+    Derby table, read it back over JDBC — the full read-catalog →
+    diff → write-results loop against one real database."""
+    from dbdiff_spark.diff import DiffMode, diff_tables
+    from dbdiff_spark.sinks.jdbc import write_diff_jdbc
+
+    db = derby
+    b = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    a = spark.createDataFrame([(1, "a2"), (3, "c")], "id int, v string")
+    res = diff_tables(b, a, ["id"], mode=DiffMode.TYPED)
+    out = res.df.withColumn(
+        "modified_columns",
+        res.df["modified_columns"].cast("string"),
+    )
+    write_diff_jdbc(out, db, "diff_out")
+    back = spark.read.jdbc(db.jdbc_url(), "diff_out", properties=db.jdbc_properties())
+    assert back.count() == res.df.count()
+    statuses = {r["DIFF_STATUS"] if "DIFF_STATUS" in back.columns else r["diff_status"]
+                for r in back.collect()}
+    assert {"UPDATED", "DELETED", "INSERTED"} <= statuses
