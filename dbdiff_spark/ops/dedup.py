@@ -902,7 +902,13 @@ def lsh_ingest(new_corpus: DataFrame, band_index: DataFrame) -> DataFrame:
     Scale shape: signatures/bands for the BATCH only (the index side is
     a scan of stored state), one keyed join on band_key, one per-new-doc
     aggregation.  AQE broadcasts the batch side when it is small — the
-    common ingest case."""
+    common ingest case.
+
+    Scope: this is batch-vs-CORPUS assignment.  Duplicates WITHIN the
+    arriving batch are the batch operators' job — run
+    ``dedup_minhash_lsh``/``neardup_clusters`` over the (small) batch
+    first, ingest the representatives, then append their bands to the
+    stored index.  Splitting the two keeps each step one join."""
     new_b = lsh_band_index(new_corpus)
     hits = (
         new_b.alias("n")
