@@ -42,6 +42,7 @@ from dbdiff_spark.snapshot import (
     compact_table,
     diff_snapshots,
     diff_timeline,
+    estimate_changes,
     list_generations,
     snapshot_file_stats,
     vacuum_generations,
@@ -66,6 +67,7 @@ __all__ = [
     "SnapshotStore",
     "diff_snapshots",
     "diff_timeline",
+    "estimate_changes",
     "list_generations",
     "vacuum_generations",
     "snapshot_file_stats",

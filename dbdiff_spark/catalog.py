@@ -206,15 +206,48 @@ class FileCatalog:
         self.directory = str(directory)
         self.keys = dict(keys or {})
 
-    def _table_files(self) -> dict[str, Path]:
+    def _table_files(self) -> dict[str, tuple[Path, str]]:
+        """Table name → (path, format).  Three shapes count as tables:
+        a data FILE (``t.parquet``), a Spark-written DIRECTORY whose
+        name carries the extension (``t.csv/`` of part files), and a
+        bare lake DIRECTORY of part files (``t/part-*.parquet``,
+        possibly hive-partitioned).  Hidden/metadata entries (``_``/
+        ``.`` prefixes) never surface; parquet wins name collisions."""
         from dbdiff_spark.io import infer_format
 
-        found: dict[str, Path] = {}
-        for p in sorted(Path(self.directory).iterdir()) if Path(self.directory).is_dir() else []:
-            if infer_format(p.name) is None:
+        found: dict[str, tuple[Path, str]] = {}
+        entries = (
+            sorted(Path(self.directory).iterdir())
+            if Path(self.directory).is_dir()
+            else []
+        )
+        for p in entries:
+            if p.name.startswith(("_", ".")):
                 continue
-            if p.stem not in found or p.suffix.lower() == ".parquet":
-                found[p.stem] = p
+            ext_fmt = infer_format(p.name)
+            if p.is_dir():
+                inner = next(
+                    (
+                        infer_format(f.name)
+                        for f in sorted(p.rglob("*"))
+                        if f.is_file()
+                        and not f.name.startswith(("_", "."))
+                        and infer_format(f.name) is not None
+                    ),
+                    None,
+                )
+                if inner is None:
+                    continue  # no data files below: not a table
+                fmt = ext_fmt or inner
+                name = p.stem if ext_fmt else p.name
+            else:
+                if ext_fmt is None:
+                    continue
+                fmt, name = ext_fmt, p.stem
+            if name not in found or (
+                fmt == "parquet" and found[name][1] != "parquet"
+            ):
+                found[name] = (p, fmt)
         return found
 
     def list_tables(self) -> list[str]:
@@ -223,9 +256,11 @@ class FileCatalog:
     def load(self, table: str):
         from dbdiff_spark.io import load_table, read_source
 
-        path = self._table_files().get(table)
-        if path is not None and path.suffix.lower() != ".parquet":
-            return read_source(self.spark, str(path))
+        entry = self._table_files().get(table)
+        if entry is not None:
+            path, fmt = entry
+            if path.is_dir() or fmt != "parquet":
+                return read_source(self.spark, str(path), fmt=fmt)
         return load_table(self.spark, self.directory, table)
 
     def primary_keys(self, tables: list[str]) -> dict[str, list[str]]:

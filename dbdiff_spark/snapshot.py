@@ -805,3 +805,73 @@ def compact_table(
         "total_bytes": st["total_bytes"],
         "path": out_path,
     }
+
+
+def estimate_changes(before: Snapshot, after: Snapshot) -> list[dict]:
+    """Zero-job change estimate from the two manifests' hash-group
+    fingerprints — answers "is this diff worth a cluster run?" BEFORE
+    touching any data.  At 100 TB the estimate is free (manifest
+    arithmetic on ≤ ``HASH_GROUPS`` entries per table) while even the
+    pruned diff costs a scan.
+
+    Per table: ``n_changed_groups``, rows on each side inside changed
+    groups (the upper bound on touched rows), and ``min_changed_rows``
+    (each changed group contributes at least ``max(|Δcount|, 1)``).
+    ``trackable=False`` (no/misaligned fingerprints or differing keys)
+    means the estimate cannot be made — run the real diff.  Added/
+    dropped tables report their whole row count as changed.
+    """
+    out: list[dict] = []
+    names = sorted(set(before.tables) | set(after.tables))
+    for name in names:
+        row = {"table_name": name, "trackable": True}
+        if name not in before.tables or name not in after.tables:
+            side = after if name in after.tables else before
+            n = sum(v[0] for v in side.group_hashes.get(name, {}).values())
+            row.update(
+                status="TABLE_ADDED" if name in after.tables else "TABLE_DROPPED",
+                n_changed_groups=None,
+                rows_before_in_changed=0 if name in after.tables else n,
+                rows_after_in_changed=n if name in after.tables else 0,
+                min_changed_rows=n,
+                trackable=bool(side.group_hashes.get(name)),
+            )
+            out.append(row)
+            continue
+        fb = before.group_hashes.get(name)
+        fa = after.group_hashes.get(name)
+        if (
+            not fb
+            or not fa
+            or before.group_hash_mod != after.group_hash_mod
+            or before.group_hash_mod <= 0
+            or before.keys.get(name) != after.keys.get(name)
+        ):
+            row.update(
+                status="UNKNOWN",
+                trackable=False,
+                n_changed_groups=None,
+                rows_before_in_changed=None,
+                rows_after_in_changed=None,
+                min_changed_rows=None,
+            )
+            out.append(row)
+            continue
+        nb = na = lb = changed = 0
+        for g in set(fb) | set(fa):
+            b = fb.get(g, [0, 0, 0])
+            a = fa.get(g, [0, 0, 0])
+            if b != a:
+                changed += 1
+                nb += b[0]
+                na += a[0]
+                lb += max(abs(a[0] - b[0]), 1)
+        row.update(
+            status="CHANGED" if changed else "IDENTICAL",
+            n_changed_groups=changed,
+            rows_before_in_changed=nb,
+            rows_after_in_changed=na,
+            min_changed_rows=lb,
+        )
+        out.append(row)
+    return out

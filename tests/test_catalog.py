@@ -155,3 +155,29 @@ def test_file_catalog_multi_format(spark, tmp_path):
     }
     # read_source format inference
     assert read_source(spark, str(tmp_path / "c_csv.csv")).count() == 50
+
+
+def test_file_catalog_discovers_directory_tables(spark, tmp_path):
+    """Lake layout: a table is a DIRECTORY of part files (optionally
+    hive-partitioned); the catalog lists it, loads it whole, and single
+    files still win their formats."""
+    from dbdiff_spark.catalog import FileCatalog
+
+    base = tmp_path / "lake"
+    base.mkdir()
+    df = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], "id int, v string, p string")
+    df.write.partitionBy("p").parquet(str(base / "events_dir"))
+    spark.createDataFrame([(9, "z")], "id int, v string").write.parquet(
+        str(base / "flat_dir")
+    )
+    (base / "plain.csv").write_text("id,v\n5,q\n")
+    (base / "_hidden_dir").mkdir()
+    (base / "_hidden_dir" / "x.parquet").write_text("not data")
+
+    cat = FileCatalog(spark, str(base), {"events_dir": ["id"]})
+    assert cat.list_tables() == ["events_dir", "flat_dir", "plain"]
+    ev = cat.load("events_dir")
+    assert ev.count() == 2 and set(ev.columns) == {"id", "v", "p"}
+    assert cat.load("flat_dir").count() == 1
+    assert cat.load("plain").count() == 1
+    assert cat.primary_keys(["events_dir"])["events_dir"] == ["id"]

@@ -507,3 +507,46 @@ def test_compact_table_reduces_file_count_preserves_rows(spark, sf_dir, tmp_path
     )
     with pytest.raises(ValueError):
         compact_table(spark, bucketed, "customer", str(tmp_path / "nope"))
+
+
+def test_estimate_changes_bounds_the_real_diff(spark, sf_dir, tmp_path):
+    from dbdiff_spark.catalog import FileCatalog, TESTDATA_KEYS
+    from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots, estimate_changes
+
+    cat = FileCatalog(spark, sf_dir, TESTDATA_KEYS)
+    cust = cat.load("customer")
+    mutated = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 50 == 0, F.col("c_acctbal") + 1).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    store = SnapshotStore(spark)
+    kw = dict(track_changes=True)
+    b = store.collect({"customer": cust}, {"customer": TESTDATA_KEYS["customer"]},
+                      str(tmp_path / "b"), **kw)
+    a = store.collect({"customer": mutated}, {"customer": TESTDATA_KEYS["customer"]},
+                      str(tmp_path / "a"), **kw)
+    ident = store.collect({"customer": cust}, {"customer": TESTDATA_KEYS["customer"]},
+                          str(tmp_path / "i"), **kw)
+
+    est = {e["table_name"]: e for e in estimate_changes(b, a)}["customer"]
+    assert est["trackable"] and est["status"] == "CHANGED"
+    true_changed = (
+        diff_snapshots(spark, b, a)["customer"]
+        .df.filter("NOT is_before OR diff_status = 'DELETED'")
+        .count()
+    )
+    # bounds: lower <= true changed rows <= rows-in-changed-groups
+    assert est["min_changed_rows"] <= true_changed
+    assert true_changed <= max(est["rows_before_in_changed"], est["rows_after_in_changed"])
+    assert est["n_changed_groups"] >= 1
+
+    est_i = {e["table_name"]: e for e in estimate_changes(b, ident)}["customer"]
+    assert est_i["status"] == "IDENTICAL" and est_i["min_changed_rows"] == 0
+
+    # untracked snapshots cannot be estimated
+    plain = store.collect({"customer": cust}, {"customer": TESTDATA_KEYS["customer"]},
+                          str(tmp_path / "p"))
+    est_u = {e["table_name"]: e for e in estimate_changes(plain, a)}["customer"]
+    assert est_u["trackable"] is False and est_u["status"] == "UNKNOWN"
