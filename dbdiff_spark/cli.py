@@ -180,6 +180,22 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"[Collect] total record count: {after.total_count}")
 
+        if args.incremental:
+            # zero-job triage from the manifests before any diff scan
+            from dbdiff_spark.snapshot import estimate_changes
+
+            for est in estimate_changes(before, after):
+                if est["status"] == "IDENTICAL":
+                    continue
+                print(
+                    f"[Estimate] {est['table_name']}: {est['status']}"
+                    + (
+                        f" (≥{est['min_changed_rows']} rows,"
+                        f" {est['n_changed_groups']} groups)"
+                        if est["trackable"] and est["status"] == "CHANGED"
+                        else ""
+                    )
+                )
         results = diff_snapshots(
             spark, before, after, mode=mode, incremental=args.incremental
         )

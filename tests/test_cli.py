@@ -124,3 +124,38 @@ def test_cli_explain_prints_plan_and_suggests_on_typo(spark, capsys):
     rc = cli.main(["--explain", "q1_pricing_sumary"])
     assert rc == 2
     assert "q1_pricing_summary" in capsys.readouterr().out
+
+
+def test_cli_incremental_prints_change_estimate(spark, tmp_path, monkeypatch, capsys):
+    import io
+
+    from dbdiff_spark import cli
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.parquet(
+        str(src / "t1.parquet")
+    )
+    real_stdin = io.StringIO("\nq\n")
+
+    def fake_readline():
+        # mutate between snapshots so the estimate has something to say
+        spark.createDataFrame(
+            [(1, "a"), (2, "CHANGED")], "id int, s string"
+        ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", fake_readline)
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--incremental",
+            "-o", str(tmp_path / "o.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "[Estimate] t1: CHANGED" in text and "rows," in text and "groups)" in text
