@@ -101,3 +101,42 @@ def test_xlsx_open_command_per_platform(tmp_path):
 
     if sys.platform.startswith("linux"):
         assert maybe_open("r.xlsx", auto_open=True) is False
+
+
+def test_training_shard_export_balanced_ordered_resumable(spark, sf_dir, tmp_path):
+    """Shards are contiguous global-shuffle ranges: sizes differ by <=1,
+    every row lands exactly once, and within a shard the stream order
+    follows the permutation index."""
+    import pytest
+
+    from dbdiff_spark.ops.corpus import corpus_shuffle_index
+    from dbdiff_spark.sinks.corpus import write_training_shards
+
+    idx = corpus_shuffle_index(spark, sf_dir).select("doc_id", "shuffle_pos")
+    pos_col = "shuffle_pos"
+    n = idx.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(idx, out, n_shards=7, order_col=pos_col)
+    back = spark.read.json(out)
+    assert back.count() == n
+    sizes = {
+        r.shard_id: r.n for r in back.groupBy("shard_id").agg(
+            __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+        ).collect()
+    }
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # exactly-once, order-preserving: positions in shard k are the
+    # contiguous range [sum(sizes[<k]), sum(sizes[<=k]))
+    import itertools
+
+    boundaries = list(itertools.accumulate(sizes[k] for k in range(7)))
+    lo = 0
+    for k in range(7):
+        ps = sorted(
+            r[pos_col] for r in back.filter(f"shard_id = {k}").collect()
+        )
+        assert ps == list(range(lo, boundaries[k]))
+        lo = boundaries[k]
+    with pytest.raises(ValueError):
+        write_training_shards(idx.limit(0), str(tmp_path / "x"), 2, pos_col)
