@@ -126,3 +126,78 @@ def read_source(
         options.setdefault("header", "true")
         options.setdefault("inferSchema", "true")
     return reader.options(**options).load(path)
+
+
+# --- exactly-once file-ingest ledger -----------------------------------------
+#
+# Continuous corpora arrive as files; re-running an ingest job must not
+# re-process what a previous run already took (exactly-once at file
+# granularity — the batch analogue of Structured Streaming's file-source
+# checkpoint, usable from plain batch jobs and the REPL).  The ledger is
+# an append-only parquet of (uri, size) claims: a file counts as
+# processed only at its recorded SIZE, so an in-place rewrite (same
+# name, new bytes) surfaces as pending again rather than being silently
+# skipped.
+
+
+class IngestLedger:
+    """Append-only processed-file ledger over any Hadoop-visible store."""
+
+    def __init__(self, spark: SparkSession, ledger_path: str):
+        self.spark = spark
+        self.path = str(ledger_path)
+
+    def _processed(self) -> set[tuple[str, int]]:
+        try:
+            rows = self.spark.read.parquet(self.path).collect()
+        except Exception:  # first run: no ledger yet
+            return set()
+        return {(r["uri"], int(r["size"])) for r in rows}
+
+    def _list_source(self, source_dir: str) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        try:
+            jvm = self.spark._jvm  # type: ignore[attr-defined]
+            hconf = self.spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+            hpath = jvm.org.apache.hadoop.fs.Path(source_dir)
+            fs = hpath.getFileSystem(hconf)
+            for st in fs.listStatus(hpath):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    if infer_format(name) is not None:
+                        out.append((st.getPath().toString(), int(st.getLen())))
+        except Exception:
+            base = Path(source_dir)
+            if base.is_dir():
+                for p in sorted(base.iterdir()):
+                    if (
+                        p.is_file()
+                        and not p.name.startswith(("_", "."))
+                        and infer_format(p.name) is not None
+                    ):
+                        out.append((str(p), p.stat().st_size))
+        return sorted(out)
+
+    def pending(self, source_dir: str) -> list[str]:
+        """Data files under ``source_dir`` not yet claimed at their
+        current size — the next batch's input list."""
+        done = self._processed()
+        return [uri for uri, size in self._list_source(source_dir) if (uri, size) not in done]
+
+    def commit(self, uris: list[str]) -> None:
+        """Claim ``uris`` at their CURRENT sizes (append-only; call
+        after the batch's outputs are durably written).  A uri that no
+        longer lists (deleted mid-batch) raises — claiming a vanished
+        input would hide a consumed-but-unrecorded file."""
+        if not uris:
+            return
+        sized: dict[str, int] = {}
+        for parent in {u.rsplit("/", 1)[0] for u in uris}:
+            sized.update(dict(self._list_source(parent)))
+        missing = [u for u in uris if u not in sized]
+        if missing:
+            raise ValueError(f"cannot commit vanished inputs: {missing}")
+        rows = [(u, sized[u]) for u in uris]
+        self.spark.createDataFrame(rows, "uri string, size bigint").coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)

@@ -181,3 +181,28 @@ def test_file_catalog_discovers_directory_tables(spark, tmp_path):
     assert cat.load("flat_dir").count() == 1
     assert cat.load("plain").count() == 1
     assert cat.primary_keys(["events_dir"])["events_dir"] == ["id"]
+
+
+def test_ingest_ledger_exactly_once_and_rewrite_detection(spark, tmp_path):
+    from dbdiff_spark.io import IngestLedger
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.csv").write_text(f"id\n{i}\n")
+    led = IngestLedger(spark, str(tmp_path / "ledger"))
+    first = led.pending(str(src))
+    assert len(first) == 3
+    led.commit(first[:2])
+    second = led.pending(str(src))
+    assert len(second) == 1 and second[0].endswith("f2.csv")
+    led.commit(second)
+    assert led.pending(str(src)) == []
+    # in-place rewrite (same name, different bytes) becomes pending again
+    (src / "f0.csv").write_text("id\n999999\n")
+    again = led.pending(str(src))
+    assert len(again) == 1 and again[0].endswith("f0.csv")
+    # hidden and non-data files never surface
+    (src / "_SUCCESS").write_text("")
+    (src / "notes.txt").write_text("x")
+    assert len(led.pending(str(src))) == 1
