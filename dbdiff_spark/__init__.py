@@ -48,6 +48,8 @@ from dbdiff_spark.snapshot import (
     vacuum_generations,
 )
 from dbdiff_spark.config import Configuration, DbConfig, load_configuration
+from dbdiff_spark.io import IngestLedger
+from dbdiff_spark.sinks.corpus import write_training_shards
 from dbdiff_spark.session import get_spark
 
 __all__ = [
@@ -82,6 +84,8 @@ __all__ = [
     "DbConfig",
     "load_configuration",
     "get_spark",
+    "IngestLedger",
+    "write_training_shards",
 ]
 
 __version__ = "0.1.0"
