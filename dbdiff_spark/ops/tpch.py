@@ -1,0 +1,558 @@
+"""TPC-H-adapted analytics queries — the remainder of the classic suite
+expressible over the driver fixture schema (no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate`` columns, so Q2/Q11/Q12/Q16/Q20/Q21 have
+no faithful analogue; Q1/Q3/Q4/Q5/Q7/Q8 live in ``analytics.py``).
+
+Like the rest of the analytics tier this is extension capability beyond
+the reference engine's single aggregate (record count,
+``extract_data.go:23``), expressed with built-in DataFrame operators so
+Catalyst owns the physical strategy.
+
+Oracle-exactness: every floating-point measure aggregates on a 1e-4
+integer grid (``_dsum`` — order-independent, engine-identical); the only
+raw double operations are single IEEE divisions both engines perform on
+identical inputs.  Timestamps compare as epoch micros.
+
+Scale notes (100 TB posture), per query:
+
+* aggregates run BEFORE joins wherever semantics allow (Q13's per-
+  customer counts, Q15's per-supplier revenue, Q17's per-part averages,
+  Q18's per-order quantity sums are all diff-sized long before touching
+  a dimension table);
+* tiny dims (nation) broadcast explicitly; mid dims (filtered part sets,
+  having-sets) are left to AQE's runtime size election — hinting them
+  broadcast would be wrong at 100 TB where a filtered part table can
+  still be tens of GB;
+* top-k = ``orderBy().limit()`` (TakeOrderedAndProject — per-partition
+  heaps + one driver merge, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+from dbdiff_spark.ops.analytics import _dsum
+
+# epoch-micros literals (UTC)
+_TS_19960101 = 820_454_400_000_000
+_TS_19960201 = 823_132_800_000_000
+_TS_19960401 = 828_316_800_000_000
+_TS_19970101 = 852_076_800_000_000
+_TS_20000101 = 946_684_800_000_000
+
+_REVENUE_CENTS = (
+    "CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) "
+    "AS BIGINT)) AS BIGINT)"
+)
+
+
+def _ts_lit(micros: int) -> F.Column:
+    """Timestamp literal from epoch micros.  Date-range predicates
+    compare the COLUMN against this (not ``unix_micros(col)`` against an
+    int): a bare-column comparison pushes to the parquet scan as a
+    min/max-prunable range filter, while wrapping the column in any
+    expression disables pushdown entirely.  Exact in both engines —
+    timestamps are integer micros; the session timezone is pinned UTC."""
+    return F.timestamp_micros(F.lit(micros))
+
+
+def _ship_ts() -> F.Column:
+    return F.col("l_shipdate").cast("timestamp")
+
+
+def _order_ts() -> F.Column:
+    return F.col("o_orderdate").cast("timestamp")
+
+
+# --- Q6: forecasting revenue change (pure scan-aggregate) -------------------
+#
+# The predicate-pushdown benchmark: all three filters (date range,
+# discount band, quantity cap) reach the parquet scan as PushedFilters;
+# the aggregation is a single partial+final sum of grid ints.  At 100 TB
+# this query IS the scan — no shuffle beyond one scalar exchange.
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (_ship_ts() >= _ts_lit(_TS_19960101))
+            & (_ship_ts() < _ts_lit(_TS_19970101))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(_dsum("l_extendedprice * l_discount")).alias("revenue"))
+    )
+
+
+Q6_SQL = f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_TS_19960101}
+  AND epoch_us(l_shipdate) < {_TS_19970101}
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Q9-style: product-line profit by nation and year -----------------------
+#
+# (Adapted: the fixture has no partsupp, so profit = discounted revenue
+# rather than revenue − supplycost·qty.)  The shuffle-heaviest query in
+# the suite by design: lineitem joins part (partkey) and orders
+# (orderkey) — two different shuffle keys over the fact table, which is
+# exactly Q9's character in every engine.  Nation broadcasts; the
+# filtered part set and supplier are AQE's runtime call.
+
+Q9_NAME_TOKEN = "bolt"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_TOKEN)
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("sum_profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{Q9_NAME_TOKEN}%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# --- Q10: returned-item reporting (top 20 customers by lost revenue) --------
+#
+# Filter-first shape: the quarter's orders (~1/26 of the table) and the
+# R-flagged lineitems join on orderkey, aggregate to per-customer
+# revenue (diff-sized) BEFORE touching the customer dimension; the top-k
+# is TakeOrderedAndProject on the grid-int revenue (deterministic ties
+# via custkey).
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (_order_ts() >= _ts_lit(_TS_19960101)) & (_order_ts() < _ts_lit(_TS_19960401))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.expr(_REVENUE_CENTS).alias("revenue_grid"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            "c_acctbal",
+            (F.col("revenue_grid").cast("double") / 10000).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+       CAST({_REVENUE_CENTS} AS DOUBLE) / 10000 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND epoch_us(o_orderdate) >= {_TS_19960101}
+  AND epoch_us(o_orderdate) < {_TS_19960401}
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- Q13: customer order-count distribution ---------------------------------
+#
+# Aggregate-before-outer-join: orders collapse to per-customer counts
+# FIRST (one map-side-combinable groupBy), and the customer table outer-
+# joins that diff-sized count set — never the raw orders table.  The
+# second aggregation (histogram over counts) is at most |distinct
+# counts| rows.
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        cust.join(counts, "c_custkey", "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT coalesce(n, 0) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+  ) USING (c_custkey)
+)
+GROUP BY c_count
+"""
+
+
+# --- Q14: promotion-revenue share -------------------------------------------
+#
+# One partkey join + a single global aggregate; both the promo and total
+# revenue accumulate on the grid in one pass (conditional sum), so the
+# share is ONE double division over identical integers in both engines.
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (_ship_ts() >= _ts_lit(_TS_19960101)) & (_ship_ts() < _ts_lit(_TS_19960201))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    grid = "CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)"
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.expr(
+                f"100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {grid} ELSE 0 END) AS DOUBLE)"
+                f" / CAST(SUM({grid}) AS DOUBLE)"
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+         THEN CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)
+         ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE)
+       AS promo_share_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_us(l_shipdate) >= {_TS_19960101}
+  AND epoch_us(l_shipdate) < {_TS_19960201}
+"""
+
+
+# --- Q15: top supplier(s) by quarterly revenue ------------------------------
+#
+# Per-supplier revenue aggregates first (diff-sized); the maximum is a
+# one-row aggregate cross-joined back (broadcast of a single row — the
+# scale-safe "scalar subquery", no window over the full set).  Equality
+# compares grid INTEGERS, so "all suppliers tied at max" is exact in
+# both engines.
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (_ship_ts() >= _ts_lit(_TS_19960101)) & (_ship_ts() < _ts_lit(_TS_19960401))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.expr(_REVENUE_CENTS).alias("revenue_grid")
+    )
+    mx = rev.agg(F.max("revenue_grid").alias("max_grid"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.revenue_grid == mx.max_grid)
+        .join(supp, "s_suppkey")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("revenue_grid").cast("double") / 10000).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey, {_REVENUE_CENTS} AS revenue_grid
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_TS_19960101}
+    AND epoch_us(l_shipdate) < {_TS_19960401}
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(revenue_grid AS DOUBLE) / 10000 AS total_revenue
+FROM rev JOIN supplier USING (s_suppkey)
+WHERE revenue_grid = (SELECT max(revenue_grid) FROM rev)
+"""
+
+
+# --- Q17: small-quantity-order revenue (correlated-average pattern) ---------
+#
+# The filtered part set semi-restricts lineitem FIRST; per-part average
+# quantities aggregate over that subset only (diff-sized), then join
+# back.  Both the threshold (0.2 · grid-avg) and the compared quantity
+# are engine-identical doubles.
+
+Q17_BRAND = "Brand#9"
+Q17_MAX_SIZE = 20
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_MAX_SIZE)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_sub = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = li_sub.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE)"
+            " / 10000 / COUNT(*)"
+        ).alias("avg_qty")
+    )
+    return (
+        li_sub.join(avgs, li_sub.l_partkey == avgs.agg_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)"
+                " / 10000 / 7.0"
+            ).alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = f"""
+WITH li_sub AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}' AND p_size < {Q17_MAX_SIZE}
+),
+avgs AS (
+  SELECT l_partkey AS agg_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+           / 10000 / COUNT(*) AS avg_qty
+  FROM li_sub GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+         / 10000 / 7.0 AS avg_yearly
+FROM li_sub JOIN avgs ON l_partkey = agg_partkey
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
+# --- Q18: large-volume customers --------------------------------------------
+#
+# The having-set (orders whose quantity sum exceeds the threshold)
+# aggregates from lineitem alone — diff-sized — and only then joins
+# orders and customer; AQE broadcasts it at runtime when small.  Output
+# ordering is deterministic: totalprice is a raw stored double (bit-
+# identical in both engines), ties break on orderkey.
+
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+            ).alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.unix_micros(_order_ts()).alias("o_orderdate_us")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate_us",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS DOUBLE) / 10000
+           > {Q18_MIN_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+# --- Q19: disjunctive-predicate revenue -------------------------------------
+#
+# The join stays a pure partkey equi-join (SMJ/broadcast-able); the
+# OR-of-conjunctions is a post-join filter — Catalyst additionally
+# derives the common quantity/size bounds and pushes THOSE to both
+# scans, which is the right split of a disjunction at scale.
+
+_Q19_CLAUSES = [
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#7", 10, 30, 10, 30),
+    ("Brand#13", 20, 50, 20, 40),
+]
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = None
+    for brand, slo, shi, qlo, qhi in _Q19_CLAUSES:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(F.expr(_dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {' OR '.join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_CLAUSES
+)}
+"""
+
+
+# --- Q22: dormant high-balance customers ------------------------------------
+#
+# (Adapted: every fixture customer has SOME order, so "no orders at all"
+# selects nothing; the analogue is "no orders since 2000" — same
+# anti-join pattern.)  The global positive-balance average is a one-row
+# broadcast (scalar-subquery shape); the anti-join's right side
+# pre-shrinks to the recent-orders custkey set.
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(
+            "CAST(SUM(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS DOUBLE)"
+            " / 10000 / COUNT(*)"
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(_order_ts() >= _ts_lit(_TS_20000101))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+            ).alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS DOUBLE) / 10000
+         AS totacctbal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(ROUND(c_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000 / COUNT(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND epoch_us(o.o_orderdate) >= {_TS_20000101}
+  )
+GROUP BY c_nationkey
+"""
+
+
+QUERIES = {
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_order_count_distribution": (
+        q13_order_count_distribution,
+        Q13_SQL,
+    ),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_quantity_revenue": (
+        q17_small_quantity_revenue,
+        Q17_SQL,
+    ),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
+}
