@@ -48,8 +48,12 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
+        # bare-column comparison against a timestamp literal: pushes to
+        # the parquet scan as a min/max-prunable range filter (wrapping
+        # the column in unix_micros would disable pushdown entirely)
         li.filter(
-            F.unix_micros(F.col("l_shipdate").cast("timestamp")) <= F.lit(_TS_19980902)
+            F.col("l_shipdate").cast("timestamp")
+            <= F.timestamp_micros(F.lit(_TS_19980902))
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -130,8 +134,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
-        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) >= F.lit(_TS_19960101))
-        & (F.unix_micros(F.col("o_orderdate").cast("timestamp")) < F.lit(_TS_19970101))
+        # pushable range filter (see q1 note on bare-column comparisons)
+        (F.col("o_orderdate").cast("timestamp") >= F.timestamp_micros(F.lit(_TS_19960101)))
+        & (F.col("o_orderdate").cast("timestamp") < F.timestamp_micros(F.lit(_TS_19970101)))
     )
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
