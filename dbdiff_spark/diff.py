@@ -107,6 +107,47 @@ def _canonical_comparable(col: Column, dtype: str) -> Column:
     return col.cast("string")
 
 
+def _shield_reserved(
+    frames: list[DataFrame], key_cols: list[str], reserved: tuple[str, ...]
+) -> tuple[list[DataFrame], list[str], dict[str, str]]:
+    """Rename input columns that collide with the diff's own output
+    columns (``diff_status`` …) or its ``__``-prefixed internal names.
+
+    This is not a theoretical corner: the JDBC/file sinks write diff
+    results INTO the target store, so the very next snapshot run
+    catalogs a table whose columns are literally ``diff_status,
+    is_before, …`` — without the shield that diff dies with
+    AMBIGUOUS_REFERENCE (keyed paths) or silently overwrites the data
+    column (``withColumn`` replace semantics in the multiset path).
+    Colliding columns appear in the OUTPUT as ``<name>__data``; the
+    returned mapping records the renames, and key columns rename
+    consistently (DiffResult.key_columns stays join-consistent for
+    ``apply_diff``/sinks)."""
+    clash = {
+        c
+        for df in frames
+        for c in df.columns
+        if c in reserved or c.startswith("__")
+    }
+    if not clash:
+        return frames, list(key_cols), {}
+    taken = {c for df in frames for c in df.columns}
+    renames: dict[str, str] = {}
+    for c in sorted(clash):
+        new = f"{c}__data"
+        while new in taken:
+            new += "_"
+        taken.add(new)
+        renames[c] = new
+    shielded = [
+        df.select(
+            *[F.col(f"`{c}`").alias(renames.get(c, c)) for c in df.columns]
+        )
+        for df in frames
+    ]
+    return shielded, [renames.get(k, k) for k in key_cols], renames
+
+
 def dedup_last_wins(df: DataFrame, key_cols: list[str]) -> DataFrame:
     """Collapse duplicate keys to ONE deterministic representative row.
 
@@ -348,6 +389,12 @@ def diff_tables(
     for k in key_cols:
         if k not in before.columns or k not in after.columns:
             raise ValueError(f"key column {k!r} missing from before/after")
+    # diffing a table that carries the diff's OWN column names (e.g. an
+    # audit table a sink wrote back into the source DB) must not clash
+    # with the classification columns this function appends
+    (before, after), key_cols, _renamed = _shield_reserved(
+        [before, after], key_cols, ("diff_status", "is_before", "modified_columns")
+    )
     if mode == DiffMode.TYPED:
         # Join/group/dedup on an unorderable KEY type is unsupported by
         # Spark itself (maps cannot be hashed or compared); STRING mode
@@ -725,6 +772,15 @@ def diff_multiset(
         raise ValueError(f"unknown diff_multiset strategy: {strategy!r}")
     if strategy == "auto":
         strategy = _pick_multiset_strategy(before, after)
+    # see diff_tables: inputs carrying the output/internal column names
+    # (diff-audit tables fed back through the engine) must be shielded —
+    # here a colliding `diff_status` would be silently REPLACED by
+    # withColumn, corrupting data rather than erroring
+    (before, after), _keys, _renamed = _shield_reserved(
+        [before, after],
+        [],
+        ("diff_status", "n_before", "n_after", "n_rows"),
+    )
     cols = before.columns
     if set(after.columns) != set(cols):
         # column drift has no meaningful multiset semantics — refuse

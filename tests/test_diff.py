@@ -403,3 +403,42 @@ def test_typed_diff_handles_struct_and_array_columns(spark):
     # unchanged nested values produce no phantom diffs
     same = diff_tables(b, b, ["id"], mode=DiffMode.TYPED).df.count()
     assert same == 0
+
+
+def test_diff_table_with_reserved_column_names(spark):
+    """A table whose columns collide with the diff's own output schema
+    (e.g. an audit table a sink wrote back into the DB) diffs cleanly:
+    colliding columns surface as <name>__data."""
+    from dbdiff_spark.diff import DiffMode, diff_tables
+
+    b = spark.createDataFrame(
+        [(1, "UPDATED", True), (2, "DELETED", False)],
+        "id int, diff_status string, is_before boolean",
+    )
+    a = spark.createDataFrame(
+        [(1, "INSERTED", True), (3, "DELETED", False)],
+        "id int, diff_status string, is_before boolean",
+    )
+    res = diff_tables(b, a, ["id"], mode=DiffMode.TYPED)
+    assert "diff_status__data" in res.df.columns
+    rows = {(r["id"], r["diff_status"], r["diff_status__data"]) for r in res.df.collect()}
+    assert (1, "UPDATED", "UPDATED") in rows  # before side of the pair
+    assert (1, "UPDATED", "INSERTED") in rows  # after side
+    assert (2, "DELETED", "DELETED") in rows
+    assert (3, "INSERTED", "DELETED") in rows
+    # all-columns-key path (no-PK fallback) with the same collision
+    res2 = diff_tables(b, a, list(b.columns), mode=DiffMode.TYPED)
+    assert res2.df.count() == 4  # symmetric difference of distinct rows
+
+
+def test_diff_multiset_with_reserved_column_names(spark):
+    """diff_multiset must not let withColumn REPLACE a data column named
+    diff_status — the collision renames instead."""
+    from dbdiff_spark.diff import diff_multiset
+
+    b = spark.createDataFrame([(1, "x")], "n_rows int, diff_status string")
+    a = spark.createDataFrame([(1, "y")], "n_rows int, diff_status string")
+    out = diff_multiset(b, a, strategy="full_row")
+    assert {"n_rows__data", "diff_status__data"} <= set(out.columns)
+    got = {(r["diff_status__data"], r["diff_status"]) for r in out.collect()}
+    assert got == {("x", "DELETED"), ("y", "INSERTED")}

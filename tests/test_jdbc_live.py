@@ -122,3 +122,53 @@ def test_write_diff_jdbc_roundtrip_embedded_derby(spark, derby):
     statuses = {r["DIFF_STATUS"] if "DIFF_STATUS" in back.columns else r["diff_status"]
                 for r in back.collect()}
     assert {"UPDATED", "DELETED", "INSERTED"} <= statuses
+
+
+def test_cli_repl_against_live_derby(spark, derby, tmp_path, monkeypatch, capsys):
+    """The reference's EXACT interactive lifecycle (cmd/dbdiff/main.go:
+    23-98) against a live database: config file → connect → catalog →
+    snapshot before → user mutates the DB → Enter → snapshot after →
+    diff → console report + xlsx → quit.  Fixture mode covers the loop
+    over files (test_cli.py); this is the loop over JDBC — the
+    reference's only mode."""
+    import io
+
+    from dbdiff_spark import cli
+
+    conf = tmp_path / "config.yaml"
+    conf.write_text(f"db:\n  type: derby\n  url: {derby.jdbc_url()}\n")
+
+    real_stdin = io.StringIO("\nq\n")
+
+    def mutate_then_readline():
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(derby.jdbc_url())
+        st = conn.createStatement()
+        st.execute("UPDATE notes SET txt = 'hello!' WHERE txt = 'hello'")
+        st.close()
+        conn.close()
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", mutate_then_readline)
+    out = str(tmp_path / "live_diff.xlsx")
+    rc = cli.main(
+        [
+            "-conf", str(conf),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "-o", out,
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    # NOTES keys on all columns -> the update renders as DELETED+INSERTED
+    assert "NOTES" in text and "hello!" in text
+    assert f"See {out}" in text
+    # revert so other tests in this module see the original rows
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby.jdbc_url())
+    st = conn.createStatement()
+    st.execute("UPDATE notes SET txt = 'hello' WHERE txt = 'hello!'")
+    st.close()
+    conn.close()
