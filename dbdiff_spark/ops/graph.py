@@ -51,21 +51,27 @@ PR_TOP_K = 50
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric distinct (src, dst) co-purchase edge list.
 
-    Per-order pair expansion via higher-order functions: ONE shuffle on
-    orderkey, no self-join — the nested transform emits each order's
-    (src, dst) grid (orders hold a handful of parts, so the expansion
-    is constant-bounded per order and the edge list stays LINEAR in
-    lineitem)."""
+    Shape: distinct (order, part) pairs self-joined on orderkey.  The
+    HOF alternative (collect_set per order + nested-transform pair
+    grid) looks shuffle-cheaper on paper but measured ~50% SLOWER at
+    sf0.1: transform lambdas evaluate interpreted per element and
+    collect_set plans as ObjectHashAggregate (both documented traps —
+    see ARCHITECTURE.md negative results).  The self-join stays whole-
+    stage-codegen end to end; per-order pair counts are constant-
+    bounded (orders hold a handful of parts), so the edge list is
+    LINEAR in lineitem at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
     return (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-        .selectExpr(
-            "explode(flatten(transform(ps,"
-            " x -> transform(ps, y -> struct(x AS src, y AS dst))))) AS e"
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
-        .filter("e.src <> e.dst")
-        .select("e.src", "e.dst")
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
         .distinct()
     )
 
@@ -73,7 +79,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 parts by integer PageRank over the co-purchase graph
     (3 iterations, damping 0.85); degree and final rank exposed."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # Persist the raw edge list FIRST: the HOF pair expansion is the
+    # expensive producer here, and degree, the iteration edge list, the
+    # rank seed and the final degree join all read it — unpersisted,
+    # each would re-run the expansion (measured 4 rebuilds per call).
+    edges = _copurchase_edges(spark, sf_dir).persist()
     # Degree folded into the edge list ONCE so each iteration is a
     # single keyed join + keyed aggregation (not join-deg + join-edges).
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -265,7 +275,9 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges_p = edges.repartition(n_part, "src").persist()
-    labels = edges.select("src").distinct().withColumn("label", F.col("src"))
+    # seed labels from the PERSISTED edge list — deriving them from the
+    # raw plan would re-run the whole HOF pair expansion a second time
+    labels = edges_p.select("src").distinct().withColumn("label", F.col("src"))
     for i in range(LP_ITERS):
         # argmax by (count DESC, label ASC) as max(struct(c, -label)) —
         # a pure two-level aggregation (both map-side combinable), no
