@@ -64,6 +64,27 @@ def spread(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
 
 
+def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Truncate a loop-carried DataFrame's lineage (iterative operators:
+    connected components, PageRank, label propagation).
+
+    Uses the RELIABLE checkpoint (distributed-store write, survives
+    executor loss — the correct choice on a real cluster) whenever the
+    session has a checkpoint directory configured
+    (``spark.sparkContext.setCheckpointDir``), falling back to
+    ``localCheckpoint`` (executor-local blocks: fast, but lost blocks
+    kill the job) when none is set — the right default for local[] and
+    short loops.  Callers opt into durability with one session-level
+    call, not per-operator plumbing."""
+    try:
+        has_dir = df.sparkSession.sparkContext._jsc.sc().getCheckpointDir().isDefined()  # type: ignore[attr-defined]
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 # --- generic multi-format sources ------------------------------------------
 #
 # The reference reads only live JDBC tables (extract_data.go:30-43); the

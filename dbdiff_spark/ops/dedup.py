@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table, spread
+from dbdiff_spark.io import cut_lineage, load_table, spread
 from dbdiff_spark.ops.text import (
     _D_TOKENS,
     _TOKENS,
@@ -409,15 +409,15 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # localCheckpoint, not persist: a cached iterative DataFrame
+        # cut_lineage, not persist: a cached iterative DataFrame
         # still carries the full LOGICAL plan, which nests the previous
         # round's plan — Catalyst re-analysis grows exponentially with
         # rounds even when execution hits the cache (measured 229 s for
         # the sf0.1 propagation; 3 s with the lineage cut).  Eager
         # checkpoint also materializes the round, so the convergence
         # count below reads the checkpointed result.  Same pattern as
-        # bigstar_components; a real cluster wants reliable
-        # checkpointing for executor-loss recovery.
+        # bigstar_components; with a session checkpoint dir configured
+        # the cut is a RELIABLE checkpoint (executor-loss-safe).
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -427,7 +427,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
+        new_labels = cut_lineage(new_labels, eager=True)
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
@@ -546,15 +547,15 @@ def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> D
     """Connected components of a symmetric edge list ``(src, dst)`` via
     alternating large-star/small-star contraction.  Returns
     ``(doc_id, cluster_id)`` where cluster_id is the component minimum."""
-    # localCheckpoint per round TRUNCATES LINEAGE — without it the
-    # logical plan doubles every contraction and the driver OOMs just
-    # stringifying it by round ~6 (the classic iterative-algorithm trap;
-    # on a real cluster use reliable checkpointing to survive executor
-    # loss, same call shape)
-    edges = sym_edges.localCheckpoint()
+    # lineage cut per round — without it the logical plan doubles
+    # every contraction and the driver OOMs just stringifying it by
+    # round ~6 (the classic iterative-algorithm trap).  cut_lineage
+    # upgrades to reliable checkpointing (executor-loss-safe) when the
+    # session has a checkpoint dir configured.
+    edges = cut_lineage(sym_edges)
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     for _ in range(max_iters):
-        contracted = _small_star(_large_star(edges)).localCheckpoint()
+        contracted = cut_lineage(_small_star(_large_star(edges)))
         # converged when the (big → small) edge set is stable
         changed = contracted.subtract(
             edges.selectExpr("greatest(src, dst) AS src", "least(src, dst) AS dst")

@@ -31,8 +31,9 @@ Scale shape:
   on dst — no broadcast of anything data-sized, no driver state except
   the S-iteration loop counter; the edge side is cached pre-partitioned
   on the join key so only the node-sized rank vector moves per round,
-  and lineage is cut every 5 rounds with localCheckpoint (a real
-  cluster would use reliable checkpoint).
+  and lineage is cut every 5 rounds with io.cut_lineage (reliable
+  checkpoint when a session checkpoint dir is set, localCheckpoint
+  otherwise).
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import cut_lineage, load_table
 
 PR_ITERS = 3
 PR_SCALE = 10**9  # initial rank units per node
@@ -110,7 +111,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Lineage-cut every 5 rounds (bigstar/kmeans policy): a shallow
         # loop keeps one fused job, deep loops don't blow up re-analysis.
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = cut_lineage(ranks)
     out = (
         ranks.join(deg, "src")
         .select(F.col("src").alias("p_partkey"), "deg", "rank")
@@ -291,7 +292,7 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("src"), (-F.col("m.nl")).alias("label"))
         )
         if (i + 1) % 5 == 0:
-            labels = labels.localCheckpoint(eager=False)
+            labels = cut_lineage(labels)
     return (
         labels.groupBy(F.col("label").alias("community_id"))
         .agg(F.count(F.lit(1)).alias("n_members"))

@@ -550,3 +550,28 @@ def test_estimate_changes_bounds_the_real_diff(spark, sf_dir, tmp_path):
                           str(tmp_path / "p"))
     est_u = {e["table_name"]: e for e in estimate_changes(plain, a)}["customer"]
     assert est_u["trackable"] is False and est_u["status"] == "UNKNOWN"
+
+
+def test_cut_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """io.cut_lineage upgrades iterative lineage cuts to RELIABLE
+    checkpoints (executor-loss-safe) when the session has a checkpoint
+    dir; without one it falls back to localCheckpoint."""
+    from dbdiff_spark.io import cut_lineage
+
+    df = spark.range(10)
+    local = cut_lineage(df, eager=True)
+    assert local.count() == 10
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = cut_lineage(spark.range(5), eager=True)
+        assert reliable.count() == 5
+        # the reliable checkpoint materialized under the configured dir
+        files = list((tmp_path / "ckpt").rglob("*"))
+        assert files, "checkpoint dir should contain materialized state"
+    finally:
+        # reset for other tests (no public unset API; the Scala setter
+        # name needs getattr because of the $ in its JVM name)
+        none = getattr(
+            getattr(spark._jvm.scala, "Option$"), "MODULE$"
+        ).empty()
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(none)
