@@ -35,6 +35,16 @@ HEADLINE = [
     "q3_top_revenue_orders",
     "q5_regional_revenue",
     "q8_market_share",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_dormant_customers",
     "top_events_per_user",
     "user_sessions",
     "dedup_exact",

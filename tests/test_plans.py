@@ -97,3 +97,41 @@ def test_q8_broadcasts_all_dimensions(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Q6 is a pure scan-aggregate: the date RANGE (not just null
+    checks) plus discount/quantity bounds must all appear as
+    PushedFilters, and the plan must contain no join."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = _plan(entry.queries()["q6_forecast_revenue"](spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "Join" not in plan, plan
+    scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in scan, scan
+    assert "LessThan(l_shipdate" in scan, scan
+    assert "LessThan(l_quantity,24.0)" in scan, scan
+
+
+def test_q10_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(entry.queries()["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q18_topk_and_no_window(spark, sf_dir):
+    """Q18's having-set aggregates BEFORE joining orders/customer; the
+    top-k must be TakeOrderedAndProject and no window anywhere."""
+    plan = _plan(entry.queries()["q18_large_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_q15_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15's scalar max joins back as a one-row broadcast — never a
+    global window over the revenue set."""
+    plan = _plan(entry.queries()["q15_top_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
+    assert "Window" not in plan, plan
