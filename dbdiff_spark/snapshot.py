@@ -120,6 +120,9 @@ class Snapshot:
     # storage format of the snapshot data files (parquet default;
     # delta/iceberg when the matching runtime is on the classpath)
     format: str = "parquet"
+    # table → hive partition columns the snapshot was written with
+    # (predicates on them in diff_snapshots(where=...) partition-prune)
+    partitions: dict[str, list[str]] = field(default_factory=dict)
 
     def load(self, spark: SparkSession, table: str) -> DataFrame:
         if table in self.catalog_tables:
@@ -237,6 +240,7 @@ class Snapshot:
                     "group_hashes": self.group_hashes,
                     "group_hash_mod": self.group_hash_mod,
                     "format": self.format,
+                    "partitions": self.partitions,
                 },
                 indent=2,
             )
@@ -271,6 +275,7 @@ class Snapshot:
             group_hashes=data.get("group_hashes", {}),
             group_hash_mod=data.get("group_hash_mod", 0),
             format=data.get("format", "parquet"),
+            partitions=data.get("partitions", {}),
         )
 
 
@@ -290,6 +295,7 @@ class SnapshotStore:
         buckets: int = 0,
         track_changes: bool = False,
         format: str = "parquet",
+        partition_by: dict[str, list[str]] | None = None,
     ) -> Snapshot:
         """Persist every source DataFrame to Parquet under
         ``snapshot_root`` and return the manifest.
@@ -313,13 +319,31 @@ class SnapshotStore:
         ≤ ``HASH_GROUPS`` rows of output per table), enabling
         ``diff_snapshots(..., incremental=True)`` to restrict later
         diffs to changed groups only.
+
+        ``partition_by`` maps table name → hive partition columns: the
+        table writes as ``partitionBy(cols)`` directories and the
+        layout is recorded in the manifest.  A later
+        ``diff_snapshots(..., where=...)`` whose predicate hits those
+        columns is satisfied by PARTITION PRUNING — the unselected
+        partitions of a 100 TB table are never listed, let alone read.
+        Partitioning composes with every non-bucketed path (bucketing
+        owns the file layout, so the two are mutually exclusive per
+        table).
         """
         if format != "parquet" and buckets > 0:
             raise ValueError(
                 "bucketed snapshots are parquet-only (hive-style bucketing); "
                 "delta/iceberg tables cluster via their own layout services"
             )
+        partition_by = dict(partition_by or {})
+        if buckets > 0 and partition_by:
+            raise ValueError(
+                "partition_by and buckets are mutually exclusive: bucketing "
+                "owns the file layout (zero-exchange diffs); partition-prune "
+                "OR bucket a table, not both"
+            )
         snap = Snapshot(root=str(snapshot_root), buckets=buckets, format=format)
+        snap.partitions = {t: list(c) for t, c in partition_by.items()}
         if track_changes:
             snap.group_hash_mod = HASH_GROUPS
         total = 0
@@ -357,7 +381,10 @@ class SnapshotStore:
                 )
                 snap.catalog_tables[name] = ident
             elif format == "parquet":
-                to_write.write.mode("errorifexists").parquet(path)
+                w = to_write.write.mode("errorifexists")
+                if name in partition_by:
+                    w = w.partitionBy(*partition_by[name])
+                w.parquet(path)
             else:
                 # delta / iceberg / orc …: same point-in-time contract;
                 # the transactional formats additionally give atomic
@@ -365,7 +392,10 @@ class SnapshotStore:
                 # missing runtime jar surfaces as an actionable error,
                 # not a ClassNotFoundException mid-write.
                 try:
-                    to_write.write.format(format).mode("errorifexists").save(path)
+                    w = to_write.write.format(format).mode("errorifexists")
+                    if name in partition_by:
+                        w = w.partitionBy(*partition_by[name])
+                    w.save(path)
                 except Exception as exc:
                     if format in ("delta", "iceberg"):
                         raise ImportError(
@@ -415,8 +445,21 @@ def diff_snapshots(
     mode: DiffMode = DiffMode.STRING,
     assume_keys_not_null: bool | None = None,
     incremental: bool = False,
+    where: dict[str, str] | None = None,
 ) -> dict[str, DiffResult]:
     """Diff every table across two snapshots.
+
+    ``where`` maps table name → SQL predicate applied to BOTH sides
+    before diffing — the scoped diff ("only partition dt=X", "only this
+    tenant").  Semantically the result is the full diff restricted to
+    rows satisfying the predicate on either side (a row moved across
+    the predicate boundary shows as INSERTED/DELETED within scope —
+    the correct reading of a scoped comparison).  When the snapshot was
+    collected with ``partition_by`` on the predicate's columns, the
+    filter is satisfied by partition PRUNING: unselected directories of
+    a 100 TB table are never read (plan-asserted in
+    ``tests/test_snapshot.py``).  Composes with ``incremental``
+    (group filter and predicate both apply).
 
     ``incremental=True`` (both snapshots collected with
     ``track_changes=True``): each table's diff is restricted to the
@@ -463,6 +506,11 @@ def diff_snapshots(
         if name in before.tables and name in after.tables:
             b = before.load(spark, name)
             a = after.load(spark, name)
+            if where and name in where:
+                # applied straight onto the scan relation so Catalyst
+                # turns partition-column predicates into pruning
+                b = b.filter(where[name])
+                a = a.filter(where[name])
             key = after.keys.get(name) or before.keys.get(name) or a.columns
             if incremental:
                 bh = before.group_hashes.get(name)
@@ -509,12 +557,16 @@ def diff_snapshots(
             )
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)
+            if where and name in where:
+                b = b.filter(where[name])
             empty = spark.createDataFrame([], b.schema)
             results[name] = diff_tables(
                 b, empty, before.keys[name], mode=mode, dedup_keys=True
             )
         else:  # added: every row INSERTED
             a = after.load(spark, name)
+            if where and name in where:
+                a = a.filter(where[name])
             empty = spark.createDataFrame([], a.schema)
             results[name] = diff_tables(
                 empty, a, after.keys[name], mode=mode, dedup_keys=True

