@@ -510,6 +510,97 @@ WHERE n_copies >= 1
 """
 
 
+
+
+# --- token-budget selection (quality-ranked corpus cut) ----------------------
+#
+# "Take the best documents until the token budget is spent" — the final
+# selection step of a curation pipeline: rank the corpus by a quality
+# score, keep documents in rank order while the cumulative token count
+# fits the budget.  The naive formulation is a GLOBAL running sum over
+# the quality-sorted corpus — a single-reducer window, the canonical
+# scale trap.  This uses the bucket/offset design corpus_shuffle_index
+# established: quantize the score into ordered buckets, running-sum
+# WITHIN each bucket (partitioned window, fully parallel), and carry
+# only the per-bucket token totals (≤ #buckets rows, bounded by the
+# score grid at ANY corpus size) through the one-reducer offset pass.
+#
+# Score: integer lexical diversity, ppm of distinct tokens per token —
+# pure integer division over identical tokenizations, so both engines
+# rank identically; ties break on doc_id.
+
+BUDGET_TOKENS = 40_000
+_SCORE_BUCKETS = 256  # score is ppm (0..1e6) → bucket = score div 3907
+
+
+def select_token_budget(
+    spark: SparkSession, sf_dir: str, budget: int = BUDGET_TOKENS
+) -> DataFrame:
+    """Documents selected by quality rank until ``budget`` cumulative
+    tokens (inclusive), with their rank-order running total."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens",
+        f"CAST(size(array_distinct({_TOKENS})) AS BIGINT) AS n_distinct",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "CASE WHEN n_tokens = 0 THEN 0"
+        " ELSE (1000000 * n_distinct) div n_tokens END AS score",
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "score",
+        f"score div (1000000 div {_SCORE_BUCKETS} + 1) AS bucket",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = docs.withColumn("local_cum", F.sum("n_tokens").over(w))
+    # offset = tokens in all strictly BETTER buckets; the per-bucket
+    # totals table is score-grid-bounded, so the unpartitioned window
+    # below is a fixed-size pass regardless of corpus size
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bt"))
+        .selectExpr(
+            "bucket",
+            "coalesce(sum(bt) OVER (ORDER BY bucket DESC"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset",
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .selectExpr(
+            "doc_id", "n_tokens", "score", "offset + local_cum AS cum_tokens"
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+SELECT_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+         CASE WHEN len({_D_TOKENS}) = 0 THEN 0
+              ELSE (1000000 * CAST(len(list_distinct({_D_TOKENS})) AS BIGINT))
+                   // CAST(len({_D_TOKENS}) AS BIGINT) END AS score
+  FROM documents
+),
+running AS (
+  SELECT doc_id, n_tokens, score,
+         CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, n_tokens, score, cum_tokens
+FROM running WHERE cum_tokens <= {BUDGET_TOKENS}
+"""
+
+
 QUERIES = {
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
@@ -518,4 +609,5 @@ QUERIES = {
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "bloom_join_prune": (bloom_join_prune, BLOOM_SQL),
     "corpus_shuffle_index": (corpus_shuffle_index, SHUFFLE_INDEX_SQL),
+    "select_token_budget": (select_token_budget, SELECT_BUDGET_SQL),
 }
