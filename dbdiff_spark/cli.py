@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         "made opt-in",
     )
     parser.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="TABLE=PREDICATE",
+        help="scope the diff of TABLE to rows matching the SQL PREDICATE "
+        "(repeatable; predicates on partition columns of a partitioned "
+        "snapshot are satisfied by partition pruning)",
+    )
+    parser.add_argument(
         "--apply-dir",
         default="",
         help="after each diff, materialize the reconstructed after-state "
@@ -196,8 +205,16 @@ def main(argv: list[str] | None = None) -> int:
                         else ""
                     )
                 )
+        where = {}
+        for spec in args.where:
+            table, _, pred = spec.partition("=")
+            if not pred:
+                print(f"[Error] --where needs TABLE=PREDICATE, got {spec!r}")
+                return 2
+            where[table.strip()] = pred.strip()
         results = diff_snapshots(
-            spark, before, after, mode=mode, incremental=args.incremental
+            spark, before, after, mode=mode, incremental=args.incremental,
+            where=where or None,
         )
         print_diffs(results)
         out_name = args.o or default_output_name()

@@ -159,3 +159,39 @@ def test_cli_incremental_prints_change_estimate(spark, tmp_path, monkeypatch, ca
     assert rc == 0
     text = capsys.readouterr().out
     assert "[Estimate] t1: CHANGED" in text and "rows," in text and "groups)" in text
+
+
+def test_cli_where_scopes_the_diff(spark, tmp_path, monkeypatch, capsys):
+    """--where TABLE=PREDICATE restricts that table's diff: a mutation
+    outside the scope is not reported, one inside is."""
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "b"), (3, "y", "c")], "id int, grp string, s string"
+    ).write.parquet(str(src / "t1.parquet"))
+
+    real_stdin = io.StringIO("\nq\n")
+
+    def mutate_then_readline():
+        spark.createDataFrame(
+            [(1, "x", "X"), (2, "x", "b"), (3, "y", "Y")],
+            "id int, grp string, s string",
+        ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", mutate_then_readline)
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--where", "t1=grp = 'x'",
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    # id 1 (grp=x) reported; id 3's change (grp=y) is out of scope
+    assert "[s:X]" in text
+    assert "[s:Y]" not in text
