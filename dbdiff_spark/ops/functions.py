@@ -135,12 +135,19 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``approx_percentile`` is the at-scale default but is sketch-based and
     engine-specific, so the oracle pins the exact one)."""
     ev = load_table(spark, sf_dir, "events")
+    # one array-percentile (single per-group buffer), not three scalar
+    # ones — see ops/quality.outlier_report for the measurement
     return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.9)").alias("p90"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("__ps"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
+    ).selectExpr(
+        "event_type",
+        "__ps[0] AS p50",
+        "__ps[1] AS p90",
+        "__ps[2] AS p99",
+        "v_min",
+        "v_max",
     )
 
 
