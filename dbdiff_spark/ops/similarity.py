@@ -723,11 +723,14 @@ def ann_pq(
     scored = subs.join(F.broadcast(codebook), "m").withColumn(
         "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("seed_id"))
+    # argmin by (d2, seed_id) as min(struct) — a map-side-combinable
+    # two-level aggregation; the row_number window it replaces shuffled
+    # AND sorted the full corpus×M×K candidate set (label_propagation
+    # lesson, ARCHITECTURE.md)
     codes = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("seed_id").alias("code"))
+        scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
+        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
     )
     q_subs = subs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
