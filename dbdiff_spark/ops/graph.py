@@ -345,26 +345,30 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1- and 2-itemset layers of market-basket mining (the support
     table an association-rule pass consumes).
 
-    Scale shape: pair enumeration happens per order via higher-order
-    functions on the collected item set (orders hold a handful of
-    items, so pairs-per-order is constant-bounded and the pair stream
-    stays linear in lineitem — same argument as ``_copurchase_edges``);
-    supports are one map-side-combinable count each, and each top-k is
-    a TakeOrdered (distributed heaps), never a global sort."""
+    Scale shape: pair enumeration is the distinct-pairs self-join on
+    orderkey (codegen'd; the HOF collect_set + nested-transform grid
+    measured ~50% slower — see ``_copurchase_edges``); orders hold a
+    handful of items, so pairs-per-order is constant-bounded and the
+    pair stream stays linear in lineitem.  Supports are one map-side-
+    combinable count each, and each top-k is a TakeOrdered
+    (distributed heaps), never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     items = (
         op.groupBy(F.col("l_partkey").alias("item_a"))
         .agg(F.count(F.lit(1)).alias("support"))
     )
+    a, b = op.alias("a"), op.alias("b")
     pairs = (
-        op.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-        .selectExpr(
-            "explode(flatten(transform(ps, x ->"
-            " transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))) AS e"
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .groupBy(F.col("e.a").alias("item_a"), F.col("e.b").alias("item_b"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
         .agg(F.count(F.lit(1)).alias("support"))
     )
     top_items = (
