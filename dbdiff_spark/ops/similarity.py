@@ -346,11 +346,24 @@ def ann_ivf(
         "seed_id",
         F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("seed_id"))
+    # argmin as min(struct): (d2, seed_id) is unique per candidate, so
+    # the lexicographic min never compares the trailing payload fields —
+    # map-side combinable, no per-vec sort (see ann_pq / ARCHITECTURE.md)
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "norm", F.col("seed_id").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("d2"), F.col("seed_id"), F.col("embedding"), F.col("norm")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "vec_id",
+            F.col("__b.embedding").alias("embedding"),
+            F.col("__b.norm").alias("norm"),
+            F.col("__b.seed_id").alias("cell"),
+        )
     )
     queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
