@@ -312,9 +312,84 @@ GROUP BY pv.doc_id, pv.source
 """
 
 
+
+
+# --- deterministic "resize" (nearest-neighbor downsample) --------------------
+#
+# The media-resize step of an ingest pipeline, with the pixel math
+# replaced by a deterministic stand-in (this image has no codec libs —
+# same policy as decode_image/_fake_features): the document text plays
+# the role of a 1-D image whose "pixels" are character codes, and the
+# op nearest-neighbor-resamples it to a fixed TILE_PX vector.  The
+# Spark-side plumbing is the REAL shape for media work: mapInPandas
+# over Arrow batches, schema-stable array<bigint> output, zero
+# shuffles, spread() upstream if the source is few-files.  Swapping the
+# stand-in for PIL's Image.resize changes only the closure body.
+
+TILE_PX = 16
+
+
+def resize_nearest(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Nearest-neighbor 1-D resample of each document to ``TILE_PX``
+    character codes (zeros for empty docs) — mapInPandas, batch-shaped
+    like a real thumbnailer."""
+    out_schema = (
+        ", ".join(f"{c} {t}" for c, t in df.dtypes if c != text_col)
+        + ", tile array<bigint>"
+    )
+    passthrough = [c for c in df.columns if c != text_col]
+    px = TILE_PX
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def tile_of(s: str) -> list[int]:
+            n = len(s)
+            if n == 0:
+                return [0] * px
+            return [ord(s[(i * n) // px]) for i in range(px)]
+
+        for pdf in it:
+            yield pdf[passthrough].assign(tile=pdf[text_col].map(tile_of))
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline end-to-end: the tile itself (joined to a string
+    so the hash compare is order-exact) plus its length and sum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tiles = resize_nearest(docs)
+    return tiles.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(tile, x -> CAST(x AS STRING)), ',')"
+        ).alias("tile_csv"),
+        F.expr("aggregate(tile, CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "tile_sum"
+        ),
+    )
+
+
+def _resize_oracle_sql() -> str:
+    # nearest-neighbor index i -> character floor(i*n/PX)+1 (1-based),
+    # ord() = Spark's ord(s[idx]) for the ASCII fixture text; empty
+    # docs resample to zeros
+    cells = ", ".join(
+        f"CASE WHEN len(text) = 0 THEN 0"
+        f" ELSE ord(substr(text, ({i} * len(text)) // {TILE_PX} + 1, 1)) END"
+        for i in range(TILE_PX)
+    )
+    return f"""
+SELECT doc_id,
+       array_to_string([{cells}], ',') AS tile_csv,
+       CAST(list_sum([{cells}]) AS BIGINT) AS tile_sum
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_group_norm": (per_group_feature_norm, _group_norm_sql()),
     "multimodal_features": (multimodal_features, _features_oracle_sql()),
     "multimodal_frame_sample": (multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "multimodal_resize": (multimodal_resize, _resize_oracle_sql()),
 }
