@@ -783,7 +783,14 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     size, stride = CHUNK_SIZE, CHUNK_STRIDE
 
-    @udtf(returnType="chunk_idx int, n_tokens bigint, chunk_md5 string")
+    # useArrow: the UDTF's rows cross the JVM/Python boundary in Arrow
+    # batches instead of pickled row-at-a-time (BatchEvalPython) —
+    # the same fast path mapInPandas uses, pinned by the registry-wide
+    # plan-governance test
+    @udtf(
+        returnType="chunk_idx int, n_tokens bigint, chunk_md5 string",
+        useArrow=True,
+    )
     class ChunkUdtf:
         def eval(self, text: str):
             import hashlib

@@ -135,3 +135,27 @@ def test_q15_max_is_broadcast_not_window(spark, sf_dir):
     plan = _plan(entry.queries()["q15_top_supplier"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_registry_wide_plan_governance(spark, sf_dir):
+    """Sweep EVERY registry query's physical plan for the two absolute
+    anti-patterns: CartesianProduct (unbounded pair blow-up) and
+    row-at-a-time Python evaluation (BatchEvalPython — the only
+    sanctioned Python islands are Arrow-batched mapInPandas /
+    applyInPandas).  BroadcastNestedLoopJoin is allowed only because
+    every occurrence in this registry is a one-row scalar broadcast
+    (audited; the knn guard test covers the bounded-query-set case) —
+    a new unbounded BNLJ would surface here as a cartesian once AQE
+    cannot build-side it, and in review via this comment."""
+    qs = entry.queries()
+    bad = {}
+    for name, fn in sorted(qs.items()):
+        plan = _plan(fn(spark, sf_dir))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
