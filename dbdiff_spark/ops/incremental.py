@@ -177,6 +177,111 @@ GROUP BY 1, 2
 """
 
 
+
+
+# --- join-view maintenance (delta-keyed recompute) ---------------------------
+#
+# The second classic MV shape: V = A ⋈ B, keyed by A's key.  Algebraic
+# delta joins (ΔA⋈B + A⋈ΔB + ΔA⋈ΔB) maintain it, but the clean keyed
+# formulation — and the one whose cost is provably delta-bounded — is
+# RECOMPUTE THE TOUCHED KEYS: every view row whose A-key changed, or
+# whose B-side row changed, is re-derived from the new snapshots; all
+# other view rows are carried over untouched.
+#
+# Scale shape: the touched-key set is diff-sized, so every step is a
+# broadcast semi/anti join against it — the stored view is never
+# rescanned beyond one anti-join pass, the A-side recompute scan is
+# key-pruned, and the B side joins only delta-many rows.  MIN/MAX-style
+# non-self-maintainable aggregates don't arise (a join view stores
+# rows, not folds), which is why this composes with maintain_aggregate
+# stacked on top rather than replacing it.
+
+
+def maintain_join(
+    view_old: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    a_diff: DataFrame,
+    b_diff: DataFrame,
+    a_key: str,
+    fk: str,
+    b_key: str,
+) -> DataFrame:
+    """Bring ``view_old`` (= old A ⋈ old B on ``fk = b_key``, unique
+    per ``a_key``) up to date from the two snapshot diffs.
+
+    ``a_diff``/``b_diff`` are ``DiffResult.df`` frames for A and B.
+    Law (pinned by the driver query): the result is row-for-row equal
+    to ``a_new ⋈ b_new``."""
+    changed_a = a_diff.select(a_key).distinct()
+    changed_b_keys = b_diff.select(b_key).distinct()
+    # orders referencing a changed B row (fk join, delta-sized output);
+    # rows of A that themselves changed are covered by changed_a
+    via_b = (
+        a_new.join(
+            F.broadcast(changed_b_keys), a_new[fk] == changed_b_keys[b_key]
+        )
+        .select(a_key)
+    )
+    affected = changed_a.unionByName(via_b).distinct()
+    carried = view_old.join(F.broadcast(affected), a_key, "left_anti")
+    recomputed = (
+        a_new.join(F.broadcast(affected), a_key, "left_semi")
+        .join(b_new, a_new[fk] == b_new[b_key])
+    )
+    return carried.unionByName(recomputed.select(*view_old.columns))
+
+
+_JOIN_VIEW_COLS = [
+    "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+    "c_name", "c_acctbal", "c_nationkey",
+]
+
+
+def mv_maintain_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained orders⋈customer view == recomputed view, with BOTH
+    sides mutating (order deletes/price/date updates/inserts; customer
+    balance updates/inserts/deletes).  Only the touched keys are
+    re-derived."""
+    o_spec, o_mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+    c_spec, c_mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    o_base = testkit.prep(load_table(spark, sf_dir, "orders"), o_spec)
+    o_after = testkit.apply_mutation(o_base, o_spec, o_mut)
+    c_base = testkit.prep(load_table(spark, sf_dir, "customer"), c_spec)
+    c_after = testkit.apply_mutation(c_base, c_spec, c_mut)
+    view_old = o_base.join(
+        c_base, o_base.o_custkey == c_base.c_custkey
+    ).select(*_JOIN_VIEW_COLS)
+    d_o = diff_tables(o_base, o_after, list(o_spec.key), mode=DiffMode.TYPED)
+    d_c = diff_tables(c_base, c_after, list(c_spec.key), mode=DiffMode.TYPED)
+    maintained = maintain_join(
+        view_old,
+        o_after,
+        c_after,
+        d_o.df,
+        d_c.df,
+        a_key="o_orderkey",
+        fk="o_custkey",
+        b_key="c_custkey",
+    )
+    return maintained
+
+
+def _mv_maintain_join_sql() -> str:
+    o_spec, o_mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+    c_spec, c_mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    cols = ", ".join(f'"{c}"' for c in _JOIN_VIEW_COLS)
+    return f"""
+WITH o_before AS ({testkit._prep_sql(o_spec)}),
+o_after AS ({testkit._after_sql(o_spec, o_mut, src='o_before')}),
+c_before AS ({testkit._prep_sql(c_spec)}),
+c_after AS ({testkit._after_sql(c_spec, c_mut, src='c_before')})
+SELECT {cols}
+FROM o_after JOIN c_after ON o_custkey = c_custkey
+"""
+
+
 QUERIES = {
     "mv_maintain_orders": (mv_maintain_orders, _mv_maintain_orders_sql()),
+    "mv_maintain_join_orders": (mv_maintain_join_orders, _mv_maintain_join_sql()),
 }
