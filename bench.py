@@ -45,6 +45,12 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "q21_sole_return_supplier",
     "top_events_per_user",
     "user_sessions",
     "dedup_exact",

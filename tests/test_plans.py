@@ -159,3 +159,40 @@ def test_registry_wide_plan_governance(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+def test_q21_q20_correlated_rewrites_scan_facts_once(spark, sf_dir):
+    """The Q20/Q21 adapted correlated subqueries are set-based rewrites:
+    the per-part / per-order totals come from windows over the pair-level
+    aggregate, so each fact table is scanned exactly once (no pair-frame
+    self-join that would re-read lineitem+orders)."""
+    for name, n_tables in (
+        ("q21_sole_return_supplier", 3),  # lineitem, orders, supplier
+        ("q20_excess_suppliers", 3),      # lineitem, part, supplier
+    ):
+        plan = _plan(entry.queries()[name](spark, sf_dir))
+        assert plan.count("Scan parquet") == n_tables, name
+        assert "Window" in plan, name
+
+
+def test_q2_argmin_is_aggregate_not_window(spark, sf_dir):
+    """Q2's correlated-min picks the cheapest supplier per part with a
+    partial-aggregable min(struct) — no window, no sort over the offer
+    frame, each base table scanned once."""
+    plan = _plan(entry.queries()["q2_min_cost_supplier"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") == 4  # lineitem, part, supplier, nation
+
+
+def test_q11_share_filter_reuses_cached_values(spark, sf_dir):
+    """Q11's scalar-subquery total and the share filter both read the
+    persisted per-part aggregate: the executed plan shows the cache, not
+    a second lineitem scan."""
+    df = entry.queries()["q11_important_parts"](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") == 2
+    assert not [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "InMemory" not in ln
+    ]
