@@ -761,6 +761,89 @@ LIMIT {NGRAM_TOP_K}
 
 
 
+# --- LM-frequency document scoring (perplexity-filter shape) ----------------
+#
+# The model-based quality filter a pretraining pipeline runs next to the
+# heuristic ratios: score each document by how typical its bigrams are
+# under the corpus's own bigram statistics (the KenLM-perplexity-filter
+# shape — CCNet, Wenzek et al. 2020 — with integer corpus frequencies
+# standing in for log-probs: no transcendentals may reach oracle-
+# compared output, and mean corpus frequency ranks documents the same
+# direction as negative perplexity for a count LM).
+#
+# Scale shape: ONE expression builds (doc_id, w1, w2) pairs; the corpus
+# count table aggregates from that lineage (vocabulary²-bounded, Zipf-
+# concentrated) and joins back.  The pair lineage is deliberately
+# recomputed on the scoring side rather than persisted — a corpus-sized
+# exploded cache is worse than a second scan at 100 TB, while the vocab-
+# sized count table is what a real pipeline persists and reuses across
+# batches.  The count-table join key is Zipf-skewed; AQE's skew-join
+# split handles the hot bigrams (same posture as join_skew_report).
+
+_PAIRS_EXPR = (
+    "explode_outer(zip_with("
+    " slice(toks, 1, greatest(size(toks) - 1, 0)),"
+    " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+    " (a, b) -> struct(a AS w1, b AS w2))) AS p"
+)
+
+
+def lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    pairs = docs.selectExpr("doc_id", f"{_TOKENS} AS toks").selectExpr(
+        "doc_id", _PAIRS_EXPR
+    ).selectExpr("doc_id", "p.w1 AS w1", "p.w2 AS w2")
+    big = (
+        pairs.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+    )
+    # left join keeps zero-bigram docs (w1 NULL misses → n_bigrams 0)
+    return (
+        pairs.join(big, ["w1", "w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("w1")).alias("n_bigrams"),
+            F.coalesce(F.sum("c_bigram"), F.lit(0)).alias("freq_sum"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_bigrams",
+            "freq_sum",
+            "CASE WHEN n_bigrams > 0 THEN CAST(freq_sum AS DOUBLE) / n_bigrams"
+            " ELSE NULL END AS mean_freq",
+        )
+    )
+
+
+LM_DOC_SCORE_SQL = f"""
+WITH toked AS (SELECT doc_id, {_D_TOKENS} AS toks FROM documents),
+pairs AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 2 THEN [NULL]
+                  ELSE list_zip(toks[1:len(toks)-1], toks[2:len(toks)])
+                  END) AS p
+    FROM toked
+  )
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bigram
+  FROM pairs WHERE w1 IS NOT NULL GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(count(pairs.w1) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sum(c_bigram), 0) AS BIGINT) AS freq_sum,
+       CASE WHEN count(pairs.w1) > 0
+            THEN CAST(coalesce(sum(c_bigram), 0) AS DOUBLE) / count(pairs.w1)
+            ELSE NULL END AS mean_freq
+FROM pairs
+LEFT JOIN big ON pairs.w1 = big.w1 AND pairs.w2 = big.w2
+GROUP BY doc_id
+"""
+
+
 # --- RAG chunking via a Python UDTF ------------------------------------------
 #
 # The one Python UDTF in the engine, and deliberately so: overlapping-
@@ -829,8 +912,103 @@ FROM offs
 """
 
 
+# --- hashed linear classifier inference (fastText-shaped) -------------------
+#
+# Quality *classifier* inference as distinct from the heuristic
+# ``text_quality`` ratios: bag of hashed features (unigrams + '_'-joined
+# bigrams, the fastText / Joulin et al. 2016 hashing trick), each
+# feature's weight looked up by hash, scores summed per document.  The
+# weight "table" here is hash-derived (w(h) = top-3 hex digits of
+# md5(feature) − 2048, a symmetric integer in [−2048, 2047]) because the
+# container ships no trained model — a real deployment broadcasts a
+# bucket→weight table and the plan shape is unchanged (the lookup stays
+# a map-side expression or a broadcast hash join; never a shuffle).
+#
+# Scale shape: one corpus scan → explode → codegen'd md5+weight
+# expression → per-doc sum with map-side combine (the simhash lesson:
+# exploded codegen beats interpreted higher-order lambdas).  The only
+# shuffle carries one 3-column row per document.
+
+_HEX = "0123456789abcdef"
+
+
+def _weight_expr(h: str) -> str:
+    """Integer weight in [-2048, 2047] from a hex digest's top 3 chars —
+    identical arithmetic in Spark and DuckDB (instr/substr agree)."""
+    return (
+        f"((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 256"
+        f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({h}, 3, 1)) - 1) - 2048)"
+    )
+
+
+def _features_spark(tokens: str) -> str:
+    bigrams = (
+        f"CASE WHEN size({tokens}) >= 2 THEN "
+        f"transform(sequence(1, size({tokens}) - 1), "
+        f"i -> concat(element_at({tokens}, i), '_', element_at({tokens}, i + 1))) "
+        f"ELSE array() END"
+    )
+    return f"concat({tokens}, {bigrams})"
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document linear-classifier score and keep/drop verdict."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    ex = (
+        docs.selectExpr("doc_id", f"{_features_spark(_TOKENS)} AS feats")
+        # explode_outer: zero-feature docs must still score (as 0), and
+        # plain explode would re-evaluate the regex via an inferred
+        # size()>0 filter (corpus.py note)
+        .selectExpr("doc_id", "explode_outer(feats) AS f")
+        .selectExpr("doc_id", "md5(f) AS h")
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.col("h")).alias("n_feats"),
+            F.coalesce(
+                F.sum(F.expr(_weight_expr("h"))), F.lit(0)
+            ).alias("score"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_feats",
+            "score",
+            "CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS verdict",
+        )
+    )
+
+
+CLASSIFIER_SCORE_SQL = f"""
+WITH tok AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+feat AS (
+  SELECT doc_id,
+         list_concat(
+           t,
+           CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> concat(t[i], '_', t[i + 1]))
+           ELSE []::VARCHAR[] END
+         ) AS feats
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(feats) AS BIGINT) AS n_feats,
+       CAST(coalesce(
+         list_sum(list_transform(feats, f -> {_weight_expr('md5(f)')})), 0
+       ) AS BIGINT) AS score,
+       CASE WHEN coalesce(
+         list_sum(list_transform(feats, f -> {_weight_expr('md5(f)')})), 0
+       ) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM feat
+"""
+
+
 QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "classifier_score": (classifier_score, CLASSIFIER_SCORE_SQL),
+    "lm_doc_score": (lm_doc_score, LM_DOC_SCORE_SQL),
     "bm25_rank": (bm25_rank, BM25_RANK_SQL),
     "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
