@@ -89,6 +89,9 @@ HEADLINE = [
     "frequent_itemsets",
     "validate_orders",
     "dedup_ingest_incremental",
+    "classifier_score",
+    "lm_doc_score",
+    "semdedup_prune",
 ]
 
 

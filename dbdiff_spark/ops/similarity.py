@@ -872,7 +872,129 @@ FROM q, h
 """
 
 
+# --- SemDeDup: semantic dedup via cluster-then-prune ------------------------
+#
+# The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the embedding
+# space, then drop near-duplicate members WITHIN each cluster — the
+# cluster bounds the pair space exactly like the LSH band / sign bucket
+# in the text dedups, so the n² cosine matrix never materializes.
+# Clustering here is a single seed-centroid assignment (the argmin-
+# struct projection kmeans_lloyd uses — zero shuffle): centroid quality
+# only affects pruning *recall*, never correctness, so the dedup op does
+# not iterate.  K is 8 to keep the oracle's cross-join small; the 100 TB
+# setting is K ≈ √n (the paper uses thousands of clusters), which also
+# keeps per-cluster pair counts bounded as the corpus grows.
+#
+# The threshold test is INTEGER-exact: vectors quantize to the int8 grid
+# (the ann_int8 path), and cos ≥ τ is evaluated as the cross-multiplied
+# rational  10⁶·qdot² ≥ 998001·‖a‖²·‖b‖²  with qdot > 0 — no doubles
+# reach the comparison, so Spark and DuckDB agree bit-for-bit.  Worst
+# case magnitudes (dim 64, |q| ≤ 127) stay under 2⁶³.
+#
+# A member is dropped when ANY lower-id cluster-mate sits within τ (the
+# dominance variant; greedy-kept-set SemDeDup differs only on chains
+# a~b~c where cos(a,c) < τ — for exact-copy dedup they coincide).
+
+SEMDEDUP_TAU_SQ_PPM = 998_001  # τ = 0.999 → τ² in parts-per-million
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _vectors(spark, sf_dir)
+    corpus = vecs.unionByName(
+        vecs.select(
+            (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+            "embedding",
+            "norm",
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < KMEANS_K)
+        .collect()
+    )
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+    }
+    q = corpus.select(
+        "vec_id",
+        F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        F.expr(_qvec_spark()).alias("qvec"),
+    ).withColumn("qnorm2", F.expr(_qdot_spark("qvec", "qvec")))
+    a, b = q.alias("a"), q.alias("b")
+    qdot = _qdot_spark("a.qvec", "b.qvec")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.expr(
+                f"({qdot}) > 0 AND 1000000 * ({qdot}) * ({qdot})"
+                f" >= {SEMDEDUP_TAU_SQ_PPM} * a.qnorm2 * b.qnorm2"
+            )
+        )
+        .select("b.cell", F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    members = q.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        members.join(dropped, "cell", "left")
+        .selectExpr(
+            "cell",
+            "n_vectors",
+            "CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped",
+        )
+        .orderBy("cell")
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+corpus AS (
+  SELECT vec_id, embedding, norm FROM vecs
+  UNION ALL
+  SELECT vec_id + {NEARDUP_OFFSET} AS vec_id, embedding, norm FROM vecs
+),
+c0 AS (
+  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+s AS (
+  SELECT v.vec_id, v.embedding, v.norm, c.cell,
+         {_dist2_duck('v.embedding', 'c.centroid')} AS d2
+  FROM corpus v CROSS JOIN c0 c
+),
+q AS (
+  SELECT vec_id, cell, {_qvec_duck()} AS qvec
+  FROM (
+    SELECT vec_id, embedding, norm, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM s
+  ) WHERE rn = 1
+),
+qn AS (SELECT vec_id, cell, qvec, {_qdot_duck('qvec', 'qvec')} AS qnorm2 FROM q),
+dropped AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped FROM (
+    SELECT DISTINCT b.cell, b.vec_id
+    FROM qn a JOIN qn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE ({_qdot_duck('a.qvec', 'b.qvec')}) > 0
+      AND 1000000 * ({_qdot_duck('a.qvec', 'b.qvec')})
+                  * ({_qdot_duck('a.qvec', 'b.qvec')})
+          >= {SEMDEDUP_TAU_SQ_PPM} * a.qnorm2 * b.qnorm2
+  ) GROUP BY cell
+)
+SELECT m.cell, m.n_vectors, CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped
+FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM qn GROUP BY cell) m
+LEFT JOIN dropped USING (cell)
+ORDER BY m.cell
+"""
+
+
 QUERIES = {
+    "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
     "ann_pq": (ann_pq, ANN_PQ_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
