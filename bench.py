@@ -92,6 +92,8 @@ HEADLINE = [
     "classifier_score",
     "lm_doc_score",
     "semdedup_prune",
+    "jl_project",
+    "pca_power_iteration",
 ]
 
 

@@ -993,8 +993,239 @@ ORDER BY m.cell
 """
 
 
+# --- Johnson-Lindenstrauss sparse random projection -------------------------
+#
+# The dimensionality-reduction step a large ANN/dedup pipeline runs
+# before LSH/IVF: project dim-64 embeddings to 16 components with the
+# sparse Achlioptas sign matrix (+1 w.p. 1/6, −1 w.p. 1/6, 0 else —
+# Achlioptas 2003, database-friendly random projections).  The matrix
+# is derived from md5 at IMPORT time and injected as a literal into
+# both engines' expressions, so runtime does no hashing at all: the
+# op is one posexplode + a 16-way conditional-sum aggregate (the
+# simhash shape — codegen'd, map-side combinable, one row per vector
+# shuffled).  Components quantize to the 1e-6 grid first, so outputs
+# are exact BIGINTs in both engines.
+#
+# At 100 TB this is THE preconditioner: 4× fewer bytes per vector into
+# every downstream bucket shuffle, with pairwise distances preserved
+# within JL tolerance — and zero shuffle of its own beyond the per-
+# vector combine.
+
+JL_IN_DIM = 64
+JL_OUT_DIM = 16
+
+
+def _jl_matrix() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            (lambda v: 1 if v == 0 else (-1 if v == 1 else 0))(
+                int(hashlib.md5(f"jl_{pos}_{j}".encode()).hexdigest()[:8], 16) % 6
+            )
+            for j in range(1, JL_OUT_DIM + 1)
+        ]
+        for pos in range(1, JL_IN_DIM + 1)
+    ]
+
+
+_JL_S = _jl_matrix()
+_JL_S_SPARK = "array({})".format(
+    ", ".join("array({})".format(", ".join(str(v) for v in row)) for row in _JL_S)
+)
+_JL_S_DUCK = "[{}]".format(
+    ", ".join("[{}]".format(", ".join(str(v) for v in row)) for row in _JL_S)
+)
+
+
+def jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = (
+        emb.selectExpr("vec_id", "posexplode(embedding) AS (pos0, comp)")
+        .filter(F.col("pos0") < JL_IN_DIM)
+        .selectExpr(
+            "vec_id",
+            "pos0 + 1 AS pos",
+            "CAST(ROUND(CAST(comp AS DOUBLE) * 1000000) AS BIGINT) AS cg",
+        )
+    )
+    aggs = [
+        F.sum(
+            F.expr(f"cg * element_at(element_at({_JL_S_SPARK}, pos), {j})")
+        ).alias(f"p{j}")
+        for j in range(1, JL_OUT_DIM + 1)
+    ]
+    return ex.groupBy("vec_id").agg(*aggs)
+
+
+JL_PROJECT_SQL = f"""
+SELECT vec_id,
+       {", ".join(
+           f"CAST(sum(cg * {_JL_S_DUCK}[pos][{j}]) AS BIGINT) AS p{j}"
+           for j in range(1, JL_OUT_DIM + 1)
+       )}
+FROM (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(ROUND(x::DOUBLE * 1000000) AS BIGINT))) AS cg
+  FROM embeddings
+)
+WHERE pos <= {JL_IN_DIM}
+GROUP BY vec_id
+"""
+
+
+# --- PCA top component via power iteration ----------------------------------
+#
+# The second iterative-algorithm exemplar next to kmeans_lloyd, with the
+# same Spark-native loop discipline: the iterated state (the direction
+# vector v) lives DRIVER-side and re-enters each round as literals, so
+# every iteration is one corpus pass — a per-row fold for the projection
+# score s = (x−μ)·v fused into the scan, then ONE map-side-combinable
+# grid aggregation of t_j = Σ s·(x_j−μ_j).  No joins, no windows, flat
+# lineage (nothing to checkpoint at any iteration count).
+#
+# Exactness protocol (what makes the nested-CTE DuckDB twin valid):
+# accumulations that cross rows are 1e-6-grid BIGINT sums (order-
+# independent); per-row folds run in ascending-position order in both
+# engines; normalization is plain IEEE ops (÷, √ are correctly rounded,
+# so Python-on-driver and DuckDB-in-SQL agree bit-for-bit on identical
+# inputs); v₀ = 1/√64 = 0.125 is exactly representable.  The oracle
+# re-derives μ, every tⁱ, and every vⁱ itself — a fully independent
+# computation of the same deterministic fixpoint.
+
+PCA_ITERS = 2
+PCA_DIM = 64
+_PCA_V0 = [0.125] * PCA_DIM  # 1/sqrt(64), exact in binary
+
+
+def _vec_literal(comps: list[float]) -> str:
+    return _centroid_literal(comps)  # repr round-trip: exact for f64
+
+
+def _pca_score_expr(mu: list[float], v: list[float]) -> str:
+    """Per-row fold s = Σ_i (x_i − μ_i)·v_i, ascending i."""
+    mu_l, v_l = _vec_literal(mu), _vec_literal(v)
+    return (
+        f"aggregate(sequence(1, {PCA_DIM}), CAST(0 AS DOUBLE), (acc, i) -> "
+        f"acc + (CAST(element_at(embedding, i) AS DOUBLE)"
+        f" - element_at({mu_l}, i)) * element_at({v_l}, i))"
+    )
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").persist()
+    try:
+        # μ per position: grid-sum / n, replicated verbatim by the oracle
+        mu_rows = (
+            emb.selectExpr("posexplode(embedding) AS (pos0, comp)")
+            .filter(F.col("pos0") < PCA_DIM)
+            .selectExpr(
+                "pos0 + 1 AS pos",
+                "CAST(ROUND(CAST(comp AS DOUBLE) * 1000000) AS BIGINT) AS cg",
+            )
+            .groupBy("pos")
+            .agg(F.sum("cg").alias("sg"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_pos = {int(r["pos"]): (int(r["sg"]), int(r["n"])) for r in mu_rows}
+        mu = [by_pos[p][0] / 1000000 / by_pos[p][1] for p in range(1, PCA_DIM + 1)]
+        v = list(_PCA_V0)
+        for _ in range(PCA_ITERS):
+            s_expr = _pca_score_expr(mu, v)
+            mu_l = _vec_literal(mu)
+            t_rows = (
+                emb.selectExpr(f"{s_expr} AS s", "embedding")
+                .selectExpr("s", "posexplode(embedding) AS (pos0, comp)")
+                .filter(F.col("pos0") < PCA_DIM)
+                .selectExpr(
+                    "pos0 + 1 AS pos",
+                    f"CAST(ROUND(s * (CAST(comp AS DOUBLE)"
+                    f" - element_at({mu_l}, pos0 + 1)) * 1000000) AS BIGINT) AS tg",
+                )
+                .groupBy("pos")
+                .agg(F.sum("tg").alias("t"))
+                .collect()
+            )
+            t_by_pos = {int(r["pos"]): int(r["t"]) for r in t_rows}
+            t = [t_by_pos[p] / 1000000 for p in range(1, PCA_DIM + 1)]
+            acc = 0.0
+            for x in t:  # ascending-pos fold, mirrors list_sum
+                acc += x * x
+            norm = math.sqrt(acc)
+            v = [x / norm for x in t]
+        v_l = _vec_literal(v)
+        return spark.range(1, PCA_DIM + 1).selectExpr(
+            "CAST(id AS BIGINT) AS pos", f"element_at({v_l}, CAST(id AS INT)) AS loading"
+        )
+    finally:
+        emb.unpersist()
+
+
+def _pca_sql() -> str:
+    v0 = "[" + ", ".join("CAST('0.125' AS DOUBLE)" for _ in range(PCA_DIM)) + "]"
+    layers = [
+        f"""expl AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(list_transform(embedding,
+                x -> CAST(ROUND(x::DOUBLE * 1000000) AS BIGINT))) AS cg
+  FROM embeddings
+),
+mu AS (
+  SELECT pos, CAST(SUM(cg) AS DOUBLE) / 1000000 / COUNT(*) AS m
+  FROM expl WHERE pos <= {PCA_DIM} GROUP BY pos
+),
+mu_arr AS (SELECT array_agg(m ORDER BY pos) AS mu FROM mu),
+v0 AS (SELECT {v0} AS v)"""
+    ]
+    for i in range(1, PCA_ITERS + 1):
+        layers.append(
+            f"""s{i} AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(generate_series(1, {PCA_DIM}),
+           i -> (e.embedding[i]::DOUBLE - m.mu[i]) * c.v[i])) AS s
+  FROM embeddings e CROSS JOIN mu_arr m CROSS JOIN v{i - 1} c
+),
+t{i} AS (
+  SELECT pos,
+         SUM(CAST(ROUND(s.s * (e.embedding[pos]::DOUBLE - m.mu[pos]) * 1000000)
+                  AS BIGINT)) AS t
+  FROM embeddings e
+  JOIN s{i} s ON e.vec_id = s.vec_id
+  CROSS JOIN mu_arr m
+  CROSS JOIN unnest(generate_series(1, {PCA_DIM})) AS g(pos)
+  GROUP BY pos
+),
+tv{i} AS (
+  SELECT array_agg(CAST(t AS DOUBLE) / 1000000 ORDER BY pos) AS tv FROM t{i}
+),
+v{i} AS (
+  SELECT list_transform(tv, x -> x / sqrt(list_sum(list_transform(tv, y -> y * y))))
+           AS v
+  FROM tv{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f"""
+SELECT CAST(pos AS BIGINT) AS pos, v[pos] AS loading
+FROM v{PCA_ITERS} CROSS JOIN unnest(generate_series(1, {PCA_DIM})) AS g(pos)
+"""
+    )
+
+
+PCA_SQL = _pca_sql()
+
+
 QUERIES = {
     "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
+    "jl_project": (jl_project, JL_PROJECT_SQL),
+    "pca_power_iteration": (pca_power_iteration, PCA_SQL),
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
     "ann_pq": (ann_pq, ANN_PQ_SQL),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
