@@ -88,6 +88,17 @@ AUDITED = [
     "mv_maintain_join_orders",
     "multimodal_resize",
     "chunk_documents",
+    # round 3, second session
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_suppliers",
+    "q21_sole_return_supplier",
+    "classifier_score",
+    "lm_doc_score",
+    "semdedup_prune",
+    "jl_project",
 ]
 
 
