@@ -94,6 +94,8 @@ HEADLINE = [
     "semdedup_prune",
     "jl_project",
     "pca_power_iteration",
+    "positional_index",
+    "phrase_search",
 ]
 
 

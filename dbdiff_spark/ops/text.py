@@ -571,6 +571,132 @@ HAVING count(*) >= 5
 """
 
 
+# --- positional index + index-answered phrase search ------------------------
+#
+# The retrieval tier's third structure: ``inverted_index`` stores doc
+# sets, this stores token POSITIONS, which is what phrase and proximity
+# queries consume.  ``phrase_search`` then answers a two-word phrase
+# from position postings alone — positions of w₁ shifted by one
+# intersected with positions of w₂ — never re-scanning text.
+#
+# Scale shape (positional_index): ONE exchange total — the exploded
+# (doc, pos, term) stream is repartitioned on term, so the (term, doc)
+# aggregation AND the per-term posting-cap window both reuse that
+# partitioning (hash(term) satisfies the groupBy's (term, doc)
+# clustering; a groupBy-first plan would shuffle twice).  Per-(term,doc)
+# position lists cap at 8 and per-term postings at 10 via the ranked
+# window — the same bounded-posting rule as inverted_index; stop-word
+# skew concentrates on few reducers, the cap bounds their output.
+
+POSITIONAL_MIN_DF = 40
+POSITIONAL_DOC_CAP = 10
+POSITIONAL_POS_CAP = 8
+PHRASE = ("table", "hash")
+
+
+def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.selectExpr("doc_id", f"posexplode_outer({_TOKENS}) AS (pos0, term)")
+        .filter(F.col("term").isNotNull())
+        .selectExpr("doc_id", "pos0 + 1 AS pos", "term")
+        .repartition("term")
+    )
+    per_doc = ex.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.expr(
+            f"array_join(transform(slice(array_sort(collect_list(pos)), 1, "
+            f"{POSITIONAL_POS_CAP}), x -> CAST(x AS STRING)), ',')"
+        ).alias("positions_csv"),
+    )
+    w = Window.partitionBy("term")
+    wo = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        per_doc.withColumn("df", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter(
+            (F.col("df") >= POSITIONAL_MIN_DF)
+            & (F.col("rn") <= POSITIONAL_DOC_CAP)
+        )
+        .select("term", "doc_id", "tf", "positions_csv", "df")
+    )
+
+
+POSITIONAL_INDEX_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS term
+  FROM (SELECT doc_id, {_D_TOKENS} AS t FROM documents)
+),
+per_doc AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf,
+         array_to_string(list_sort(list(pos))[1:{POSITIONAL_POS_CAP}], ',')
+           AS positions_csv
+  FROM ex GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf, positions_csv,
+         CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM per_doc
+)
+SELECT term, doc_id, tf, positions_csv, df
+FROM ranked
+WHERE df >= {POSITIONAL_MIN_DF} AND rn <= {POSITIONAL_DOC_CAP}
+"""
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the probe phrase, answered from position postings
+    for the two probe terms only (filtered before any aggregation):
+    one doc-keyed combine shuffle, intersection as an array expression."""
+    w1, w2 = PHRASE
+    docs = load_table(spark, sf_dir, "documents")
+    ex = (
+        docs.selectExpr("doc_id", f"posexplode_outer({_TOKENS}) AS (pos0, term)")
+        .filter(F.col("term").isin(w1, w2))
+        .selectExpr("doc_id", "pos0 + 1 AS pos", "term")
+    )
+    return (
+        ex.groupBy("doc_id")
+        .agg(
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN term = '{w1}' THEN pos END))"
+            ).alias("p1"),
+            F.expr(
+                f"array_sort(collect_list(CASE WHEN term = '{w2}' THEN pos END))"
+            ).alias("p2"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(size(array_intersect(transform(p1, x -> x + 1), p2)) AS BIGINT)"
+            " AS n_matches",
+        )
+        .filter(F.col("n_matches") > 0)
+        .orderBy("doc_id")
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, unnest(t) AS term
+  FROM (SELECT doc_id, {_D_TOKENS} AS t FROM documents)
+),
+pp AS (
+  SELECT doc_id,
+         list_sort(list(pos) FILTER (WHERE term = '{PHRASE[0]}')) AS p1,
+         list_sort(list(pos) FILTER (WHERE term = '{PHRASE[1]}')) AS p2
+  FROM ex WHERE term IN ('{PHRASE[0]}', '{PHRASE[1]}')
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(len(list_intersect(list_transform(p1, x -> x + 1), p2)) AS BIGINT)
+         AS n_matches
+FROM pp
+WHERE len(list_intersect(list_transform(p1, x -> x + 1), p2)) > 0
+ORDER BY doc_id
+"""
+
+
 # --- BM25-style ranked retrieval ---------------------------------------------
 #
 # Top-k documents for a fixed conjunctive probe query, scored with the
@@ -1009,6 +1135,8 @@ QUERIES = {
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "classifier_score": (classifier_score, CLASSIFIER_SCORE_SQL),
     "lm_doc_score": (lm_doc_score, LM_DOC_SCORE_SQL),
+    "positional_index": (positional_index, POSITIONAL_INDEX_SQL),
+    "phrase_search": (phrase_search, PHRASE_SEARCH_SQL),
     "bm25_rank": (bm25_rank, BM25_RANK_SQL),
     "ngram_lm_counts": (ngram_lm_counts, NGRAM_LM_SQL),
     "inverted_index": (inverted_index, INVERTED_INDEX_SQL),
