@@ -96,6 +96,7 @@ HEADLINE = [
     "pca_power_iteration",
     "positional_index",
     "phrase_search",
+    "join_size_estimate",
 ]
 
 

@@ -445,8 +445,90 @@ FROM sketch s JOIN exact e ON s.grp = e.grp
 HLL_SQL = _hll_sql()
 
 
+# --- correlated-sampling join-size estimation -------------------------------
+#
+# The planner-side use of synopses: estimate |orders ⋈ lineitem| without
+# running the join.  Correlated (end-biased) sampling — Vengerov et al.
+# 2015: both sides keep exactly the keys whose shared hash falls under
+# the same threshold τ, so a sampled key is present on both sides or
+# neither, and Σ c_A·c_B over sampled keys scaled by 1/p is the
+# estimate.  The same md5→48-bit domain as the KMV sketch; τ = domain/16
+# makes p exactly 1/16 and every step integer arithmetic.
+#
+# Scale shape: each side is scanned once and immediately filtered to
+# ~1/16 of its keys, aggregated to per-key counts (map-side combinable)
+# BEFORE the tiny sample-sample join; the exact count alongside (the
+# calibration column, as in kmv_distinct) is the only full-join cost,
+# and a production estimator drops it.
+
+JOIN_EST_RATE_INV = 16
+_JOIN_EST_TAU = _KMV_DOMAIN // JOIN_EST_RATE_INV
+
+
+def _key_hash(col: str) -> str:
+    return (
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, {_KMV_HEX}), 16, 10)"
+        " AS BIGINT)"
+    )
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    s_orders = (
+        orders.filter(F.expr(f"{_key_hash('o_orderkey')} < {_JOIN_EST_TAU}"))
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("ca"))
+    )
+    s_li = (
+        li.filter(F.expr(f"{_key_hash('l_orderkey')} < {_JOIN_EST_TAU}"))
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    est = s_orders.join(s_li, "k").agg(
+        F.count(F.lit(1)).alias("n_sample_keys"),
+        F.coalesce(
+            F.sum(F.col("ca") * F.col("cb") * JOIN_EST_RATE_INV), F.lit(0)
+        ).alias("est_join_size"),
+    )
+    exact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.join(F.broadcast(exact))
+
+
+JOIN_SIZE_EST_SQL = f"""
+WITH s_orders AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+  FROM orders
+  WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT
+        < {_JOIN_EST_TAU}
+  GROUP BY o_orderkey
+),
+s_li AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+  FROM lineitem
+  WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, {_KMV_HEX}))::BIGINT
+        < {_JOIN_EST_TAU}
+  GROUP BY l_orderkey
+),
+est AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sample_keys,
+         CAST(coalesce(sum(ca * cb * {JOIN_EST_RATE_INV}), 0) AS BIGINT)
+           AS est_join_size
+  FROM s_orders JOIN s_li USING (k)
+)
+SELECT n_sample_keys, est_join_size,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS exact_join_size
+FROM est
+"""
+
+
 QUERIES = {
     "cms_token_counts": (cms_token_counts, CMS_SQL),
+    "join_size_estimate": (join_size_estimate, JOIN_SIZE_EST_SQL),
     "kmv_distinct": (kmv_distinct, KMV_SQL),
     "quantile_histogram": (quantile_histogram, QUANTILE_HIST_SQL),
     "hll_distinct": (hll_distinct, HLL_SQL),
