@@ -97,6 +97,8 @@ HEADLINE = [
     "positional_index",
     "phrase_search",
     "join_size_estimate",
+    "cusum_anomalies",
+    "benford_audit",
 ]
 
 

@@ -615,8 +615,66 @@ def _validate_sql() -> str:
 VALIDATE_ORDERS_SQL = _validate_sql()
 
 
+# --- Benford first-digit audit ----------------------------------------------
+#
+# Data-forensics screen on a money column: naturally-grown magnitudes
+# follow Benford's law; fabricated or truncated data usually don't.
+# The first digit comes from the DECIMAL STRING of the integer cents
+# value (never log10 — transcendentals don't reach oracle-compared
+# output; integer→string is identical in both engines), the expected
+# shares are log10(1+1/d) precomputed as PPM literals, and the report
+# is the integer PPM deviation per digit.  One scan, one 9-group
+# aggregation — trivially scale-safe.
+
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    exp_arr = "array({})".format(", ".join(str(v) for v in _BENFORD_PPM))
+    digits = orders.selectExpr(
+        "CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING),"
+        " 1, 1) AS INT) AS digit"
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .selectExpr(
+            "digit",
+            "n",
+            "CAST(n * 1000000 div total AS BIGINT) AS observed_ppm",
+            f"CAST(element_at({exp_arr}, digit) AS BIGINT) AS expected_ppm",
+            f"CAST(n * 1000000 div total - element_at({exp_arr}, digit)"
+            " AS BIGINT) AS deviation_ppm",
+        )
+        .orderBy("digit")
+    )
+
+
+BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM counts)
+SELECT digit, n,
+       CAST(n * 1000000 // total AS BIGINT) AS observed_ppm,
+       CAST([{", ".join(str(v) for v in _BENFORD_PPM)}][digit] AS BIGINT)
+         AS expected_ppm,
+       CAST(n * 1000000 // total
+            - [{", ".join(str(v) for v in _BENFORD_PPM)}][digit] AS BIGINT)
+         AS deviation_ppm
+FROM counts CROSS JOIN t
+ORDER BY digit
+"""
+
+
 QUERIES = {
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
+    "benford_audit": (benford_audit, BENFORD_SQL),
     "outlier_report_lineitem": (outlier_report_lineitem, OUTLIER_REPORT_SQL),
     "validate_orders": (validate_orders, VALIDATE_ORDERS_SQL),
     "integrity_audit": (integrity_audit, INTEGRITY_AUDIT_SQL),

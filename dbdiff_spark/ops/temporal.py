@@ -551,8 +551,89 @@ GROUP BY event_type
 """
 
 
+# --- CUSUM changepoint detection per series ---------------------------------
+#
+# Sequential CUSUM (Page 1954) per user over event values — the
+# streaming-monitoring classic, computed batch-side WITHOUT the
+# recursive form: the reset recursion C_t = max(0, C_{t−1} + x_t − k)
+# is exactly C_t = S_t − min(S_0..S_t) for the plain prefix sum
+# S_t = Σ(x−k), S_0 = 0 — so two stacked window functions over ONE
+# (user)-keyed shuffle replace the unparallelizable recurrence.  All
+# arithmetic on the integer cents grid; ordering is (ts, event_id) so
+# exact-tie rows are deterministic in both engines.
+#
+# k (drift allowance) sits above the value mean so only anomalous runs
+# of high values accumulate; h is the alarm threshold.  Output is the
+# bounded per-user summary (n_events, max CUSUM, alarm count), not the
+# per-event trace.
+
+CUSUM_K_CENTS = 6_000  # drift allowance: value 60.00
+CUSUM_H_CENTS = 30_000  # alarm threshold: accumulated excess 300.00
+
+
+def cusum_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr(
+            f"CAST(ROUND(value * 100) AS BIGINT) - {CUSUM_K_CENTS}"
+        ).alias("xk"),
+    )
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = base.withColumn("s", F.sum("xk").over(wsum))
+    # min over S_0..S_t with S_0 = 0 ⇒ least(0, running min of S)
+    cusum = s.withColumn(
+        "cusum", F.col("s") - F.least(F.lit(0), F.min("s").over(wsum))
+    )
+    return (
+        cusum.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("cusum").alias("max_cusum_cents"),
+            F.count_if(F.col("cusum") > CUSUM_H_CENTS).alias("n_alarms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+CUSUM_SQL = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) - {CUSUM_K_CENTS} AS xk
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, event_id, ts_us,
+         SUM(xk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS s
+  FROM base
+),
+c AS (
+  SELECT user_id,
+         CAST(s - LEAST(0, MIN(s) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING))
+              AS BIGINT) AS cusum
+  FROM s
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(cusum) AS BIGINT) AS max_cusum_cents,
+       CAST(count(*) FILTER (WHERE cusum > {CUSUM_H_CENTS}) AS BIGINT) AS n_alarms
+FROM c GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
+    "cusum_anomalies": (cusum_anomalies, CUSUM_SQL),
     "sequence_gaps": (sequence_gaps, SEQUENCE_GAPS_SQL),
     "peak_concurrency": (peak_concurrency, PEAK_CONCURRENCY_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
