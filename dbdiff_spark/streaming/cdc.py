@@ -566,8 +566,113 @@ WHERE rank <= {TRENDING_K}
 """
 
 
+# --- streaming CUSUM (stream ≡ batch law) -----------------------------------
+#
+# The streaming twin of ``ops.temporal.cusum_anomalies``: per-user CUSUM
+# state carried across micro-batches in applyInPandasWithState — the
+# monitor you actually deploy on the live stream, with the batch
+# operator as its oracle (the stream must CONVERGE TO the batch fold,
+# the same law stream_scd2_history pins).  State is (prefix sum, prefix
+# min, max CUSUM, alarm count, event count); each chunk sorts by event
+# time and folds the recursion vectorized.  Correct whenever per-key
+# arrival respects event order ACROSS micro-batches (true for the
+# replayed fixture; a production deployment buffers within the
+# watermark before folding — the latest_state regression guard shows
+# the hook).
+
+CUSUM_STATE_SCHEMA = (
+    "s long, min_s long, max_cusum long, n_alarms long, n_events long"
+)
+CUSUM_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, max_cusum_cents long, n_alarms long"
+)
+
+
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbdiff_spark.ops.temporal import CUSUM_H_CENTS, CUSUM_K_CENTS
+
+    stream = _event_stream_from_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    k_cents, h_cents = CUSUM_K_CENTS, CUSUM_H_CENTS
+
+    def update_state(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        import pandas as _pd
+
+        if state.exists:
+            s, min_s, max_c, n_al, n_ev = state.get
+        else:
+            s, min_s, max_c, n_al, n_ev = 0, 0, 0, 0, 0
+        chunks = list(pdfs)
+        if chunks:
+            pdf = _pd.concat(chunks).sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                # ROUND() is half-away-from-zero; floor(x+0.5) matches it
+                # for the (positive) fixture domain
+                s += int(math.floor(float(v) * 100 + 0.5)) - k_cents
+                min_s = min(min_s, s)
+                c = s - min(0, min_s)
+                max_c = max(max_c, c)
+                if c > h_cents:
+                    n_al += 1
+                n_ev += 1
+        state.update((s, min_s, max_c, n_al, n_ev))
+        yield _pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_ev],
+                "max_cusum_cents": [max_c],
+                "n_alarms": [n_al],
+            }
+        )
+
+    result = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_state,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    query = (
+        result.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_cusum")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # final update per key: the row with the most events folded
+    return (
+        spark.table("stream_cusum")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("max_cusum_cents", "n_events").alias("max_cusum_cents"),
+            F.max_by("n_alarms", "n_events").alias("n_alarms"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_cusum_oracle_sql() -> str:
+    from dbdiff_spark.ops.temporal import CUSUM_SQL
+
+    return CUSUM_SQL
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
     "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
