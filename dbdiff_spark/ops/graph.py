@@ -412,8 +412,83 @@ SELECT 'pair' AS kind, item_a, item_b, support FROM (
 """
 
 
+# --- k-core peeling ---------------------------------------------------------
+#
+# Iterative subgraph peeling: drop nodes with degree < K, drop their
+# edges, repeat — after enough rounds the K-core remains (Seidman 1983
+# degeneracy).  Rounds are FIXED (not run-to-convergence) so the
+# per-round trajectory itself is the deterministic, oracle-checkable
+# output — the same fixed-iteration discipline as pagerank and kmeans.
+#
+# Scale shape per round: one degree aggregation + two semi-join-shaped
+# keep filters over the persisted current edge list (monotonically
+# shrinking; kept node sets are degree-filtered and AQE build-sides
+# them when small).  Lineage stays 3 rounds deep — no checkpoint
+# needed; a run-to-convergence variant would cut with io.cut_lineage
+# every few rounds like pagerank does.
+
+KCORE_K = 100
+KCORE_ROUNDS = 3
+
+
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cur = _copurchase_edges(spark, sf_dir).persist()
+    stats = []
+    for rnd in range(1, KCORE_ROUNDS + 1):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        cur = (
+            cur.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .persist()
+        )
+        stats.append(
+            cur.agg(
+                F.countDistinct("src").alias("n_nodes"),
+                F.count(F.lit(1)).alias("n_edges"),
+            ).select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_edges")
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    layers = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        layers.append(
+            f"""d{i} AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       FROM e{i - 1} GROUP BY src),
+k{i} AS (SELECT src FROM d{i} WHERE deg >= {KCORE_K}),
+e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+         JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src),
+s{i} AS (SELECT CAST({i} AS BIGINT) AS round,
+                CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+                CAST(count(*) AS BIGINT) AS n_edges
+         FROM e{i})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM s{i}" for i in range(1, KCORE_ROUNDS + 1))
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey
+),
+{",".join(layers)}
+{union}
+ORDER BY round
+"""
+
+
+KCORE_SQL = _kcore_sql()
+
+
 QUERIES = {
     "pagerank_copurchase": (pagerank_copurchase, PAGERANK_SQL),
+    "kcore_peeling": (kcore_peeling, KCORE_SQL),
     "triangle_count": (triangle_count, TRIANGLE_SQL),
     "label_propagation": (label_propagation, LABEL_PROPAGATION_SQL),
     "frequent_itemsets": (frequent_itemsets, FREQUENT_ITEMSETS_SQL),
