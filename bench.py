@@ -99,6 +99,7 @@ HEADLINE = [
     "join_size_estimate",
     "cusum_anomalies",
     "benford_audit",
+    "kcore_peeling",
 ]
 
 

@@ -878,12 +878,13 @@ FROM q, h
 # space, then drop near-duplicate members WITHIN each cluster — the
 # cluster bounds the pair space exactly like the LSH band / sign bucket
 # in the text dedups, so the n² cosine matrix never materializes.
-# Clustering here is a single seed-centroid assignment (the argmin-
-# struct projection kmeans_lloyd uses — zero shuffle): centroid quality
-# only affects pruning *recall*, never correctness, so the dedup op does
-# not iterate.  K is 8 to keep the oracle's cross-join small; the 100 TB
-# setting is K ≈ √n (the paper uses thousands of clusters), which also
-# keeps per-cluster pair counts bounded as the corpus grows.
+# Clustering here is a single seed-centroid assignment (the IVF
+# broadcast-seeds + min(struct) pattern): centroid quality only affects
+# pruning *recall*, never correctness, so the dedup op does not
+# iterate.  The cell count follows the K ≈ √n posture the paper scales
+# by (√(2000-vector corpus) ≈ 45 → 48 cells, static so the oracle SQL
+# stays a fixed string): within-cell pair counts — the op's entire
+# quadratic cost — stay ≈ n/K per member instead of n/8.
 #
 # The threshold test is INTEGER-exact: vectors quantize to the int8 grid
 # (the ann_int8 path), and cos ≥ τ is evaluated as the cross-multiplied
@@ -896,6 +897,7 @@ FROM q, h
 # a~b~c where cos(a,c) < τ — for exact-copy dedup they coincide).
 
 SEMDEDUP_TAU_SQ_PPM = 998_001  # τ = 0.999 → τ² in parts-per-million
+SEMDEDUP_CELLS = 48  # ≈ √corpus at the bench scale (see header note)
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,34 +909,69 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm",
         )
     )
-    seeds = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") < KMEANS_K)
-        .collect()
+    seeds = vecs.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
     )
-    centroids = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
-    }
-    q = corpus.select(
+    # IVF-pattern assignment: broadcast seeds against the corpus scan,
+    # argmin as a map-side-combinable min(struct) — at 48 cells the
+    # literal-argmin projection kmeans uses would be a 48×64-term
+    # interpreted expression per row; the join+aggregate form stays a
+    # narrow codegen'd pipeline.
+    scored = corpus.join(F.broadcast(seeds)).select(
         "vec_id",
-        F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
-        F.expr(_qvec_spark()).alias("qvec"),
-    ).withColumn("qnorm2", F.expr(_qdot_spark("qvec", "qvec")))
+        "embedding",
+        "norm",
+        "seed_id",
+        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
+    )
+    q = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("d2"), F.col("seed_id"), F.col("embedding"), F.col("norm")
+                )
+            ).alias("__b")
+        )
+        .select(
+            "vec_id",
+            F.col("__b.seed_id").alias("cell"),
+            F.col("__b.embedding").alias("embedding"),
+            F.col("__b.norm").alias("norm"),
+        )
+        .withColumn("qvec", F.expr(_qvec_spark()))
+        .withColumn("qnorm2", F.expr(_qdot_spark("qvec", "qvec")))
+        .drop("embedding", "norm")
+    )
     a, b = q.alias("a"), q.alias("b")
-    qdot = _qdot_spark("a.qvec", "b.qvec")
-    dropped = (
+    # The pair dot is THE quadratic cost: evaluate it ONCE per pair (a
+    # projection), then force an exchange before the τ filter — without
+    # the barrier Catalyst substitutes the alias back into the filter
+    # and the interpreted-HOF dot runs three times per pair (measured
+    # 3× the runtime at sf0.1).
+    pair_scored = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(
+        .select(
+            F.col("b.cell").alias("cell"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.expr(_qdot_spark("a.qvec", "b.qvec")).alias("qdot"),
+            F.col("a.qnorm2").alias("qa2"),
+            F.col("b.qnorm2").alias("qb2"),
+        )
+        .repartition("cell", "vec_id")
+    )
+    dropped = (
+        pair_scored.filter(
             F.expr(
-                f"({qdot}) > 0 AND 1000000 * ({qdot}) * ({qdot})"
-                f" >= {SEMDEDUP_TAU_SQ_PPM} * a.qnorm2 * b.qnorm2"
+                f"qdot > 0 AND 1000000 * qdot * qdot"
+                f" >= {SEMDEDUP_TAU_SQ_PPM} * qa2 * qb2"
             )
         )
-        .select("b.cell", F.col("b.vec_id").alias("vec_id"))
+        .select("cell", "vec_id")
         .distinct()
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_dropped"))
@@ -960,7 +997,7 @@ corpus AS (
 ),
 c0 AS (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
-  FROM embeddings WHERE vec_id < {KMEANS_K}
+  FROM embeddings WHERE vec_id < {SEMDEDUP_CELLS}
 ),
 s AS (
   SELECT v.vec_id, v.embedding, v.norm, c.cell,

@@ -99,6 +99,12 @@ AUDITED = [
     "lm_doc_score",
     "semdedup_prune",
     "jl_project",
+    "join_size_estimate",
+    "cusum_anomalies",
+    "benford_audit",
+    "kcore_peeling",
+    "positional_index",
+    "phrase_search",
 ]
 
 
