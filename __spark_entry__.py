@@ -149,6 +149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "customer", "orc"
         )
     )
+    # epsilon-tolerant diff: the doubled o_totalprice is a change of
+    # exactly the old value, so eps=100000 masks orders under 100k and
+    # keeps larger ones — both tolerance behaviors in one query
+    out["diff_orders_tolerance"] = _with_conf(
+        lambda spark, sf_dir: testkit.diff_query_df(
+            spark, sf_dir, "orders", tolerance={"o_totalprice": 100000.0}
+        )
+    )
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
     out["merge3_customer"] = _with_conf(testkit.merge3_query_df)
@@ -209,6 +217,9 @@ GROUP BY 1, 2
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
     out["diff_customer_orc_snapshot"] = testkit.diff_oracle_sql("customer")
+    out["diff_orders_tolerance"] = testkit.diff_oracle_sql(
+        "orders", tolerance={"o_totalprice": 100000.0}
+    )
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
     out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()
     out["merge3_customer"] = testkit.merge3_oracle_sql()

@@ -94,6 +94,14 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot are satisfied by partition pruning)",
     )
     parser.add_argument(
+        "--tolerance",
+        action="append",
+        default=[],
+        metavar="TABLE.COLUMN=EPS",
+        help="treat matched values of TABLE.COLUMN differing by at most "
+        "EPS as unchanged (repeatable; typed mode only)",
+    )
+    parser.add_argument(
         "--apply-dir",
         default="",
         help="after each diff, materialize the reconstructed after-state "
@@ -212,9 +220,20 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"[Error] --where needs TABLE=PREDICATE, got {spec!r}")
                 return 2
             where[table.strip()] = pred.strip()
+        tolerance: dict[str, dict[str, float]] = {}
+        for spec in args.tolerance:
+            target, _, eps = spec.partition("=")
+            table, _, column = target.partition(".")
+            if not eps or not column:
+                print(f"[Error] --tolerance needs TABLE.COLUMN=EPS, got {spec!r}")
+                return 2
+            tolerance.setdefault(table.strip(), {})[column.strip()] = float(eps)
+        if tolerance and mode is not DiffMode.TYPED:
+            print("[Error] --tolerance requires --mode typed")
+            return 2
         results = diff_snapshots(
             spark, before, after, mode=mode, incremental=args.incremental,
-            where=where or None,
+            where=where or None, tolerance=tolerance or None,
         )
         print_diffs(results)
         out_name = args.o or default_output_name()

@@ -370,8 +370,17 @@ def diff_tables(
     include_unchanged: bool = False,
     dedup_keys: bool = False,
     null_safe_keys: bool = True,
+    tolerance: dict[str, float] | None = None,
 ) -> DiffResult:
     """Diff two snapshots of one table, keyed on ``key_cols``.
+
+    ``tolerance`` maps numeric non-key column names to an absolute
+    epsilon: matched rows whose values differ by at most the epsilon
+    count as unchanged in that column (the migration-validation
+    convention — float churn from ETL rewrites shouldn't page anyone).
+    Null-vs-null stays unchanged, null-vs-value stays a change.  TYPED
+    mode only: STRING mode compares renderings, where numeric closeness
+    is meaningless.
 
     Returns a DataFrame with schema
     ``diff_status string, is_before boolean, modified_columns
@@ -389,12 +398,34 @@ def diff_tables(
     for k in key_cols:
         if k not in before.columns or k not in after.columns:
             raise ValueError(f"key column {k!r} missing from before/after")
+    if tolerance:
+        if mode != DiffMode.TYPED:
+            raise ValueError("tolerance requires mode=DiffMode.TYPED")
+        _numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+        bt, at = dict(before.dtypes), dict(after.dtypes)
+        for c, eps in tolerance.items():
+            if c in key_cols:
+                raise ValueError(f"tolerance column {c!r} cannot be a key column")
+            if c not in bt or c not in at:
+                raise ValueError(f"tolerance column {c!r} missing from a side")
+            if not (
+                bt[c] == at[c]
+                and (bt[c] in _numeric or bt[c].startswith("decimal"))
+            ):
+                raise ValueError(
+                    f"tolerance column {c!r} must be the same numeric type "
+                    f"on both sides (got {bt[c]!r}/{at[c]!r})"
+                )
+            if eps < 0:
+                raise ValueError(f"tolerance for {c!r} must be >= 0")
     # diffing a table that carries the diff's OWN column names (e.g. an
     # audit table a sink wrote back into the source DB) must not clash
     # with the classification columns this function appends
     (before, after), key_cols, _renamed = _shield_reserved(
         [before, after], key_cols, ("diff_status", "is_before", "modified_columns")
     )
+    if tolerance and _renamed:
+        tolerance = {_renamed.get(c, c): eps for c, eps in tolerance.items()}
     if mode == DiffMode.TYPED:
         # Join/group/dedup on an unorderable KEY type is unsupported by
         # Spark itself (maps cannot be hashed or compared); STRING mode
@@ -436,6 +467,7 @@ def diff_tables(
         grouped_ok = (
             null_safe_keys
             and not include_unchanged
+            and not tolerance  # grouped comparator is exact-equality only
             and types_agree
             and set(key_cols) != set(before.columns)
             and all(
@@ -518,8 +550,20 @@ def diff_tables(
             col = _canonical_comparable(col, b_types[c])
         return col
 
+    def col_changed(c: str) -> Column:
+        if tolerance and c in tolerance:
+            # within-epsilon ⇒ unchanged; null semantics match eqNullSafe
+            # (null≡null unchanged, null-vs-value changed).  The abs/<=
+            # are plain IEEE ops — deterministic on any engine.
+            bc, ac = F.col(f"b.`{c}`"), F.col(f"a.`{c}`")
+            close = bc.isNotNull() & ac.isNotNull() & (
+                F.abs(bc - ac) <= F.lit(tolerance[c])
+            )
+            return ~((bc.isNull() & ac.isNull()) | close)
+        return ~cmp_col("b", c).eqNullSafe(cmp_col("a", c))
+
     value_compares = [
-        ~cmp_col("b", c).eqNullSafe(cmp_col("a", c))
+        col_changed(c)
         for c in common_cols
         if c not in key_cols  # keys matched null-safely ⇒ never modified
     ]

@@ -446,8 +446,13 @@ def diff_snapshots(
     assume_keys_not_null: bool | None = None,
     incremental: bool = False,
     where: dict[str, str] | None = None,
+    tolerance: dict[str, dict[str, float]] | None = None,
 ) -> dict[str, DiffResult]:
     """Diff every table across two snapshots.
+
+    ``tolerance`` maps table name → {column: absolute epsilon}; see
+    :func:`dbdiff_spark.diff.diff_tables` (TYPED mode only — matched
+    values within the epsilon count as unchanged).
 
     ``where`` maps table name → SQL predicate applied to BOTH sides
     before diffing — the scoped diff ("only partition dt=X", "only this
@@ -554,6 +559,7 @@ def diff_snapshots(
                 mode=mode,
                 dedup_keys=True,
                 null_safe_keys=not (assume_keys_not_null and is_declared_pk),
+                tolerance=tolerance.get(name) if tolerance else None,
             )
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)

@@ -216,7 +216,11 @@ def apply_mutation(base: DataFrame, spec: TableSpec, mut: Mutation) -> DataFrame
 
 
 def diff_query_df(
-    spark: SparkSession, sf_dir: str, table: str, mode: DiffMode = DiffMode.TYPED
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    mode: DiffMode = DiffMode.TYPED,
+    tolerance: dict[str, float] | None = None,
 ) -> DataFrame:
     """The engine-side diff query the driver compares against the oracle:
     diff of (base, mutate(base)) with oracle-friendly output (modified
@@ -229,7 +233,7 @@ def diff_query_df(
     spec, mut = SPECS[table], MUTATIONS[table]
     base = prep(load_table(spark, sf_dir, table), spec)
     after = apply_mutation(base, spec, mut)
-    res = diff_tables(base, after, list(spec.key), mode=mode)
+    res = diff_tables(base, after, list(spec.key), mode=mode, tolerance=tolerance)
     return res.df.select(
         F.col("diff_status"),
         F.col("is_before"),
@@ -433,7 +437,9 @@ def _after_sql(spec: TableSpec, mut: Mutation, src: str = "before") -> str:
     return sql
 
 
-def diff_oracle_sql(table: str, stringify: bool = False) -> str:
+def diff_oracle_sql(
+    table: str, stringify: bool = False, tolerance: dict[str, float] | None = None
+) -> str:
     """ANSI-SQL twin of :func:`diff_query_df` for DuckDB.
 
     Same full-outer-join-with-classification semantics as the engine
@@ -450,15 +456,25 @@ def diff_oracle_sql(table: str, stringify: bool = False) -> str:
     key_cond = " AND ".join(f'b."{k}" IS NOT DISTINCT FROM a."{k}"' for k in spec.key)
     b_cols = ", ".join(f'b."{c}" AS "b_{c}"' for c in spec.cols)
     a_cols = ", ".join(f'a."{c}" AS "a_{c}"' for c in spec.cols)
+
+    def changed(c: str) -> str:
+        """Per-column changed predicate — epsilon form mirrors the
+        engine's tolerance comparator exactly (null semantics included)."""
+        if tolerance and c in tolerance:
+            return (
+                f'NOT (("b_{c}" IS NULL AND "a_{c}" IS NULL) OR '
+                f'("b_{c}" IS NOT NULL AND "a_{c}" IS NOT NULL AND '
+                f'abs("b_{c}" - "a_{c}") <= {tolerance[c]!r}))'
+            )
+        return f'"b_{c}" IS DISTINCT FROM "a_{c}"'
+
     any_modified = (
-        " OR ".join(f'"b_{c}" IS DISTINCT FROM "a_{c}"' for c in nonkey)
-        if nonkey
-        else "FALSE"
+        " OR ".join(changed(c) for c in nonkey) if nonkey else "FALSE"
     )
     modified_csv = (
         "concat_ws(',', "
         + ", ".join(
-            f"CASE WHEN \"b_{c}\" IS DISTINCT FROM \"a_{c}\" THEN '{c}' END"
+            f"CASE WHEN {changed(c)} THEN '{c}' END"
             for c in nonkey
         )
         + ")"

@@ -69,3 +69,39 @@ def test_pca_direction_is_unit_norm(spark, sf_dir):
     assert len(rows) == 64
     norm = math.sqrt(sum(r["loading"] ** 2 for r in rows))
     assert abs(norm - 1.0) < 1e-12
+
+
+def test_tolerance_masks_only_within_epsilon(spark, sf_dir):
+    """Epsilon-tolerant diff: changes within |eps| disappear entirely
+    (row drops from the diff), larger changes keep reporting, and the
+    modified-column set reflects the tolerant comparator."""
+    from dbdiff_spark import DiffMode, diff_tables
+    from dbdiff_spark import testkit
+    from dbdiff_spark.io import load_table
+
+    spec, mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+    base = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    plain = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED).df
+    tol = diff_tables(
+        base, after, list(spec.key), mode=DiffMode.TYPED,
+        tolerance={"o_totalprice": 100000.0},
+    ).df
+    # doubled price ⇒ delta == old price: every masked row had price <= eps
+    masked = (
+        plain.filter("diff_status = 'UPDATED' AND is_before")
+        .join(
+            tol.filter("diff_status = 'UPDATED' AND is_before")
+            .select("o_orderkey"),
+            "o_orderkey",
+            "left_anti",
+        )
+    )
+    assert masked.count() > 0
+    assert masked.filter("o_totalprice > 100000.0").count() == 0
+    kept = tol.filter(
+        "diff_status = 'UPDATED' AND is_before"
+        " AND array_contains(modified_columns, 'o_totalprice')"
+    )
+    assert kept.filter("o_totalprice <= 100000.0").count() == 0
+    assert kept.count() > 0
