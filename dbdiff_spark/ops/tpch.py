@@ -632,7 +632,9 @@ LIMIT 100
 # single row — the scalar-subquery shape, not a real cartesian).
 
 Q11_NATIONKEY = 3  # present at every fixture scale (sf0.001 has 10 suppliers)
-Q11_FRACTION_PPM = 1000  # parts holding > 0.1% of total value
+Q11_FRACTION_PPM = 200  # parts holding > 0.02% of total value — a share a
+# single part can still reach as the part count grows with scale (0.1%
+# returned empty at sf0.1's 20k parts)
 
 _VALUE_GRID = (
     "CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 10000) "
