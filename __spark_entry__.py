@@ -149,6 +149,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "customer", "orc"
         )
     )
+    # tiered-diff first pass: estimated change counts from a 1/16
+    # correlated key sample (classify only sampled keys, scale by 16)
+    def _diff_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_session_conf(spark)
+        from dbdiff_spark.diff import estimate_diff_counts
+        from dbdiff_spark.io import load_table
+
+        spec, mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+        base = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
+        after = testkit.apply_mutation(base, spec, mut)
+        return estimate_diff_counts(base, after, list(spec.key))
+
+    out["diff_estimate_orders"] = _diff_estimate
     # epsilon-tolerant diff: the doubled o_totalprice is a change of
     # exactly the old value, so eps=100000 masks orders under 100k and
     # keeps larger ones — both tolerance behaviors in one query
@@ -217,6 +230,40 @@ GROUP BY 1, 2
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)
     out["diff_customer_orc_snapshot"] = testkit.diff_oracle_sql("customer")
+    _est_spec, _est_mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+    _est_nonkey = [c for c in _est_spec.cols if c not in _est_spec.key]
+    _est_changed = " OR ".join(
+        f'b."{c}" IS DISTINCT FROM a."{c}"' for c in _est_nonkey
+    )
+    out["diff_estimate_orders"] = f"""
+WITH before AS ({testkit._prep_sql(_est_spec)}),
+after AS (
+  {testkit._after_sql(_est_spec, _est_mut)}
+),
+sb AS (SELECT * FROM before
+       WHERE ('0x' || substr(md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR))),
+              1, 12))::BIGINT < {16**12 // 16}),
+sa AS (SELECT * FROM after
+       WHERE ('0x' || substr(md5(concat_ws(chr(31), CAST(o_orderkey AS VARCHAR))),
+              1, 12))::BIGINT < {16**12 // 16}),
+cls AS (
+  SELECT CASE WHEN b."__p" IS NULL THEN 'INSERTED'
+              WHEN a."__p" IS NULL THEN 'DELETED'
+              WHEN {_est_changed} THEN 'UPDATED'
+              ELSE 'NOT_MODIFIED' END AS diff_status
+  FROM (SELECT *, TRUE AS "__p" FROM sb) b
+  FULL OUTER JOIN (SELECT *, TRUE AS "__p" FROM sa) a
+  ON b.o_orderkey IS NOT DISTINCT FROM a.o_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sample_changes,
+       CAST(count(*) FILTER (WHERE diff_status = 'INSERTED') * 16 AS BIGINT)
+         AS est_inserted,
+       CAST(count(*) FILTER (WHERE diff_status = 'DELETED') * 16 AS BIGINT)
+         AS est_deleted,
+       CAST(count(*) FILTER (WHERE diff_status = 'UPDATED') * 16 AS BIGINT)
+         AS est_updated
+FROM cls WHERE diff_status <> 'NOT_MODIFIED'
+"""
     out["diff_orders_tolerance"] = testkit.diff_oracle_sql(
         "orders", tolerance={"o_totalprice": 100000.0}
     )

@@ -26,6 +26,7 @@ from dbdiff_spark.diff import (
     diff_multiset,
     diff_summary,
     diff_tables,
+    estimate_diff_counts,
 )
 from dbdiff_spark.ops.history import pit_join, scd2_apply, scd2_history
 from dbdiff_spark.ops.quality import (
@@ -60,6 +61,7 @@ __all__ = [
     "diff_multiset",
     "diff_tables",
     "diff_summary",
+    "estimate_diff_counts",
     "scd2_history",
     "scd2_apply",
     "pit_join",

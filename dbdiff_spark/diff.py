@@ -1064,3 +1064,60 @@ def diff3_tables(
         F.col("_r.deleted").alias("deleted"),
         *[F.col(f"_r.{c}").alias(c) for c in val_cols],
     )
+
+
+# --- sampled diff estimation -------------------------------------------------
+
+EST_HASH_HEX = 12  # 48-bit key-hash domain (shared with the KMV sketches)
+EST_HASH_DOMAIN = 16**EST_HASH_HEX
+
+
+def _key_sample_hash(key_cols: list[str]) -> Column:
+    """48-bit md5 hash of the (separator-joined) key rendering — the
+    same deterministic value on both engines, so a sample drawn by
+    thresholding it is CORRELATED: a key is in the sample on both
+    sides or on neither."""
+    return F.expr(
+        f"CAST(conv(substr(md5(concat_ws('\\u001f', "
+        + ", ".join(f"CAST(`{c}` AS STRING)" for c in key_cols)
+        + f")), 1, {EST_HASH_HEX}), 16, 10) AS BIGINT)"
+    )
+
+
+def estimate_diff_counts(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: list[str],
+    rate_inv: int = 16,
+    mode: DiffMode = DiffMode.TYPED,
+) -> DataFrame:
+    """Estimated INSERTED/DELETED/UPDATED counts from a 1/``rate_inv``
+    correlated key sample — the tiered-diff first pass at 100 TB: scan
+    both sides once, filter to ~1/16 of the KEYS (same keys both sides,
+    by hashing), classify only the sample, scale the counts.  Decides
+    whether the full diff is worth running — the same role the
+    manifest-based ``estimate_changes`` plays for tracked snapshots,
+    but requiring nothing of how the inputs were written.
+
+    Unbiased per status because sampling is per-KEY (a key's whole
+    before/after group is in or out together), exactly the correlated-
+    sampling argument of ``join_size_estimate``.
+    """
+    if rate_inv < 1:
+        raise ValueError("rate_inv must be >= 1")
+    tau = EST_HASH_DOMAIN // rate_inv
+    sb = before.filter(_key_sample_hash(key_cols) < tau)
+    sa = after.filter(_key_sample_hash(key_cols) < tau)
+    res = diff_tables(sb, sa, key_cols, mode=mode)
+    one_per_key = res.df.filter(
+        ~F.col("is_before") | (F.col("diff_status") == DELETED)
+    )
+    agg = [
+        F.coalesce(
+            F.count_if(F.col("diff_status") == status) * rate_inv, F.lit(0)
+        ).alias(f"est_{status.lower()}")
+        for status in (INSERTED, DELETED, UPDATED)
+    ]
+    return one_per_key.agg(
+        F.count(F.lit(1)).alias("n_sample_changes"), *agg
+    )
