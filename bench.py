@@ -100,6 +100,9 @@ HEADLINE = [
     "cusum_anomalies",
     "benford_audit",
     "kcore_peeling",
+    "diff_orders_tolerance",
+    "diff_estimate_orders",
+    "k_anonymity_audit",
 ]
 
 

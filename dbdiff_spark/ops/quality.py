@@ -672,9 +672,53 @@ ORDER BY digit
 """
 
 
+# --- k-anonymity audit ------------------------------------------------------
+#
+# Privacy governance screen before a table feeds a training corpus:
+# group by the quasi-identifier columns and report how much of the
+# population sits in groups smaller than k (re-identifiable under the
+# k-anonymity model, Sweeney 2002).  One map-side-combinable
+# aggregation to group sizes (quasi-identifier-cardinality-sized), then
+# a single-row rollup — trivially scale-safe, and the same mergeable-
+# histogram property as the drift report.
+
+K_ANON_K = 5
+_K_ANON_QI = ("c_nationkey", "c_mktsegment")
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(*[F.col(c) for c in _K_ANON_QI]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count_if(F.col("n") < K_ANON_K).alias("n_groups_below_k"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < K_ANON_K, F.col("n"))), F.lit(0)
+        ).alias("n_rows_at_risk"),
+        F.min("n").alias("min_group_size"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT {', '.join(_K_ANON_QI)}, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY {', '.join(_K_ANON_QI)}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(count(*) FILTER (WHERE n < {K_ANON_K}) AS BIGINT) AS n_groups_below_k,
+       CAST(coalesce(sum(n) FILTER (WHERE n < {K_ANON_K}), 0) AS BIGINT)
+         AS n_rows_at_risk,
+       min(n) AS min_group_size
+FROM groups
+"""
+
+
 QUERIES = {
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
     "benford_audit": (benford_audit, BENFORD_SQL),
+    "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_SQL),
     "outlier_report_lineitem": (outlier_report_lineitem, OUTLIER_REPORT_SQL),
     "validate_orders": (validate_orders, VALIDATE_ORDERS_SQL),
     "integrity_audit": (integrity_audit, INTEGRITY_AUDIT_SQL),
