@@ -556,9 +556,15 @@ def diff_tables(
             # (null≡null unchanged, null-vs-value changed).  The abs/<=
             # are plain IEEE ops — deterministic on any engine.
             bc, ac = F.col(f"b.`{c}`"), F.col(f"a.`{c}`")
-            close = bc.isNotNull() & ac.isNotNull() & (
-                F.abs(bc - ac) <= F.lit(tolerance[c])
-            )
+            near = F.abs(bc - ac) <= F.lit(tolerance[c])
+            if b_types[c] in ("float", "double"):
+                # NaN≡NaN is unchanged under the exact comparator (both
+                # engines' null-safe equality treats NaN as equal to
+                # itself); abs(NaN−NaN)≤eps is false, so without this
+                # clause adding a tolerance would FLIP such rows to
+                # changed — tolerance must only ever mask changes
+                near = near | (F.isnan(bc) & F.isnan(ac))
+            close = bc.isNotNull() & ac.isNotNull() & near
             return ~((bc.isNull() & ac.isNull()) | close)
         return ~cmp_col("b", c).eqNullSafe(cmp_col("a", c))
 

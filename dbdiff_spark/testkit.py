@@ -464,7 +464,8 @@ def diff_oracle_sql(
             return (
                 f'NOT (("b_{c}" IS NULL AND "a_{c}" IS NULL) OR '
                 f'("b_{c}" IS NOT NULL AND "a_{c}" IS NOT NULL AND '
-                f'abs("b_{c}" - "a_{c}") <= {tolerance[c]!r}))'
+                f'(abs("b_{c}" - "a_{c}") <= {tolerance[c]!r} OR '
+                f'(isnan("b_{c}") AND isnan("a_{c}")))))'
             )
         return f'"b_{c}" IS DISTINCT FROM "a_{c}"'
 

@@ -105,3 +105,22 @@ def test_tolerance_masks_only_within_epsilon(spark, sf_dir):
     )
     assert kept.filter("o_totalprice <= 100000.0").count() == 0
     assert kept.count() > 0
+
+
+def test_tolerance_never_flips_nan_pairs_to_changed(spark):
+    """NaN≡NaN is unchanged under the exact comparator; a tolerance must
+    only MASK changes, never create one — so a NaN-vs-NaN row stays out
+    of the diff, and NaN-vs-number stays in."""
+    from dbdiff_spark import DiffMode, diff_tables
+
+    rows = [(1, float("nan")), (2, float("nan")), (3, 5.0)]
+    before = spark.createDataFrame(rows, "k int, v double")
+    after = spark.createDataFrame(
+        [(1, float("nan")), (2, 7.0), (3, 5.0)], "k int, v double"
+    )
+    exact = diff_tables(before, after, ["k"], mode=DiffMode.TYPED).df
+    tol = diff_tables(
+        before, after, ["k"], mode=DiffMode.TYPED, tolerance={"v": 0.5}
+    ).df
+    assert {r["k"] for r in exact.collect()} == {2}
+    assert {r["k"] for r in tol.collect()} == {2}
