@@ -566,6 +566,121 @@ WHERE rank <= {TRENDING_K}
 """
 
 
+# --- streaming drift monitor ------------------------------------------------
+#
+# Data-drift alerting for a live ingest: per event-time hour, the L1
+# distance (in ppm, the drift_report convention — no KL/PSI, those need
+# ln) between the window's value-histogram and a batch BASELINE
+# histogram over the whole corpus.  The streaming side is a plain
+# watermarked windowed count per grid cell; the baseline is batch-
+# computed and joined AFTER stream completion — at scale it is a tiny
+# broadcast (cells × 1), refreshed offline, exactly how production
+# drift monitors pin their reference distribution.  Histogram cells are
+# integer (cents div 5000 ⇒ 50-unit buckets), so every ppm number is
+# engine-exact.  Every observed cell is a baseline cell by construction
+# (the baseline covers the whole corpus), so the per-window grid is
+# windows × baseline-cells with observed counts left-joined in.
+
+DRIFT_WINDOW = "1 hour"
+_DRIFT_WINDOW_US = 3_600_000_000
+_DRIFT_CELL_CENTS = 5_000  # 50-unit value buckets
+
+
+def stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream_from_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cell = F.expr(
+        f"CAST(ROUND(value * 100) AS BIGINT) div {_DRIFT_CELL_CENTS}"
+    ).alias("cell")
+    win_counts = (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", DRIFT_WINDOW).alias("w"), cell)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "cell",
+            "n",
+        )
+    )
+    observed = _run_to_completion(
+        spark, win_counts, "stream_drift_monitor", "complete"
+    )
+    # the finished result joins against two frames derived from itself
+    # (per-window totals, the window×cell grid); checkpoint the bounded
+    # histogram (windows × cells rows) so the self-referencing plan
+    # resolves against a materialized relation, not the memory sink
+    observed = observed.localCheckpoint()
+    base_events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    baseline = (
+        base_events.select(
+            F.expr(
+                f"CAST(ROUND(value * 100) AS BIGINT) div {_DRIFT_CELL_CENTS}"
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    base_total = baseline.agg(F.sum("bn").alias("btot"))
+    # `div`, not `/`-then-cast: Spark casts doubles by truncation while
+    # DuckDB casts by rounding — integer division sidesteps the trap
+    baseline_ppm = baseline.join(F.broadcast(base_total)).selectExpr(
+        "cell", "(bn * 1000000) div btot AS base_ppm"
+    )
+    wtot = observed.groupBy("window_start_us").agg(F.sum("n").alias("wtot"))
+    grid = wtot.crossJoin(F.broadcast(baseline_ppm))
+    obs = grid.join(observed, ["window_start_us", "cell"], "left").selectExpr(
+        "window_start_us",
+        "base_ppm",
+        "wtot",
+        "(coalesce(n, 0) * 1000000) div wtot AS obs_ppm",
+    )
+    return (
+        obs.groupBy("window_start_us")
+        .agg(
+            F.sum(F.abs(F.col("obs_ppm") - F.col("base_ppm"))).alias("drift_ppm"),
+            F.min("wtot").alias("n_events"),
+        )
+        .orderBy("window_start_us")
+    )
+
+
+STREAM_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) // {_DRIFT_CELL_CENTS} AS cell
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+baseline AS (SELECT cell, CAST(count(*) AS BIGINT) AS bn FROM ev GROUP BY cell),
+bppm AS (
+  SELECT cell, CAST(bn * 1000000 // (SELECT SUM(bn) FROM baseline) AS BIGINT)
+           AS base_ppm
+  FROM baseline
+),
+win AS (
+  SELECT CAST(FLOOR(ts_us / {_DRIFT_WINDOW_US}) AS BIGINT) * {_DRIFT_WINDOW_US}
+           AS window_start_us,
+         cell, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+wtot AS (SELECT window_start_us, SUM(n) AS wtot FROM win GROUP BY 1),
+grid AS (SELECT w.window_start_us, w.wtot, b.cell, b.base_ppm
+         FROM wtot w CROSS JOIN bppm b),
+obs AS (
+  SELECT g.window_start_us, g.base_ppm, g.wtot,
+         CAST(coalesce(win.n, 0) * 1000000 // g.wtot AS BIGINT) AS obs_ppm
+  FROM grid g LEFT JOIN win
+    ON g.window_start_us = win.window_start_us AND g.cell = win.cell
+)
+SELECT window_start_us,
+       CAST(SUM(abs(obs_ppm - base_ppm)) AS BIGINT) AS drift_ppm,
+       CAST(min(wtot) AS BIGINT) AS n_events
+FROM obs GROUP BY window_start_us ORDER BY window_start_us
+"""
+
+
 # --- streaming CUSUM (stream ≡ batch law) -----------------------------------
 #
 # The streaming twin of ``ops.temporal.cusum_anomalies``: per-user CUSUM
@@ -673,6 +788,7 @@ def _stream_cusum_oracle_sql() -> str:
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
+    "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),
     "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
     "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
