@@ -103,6 +103,7 @@ HEADLINE = [
     "diff_orders_tolerance",
     "diff_estimate_orders",
     "k_anonymity_audit",
+    "ohlc_bars",
 ]
 
 

@@ -631,9 +631,82 @@ FROM c GROUP BY user_id ORDER BY user_id
 """
 
 
+# --- OHLC bars ---------------------------------------------------------------
+#
+# The time-series resample primitive: per (event_type, hour) the open /
+# high / low / close of the value series.  Open and close are argmin /
+# argmax over event time — min(struct(ts, event_id, value)) — so they
+# are ONE map-side-combinable aggregation each (no window, no sort),
+# with (ts, event_id) making exact-tie picks deterministic.  Values on
+# the cents grid end-to-end; the whole op is a single shuffle on the
+# bar key.
+
+BAR_US = 3_600_000_000  # 1-hour bars
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    ).withColumn("bar_start_us", F.expr(f"(ts_us div {BAR_US}) * {BAR_US}"))
+    return (
+        base.groupBy("event_type", "bar_start_us")
+        .agg(
+            F.min(F.struct("ts_us", "event_id", "cents")).alias("__o"),
+            F.max(F.struct("ts_us", "event_id", "cents")).alias("__c"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "bar_start_us",
+            F.col("__o.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("__c.cents").alias("close_cents"),
+            "n_events",
+        )
+        .orderBy("event_type", "bar_start_us")
+    )
+
+
+OHLC_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         (epoch_us(ts) // {BAR_US}) * {BAR_US} AS bar_start_us
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bar_start_us
+                            ORDER BY ts_us, event_id) AS rn_open,
+         row_number() OVER (PARTITION BY event_type, bar_start_us
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_close
+  FROM base
+)
+SELECT event_type, bar_start_us,
+       CAST(min(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(min(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ranked
+GROUP BY event_type, bar_start_us
+ORDER BY event_type, bar_start_us
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
     "cusum_anomalies": (cusum_anomalies, CUSUM_SQL),
+    "ohlc_bars": (ohlc_bars, OHLC_SQL),
     "sequence_gaps": (sequence_gaps, SEQUENCE_GAPS_SQL),
     "peak_concurrency": (peak_concurrency, PEAK_CONCURRENCY_SQL),
     "range_join_error_context": (range_join_error_context, RANGE_JOIN_SQL),
