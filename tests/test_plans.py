@@ -196,3 +196,33 @@ def test_q11_share_filter_reuses_cached_values(spark, sf_dir):
         ln for ln in plan.splitlines()
         if "Scan parquet" in ln and "InMemory" not in ln
     ]
+
+
+def test_positional_index_is_single_exchange(spark, sf_dir):
+    """The exploded (doc,pos,term) stream repartitions on term ONCE; the
+    (term,doc) aggregation and both per-term windows must reuse that
+    partitioning (hash(term) satisfies the (term,doc) clustering)."""
+    plan = _plan(entry.queries()["positional_index"](spark, sf_dir))
+    assert plan.count("Exchange") == 1
+
+
+def test_ohlc_open_close_are_aggregates_not_windows(spark, sf_dir):
+    plan = _plan(entry.queries()["ohlc_bars"](spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_cusum_windows_share_one_user_shuffle(spark, sf_dir):
+    """Both stacked window functions (prefix sum, running min) and the
+    final per-user aggregation run off the same user-keyed exchange —
+    only the presentation orderBy adds a second."""
+    plan = _plan(entry.queries()["cusum_anomalies"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+
+
+def test_diff_estimate_samples_before_the_join(spark, sf_dir):
+    """The key-hash sample filters must sit below the full-outer join —
+    the whole point is classifying 1/16 of the keys, not all of them."""
+    plan = _plan(entry.queries()["diff_estimate_orders"](spark, sf_dir))
+    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+    # both scans feed through a Filter containing the hash threshold
+    assert plan.count("17592186044416") >= 2
