@@ -97,7 +97,6 @@ AUDITED = [
     "q21_sole_return_supplier",
     "classifier_score",
     "lm_doc_score",
-    "semdedup_prune",
     "jl_project",
     "join_size_estimate",
     "cusum_anomalies",
@@ -105,6 +104,11 @@ AUDITED = [
     "kcore_peeling",
     "positional_index",
     "phrase_search",
+    "diff_orders_tolerance",
+    "diff_estimate_orders",
+    "k_anonymity_audit",
+    "ohlc_bars",
+    "semdedup_prune",
 ]
 
 
