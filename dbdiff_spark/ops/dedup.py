@@ -810,22 +810,32 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval merge is a per-document window over only the MARKED
     positions.  No stage ever holds a whole document's text."""
     corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
-    spans = corpus.selectExpr(
-        "doc_id",
-        f"posexplode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
-        f"transform(sequence(1, size(tokens) - {SPAN_W - 1}), "
-        f"i -> md5(array_join(slice(tokens, i, {SPAN_W}), ' '))) "
-        "ELSE array() END) AS (pos0, h)",
-    ).filter(F.col("h").isNotNull())
+    # explode WINDOW POSITIONS, then hash in a post-explode projection:
+    # md5 inside a transform lambda evaluates interpreted per element
+    # (the minhash-signatures lesson, module header) — as a per-row
+    # expression after the explode it stays in whole-stage codegen.
+    spans = (
+        corpus.selectExpr(
+            "doc_id",
+            "tokens",
+            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
+            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
+            "ELSE array() END) AS pos",
+        )
+        .filter(F.col("pos").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
+        )
+    )
     repeated = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
         .select("h")
     )
-    hits = spans.join(repeated, "h").select(
-        "doc_id", (F.col("pos0") + 1).alias("pos")
-    )
+    hits = spans.join(repeated, "h").select("doc_id", "pos")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
