@@ -94,6 +94,15 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot are satisfied by partition pruning)",
     )
     parser.add_argument(
+        "--estimate-sample",
+        type=int,
+        default=0,
+        metavar="RATE_INV",
+        help="before diffing, print estimated change counts per table "
+        "from a 1/RATE_INV correlated key sample (works on untracked "
+        "snapshots; typed comparison)",
+    )
+    parser.add_argument(
         "--tolerance",
         action="append",
         default=[],
@@ -212,6 +221,24 @@ def main(argv: list[str] | None = None) -> int:
                         if est["trackable"] and est["status"] == "CHANGED"
                         else ""
                     )
+                )
+        if args.estimate_sample > 0:
+            # sampled triage for untracked snapshots: classify ~1/N of
+            # the keys, scale the counts (see diff.estimate_diff_counts)
+            from dbdiff_spark.diff import estimate_diff_counts
+
+            for tname in sorted(set(before.tables) & set(after.tables)):
+                est_row = estimate_diff_counts(
+                    before.load(spark, tname),
+                    after.load(spark, tname),
+                    before.keys[tname],
+                    rate_inv=args.estimate_sample,
+                ).collect()[0]
+                print(
+                    f"[Estimate~] {tname}: ~{est_row['est_inserted']} ins,"
+                    f" ~{est_row['est_deleted']} del,"
+                    f" ~{est_row['est_updated']} upd"
+                    f" (from {est_row['n_sample_changes']} sampled changes)"
                 )
         where = {}
         for spec in args.where:

@@ -1108,13 +1108,19 @@ def estimate_diff_counts(
     Unbiased per status because sampling is per-KEY (a key's whole
     before/after group is in or out together), exactly the correlated-
     sampling argument of ``join_size_estimate``.
+
+    Duplicate declared keys collapse last-wins (``dedup_keys=True``) —
+    the same semantics ``diff_snapshots`` applies, and required for the
+    invariant that identical inputs estimate ZERO changes (without it,
+    cross-matching duplicate keys fabricates UPDATED rows; caught by a
+    CLI drive where an unchanged lineitem "estimated" 3184 updates).
     """
     if rate_inv < 1:
         raise ValueError("rate_inv must be >= 1")
     tau = EST_HASH_DOMAIN // rate_inv
     sb = before.filter(_key_sample_hash(key_cols) < tau)
     sa = after.filter(_key_sample_hash(key_cols) < tau)
-    res = diff_tables(sb, sa, key_cols, mode=mode)
+    res = diff_tables(sb, sa, key_cols, mode=mode, dedup_keys=True)
     one_per_key = res.df.filter(
         ~F.col("is_before") | (F.col("diff_status") == DELETED)
     )

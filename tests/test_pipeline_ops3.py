@@ -124,3 +124,24 @@ def test_tolerance_never_flips_nan_pairs_to_changed(spark):
     ).df
     assert {r["k"] for r in exact.collect()} == {2}
     assert {r["k"] for r in tol.collect()} == {2}
+
+
+def test_estimate_zero_on_identical_inputs_with_duplicate_keys(spark, sf_dir):
+    """Identical inputs must estimate ZERO changes even when the declared
+    key is not unique (lineitem's fixture key has ~1k duplicate pairs):
+    the estimator collapses duplicates last-wins exactly like
+    diff_snapshots — without that, cross-matching duplicates fabricated
+    thousands of phantom updates (caught by a CLI drive)."""
+    from dbdiff_spark import estimate_diff_counts
+    from dbdiff_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = estimate_diff_counts(
+        li, li, ["l_orderkey", "l_linenumber"], rate_inv=8
+    ).collect()[0]
+    assert (
+        row["n_sample_changes"],
+        row["est_inserted"],
+        row["est_deleted"],
+        row["est_updated"],
+    ) == (0, 0, 0, 0)
