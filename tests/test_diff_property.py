@@ -161,3 +161,51 @@ def test_multiset_strategies_agree_on_any_multisets(spark, b_rows, a_rows):
         for s in ("hash_first", "one_pass", "full_row")
     ]
     assert outs[0] == outs[1] == outs[2]
+
+
+@st.composite
+def numeric_mutation(draw):
+    keys = sorted(draw(st.sets(st.integers(0, 40), min_size=1, max_size=20)))
+    deltas = {
+        k: draw(
+            st.floats(
+                min_value=-100.0, max_value=100.0,
+                allow_nan=False, allow_infinity=False,
+            )
+        )
+        for k in keys
+        if draw(st.booleans())
+    }
+    eps = draw(st.floats(min_value=0.0, max_value=50.0, allow_nan=False))
+    return keys, deltas, eps
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=numeric_mutation())
+def test_tolerance_laws_on_any_numeric_mutation(spark, plan):
+    """Laws for any numeric mutation: (1) eps=0 behaves exactly like the
+    exact diff; (2) with eps>0, the flagged key set is precisely the
+    keys whose |delta| exceeds eps (tolerance masks, never invents)."""
+    keys, deltas, eps = plan
+    before = spark.createDataFrame(
+        [(k, float(k)) for k in keys], "id int, v double"
+    )
+    after = spark.createDataFrame(
+        [(k, float(k) + deltas.get(k, 0.0)) for k in keys], "id int, v double"
+    )
+
+    def flagged(tol):
+        df = diff_tables(
+            before, after, ["id"], mode=DiffMode.TYPED,
+            tolerance={"v": tol} if tol is not None else None,
+        ).df
+        return {r["id"] for r in df.filter("is_before").collect()}
+
+    exact = flagged(None)
+    assert flagged(0.0) == exact
+    expect = {k for k, d in deltas.items() if abs(d) > eps and float(k) + d != float(k)}
+    assert flagged(eps) == expect
