@@ -104,6 +104,7 @@ HEADLINE = [
     "diff_estimate_orders",
     "k_anonymity_audit",
     "ohlc_bars",
+    "prepare_corpus_funnel",
 ]
 
 

@@ -601,7 +601,188 @@ FROM running WHERE cum_tokens <= {BUDGET_TOKENS}
 """
 
 
+# --- the pipeline capstone: prepare-corpus funnel ---------------------------
+#
+# The WHOLE pretraining data-prep pipeline as one declarative plan —
+# quality filter → exact dedup → fingerprint near-dedup → benchmark
+# decontamination → token-budget cut — reported as the stage funnel
+# (docs and tokens surviving each stage), which is the number a data
+# lead actually reads.  Each stage is the registry operator's logic
+# inlined on the SURVIVORS of the previous stage, so Catalyst plans the
+# whole funnel as one DAG (filters compose; the corpus is scanned per
+# stage-count, never materialized between stages).
+#
+# Stage constants are chosen to bite at every fixture scale.  All
+# arithmetic integer (token counts, ppm scores, md5 keys).
+
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_SCORE_PPM = 200_000  # distinct/total ratio ≥ 0.2
+FUNNEL_BUDGET_TOKENS = 20_000
+
+
+def _funnel_scored(spark: SparkSession, sf_dir: str):
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens",
+        f"CASE WHEN size({_TOKENS}) = 0 THEN 0"
+        f" ELSE (1000000 * CAST(size(array_distinct({_TOKENS})) AS BIGINT))"
+        f" div size({_TOKENS}) END AS score",
+    )
+
+
+def prepare_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbdiff_spark.ops.text import shingles_expr_spark
+
+    scored = _funnel_scored(spark, sf_dir)
+    s1 = scored.filter(
+        (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
+        & (F.col("score") >= FUNNEL_MIN_SCORE_PPM)
+    )
+    # exact dedup: min doc_id per text hash, among stage-1 survivors
+    keep2 = s1.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    s2 = s1.join(keep2, "doc_id")
+    # fingerprint near-dedup: winnowing 4-min-md5 fingerprint (the
+    # doc_fingerprint op), min doc_id per fingerprint
+    fp_expr = (
+        f"array_join(slice(array_sort(transform("
+        f"{shingles_expr_spark(_TOKENS)}, x -> md5(x))), 1, 4), ',')"
+    )
+    s2fp = s2.selectExpr("doc_id", "text", "n_tokens", "score", f"{fp_expr} AS fp")
+    keep3 = s2fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    s3 = s2fp.join(keep3, "doc_id")
+    # decontamination: bench shingle set comes from the FULL corpus (the
+    # eval suite is fixed regardless of training-side filtering); the
+    # bench slice itself never trains
+    sh = f"""CASE WHEN size({_TOKENS}) >= {SHINGLE_N} THEN
+        transform(sequence(1, size({_TOKENS}) - {SHINGLE_N - 1}),
+        i -> array_join(slice({_TOKENS}, i, {SHINGLE_N}), ' '))
+        ELSE array() END"""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.expr(BENCH_PRED))
+        .selectExpr(f"explode_outer({sh}) AS shg")
+        .filter(F.col("shg").isNotNull())
+        .distinct()
+    )
+    contaminated = (
+        s3.filter(~F.expr(BENCH_PRED))
+        .selectExpr("doc_id", f"explode_outer({sh}) AS shg")
+        .filter(F.col("shg").isNotNull())
+        .join(F.broadcast(bench), "shg")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = (
+        s3.filter(~F.expr(BENCH_PRED))
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "score")
+    )
+    # token-budget cut: global rank by (score desc, doc_id), cumulative
+    # tokens ≤ budget.  The funnel keeps the simple single-window form;
+    # the bucketed two-phase select_token_budget is the scale variant.
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s5 = s4.withColumn("cum", F.sum("n_tokens").over(w)).filter(
+        F.col("cum") <= FUNNEL_BUDGET_TOKENS
+    )
+
+    def stage_row(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    out = stage_row("0_all", scored)
+    for label, df in (
+        ("1_quality", s1),
+        ("2_exact_dedup", s2),
+        ("3_fingerprint_dedup", s3),
+        ("4_decontaminated", s4),
+        ("5_token_budget", s5),
+    ):
+        out = out.unionByName(stage_row(label, df))
+    return out.orderBy("stage")
+
+
+def _funnel_sql() -> str:
+    from dbdiff_spark.ops.text import shingles_expr_duck
+
+    sh8 = (
+        f"CASE WHEN len(toks) >= {SHINGLE_N} THEN "
+        f"list_transform(generate_series(1, len(toks) - {SHINGLE_N - 1}), "
+        f"i -> array_to_string(toks[i:i+{SHINGLE_N - 1}], ' ')) "
+        "ELSE [] END"
+    )
+    fp = (
+        f"array_to_string(list_sort(list_transform("
+        f"{shingles_expr_duck('toks')}, x -> md5(x)))[1:4], ',')"
+    )
+    stage = (
+        "SELECT '{label}' AS stage, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM {src}"
+    )
+    stages = "\nUNION ALL\n".join(
+        stage.format(label=lb, src=src)
+        for lb, src in (
+            ("0_all", "scored"), ("1_quality", "s1"), ("2_exact_dedup", "s2"),
+            ("3_fingerprint_dedup", "s3"), ("4_decontaminated", "s4"),
+            ("5_token_budget", "s5"),
+        )
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, text, {_D_TOKENS} AS toks,
+         CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
+         CASE WHEN len({_D_TOKENS}) = 0 THEN 0
+              ELSE (1000000 * CAST(len(list_distinct({_D_TOKENS})) AS BIGINT))
+                   // CAST(len({_D_TOKENS}) AS BIGINT) END AS score
+  FROM documents
+),
+s1 AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= {FUNNEL_MIN_TOKENS} AND score >= {FUNNEL_MIN_SCORE_PPM}
+),
+k2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+s2 AS (SELECT s1.* FROM s1 JOIN k2 USING (doc_id)),
+s2fp AS (SELECT *, {fp} AS fp FROM s2),
+k3 AS (SELECT min(doc_id) AS doc_id FROM s2fp GROUP BY fp),
+s3 AS (SELECT s2fp.* FROM s2fp JOIN k3 USING (doc_id)),
+bench AS (
+  SELECT DISTINCT shg FROM (
+    SELECT unnest({sh8}) AS shg FROM scored WHERE {BENCH_PRED}
+  )
+),
+cont AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest({sh8}) AS shg FROM s3 WHERE NOT ({BENCH_PRED})
+  ) JOIN bench USING (shg)
+),
+s4 AS (
+  SELECT doc_id, n_tokens, score FROM s3
+  WHERE NOT ({BENCH_PRED}) AND doc_id NOT IN (SELECT doc_id FROM cont)
+),
+s5 AS (
+  SELECT * FROM (
+    SELECT doc_id, n_tokens, score,
+           SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM s4
+  ) WHERE cum <= {FUNNEL_BUDGET_TOKENS}
+)
+{stages}
+ORDER BY stage
+"""
+
+
 QUERIES = {
+    "prepare_corpus_funnel": (prepare_corpus_funnel, _funnel_sql()),
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
