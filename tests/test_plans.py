@@ -219,10 +219,14 @@ def test_cusum_windows_share_one_user_shuffle(spark, sf_dir):
     assert plan.count("Exchange") <= 2
 
 
-def test_diff_estimate_samples_before_the_join(spark, sf_dir):
-    """The key-hash sample filters must sit below the full-outer join —
-    the whole point is classifying 1/16 of the keys, not all of them."""
+def test_diff_estimate_samples_before_classification(spark, sf_dir):
+    """The key-hash sample filters must sit below the diff classification
+    — the whole point is classifying 1/16 of the keys, not all of them.
+    With dedup_keys (the diff_snapshots semantics the estimator adopted
+    after the phantom-duplicate fix) the classifier is the one-shuffle
+    grouped-dedup form: tagged union + grouped max(struct), no
+    full-outer join."""
     plan = _plan(entry.queries()["diff_estimate_orders"](spark, sf_dir))
-    assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
-    # both scans feed through a Filter containing the hash threshold
+    # both side scans feed through a Filter containing the hash threshold
     assert plan.count("17592186044416") >= 2
+    assert "Union" in plan and "FullOuter" not in plan
