@@ -681,6 +681,60 @@ FROM obs GROUP BY window_start_us ORDER BY window_start_us
 """
 
 
+# --- streaming OHLC bars (stream ≡ batch law) -------------------------------
+#
+# The live form of ``ops.temporal.ohlc_bars``: watermarked hourly
+# windows per event type, open/close as min/max over
+# struct(ts, event_id, cents) — the same argmin/argmax aggregates the
+# batch op uses, which Structured Streaming supports natively (ordinary
+# partial-aggregable functions, no custom state).  The batch operator
+# is the oracle: on the bounded fixture the finished stream must equal
+# the batch fold exactly.
+
+
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbdiff_spark.ops.temporal import BAR_US
+
+    stream = _event_stream_from_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = stream.select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    agg = (
+        base.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.min(F.struct("ts_us", "event_id", "cents")).alias("__o"),
+            F.max(F.struct("ts_us", "event_id", "cents")).alias("__c"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bar_start_us"),
+            F.col("__o.cents").alias("open_cents"),
+            "high_cents",
+            "low_cents",
+            F.col("__c.cents").alias("close_cents"),
+            "n_events",
+        )
+    )
+    out = _run_to_completion(spark, agg, "stream_ohlc", "complete")
+    return out.orderBy("event_type", "bar_start_us")
+
+
+def _stream_ohlc_oracle_sql() -> str:
+    from dbdiff_spark.ops.temporal import OHLC_SQL
+
+    return OHLC_SQL
+
+
 # --- streaming CUSUM (stream ≡ batch law) -----------------------------------
 #
 # The streaming twin of ``ops.temporal.cusum_anomalies``: per-user CUSUM
@@ -789,6 +843,7 @@ QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),
+    "stream_ohlc": (stream_ohlc, _stream_ohlc_oracle_sql()),
     "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
     "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
