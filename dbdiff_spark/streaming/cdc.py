@@ -681,6 +681,53 @@ FROM obs GROUP BY window_start_us ORDER BY window_start_us
 """
 
 
+# --- streaming windowed distinct users --------------------------------------
+#
+# Exact per-window distinct counts on a stream: watermarked duplicate
+# suppression on (window-hour, user, type) BEFORE the windowed count —
+# the state store holds one entry per distinct key within the watermark
+# horizon.  EXACTNESS CONTRACT: duplicates of a key are only suppressed
+# while its state lives, so the horizon must cover the bin width plus
+# the disorder bound for exact counts on an unbounded stream (on the
+# bounded fixture everything arrives in one batch); when even that
+# state is too large, the HLL sketch path is the fallback.  Oracle:
+# plain batch COUNT(DISTINCT) per window.
+
+
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream_from_table(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+    )
+    hour = (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("bigint")
+    deduped = (
+        stream.withColumn("hour_bin", hour)
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["hour_bin", "event_type", "user_id"])
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_distinct_users",
+        )
+    )
+    out = _run_to_completion(spark, agg, "stream_windowed_distinct", "complete")
+    return out.orderBy("window_start_us", "event_type")
+
+
+STREAM_WINDOWED_DISTINCT_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) * 3600000000
+         AS window_start_us,
+       event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events WHERE ts IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # --- streaming OHLC bars (stream ≡ batch law) -------------------------------
 #
 # The live form of ``ops.temporal.ohlc_bars``: watermarked hourly
@@ -844,6 +891,7 @@ QUERIES = {
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),
     "stream_ohlc": (stream_ohlc, _stream_ohlc_oracle_sql()),
+    "stream_windowed_distinct": (stream_windowed_distinct, STREAM_WINDOWED_DISTINCT_SQL),
     "stream_trending_topk": (stream_trending_topk, STREAM_TRENDING_SQL),
     "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
