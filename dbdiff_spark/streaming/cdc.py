@@ -4,19 +4,14 @@ reference's keypress-triggered snapshot loop (``cmd/dbdiff/main.go:66``).
 The reference re-snapshots the whole database every iteration; a CDC
 stream of row-change events subsumes that loop: each event is
 (key, payload, ts), and the engine maintains watermarked state instead of
-full copies.  Four operators:
+full copies.  Thirteen operators: tumbling/sliding/session windows,
+trending top-k, watermarked dedup and exact windowed distinct,
+applyInPandasWithState latest-state and CUSUM, stream-stream join, CDC
+apply, streaming SCD2, the drift monitor, and streaming OHLC — each
+pinned either by a lag/window batch SQL twin or by its batch operator
+(the stream ≡ batch law).
 
-* ``windowed_event_counts`` — tumbling-window counts + grid-exact value
-  sums with a watermark for late data.
-* ``stream_dedup`` — watermarked duplicate-event suppression
-  (``dropDuplicatesWithinWatermark``): the streaming form of exact dedup.
-* ``latest_state_by_key`` — applyInPandasWithState keeping the last seen
-  payload hash per key — the running "after snapshot" that a periodic
-  batch diff would otherwise recompute.
-* ``stream_purchase_click_join`` — watermarked stream-stream inner join
-  with a two-sided event-time bound (bounded state store eviction).
-
-All three are driven in tests from bounded parquet input with the memory
+All are driven in tests from bounded parquet input with the memory
 sink + ``processAllAvailable`` (synchronous completion), per the public
 streaming testing pattern.
 
