@@ -621,7 +621,12 @@ FUNNEL_BUDGET_TOKENS = 20_000
 
 
 def _funnel_scored(spark: SparkSession, sf_dir: str):
-    return load_table(spark, sf_dir, "documents").selectExpr(
+    # spread FIRST (io.spread): the byte-tiny documents file plans as
+    # ONE scan task, and the funnel's heavy per-doc expressions
+    # (fingerprint md5-per-shingle especially — measured 7.1 s of the
+    # 10.9 s total on a single core) inherit that parallelism ceiling
+    # unless the corpus is repartitioned up front
+    return spread(load_table(spark, sf_dir, "documents"), spark, "doc_id").selectExpr(
         "doc_id",
         "text",
         f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens",
@@ -632,83 +637,109 @@ def _funnel_scored(spark: SparkSession, sf_dir: str):
 
 
 def prepare_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-LINEAGE funnel: every document carries survival FLAGS for
+    each stage, and the six-row report is ONE aggregation unpivoted —
+    the naive formulation (count each stage's surviving frame
+    separately) re-executed the whole chain per stage and measured
+    10.9 s at sf0.1; the flag form runs 6×+ fewer tokenization passes.
+    The keep-sets (exact-hash min, fingerprint min, contamination set)
+    still derive from the stage's survivors, each computed once and
+    joined back as a flag."""
     from dbdiff_spark.ops.text import shingles_expr_spark
 
     scored = _funnel_scored(spark, sf_dir)
-    s1 = scored.filter(
+    base = scored.withColumn(
+        "ok1",
         (F.col("n_tokens") >= FUNNEL_MIN_TOKENS)
-        & (F.col("score") >= FUNNEL_MIN_SCORE_PPM)
+        & (F.col("score") >= FUNNEL_MIN_SCORE_PPM),
     )
-    # exact dedup: min doc_id per text hash, among stage-1 survivors
-    keep2 = s1.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
-    s2 = s1.join(keep2, "doc_id")
-    # fingerprint near-dedup: winnowing 4-min-md5 fingerprint (the
-    # doc_fingerprint op), min doc_id per fingerprint
+    keep2 = (
+        base.filter("ok1")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("k2"))
+    )
+    b2 = base.join(keep2, "doc_id", "left").withColumn(
+        "ok2", F.col("ok1") & F.coalesce(F.col("k2"), F.lit(False))
+    )
     fp_expr = (
         f"array_join(slice(array_sort(transform("
         f"{shingles_expr_spark(_TOKENS)}, x -> md5(x))), 1, 4), ',')"
     )
-    s2fp = s2.selectExpr("doc_id", "text", "n_tokens", "score", f"{fp_expr} AS fp")
-    keep3 = s2fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    s3 = s2fp.join(keep3, "doc_id")
-    # decontamination: bench shingle set comes from the FULL corpus (the
-    # eval suite is fixed regardless of training-side filtering); the
-    # bench slice itself never trains
+    keep3 = (
+        b2.filter("ok2")
+        .selectExpr("doc_id", f"{fp_expr} AS fp")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("k3"))
+    )
+    b3 = b2.join(keep3, "doc_id", "left").withColumn(
+        "ok3", F.col("ok2") & F.coalesce(F.col("k3"), F.lit(False))
+    )
     sh = f"""CASE WHEN size({_TOKENS}) >= {SHINGLE_N} THEN
         transform(sequence(1, size({_TOKENS}) - {SHINGLE_N - 1}),
         i -> array_join(slice({_TOKENS}, i, {SHINGLE_N}), ' '))
         ELSE array() END"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     bench = (
         docs.filter(F.expr(BENCH_PRED))
         .selectExpr(f"explode_outer({sh}) AS shg")
         .filter(F.col("shg").isNotNull())
         .distinct()
     )
-    contaminated = (
-        s3.filter(~F.expr(BENCH_PRED))
+    cont = (
+        b3.filter(F.col("ok3") & ~F.expr(BENCH_PRED))
         .selectExpr("doc_id", f"explode_outer({sh}) AS shg")
         .filter(F.col("shg").isNotNull())
         .join(F.broadcast(bench), "shg")
         .select("doc_id")
         .distinct()
+        .withColumn("c4", F.lit(True))
     )
-    s4 = (
-        s3.filter(~F.expr(BENCH_PRED))
-        .join(contaminated, "doc_id", "left_anti")
-        .select("doc_id", "n_tokens", "score")
+    b4 = b3.join(cont, "doc_id", "left").withColumn(
+        "ok4",
+        F.col("ok3")
+        & ~F.expr(BENCH_PRED)
+        & ~F.coalesce(F.col("c4"), F.lit(False)),
     )
-    # token-budget cut: global rank by (score desc, doc_id), cumulative
-    # tokens ≤ budget.  The funnel keeps the simple single-window form;
-    # the bucketed two-phase select_token_budget is the scale variant.
+    # budget rank over ok4 rows only: non-survivors contribute 0 to the
+    # running sum and sort after every survivor, so their cum is the
+    # final total — harmless, they are already excluded by ok4
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w = Window.orderBy(
+        F.col("ok4").desc(), F.col("score").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b5 = b4.withColumn(
+        "cum",
+        F.sum(F.when(F.col("ok4"), F.col("n_tokens")).otherwise(F.lit(0))).over(w),
+    ).withColumn("ok5", F.col("ok4") & (F.col("cum") <= FUNNEL_BUDGET_TOKENS))
+    one = b5.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tokens").alias("t0"),
+        *[
+            x
+            for i in range(1, 6)
+            for x in (
+                F.count_if(F.col(f"ok{i}")).alias(f"d{i}"),
+                F.coalesce(
+                    F.sum(F.when(F.col(f"ok{i}"), F.col("n_tokens"))), F.lit(0)
+                ).alias(f"t{i}"),
+            )
+        ],
     )
-    s5 = s4.withColumn("cum", F.sum("n_tokens").over(w)).filter(
-        F.col("cum") <= FUNNEL_BUDGET_TOKENS
-    )
-
-    def stage_row(label: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(label).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
-        ).select("stage", "n_docs", "n_tokens")
-
-    out = stage_row("0_all", scored)
-    for label, df in (
-        ("1_quality", s1),
-        ("2_exact_dedup", s2),
-        ("3_fingerprint_dedup", s3),
-        ("4_decontaminated", s4),
-        ("5_token_budget", s5),
-    ):
-        out = out.unionByName(stage_row(label, df))
-    return out.orderBy("stage")
+    labels = [
+        "0_all", "1_quality", "2_exact_dedup", "3_fingerprint_dedup",
+        "4_decontaminated", "5_token_budget",
+    ]
+    stack = ", ".join(f"'{lb}', d{i}, t{i}" for i, lb in enumerate(labels))
+    return one.selectExpr(
+        f"stack(6, {stack}) AS (stage, n_docs, n_tokens)"
+    ).selectExpr(
+        "stage",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_tokens AS BIGINT) AS n_tokens",
+    ).orderBy("stage")
 
 
 def _funnel_sql() -> str:
