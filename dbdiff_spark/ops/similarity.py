@@ -901,6 +901,11 @@ SEMDEDUP_CELLS = 48  # ≈ √corpus at the bench scale (see header note)
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT spread: measured 0.7 s slower with an up-front repartition —
+    # the heavy stages here already run post-shuffle (the min(struct)
+    # assignment and the pair scoring both sit behind exchanges), so
+    # the extra corpus exchange only adds cost, unlike the funnel's
+    # pre-shuffle fingerprint stage
     vecs = _vectors(spark, sf_dir)
     corpus = vecs.unionByName(
         vecs.select(
