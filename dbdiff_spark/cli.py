@@ -183,6 +183,34 @@ def main(argv: list[str] | None = None) -> int:
 
     store = SnapshotStore(spark)
     mode = DiffMode(args.mode)
+
+    # Validate --where/--tolerance UP FRONT: a malformed spec must fail
+    # before the first (possibly expensive) snapshot, not after the
+    # interactive wait.
+    where: dict[str, str] = {}
+    for spec in args.where:
+        table, _, pred = spec.partition("=")
+        if not pred:
+            print(f"[Error] --where needs TABLE=PREDICATE, got {spec!r}")
+            return 2
+        where[table.strip()] = pred.strip()
+    tolerance: dict[str, dict[str, float]] = {}
+    for spec in args.tolerance:
+        target, _, eps = spec.partition("=")
+        table, _, column = target.partition(".")
+        if not eps or not column:
+            print(f"[Error] --tolerance needs TABLE.COLUMN=EPS, got {spec!r}")
+            return 2
+        try:
+            eps_val = float(eps)
+        except ValueError:
+            print(f"[Error] --tolerance EPS must be numeric, got {spec!r}")
+            return 2
+        tolerance.setdefault(table.strip(), {})[column.strip()] = eps_val
+    if tolerance and mode is not DiffMode.TYPED:
+        print("[Error] --tolerance requires --mode typed")
+        return 2
+
     run_root = Path(args.snapshot_dir) / time.strftime("%Y%m%d_%H%M%S")
 
     collect_kw = dict(
@@ -240,24 +268,6 @@ def main(argv: list[str] | None = None) -> int:
                     f" ~{est_row['est_updated']} upd"
                     f" (from {est_row['n_sample_changes']} sampled changes)"
                 )
-        where = {}
-        for spec in args.where:
-            table, _, pred = spec.partition("=")
-            if not pred:
-                print(f"[Error] --where needs TABLE=PREDICATE, got {spec!r}")
-                return 2
-            where[table.strip()] = pred.strip()
-        tolerance: dict[str, dict[str, float]] = {}
-        for spec in args.tolerance:
-            target, _, eps = spec.partition("=")
-            table, _, column = target.partition(".")
-            if not eps or not column:
-                print(f"[Error] --tolerance needs TABLE.COLUMN=EPS, got {spec!r}")
-                return 2
-            tolerance.setdefault(table.strip(), {})[column.strip()] = float(eps)
-        if tolerance and mode is not DiffMode.TYPED:
-            print("[Error] --tolerance requires --mode typed")
-            return 2
         results = diff_snapshots(
             spark, before, after, mode=mode, incremental=args.incremental,
             where=where or None, tolerance=tolerance or None,

@@ -642,7 +642,9 @@ _VALUE_GRID = (
 )
 
 
-def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q11_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(persisted per-part values, lazy result) — caller OWNS the cache
+    and must unpersist the first frame once the second is materialized."""
     supp = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") == Q11_NATIONKEY
     ).select("s_suppkey")
@@ -657,7 +659,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_VALUE_GRID).alias("value_grid")
     ).persist()
     total = values.agg(F.sum("value_grid").alias("total_grid"))
-    return (
+    result = (
         values.join(F.broadcast(total))
         .filter(
             F.col("value_grid") * (1_000_000 // Q11_FRACTION_PPM)
@@ -669,6 +671,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("part_value").desc(), "p_partkey")
     )
+    return values, result
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    values, result = _q11_frames(spark, sf_dir)
+    # Materialize here so the cache can be RELEASED before returning
+    # (kmeans/pca pattern) — a lazy return would leak `values` into
+    # executor memory for the rest of the session.  The collect is
+    # bounded by construction: value·(1/frac) > total admits fewer
+    # than 1/frac = 5000 qualifying parts at ANY corpus size.
+    try:
+        rows = result.collect()
+    finally:
+        values.unpersist()
+    return spark.createDataFrame(rows, result.schema)
 
 
 Q11_SQL = f"""
@@ -712,7 +729,12 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderpriority",
         F.unix_micros(_order_ts()).alias("order_us"),
     )
-    high = F.col("o_orderpriority").isin(*_HIGH_PRIO).cast("bigint")
+    # when/otherwise, not isin().cast(): a NULL priority must count as
+    # low (CASE ... ELSE 0 in the oracle) — isin(NULL) is NULL and
+    # SUM would drop the row from BOTH counts.
+    high = F.when(F.col("o_orderpriority").isin(*_HIGH_PRIO), F.lit(1)).otherwise(
+        F.lit(0)
+    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("ship_us") >= F.col("order_us") + _Q12_LATE_US)
@@ -914,13 +936,19 @@ WITH pair AS (
 per_order AS (
   SELECT l_orderkey AS agg_orderkey, COUNT(*) AS n_supp, SUM(has_r) AS n_r_supp
   FROM pair GROUP BY l_orderkey
+),
+blamed AS (
+  -- keyed by supplier id, not display name: two suppliers sharing a
+  -- name must stay separate rows, matching the engine's s_suppkey
+  -- grouping (name joined on afterwards for display only)
+  SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM pair
+  JOIN per_order ON l_orderkey = agg_orderkey AND n_supp >= 2 AND n_r_supp = 1
+  WHERE has_r = 1
+  GROUP BY l_suppkey
 )
-SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM pair
-JOIN per_order ON l_orderkey = agg_orderkey AND n_supp >= 2 AND n_r_supp = 1
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE has_r = 1
-GROUP BY s_name
+SELECT s_name, numwait
+FROM blamed JOIN supplier USING (s_suppkey)
 ORDER BY numwait DESC, s_name
 LIMIT 100
 """

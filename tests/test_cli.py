@@ -195,3 +195,25 @@ def test_cli_where_scopes_the_diff(spark, tmp_path, monkeypatch, capsys):
     # id 1 (grp=x) reported; id 3's change (grp=y) is out of scope
     assert "[s:X]" in text
     assert "[s:Y]" not in text
+
+
+def test_cli_malformed_tolerance_eps_is_clean_error(spark, tmp_path, capsys):
+    """A non-numeric EPS in --tolerance must take the '[Error] ... rc 2'
+    path, not an uncaught ValueError traceback (ADVICE r3)."""
+    from dbdiff_spark import cli
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame([(1, 1.0)], "id int, v double").write.mode(
+        "overwrite"
+    ).parquet(str(src / "t1.parquet"))
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--tolerance", "t1.v=abc",
+        ]
+    )
+    assert rc == 2
+    assert "[Error]" in capsys.readouterr().out

@@ -207,5 +207,10 @@ def test_tolerance_laws_on_any_numeric_mutation(spark, plan):
 
     exact = flagged(None)
     assert flagged(0.0) == exact
-    expect = {k for k, d in deltas.items() if abs(d) > eps and float(k) + d != float(k)}
+    # Expectation derived from the STORED difference fl(k+d) - k (what
+    # the engine actually compares), not the drawn delta d — a draw
+    # within a ulp of eps would otherwise flip the comparison and flake.
+    expect = {
+        k for k, d in deltas.items() if abs((float(k) + d) - float(k)) > eps
+    }
     assert flagged(eps) == expect

@@ -188,14 +188,25 @@ def test_q11_share_filter_reuses_cached_values(spark, sf_dir):
     """Q11's scalar-subquery total and the share filter both read the
     persisted per-part aggregate: the executed plan shows the cache, not
     a second lineitem scan."""
-    df = entry.queries()["q11_important_parts"](spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    plan = _plan(df)
-    assert plan.count("InMemoryTableScan") == 2
-    assert not [
-        ln for ln in plan.splitlines()
-        if "Scan parquet" in ln and "InMemory" not in ln
-    ]
+    from dbdiff_spark.ops.tpch import _q11_frames
+
+    values, df = _q11_frames(spark, sf_dir)
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") == 2
+        assert not [
+            ln for ln in plan.splitlines()
+            if "Scan parquet" in ln and "InMemory" not in ln
+        ]
+    finally:
+        values.unpersist()
+    # the public query releases the cache before returning (no net
+    # growth in the session's persisted-RDD map)
+    jsc = spark.sparkContext._jsc  # type: ignore[attr-defined]
+    before_n = jsc.getPersistentRDDs().size()
+    entry.queries()["q11_important_parts"](spark, sf_dir)
+    assert jsc.getPersistentRDDs().size() <= before_n
 
 
 def test_positional_index_is_single_exchange(spark, sf_dir):
