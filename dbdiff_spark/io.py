@@ -168,12 +168,11 @@ class IngestLedger:
         self.spark = spark
         self.path = str(ledger_path)
 
-    def _processed(self) -> set[tuple[str, int]]:
+    def _ledger_df(self) -> DataFrame | None:
         try:
-            rows = self.spark.read.parquet(self.path).collect()
+            return self.spark.read.parquet(self.path).select("uri", "size")
         except Exception:  # first run: no ledger yet
-            return set()
-        return {(r["uri"], int(r["size"])) for r in rows}
+            return None
 
     def _list_source(self, source_dir: str) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []
@@ -199,11 +198,34 @@ class IngestLedger:
                         out.append((str(p), p.stat().st_size))
         return sorted(out)
 
+    def pending_df(self, source_dir: str) -> DataFrame:
+        """Data files under ``source_dir`` not yet claimed at their
+        current size, as a DataFrame ``(uri, size)``.
+
+        The claim check is a LEFT ANTI join of the listing against the
+        ledger on (uri, size) — the ledger is never collected to the
+        driver (r3 materialized the whole history as a Python set; at
+        10⁷-10⁸ ingested files that is a driver-memory bottleneck,
+        while the anti join shuffles only the two keyed columns and the
+        output is just the typically-small pending tail).  Keying on
+        (uri, size) preserves rewrite detection: a file rewritten in
+        place at a new size no longer matches its old claim and
+        surfaces as pending again."""
+        listing = self.spark.createDataFrame(
+            self._list_source(source_dir), "uri string, size bigint"
+        )
+        ledger = self._ledger_df()
+        if ledger is None:
+            return listing
+        return listing.join(ledger, ["uri", "size"], "left_anti")
+
     def pending(self, source_dir: str) -> list[str]:
         """Data files under ``source_dir`` not yet claimed at their
-        current size — the next batch's input list."""
-        done = self._processed()
-        return [uri for uri, size in self._list_source(source_dir) if (uri, size) not in done]
+        current size — the next batch's input list (sorted; the
+        collect is the pending tail only, not the ledger)."""
+        return sorted(
+            r["uri"] for r in self.pending_df(source_dir).collect()
+        )
 
     def commit(self, uris: list[str]) -> None:
         """Claim ``uris`` at their CURRENT sizes (append-only; call

@@ -882,9 +882,15 @@ FROM q, h
 # broadcast-seeds + min(struct) pattern): centroid quality only affects
 # pruning *recall*, never correctness, so the dedup op does not
 # iterate.  The cell count follows the K ≈ √n posture the paper scales
-# by (√(2000-vector corpus) ≈ 45 → 48 cells, static so the oracle SQL
-# stays a fixed string): within-cell pair counts — the op's entire
-# quadratic cost — stay ≈ n/K per member instead of n/8.
+# by, DERIVED from the corpus count at call time (one metadata-cheap
+# count() job) and rounded UP to a 16-grid so the DuckDB twin can
+# re-derive the identical K from its own count(*).  K ~ √n is the
+# single-level optimum: the broadcast-assignment stage costs n·K and
+# the within-cell pair stage n²/K (balanced cells) — both land at
+# n^1.5, and the measured pair-growth exponent is 1.5 (probe in
+# ARCHITECTURE.md; tools/probe_semdedup_scale.py).  (r3 shipped K
+# frozen at 48 = grid(√2000); at 10⁹ docs that was n²/48 — the one
+# operator whose shipped form died at 100 TB.)
 #
 # The threshold test is INTEGER-exact: vectors quantize to the int8 grid
 # (the ann_int8 path), and cos ≥ τ is evaluated as the cross-multiplied
@@ -897,7 +903,22 @@ FROM q, h
 # a~b~c where cos(a,c) < τ — for exact-copy dedup they coincide).
 
 SEMDEDUP_TAU_SQ_PPM = 998_001  # τ = 0.999 → τ² in parts-per-million
-SEMDEDUP_CELLS = 48  # ≈ √corpus at the bench scale (see header note)
+SEMDEDUP_CELL_GRID = 16  # K rounds up to this grid (stable across engines)
+
+
+def semdedup_cells(n_corpus: int) -> int:
+    """K ≈ ⌈√n⌉ rounded UP to the 16-grid — the paper's cell-count
+    posture, made a pure function of the corpus size so the Spark
+    engine (Python ceil/sqrt) and the DuckDB oracle (SQL ceil/sqrt)
+    derive bit-identical K from the same count: sqrt of an exact
+    integer is correctly rounded in IEEE double in both engines.
+    Bench corpora: sf0.01 (2×500) → 32 cells, sf0.1 (2×2000) → 64."""
+    import math
+
+    return max(
+        SEMDEDUP_CELL_GRID,
+        SEMDEDUP_CELL_GRID * math.ceil(math.sqrt(n_corpus) / SEMDEDUP_CELL_GRID),
+    )
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,6 +928,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the extra corpus exchange only adds cost, unlike the funnel's
     # pre-shuffle fingerprint stage
     vecs = _vectors(spark, sf_dir)
+    # K from the corpus count (corpus = vecs ∪ offset copies → 2n).
+    # The count() is a column-pruned parquet metadata job, and the
+    # resulting seed set (≈√n rows) stays comfortably broadcastable:
+    # 10⁹ docs → ~45k seeds × 64 dims ≈ 23 MB.
+    cells = semdedup_cells(2 * vecs.count())
     corpus = vecs.unionByName(
         vecs.select(
             (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
@@ -914,7 +940,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm",
         )
     )
-    seeds = vecs.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
+    seeds = vecs.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
     )
     # IVF-pattern assignment: broadcast seeds against the corpus scan,
@@ -1000,9 +1026,18 @@ corpus AS (
   UNION ALL
   SELECT vec_id + {NEARDUP_OFFSET} AS vec_id, embedding, norm FROM vecs
 ),
+k AS (
+  -- same K = grid(ceil-ish sqrt) derivation as semdedup_cells(); sqrt
+  -- of an exact integer is IEEE-identical across engines
+  SELECT GREATEST({SEMDEDUP_CELL_GRID},
+                  {SEMDEDUP_CELL_GRID}
+                  * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))
+         AS cells
+  FROM corpus
+),
 c0 AS (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
-  FROM embeddings WHERE vec_id < {SEMDEDUP_CELLS}
+  FROM embeddings WHERE vec_id < (SELECT cells FROM k)
 ),
 s AS (
   SELECT v.vec_id, v.embedding, v.norm, c.cell,

@@ -206,3 +206,9 @@ def test_ingest_ledger_exactly_once_and_rewrite_detection(spark, tmp_path):
     (src / "_SUCCESS").write_text("")
     (src / "notes.txt").write_text("x")
     assert len(led.pending(str(src))) == 1
+    # the claim check is a distributed anti join — the ledger history
+    # is read as a scan feeding a LeftAnti join, never collected to a
+    # driver-side set (r3 regression guard)
+    plan = led.pending_df(str(src))._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Scan parquet" in plan

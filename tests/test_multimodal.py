@@ -37,11 +37,56 @@ def test_extract_features_batch_shape(spark, sf_dir):
     assert got == pytest.approx(expect, abs=1e-7)
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_compressed_codecs_still_gate():
     if multimodal._HAVE_PIL:
         pytest.skip("PIL unexpectedly present")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"\xff\xfb\x90...mp3 frame")
+
+
+def test_decode_bmp_golden_bytes():
+    """Hand-crafted 2×1 24-bit BMP (red then blue pixel) — golden bytes
+    written from the spec, NOT from encode_bmp, so an encoder/decoder
+    bug pair cannot cancel.  Exercises bottom-up rows, BGR order, and
+    the 2-byte row pad (stride 6→8)."""
+    golden = bytes.fromhex(
+        "424d" "46000000" "00000000" "36000000"        # BM, size, offset 54
+        "28000000" "02000000" "01000000" "0100" "1800" # DIB: 2×1, 24bpp
+        "00000000" "08000000" "130b0000" "130b0000"    # BI_RGB, 8-byte data
+        "00000000" "00000000"
+        "0000ff" "ff0000" "0000"                       # BGR red, BGR blue, pad
+    )
+    assert multimodal.decode_image(golden) == (2, 1, bytes((255, 0, 0, 0, 0, 255)))
+    # encoder emits the same canonical form → round trip is identity
+    rgb = bytes(range(multimodal.IMG_W * multimodal.IMG_H * 3))[
+        : multimodal.IMG_W * multimodal.IMG_H * 3
+    ]
+    assert multimodal.decode_image(
+        multimodal.encode_bmp(multimodal.IMG_W, multimodal.IMG_H, rgb)
+    ) == (multimodal.IMG_W, multimodal.IMG_H, rgb)
+
+
+def test_decode_ppm_and_wav():
+    # P6 with a comment line in the header
+    w, h, px = multimodal.decode_image(
+        b"P6\n# comment\n2 1\n255\n" + bytes((9, 8, 7, 6, 5, 4))
+    )
+    assert (w, h, px) == (2, 1, bytes((9, 8, 7, 6, 5, 4)))
+    # PCM16 WAV round trip at the int16 extremes
+    samples = [0, 100, -100, 32767, -32768]
+    assert multimodal.decode_audio(
+        multimodal.encode_wav(16_000, 1, samples)
+    ) == (16_000, 1, samples)
+    # golden minimal WAV (spec-written, 2 samples: 1, -2)
+    golden = bytes.fromhex(
+        "52494646" "26000000" "57415645"                 # RIFF, size 38, WAVE
+        "666d7420" "10000000" "0100" "0100"              # fmt , 16, PCM, mono
+        "803e0000" "007d0000" "0200" "1000"              # 16000 Hz, 32000 B/s
+        "64617461" "04000000" "0100" "feff"              # data, 4 bytes
+    )
+    assert multimodal.decode_audio(golden) == (16_000, 1, [1, -2])
 
 
 def test_sample_frames_composes_with_feature_extraction(spark, sf_dir):
