@@ -105,6 +105,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "ohlc_bars",
     "prepare_corpus_funnel",
+    "gopher_repetition",
+    "multimodal_decode",
 ]
 
 

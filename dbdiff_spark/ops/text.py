@@ -250,6 +250,156 @@ FROM sized
 """
 
 
+# --- Gopher-style repetition filter ------------------------------------------
+#
+# The within-document repetition rules of the Gopher/MassiveText quality
+# pipeline (Rae et al. 2021, appendix A1), the standard pre-training
+# corpus filter alongside the char-class heuristics in text_quality:
+# a document is dropped when too much of its character mass sits in (a)
+# occurrences of its single most frequent word 2-gram or (b) word
+# 3-grams that occur more than once.  Char mass is defined exactly:
+# occurrences × token characters of the gram (spaces excluded), over
+# the document's total token characters.
+#
+# Shape at scale: explode → groupBy(doc_id, gram) with map-side combine
+# (hot grams collapse before the shuffle, same argument as the
+# all-columns diff), then a doc-level aggregate; top-gram election is
+# max(struct(cnt, gram)) — no window, ties break deterministically on
+# the lexicographically greatest gram in BOTH engines.
+
+TOP2_MAX_FRAC = 0.18  # Gopher's top-2-gram character-fraction threshold
+DUP3_MAX_FRAC = 0.30  # duplicate-3-gram character-fraction threshold
+
+
+def _grams_spark(n: int, tokens: str = _TOKENS) -> str:
+    parts = ", ".join(f"element_at({tokens}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({tokens}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array() END"
+    )
+
+
+def _grams_duck(n: int, tokens: str = _D_TOKENS) -> str:
+    parts = ", ".join(f"{tokens}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({tokens}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({tokens}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE [] END"
+    )
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    base = docs.selectExpr(
+        "doc_id",
+        f"CAST(aggregate({_TOKENS}, 0L, (acc, x) -> acc + length(x)) AS BIGINT)"
+        " AS n_token_chars",
+    )
+    gram_chars = "CAST(length(replace(g, ' ', '')) AS BIGINT)"
+    bi = (
+        docs.selectExpr("doc_id", f"explode({_grams_spark(2)}) AS g")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.expr("max(struct(cnt, g)) AS top"))
+        .selectExpr(
+            "doc_id",
+            "top.g AS top_bigram",
+            f"top.cnt * CAST(length(replace(top.g, ' ', '')) AS BIGINT)"
+            " AS top2_chars",
+        )
+    )
+    tri = (
+        docs.selectExpr("doc_id", f"explode({_grams_spark(3)}) AS g")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter("cnt >= 2")
+        .groupBy("doc_id")
+        .agg(F.expr(f"CAST(sum(cnt * {gram_chars}) AS BIGINT) AS dup3_chars"))
+    )
+    return (
+        base.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_token_chars",
+            "coalesce(top_bigram, '') AS top_bigram",
+            "CAST(coalesce(top2_chars, 0) AS BIGINT) AS top2_chars",
+            "CAST(coalesce(dup3_chars, 0) AS BIGINT) AS dup3_chars",
+            "CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(coalesce(top2_chars, 0) AS DOUBLE) / n_token_chars END"
+            " AS top2_char_frac",
+            "CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_token_chars END"
+            " AS dup3_char_frac",
+            f"(CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE CAST(coalesce(top2_chars, 0) AS DOUBLE) / n_token_chars END)"
+            f" <= {TOP2_MAX_FRAC}"
+            f" AND (CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)"
+            f" ELSE CAST(coalesce(dup3_chars, 0) AS DOUBLE) / n_token_chars END)"
+            f" <= {DUP3_MAX_FRAC} AS keep",
+        )
+    )
+
+
+GOPHER_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform({_D_TOKENS}, x -> length(x))) AS BIGINT)
+         AS n_token_chars
+  FROM documents
+),
+bi_cnt AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest({_grams_duck(2)}) AS g FROM documents)
+  GROUP BY doc_id, g
+),
+bi AS (
+  SELECT doc_id, g,
+         cnt * CAST(length(replace(g, ' ', '')) AS BIGINT) AS top2_chars
+  FROM (
+    SELECT doc_id, g, cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC)
+           AS rn
+    FROM bi_cnt
+  ) WHERE rn = 1
+),
+tri AS (
+  SELECT doc_id,
+         CAST(sum(cnt * CAST(length(replace(g, ' ', '')) AS BIGINT)) AS BIGINT)
+         AS dup3_chars
+  FROM (
+    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, unnest({_grams_duck(3)}) AS g FROM documents)
+    GROUP BY doc_id, g
+  ) WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT base.doc_id, n_token_chars,
+       coalesce(bi.g, '') AS top_bigram,
+       CAST(coalesce(bi.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(tri.dup3_chars, 0) AS BIGINT) AS dup3_chars,
+       CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(coalesce(bi.top2_chars, 0) AS DOUBLE) / n_token_chars END
+       AS top2_char_frac,
+       CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(coalesce(tri.dup3_chars, 0) AS DOUBLE) / n_token_chars END
+       AS dup3_char_frac,
+       (CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(coalesce(bi.top2_chars, 0) AS DOUBLE)
+                  / n_token_chars END)
+       <= {TOP2_MAX_FRAC}
+       AND (CASE WHEN n_token_chars = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE CAST(coalesce(tri.dup3_chars, 0) AS DOUBLE)
+                      / n_token_chars END)
+       <= {DUP3_MAX_FRAC} AS keep
+FROM base LEFT JOIN bi ON base.doc_id = bi.doc_id
+LEFT JOIN tri ON base.doc_id = tri.doc_id
+"""
+
+
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text ops composed into a cleaning pipeline: quality-filter →
     per-language acceptance stats.  This is the shape of a real
@@ -1150,5 +1300,6 @@ QUERIES = {
     "corpus_clean_stats": (corpus_clean_stats, CORPUS_CLEAN_STATS_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
     "repetition_ratio": (repetition_ratio, REPETITION_RATIO_SQL),
+    "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
 }

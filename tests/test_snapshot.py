@@ -337,6 +337,40 @@ def test_snapshot_delta_format_gated(spark, tmp_path):
         )
 
 
+def _delta_on_classpath(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_snapshot_delta_format_roundtrip_when_jar_present(spark, tmp_path):
+    """The SUCCESS path of the delta format gate — code-covered, not
+    comment-covered: when the delta-spark runtime is on the classpath
+    this is the same collect→load→diff round trip as the orc test; when
+    it is not (this image), the test skips rather than silently
+    shadowing the gate test above."""
+    import pytest
+
+    if not _delta_on_classpath(spark):
+        pytest.skip("delta-spark runtime jar not on the classpath")
+    store = SnapshotStore(spark)
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    snap = store.collect({"t": t}, {"t": ["id"]}, str(tmp_path / "dl"), format="delta")
+    loaded = Snapshot.load_manifest(str(tmp_path / "dl"))
+    assert loaded.format == "delta"
+    assert loaded.load(spark, "t").count() == 2
+    t2 = spark.createDataFrame([(1, "a"), (2, "B")], "id int, s string")
+    snap2 = store.collect(
+        {"t": t2}, {"t": ["id"]}, str(tmp_path / "dl2"), format="delta"
+    )
+    res = diff_snapshots(spark, snap, snap2, mode=DiffMode.TYPED)["t"].df
+    assert sorted(r["diff_status"] for r in res.collect()) == [UPDATED, UPDATED]
+
+
 def test_schema_changes_report(spark, tmp_path):
     """Manifest-level structural diff: table add/drop, column add/drop,
     key change — no Spark jobs, pure manifest arithmetic."""
