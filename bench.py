@@ -290,6 +290,18 @@ def main() -> None:
         "diff_lineitem_bucketed", "diff_lineitem_incremental",
     ]
     r2_total = round(sum(times.get(k, 0.0) for k in r2_set), 3)
+    # Host-noise calibration: this box shows 1.2-1.4× cross-round drift
+    # from outside load (ARCHITECTURE.md r4 adjudication), so every
+    # bench run self-reports its inflation against three stable control
+    # queries' pinned quiet-host r2 minimums.  Cross-round comparisons
+    # should divide by this factor before calling anything a
+    # regression.
+    control_ref = {
+        "dedup_exact": 0.232, "text_quality": 0.331, "knn_bruteforce": 0.536,
+    }
+    ratios = [times[c] / v for c, v in control_ref.items() if c in times]
+    host_inflation = round(sum(ratios) / len(ratios), 2) if ratios else None
+    print(f"# host_inflation vs r2 controls: {host_inflation}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -300,6 +312,7 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(times),
                 "r2_subset_total": r2_total,
+                "host_inflation": host_inflation,
             }
         )
     )

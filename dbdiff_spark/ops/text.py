@@ -400,6 +400,69 @@ LEFT JOIN tri ON base.doc_id = tri.doc_id
 """
 
 
+# --- vocabulary coverage / OOV rate ------------------------------------------
+#
+# The tokenizer-prep step of a training pipeline: build the top-V
+# vocabulary by corpus frequency (ties broken lexicographically so the
+# cut is deterministic in both engines) and report each document's
+# out-of-vocabulary token rate — the standard gauge of how well a fixed
+# vocab covers a corpus slice.
+#
+# Shape at scale: token counts are VOCAB-sized after the map-side-
+# combined groupBy (distinct tokens, not corpus tokens, cross the
+# shuffle); the top-V cut sorts that small frame; the membership check
+# is a broadcast join against V rows.  One corpus-sized shuffle total
+# (the per-doc aggregation).
+
+VOCAB_SIZE = 16
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = docs.selectExpr("doc_id", f"explode({_TOKENS}) AS t")
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "t")
+        .limit(VOCAB_SIZE)
+        .select("t", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_if(F.col("__in_vocab").isNull()).alias("n_oov"),
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "CAST(n_oov AS BIGINT) AS n_oov",
+            "CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate",
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS t FROM documents
+),
+vc AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS cnt FROM toks GROUP BY t
+    ORDER BY cnt DESC, t LIMIT {VOCAB_SIZE}
+  )
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vc)) AS BIGINT)
+       AS n_oov,
+       CAST(count(*) FILTER (WHERE t NOT IN (SELECT t FROM vc)) AS DOUBLE)
+       / count(*) AS oov_rate
+FROM toks GROUP BY doc_id
+"""
+
+
 def corpus_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text ops composed into a cleaning pipeline: quality-filter →
     per-language acceptance stats.  This is the shape of a real
@@ -1301,5 +1364,6 @@ QUERIES = {
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
     "repetition_ratio": (repetition_ratio, REPETITION_RATIO_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
+    "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
 }

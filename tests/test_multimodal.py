@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: binary payload schema, mapInPandas feature
-extraction batch shape, deterministic fake encoder, stubbed decoder."""
+"""Multimodal tests: binary payload schema, mapInPandas feature
+extraction batch shape, deterministic fake encoder, and the real
+BMP/PPM/WAV codecs (golden spec bytes + round-trip properties)."""
 
 import hashlib
 
@@ -128,3 +129,36 @@ def test_group_norm_centered_sums_balance_within_floor_slack(spark, sf_dir):
         assert len(members) == n
         total = sum(r.centered_sum_grid for r in members)
         assert 0 <= total < FEATURE_DIM * n
+
+
+@pytest.mark.parametrize("width,height", [(1, 1), (2, 3), (3, 2), (5, 1), (7, 4)])
+def test_bmp_roundtrip_all_pad_widths(width, height):
+    """decode(encode(...)) is identity for every stride-padding case
+    (3*w mod 4 covers 0..3 across these widths)."""
+    import hashlib
+
+    n = 3 * width * height
+    rgb = hashlib.sha256(f"{width}x{height}".encode()).digest() * (n // 32 + 1)
+    rgb = rgb[:n]
+    assert multimodal.decode_image(
+        multimodal.encode_bmp(width, height, rgb)
+    ) == (width, height, rgb)
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        rate=st.sampled_from([8_000, 16_000, 44_100]),
+        samples=st.lists(
+            st.integers(min_value=-32_768, max_value=32_767), max_size=64
+        ),
+    )
+    def check(rate, samples):
+        assert multimodal.decode_audio(
+            multimodal.encode_wav(rate, 1, samples)
+        ) == (rate, 1, samples)
+
+    check()

@@ -37,3 +37,30 @@ def test_gopher_repetition_known_values(spark, tmp_path):
     # count 1, tiny top fraction → kept
     r2 = rows[2]
     assert r2.dup3_chars == 0 and r2.keep
+
+
+def test_vocab_coverage_cut_and_tiebreak(spark, tmp_path):
+    """VOCAB_SIZE most frequent tokens with (count DESC, token ASC)
+    tie-break; OOV = everything past the cut."""
+    import dbdiff_spark.ops.text as text
+
+    # 20 distinct tokens: z00..z19, token z_i appears (20 - i) times,
+    # so ranks are unambiguous except we also pin the tie path below
+    rows = []
+    did = 0
+    for i in range(20):
+        for _ in range(20 - i):
+            rows.append((did, f"z{i:02d}"))
+            did += 1
+    # one doc holding every token once: its OOV count = tokens past the cut
+    rows.append((did, " ".join(f"z{i:02d}" for i in range(20))))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in text.vocab_coverage(spark, str(tmp_path)).collect()}
+    probe = out[did]
+    # vocab = z00..z15 (top 16 by count); z16..z19 are OOV
+    assert probe.n_tokens == 20 and probe.n_oov == 4
+    assert abs(probe.oov_rate - 0.2) < 1e-12
+    # single-token docs: in-vocab ones report 0 OOV, tail ones 1
+    assert out[0].n_oov == 0          # z00, rank 1
+    assert out[len(rows) - 2].n_oov == 1  # the last z19 doc, past the cut

@@ -109,6 +109,9 @@ AUDITED = [
     "k_anonymity_audit",
     "ohlc_bars",
     "semdedup_prune",
+    "gopher_repetition",
+    "multimodal_decode",
+    "multimodal_audio_decode",
 ]
 
 
@@ -193,14 +196,19 @@ def main() -> None:
         "`q3`/`q5` broadcast their dimension sides.  `mv_maintain_orders`",
         "shuffles only diff rows plus the group-count-sized MV merge.",
         "Python nodes are expected ONLY in multimodal/stateful-streaming",
-        "queries (here: multimodal_resize's mapInPandas and the",
-        "Arrow-batched chunking UDTF); every other query is JVM-only.",
+        "queries (here: the mapInPandas islands — multimodal_resize and",
+        "the real-codec multimodal_decode / multimodal_audio_decode — and",
+        "the Arrow-batched chunking UDTF); every other query is JVM-only.",
         "`scd2_customer`/`merge3_customer` are the grouped single-exchange",
         "folds (no joins, no windows).  `hll_distinct`'s extra exchanges are",
         "the exact-distinct CALIBRATION column, not the sketch (registers",
         "build in one mergeable aggregation).  `pagerank_copurchase` is",
         "iterative: its exchange count is 3 rounds of keyed join+agg over",
         "the edge list, with the edge side cached pre-partitioned.",
+        "`q11_important_parts` audits as a LocalTableScan because the",
+        "public query materializes its bounded result to release the",
+        "per-part cache; the distributed plan behind it (cache reuse, one",
+        "fact scan) is pinned by tests/test_plans.py via _q11_frames.",
         "",
     ]
     Path(args.out).write_text("\n".join(lines))
