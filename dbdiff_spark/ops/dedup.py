@@ -989,6 +989,60 @@ LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
 DEDUP_INGEST_SQL = _ingest_sql()
 
 
+# --- cross-source duplication matrix -----------------------------------------
+#
+# Which sources copy from which: the LSH candidate pairs rolled up to an
+# unordered (source, source) contamination matrix — the corpus-curation
+# view that decides which feeds to de-prioritize.  Synthetic corpus ids
+# (the tail-truncated variants ≥ NEARDUP_OFFSET) map back to their
+# original document before the source lookup.  Shape: the pair frame is
+# tiny relative to the corpus (bounded by LSH collisions), the doc →
+# source map joins keyed on doc_id, and the matrix aggregation is
+# unordered-pair keyed (least/greatest) with map-side combine.
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).selectExpr(
+        f"CASE WHEN id_a >= {NEARDUP_OFFSET} THEN id_a - {NEARDUP_OFFSET}"
+        " ELSE id_a END AS orig_a",
+        f"CASE WHEN id_b >= {NEARDUP_OFFSET} THEN id_b - {NEARDUP_OFFSET}"
+        " ELSE id_b END AS orig_b",
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.selectExpr("doc_id AS orig_a", "source AS src_a")
+    sb = src.selectExpr("doc_id AS orig_b", "source AS src_b")
+    return (
+        pairs.join(sa, "orig_a")
+        .join(sb, "orig_b")
+        .selectExpr(
+            "least(src_a, src_b) AS source_lo",
+            "greatest(src_a, src_b) AS source_hi",
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.expr("CAST(count(*) AS BIGINT) AS n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+CROSS_SOURCE_DUP_SQL = f"""
+WITH lsh_pairs AS ({_lsh_pairs_sql()}),
+orig AS (
+  SELECT CASE WHEN id_a >= {NEARDUP_OFFSET} THEN id_a - {NEARDUP_OFFSET}
+         ELSE id_a END AS orig_a,
+         CASE WHEN id_b >= {NEARDUP_OFFSET} THEN id_b - {NEARDUP_OFFSET}
+         ELSE id_b END AS orig_b
+  FROM lsh_pairs
+)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM orig
+JOIN documents da ON orig.orig_a = da.doc_id
+JOIN documents db ON orig.orig_b = db.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ingest_incremental": (dedup_ingest_incremental, DEDUP_INGEST_SQL),
@@ -1001,4 +1055,5 @@ QUERIES = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
+    "cross_source_dup_matrix": (cross_source_dup_matrix, CROSS_SOURCE_DUP_SQL),
 }

@@ -1299,8 +1299,87 @@ FROM v{PCA_ITERS} CROSS JOIN unnest(generate_series(1, {PCA_DIM})) AS g(pos)
 PCA_SQL = _pca_sql()
 
 
+# --- embedding drift monitor -------------------------------------------------
+#
+# The model-ops counterpart of the diff tier's column drift: per label
+# group, the L1 shift of the embedding centroid between two corpus
+# states.  The after-state is a deterministic function of the before
+# rows (every vec_id % DRIFT_MOD = 0 vector shifted by +DRIFT_SHIFT in
+# every component — the testkit-mutation idiom applied to vectors), so
+# BOTH states' component sums come out of ONE scan and one
+# (label, pos)-keyed aggregation: no union, no second pass, no join.
+# All arithmetic lands on the 1e-6 integer grid before any comparison,
+# so the DuckDB twin is bit-exact.
+#
+# At 100 TB the shape is the right one: the shuffle carries one partial
+# row per (label, pos, map task) — K·dim-sized, never corpus-sized.
+
+DRIFT_MOD = 5
+DRIFT_SHIFT = 0.25
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    per = emb.selectExpr(
+        "vec_id", "label", "posexplode(embedding) AS (pos, x)"
+    ).selectExpr(
+        "label",
+        "pos",
+        "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qb",
+        f"CAST(ROUND((CAST(x AS DOUBLE) + CASE WHEN vec_id % {DRIFT_MOD} = 0"
+        f" THEN {DRIFT_SHIFT} ELSE 0.0 END) * 1000000) AS BIGINT) AS qa",
+    )
+    per_pos = per.groupBy("label", "pos").agg(
+        F.expr("CAST(sum(qb) AS BIGINT) AS sb"),
+        F.expr("CAST(sum(qa) AS BIGINT) AS sa"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_pos.groupBy("label")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT) AS n_vectors"),
+            F.expr("CAST(sum(abs(sa - sb)) AS BIGINT) AS drift_grid_sum"),
+        )
+        .selectExpr(
+            "CAST(label AS BIGINT) AS label",
+            "n_vectors",
+            "drift_grid_sum",
+            "CAST(drift_grid_sum AS DOUBLE) / 1000000 / n_vectors"
+            " AS mean_l1_shift",
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH per AS (
+  SELECT label, pos,
+         CAST(ROUND(x * 1000000) AS BIGINT) AS qb,
+         CAST(ROUND((x + CASE WHEN vec_id % {DRIFT_MOD} = 0
+              THEN {DRIFT_SHIFT} ELSE 0.0 END) * 1000000) AS BIGINT) AS qa
+  FROM (
+    SELECT vec_id, label, g.pos AS pos,
+           CAST(embedding[g.pos + 1] AS DOUBLE) AS x
+    FROM embeddings
+    CROSS JOIN unnest(generate_series(0, len(embedding) - 1)) AS g(pos)
+  )
+),
+per_pos AS (
+  SELECT label, pos, CAST(sum(qb) AS BIGINT) AS sb,
+         CAST(sum(qa) AS BIGINT) AS sa, CAST(count(*) AS BIGINT) AS n
+  FROM per GROUP BY label, pos
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(max(n) AS BIGINT) AS n_vectors,
+       CAST(sum(abs(sa - sb)) AS BIGINT) AS drift_grid_sum,
+       CAST(sum(abs(sa - sb)) AS DOUBLE) / 1000000 / max(n) AS mean_l1_shift
+FROM per_pos GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = {
     "semdedup_prune": (semdedup_prune, SEMDEDUP_SQL),
+    "embedding_drift": (embedding_drift, EMBEDDING_DRIFT_SQL),
     "jl_project": (jl_project, JL_PROJECT_SQL),
     "pca_power_iteration": (pca_power_iteration, PCA_SQL),
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),

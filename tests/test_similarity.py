@@ -58,3 +58,44 @@ def test_ann_recall_in_unit_range_and_self_recall_perfect(spark, sf_dir):
     assert r.n_queries > 0 and r.k == 3
     assert 0 <= r.n_hits <= r.n_queries * r.k
     assert 0 <= r.recall_ppm <= 1_000_000
+
+
+def test_embedding_drift_matches_closed_form(spark, sf_dir):
+    """The deterministic +0.25 shift on every (vec_id % 5 = 0) vector
+    gives a closed-form drift: per label, drift_grid_sum = dim · 250000
+    · n_shifted, so mean_l1_shift = dim · 0.25 · n_shifted / n."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import DRIFT_MOD, embedding_drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    expect = {
+        r["label"]: (r["n"], r["ns"])
+        for r in emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("vec_id") % DRIFT_MOD == 0).alias("ns"),
+        )
+        .collect()
+    }
+    rows = embedding_drift(spark, sf_dir).collect()
+    assert {r.label for r in rows} == set(expect)
+    for r in rows:
+        n, ns = expect[r.label]
+        assert r.n_vectors == n
+        assert r.drift_grid_sum == dim * 250_000 * ns
+        assert abs(r.mean_l1_shift - dim * 0.25 * ns / n) < 1e-9
+
+
+def test_cross_source_matrix_conserves_pairs(spark, sf_dir):
+    """The matrix is a partition of the LSH pair set: its n_pairs sum
+    equals the pair count, and every doc's truncated variant guarantees
+    at least one same-source pair per source with a long-enough doc."""
+    from dbdiff_spark.ops.dedup import cross_source_dup_matrix, dedup_minhash_lsh
+
+    total = dedup_minhash_lsh(spark, sf_dir).count()
+    rows = cross_source_dup_matrix(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in rows) == total
+    assert all(r.source_lo <= r.source_hi for r in rows)
+    diag = sum(r.n_pairs for r in rows if r.source_lo == r.source_hi)
+    assert diag > 0  # original↔its own truncated copy shares a source

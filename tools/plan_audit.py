@@ -112,6 +112,9 @@ AUDITED = [
     "gopher_repetition",
     "multimodal_decode",
     "multimodal_audio_decode",
+    "vocab_coverage",
+    "embedding_drift",
+    "cross_source_dup_matrix",
 ]
 
 
