@@ -12,6 +12,7 @@ Portability constraints honored here (see ARCHITECTURE.md):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves 'pd.Series' hints
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,8 +252,69 @@ GROUP BY user_id
 """
 
 
+# --- pandas UDAF (GROUPED_AGG) -----------------------------------------------
+#
+# Completes the Python-function surface matrix: scalar/batch
+# (mapInPandas, ops/multimodal.py), grouped-map (applyInPandas),
+# stateful-streaming (applyInPandasWithState), table function (UDTF,
+# ops/text.py chunk_documents) — and here the GROUPED AGGREGATE form:
+# an Arrow-batched pandas Series → scalar reduction usable directly in
+# ``groupBy().agg(...)``.
+#
+# Scale honesty: GROUPED_AGG has NO partial aggregation — every group's
+# rows ship to one aggregator (fine for per-source stats where groups
+# are source-sized; for corpus-scale groups use the relational
+# ``percentile_approx``/``approx_percentile`` with the same plan shape
+# and sketch accuracy).  Exactness: every interpolated quantile here is
+# a multiple of 0.25 of integer char counts — exactly representable in
+# double — so pandas' linear interpolation and DuckDB's
+# ``quantile_cont`` agree bit-for-bit with no grid rounding.
+
+
+def udaf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median_chars(v: pd.Series) -> float:
+        return float(v.median())
+
+    @pandas_udf("double")
+    def iqr_chars(v: pd.Series) -> float:
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg(), so the count is a pandas UDAF too.
+    @pandas_udf("long")
+    def n_docs(v: pd.Series) -> int:
+        return int(len(v))
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "source", "CAST(n_chars AS DOUBLE) AS nc"
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            median_chars("nc").alias("median_chars"),
+            iqr_chars("nc").alias("iqr_chars"),
+            n_docs("nc").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+UDAF_SOURCE_STATS_SQL = """
+SELECT source,
+       median(CAST(n_chars AS DOUBLE)) AS median_chars,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.75)
+       - quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS iqr_chars,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "orders_unpivot": (orders_unpivot, ORDERS_UNPIVOT_SQL),
+    "udaf_source_stats": (udaf_source_stats, UDAF_SOURCE_STATS_SQL),
     "agg_collections": (agg_collections, AGG_COLLECTIONS_SQL),
     "set_ops": (set_ops, SET_OPS_SQL),
     "scalar_functions": (scalar_functions, SCALAR_FUNCTIONS_SQL),

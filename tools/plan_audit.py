@@ -115,6 +115,7 @@ AUDITED = [
     "vocab_coverage",
     "embedding_drift",
     "cross_source_dup_matrix",
+    "udaf_source_stats",
 ]
 
 
