@@ -718,7 +718,14 @@ def apply_diff(
 
 
 MULTISET_ONE_PASS_MAX_BYTES_CONF = "spark.dbdiff.multiset.onePassMaxBytes"
-MULTISET_ONE_PASS_MAX_BYTES_DEFAULT = 8 * 1024**3
+# Threshold units are the OPTIMIZER'S estimate — compressed leaf-file
+# bytes for parquet sources, typically 5-10× smaller than in-memory row
+# volume.  Calibrated by A/B at two scales on local[32] (r4): combined
+# estimate ~21 MB (600k lineitem rows) → one_pass wins 2×; ~91 MB (6M
+# rows) → hash_first wins 1.3× (13.7 s vs 18.1 s).  64 MiB sits just
+# under the measured crossover; electing hash_first early is the safe
+# direction (it is the only shape that survives at 100 TB).
+MULTISET_ONE_PASS_MAX_BYTES_DEFAULT = 64 * 1024**2
 
 
 def _estimated_bytes(df: DataFrame) -> int | None:
@@ -809,12 +816,14 @@ def diff_multiset(
     * ``auto``: pick between ``one_pass`` and ``hash_first`` from the
       optimizer's size estimate of the two inputs — the same
       size-threshold mechanism Spark uses to elect broadcast joins.
-      Below ``spark.dbdiff.multiset.onePassMaxBytes`` (default 8 GiB
-      combined) the full-row shuffle is comfortably cluster-local and
-      ``one_pass``'s single scan wins (measured 2x at sf0.1); above it
+      Below ``spark.dbdiff.multiset.onePassMaxBytes`` (default 64 MiB
+      combined ESTIMATE — compressed file bytes; see the constant's
+      calibration note) the full-row shuffle is comfortably local and
+      ``one_pass``'s single scan wins (measured 2× at sf0.1); above it
       — or when either estimate is unavailable — the 24-byte/row
-      ``hash_first`` shape is the only one that survives, so auto
-      degrades conservatively.
+      ``hash_first`` shape wins (measured 1.3× at 6M rows) and is the
+      only one that survives at 100 TB, so auto degrades
+      conservatively.
     """
     if strategy is None:
         strategy = "hash_first" if hash_first else "full_row"

@@ -929,10 +929,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-shuffle fingerprint stage
     vecs = _vectors(spark, sf_dir)
     # K from the corpus count (corpus = vecs ∪ offset copies → 2n).
-    # The count() is a column-pruned parquet metadata job, and the
-    # resulting seed set (≈√n rows) stays comfortably broadcastable:
-    # 10⁹ docs → ~45k seeds × 64 dims ≈ 23 MB.
-    cells = semdedup_cells(2 * vecs.count())
+    # Count the RAW table, not the norm projection — count(*) on the
+    # bare scan folds to parquet row-group metadata (no per-row sqrt
+    # work), and the resulting seed set (≈√n rows) stays comfortably
+    # broadcastable: 10⁹ docs → ~45k seeds × 64 dims ≈ 23 MB.
+    cells = semdedup_cells(2 * load_table(spark, sf_dir, "embeddings").count())
     corpus = vecs.unionByName(
         vecs.select(
             (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
