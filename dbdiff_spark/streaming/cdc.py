@@ -881,8 +881,59 @@ def _stream_cusum_oracle_sql() -> str:
     return CUSUM_SQL
 
 
+# --- stream-static enrichment ------------------------------------------------
+#
+# The remaining join mode of the streaming matrix (stream-stream is
+# stream_purchase_click_join): a STREAM-STATIC left join, the canonical
+# "enrich events with a dimension" pipeline.  Spark re-plans the static
+# side per micro-batch (it broadcasts when small — no state store is
+# involved for the join itself, unlike stream-stream), and the
+# watermarked tumbling aggregate downstream proves the join output
+# feeds stateful ops normally.  Events whose user has no customer row
+# keep flowing (left join) under an UNKNOWN segment — an enrichment
+# pipeline must not drop unmatched facts silently.
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = _event_stream_from_table(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(dim, "user_id", "left").withColumn(
+        "segment", F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN"))
+    )
+    agg = (
+        enriched.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), F.col("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+            ).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_completion(spark, agg, "stream_static_enrich", "complete")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT CAST(FLOOR(epoch_us(ts) / 300000000) AS BIGINT) * 300000000 AS window_start_us,
+       coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+       count(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),
     "stream_ohlc": (stream_ohlc, _stream_ohlc_oracle_sql()),

@@ -371,6 +371,30 @@ def test_snapshot_delta_format_roundtrip_when_jar_present(spark, tmp_path):
     assert sorted(r["diff_status"] for r in res.collect()) == [UPDATED, UPDATED]
 
 
+def test_snapshot_iceberg_format_gated_or_roundtrips(spark, tmp_path):
+    """Iceberg mirrors the delta contract: with no runtime jar the
+    collect raises the actionable ImportError; with the jar (plus its
+    catalog config) the same collect→load→diff round trip must work."""
+    import pytest
+
+    store = SnapshotStore(spark)
+    t = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[attr-defined]
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+    except Exception:
+        with pytest.raises(ImportError, match="iceberg"):
+            store.collect(
+                {"t": t}, {"t": ["id"]}, str(tmp_path / "ib"), format="iceberg"
+            )
+        return
+    snap = store.collect(  # pragma: no cover - jar not in this image
+        {"t": t}, {"t": ["id"]}, str(tmp_path / "ib"), format="iceberg"
+    )
+    assert snap.load(spark, "t").count() == 2
+
+
 def test_schema_changes_report(spark, tmp_path):
     """Manifest-level structural diff: table add/drop, column add/drop,
     key change — no Spark jobs, pure manifest arithmetic."""

@@ -110,12 +110,18 @@ def run_scale(spark, factor: int) -> dict[str, float]:
 
 
 def main() -> int:
+    import argparse
+
     from dbdiff_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factors", default="1,10", help="e.g. 1,10,100")
+    factors = [int(f) for f in ap.parse_args().factors.split(",")]
 
     spark = get_spark(app_name="probe_diff_scale")
     print("| rows | naive s (s/Mrow) | bucketed s (s/Mrow) | multiset s (s/Mrow) |")
     print("|---|---|---|---|")
-    for factor in (1, 10):
+    for factor in factors:
         r = run_scale(spark, factor)
         m = r["rows"] / 1e6
         print(
