@@ -189,6 +189,19 @@ def _with_conf(fn: Callable[[SparkSession, str], DataFrame]):
     return q
 
 
+def explain_frames() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Lazy plan-inspection overrides for the few queries whose public
+    form materializes eagerly (e.g. q11 collects its bounded result to
+    release a cache) — modules opt in via an ``EXPLAIN_FRAMES`` dict.
+    Consumers (CLI ``--explain``) fall back to ``queries()`` for every
+    other name."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, cdc):
+        for name, fn in getattr(mod, "EXPLAIN_FRAMES", {}).items():
+            out[name] = _with_conf(fn)
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for t in DIFF_TABLES:

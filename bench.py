@@ -300,7 +300,11 @@ def main() -> None:
         "dedup_exact": 0.232, "text_quality": 0.331, "knn_bruteforce": 0.536,
     }
     ratios = [times[c] / v for c, v in control_ref.items() if c in times]
-    host_inflation = round(sum(ratios) / len(ratios), 2) if ratios else None
+    # reference minimums are pinned at sf0.1 — at any other SF_DIR the
+    # ratio is meaningless, so emit null rather than a bogus factor
+    host_inflation = (
+        round(sum(ratios) / len(ratios), 2) if ratios and sf == "0.1" else None
+    )
     print(f"# host_inflation vs r2 controls: {host_inflation}", file=sys.stderr)
     print(
         json.dumps(

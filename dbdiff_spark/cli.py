@@ -160,7 +160,12 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.explain!r}; close: {near}")
             return 2
         sf_dir = args.parquet_dir or "/root/testdata/sf0.001"
-        qs[args.explain](spark, sf_dir).explain("formatted")
+        # prefer the lazy plan override for eagerly-materializing
+        # queries — --explain must never execute the workload
+        frames = getattr(entrymod, "explain_frames", dict)()
+        frames.get(args.explain, qs[args.explain])(spark, sf_dir).explain(
+            "formatted"
+        )
         return 0
 
     if args.vacuum:

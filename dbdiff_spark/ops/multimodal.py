@@ -131,24 +131,35 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return w, h, bytes(out)
     if payload[:2] == b"P6":
         # P6 header: magic, whitespace/comment-separated width height
-        # maxval, single whitespace byte, then raw RGB
-        pos, fields = 2, []
+        # maxval, single whitespace byte, then raw RGB.  Every scan
+        # checks end-of-buffer: a truncated header must raise, not spin
+        # (b'' is not whitespace, so an unguarded loop never advances
+        # past it — a single corrupt payload would hang the executor
+        # task instead of failing the row).
+        pos, fields, end = 2, [], len(payload)
         while len(fields) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= end:
+                raise ValueError("truncated PPM header")
             if payload[pos : pos + 1] == b"#":
-                while payload[pos : pos + 1] not in (b"\n", b""):
+                while pos < end and payload[pos : pos + 1] != b"\n":
                     pos += 1
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if start == pos:
+                raise ValueError("malformed PPM header")
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
         if maxval != 255:
             raise NotImplementedError("only 8-bit PPM (maxval 255)")
-        return w, h, payload[pos : pos + 3 * w * h]
+        data = payload[pos : pos + 3 * w * h]
+        if len(data) < 3 * w * h:
+            raise ValueError("truncated PPM pixel data")
+        return w, h, data
     if _HAVE_PIL:  # pragma: no cover - PIL absent in this image
         import io as _io
 
@@ -563,7 +574,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h = IMG_W, IMG_H
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rows_out = []
+        # yield per Arrow batch — accumulating all batches before
+        # yielding would grow executor memory with partition size
         for pdf in it:
             recs = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -581,16 +593,13 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(dw * dh)
                 )
                 recs.append((int(doc_id), dw, dh, r_sum, g_sum, b_sum, pos))
-            rows_out.append(
-                pd.DataFrame(
-                    recs,
-                    columns=[
-                        "doc_id", "width", "height",
-                        "r_sum", "g_sum", "b_sum", "pos_check",
-                    ],
-                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "doc_id", "width", "height",
+                    "r_sum", "g_sum", "b_sum", "pos_check",
+                ],
             )
-        yield from rows_out
 
     return docs.mapInPandas(
         batches,

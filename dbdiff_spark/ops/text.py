@@ -78,7 +78,7 @@ FROM (
   SELECT doc_id, lang,
          CAST(len({_D_TOKENS}) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
-         CAST(list_sum(list_transform({_D_TOKENS}, x -> length(x))) AS BIGINT) AS n_token_chars,
+         CAST(coalesce(list_sum(list_transform({_D_TOKENS}, x -> length(x))), 0) AS BIGINT) AS n_token_chars,
          CAST(len(list_filter({_D_TOKENS}, x -> x IN ({_SW_LIST}))) AS BIGINT) AS stopword_hits
   FROM documents
 )
@@ -347,8 +347,11 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GOPHER_REPETITION_SQL = f"""
 WITH base AS (
+  -- coalesce: list_sum([]) is NULL in DuckDB, but a token-free doc
+  -- must report 0 chars (and keep=true) exactly like the engine
   SELECT doc_id,
-         CAST(list_sum(list_transform({_D_TOKENS}, x -> length(x))) AS BIGINT)
+         CAST(coalesce(list_sum(list_transform({_D_TOKENS}, x -> length(x))),
+                       0) AS BIGINT)
          AS n_token_chars
   FROM documents
 ),

@@ -674,6 +674,18 @@ def _q11_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return values, result
 
 
+def q11_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy distributed Q11 plan for inspection (CLI ``--explain``):
+    the public query materializes eagerly to release its cache, which
+    would both RUN the workload at explain time and show only a
+    LocalTableScan.  Here the persist marker is dropped immediately —
+    no cache lifecycle to manage, and the full distributed plan (two
+    fact scans instead of the cached reuse) is what prints."""
+    values, result = _q11_frames(spark, sf_dir)
+    values.unpersist()
+    return result
+
+
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, result = _q11_frames(spark, sf_dir)
     # Materialize here so the cache can be RELEASED before returning
@@ -953,6 +965,10 @@ ORDER BY numwait DESC, s_name
 LIMIT 100
 """
 
+
+EXPLAIN_FRAMES = {
+    "q11_important_parts": q11_explain_frame,
+}
 
 QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),

@@ -53,7 +53,7 @@ def test_decode_bmp_golden_bytes():
     bug pair cannot cancel.  Exercises bottom-up rows, BGR order, and
     the 2-byte row pad (stride 6→8)."""
     golden = bytes.fromhex(
-        "424d" "46000000" "00000000" "36000000"        # BM, size, offset 54
+        "424d" "3e000000" "00000000" "36000000"        # BM, size 62, offset 54
         "28000000" "02000000" "01000000" "0100" "1800" # DIB: 2×1, 24bpp
         "00000000" "08000000" "130b0000" "130b0000"    # BI_RGB, 8-byte data
         "00000000" "00000000"
@@ -162,3 +162,14 @@ def test_wav_roundtrip_property():
         ) == (rate, 1, samples)
 
     check()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [b"P6", b"P6\n2", b"P6\n# only a comment", b"P6\n2 1", b"P6\n2 1 255"],
+)
+def test_truncated_ppm_raises_not_hangs(payload):
+    """A corrupt/truncated PPM header must fail the row, never spin —
+    end-of-buffer used to read as 'not whitespace' and loop forever."""
+    with pytest.raises((ValueError, NotImplementedError)):
+        multimodal.decode_image(payload)

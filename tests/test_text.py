@@ -64,3 +64,31 @@ def test_vocab_coverage_cut_and_tiebreak(spark, tmp_path):
     # single-token docs: in-vocab ones report 0 OOV, tail ones 1
     assert out[0].n_oov == 0          # z00, rank 1
     assert out[len(rows) - 2].n_oov == 1  # the last z19 doc, past the cut
+
+
+def test_gopher_oracle_matches_engine_on_token_free_docs(spark, tmp_path):
+    """Empty and punctuation-only docs: the engine reports 0 chars /
+    keep=true; the DuckDB twin must agree (list_sum([]) is NULL in
+    DuckDB — regression for the missing coalesce)."""
+    import duckdb
+
+    from dbdiff_spark.ops.text import GOPHER_REPETITION_SQL
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "!!! ... ???"), (2, "real words appear here twice twice")],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    engine = {
+        r.doc_id: (r.n_token_chars, r.keep)
+        for r in gopher_repetition(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    oracle = {
+        row[0]: (row[1], row[7])
+        for row in con.execute(GOPHER_REPETITION_SQL).fetchall()
+    }
+    assert engine == oracle
+    assert engine[0] == (0, True) and engine[1] == (0, True)

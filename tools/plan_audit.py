@@ -129,7 +129,8 @@ def audit_plan(plan: str, simple: str) -> dict[str, object]:
         ),
         "python_nodes": len(
             re.findall(
-                r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas)",
+                r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas"
+                r"|MapInPandas|AggregateInPandas|ArrowAggregatePython)",
                 plan,
             )
         ),
@@ -199,10 +200,12 @@ def main() -> None:
         "`tests/test_bucketed.py`, which asserts the Exchange-free plan).",
         "`q3`/`q5` broadcast their dimension sides.  `mv_maintain_orders`",
         "shuffles only diff rows plus the group-count-sized MV merge.",
-        "Python nodes are expected ONLY in multimodal/stateful-streaming",
-        "queries (here: the mapInPandas islands — multimodal_resize and",
-        "the real-codec multimodal_decode / multimodal_audio_decode — and",
-        "the Arrow-batched chunking UDTF); every other query is JVM-only.",
+        "Python nodes are expected ONLY in multimodal/stateful-streaming/",
+        "UDF-surface queries (here: the mapInPandas islands —",
+        "multimodal_resize and the real-codec multimodal_decode /",
+        "multimodal_audio_decode — the Arrow-batched chunking UDTF, and",
+        "udaf_source_stats' grouped-aggregate pandas UDAF); every other",
+        "query is JVM-only.",
         "`scd2_customer`/`merge3_customer` are the grouped single-exchange",
         "folds (no joins, no windows).  `hll_distinct`'s extra exchanges are",
         "the exact-distinct CALIBRATION column, not the sketch (registers",
