@@ -170,6 +170,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark, sf_dir, "orders", tolerance={"o_totalprice": 100000.0}
         )
     )
+    # audit-churn convention: c_mktsegment changes (custkey%10=4 rows)
+    # are excluded from the comparator — those rows drop out entirely,
+    # while c_acctbal changes still report (and never list the
+    # ignored column in modified_cols)
+    out["diff_customer_ignorecols"] = _with_conf(
+        lambda spark, sf_dir: testkit.diff_query_df(
+            spark, sf_dir, "customer", ignore=["c_mktsegment"]
+        )
+    )
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
     out["merge3_customer"] = _with_conf(testkit.merge3_query_df)
@@ -279,6 +288,9 @@ FROM cls WHERE diff_status <> 'NOT_MODIFIED'
 """
     out["diff_orders_tolerance"] = testkit.diff_oracle_sql(
         "orders", tolerance={"o_totalprice": 100000.0}
+    )
+    out["diff_customer_ignorecols"] = testkit.diff_oracle_sql(
+        "customer", ignore=["c_mktsegment"]
     )
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
     out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()

@@ -111,6 +111,15 @@ def main(argv: list[str] | None = None) -> int:
         "EPS as unchanged (repeatable; typed mode only)",
     )
     parser.add_argument(
+        "--ignore",
+        action="append",
+        default=[],
+        metavar="TABLE.COLUMN",
+        help="exclude TABLE.COLUMN from the comparator entirely — "
+        "audit-churn columns like updated_at (repeatable; the column "
+        "still appears in output rows)",
+    )
+    parser.add_argument(
         "--apply-dir",
         default="",
         help="after each diff, materialize the reconstructed after-state "
@@ -215,6 +224,13 @@ def main(argv: list[str] | None = None) -> int:
     if tolerance and mode is not DiffMode.TYPED:
         print("[Error] --tolerance requires --mode typed")
         return 2
+    ignore: dict[str, list[str]] = {}
+    for spec in args.ignore:
+        table, _, column = spec.partition(".")
+        if not column:
+            print(f"[Error] --ignore needs TABLE.COLUMN, got {spec!r}")
+            return 2
+        ignore.setdefault(table.strip(), []).append(column.strip())
 
     run_root = Path(args.snapshot_dir) / time.strftime("%Y%m%d_%H%M%S")
 
@@ -276,6 +292,7 @@ def main(argv: list[str] | None = None) -> int:
         results = diff_snapshots(
             spark, before, after, mode=mode, incremental=args.incremental,
             where=where or None, tolerance=tolerance or None,
+            ignore=ignore or None,
         )
         print_diffs(results)
         out_name = args.o or default_output_name()

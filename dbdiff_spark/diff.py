@@ -371,6 +371,7 @@ def diff_tables(
     dedup_keys: bool = False,
     null_safe_keys: bool = True,
     tolerance: dict[str, float] | None = None,
+    ignore_columns: list[str] | None = None,
 ) -> DiffResult:
     """Diff two snapshots of one table, keyed on ``key_cols``.
 
@@ -381,6 +382,15 @@ def diff_tables(
     Null-vs-null stays unchanged, null-vs-value stays a change.  TYPED
     mode only: STRING mode compares renderings, where numeric closeness
     is meaningless.
+
+    ``ignore_columns`` excludes non-key columns from the comparator
+    entirely (the audit-churn convention: ``updated_at``/``etl_batch``
+    columns change on every rewrite without meaning anything).  Ignored
+    columns still appear in the OUTPUT rows — consumers see the
+    values — but never in ``modified_columns``, and a row differing
+    only in ignored columns is NOT_MODIFIED (dropped).  Under schema
+    drift the reference's all-modified semantics win (every column
+    marked, ignored or not).
 
     Returns a DataFrame with schema
     ``diff_status string, is_before boolean, modified_columns
@@ -418,6 +428,14 @@ def diff_tables(
                 )
             if eps < 0:
                 raise ValueError(f"tolerance for {c!r} must be >= 0")
+    if ignore_columns:
+        for c in ignore_columns:
+            if c in key_cols:
+                raise ValueError(f"ignore column {c!r} cannot be a key column")
+            if c not in before.columns and c not in after.columns:
+                raise ValueError(f"ignore column {c!r} missing from both sides")
+            if tolerance and c in tolerance:
+                raise ValueError(f"column {c!r} cannot be both ignored and toleranced")
     # diffing a table that carries the diff's OWN column names (e.g. an
     # audit table a sink wrote back into the source DB) must not clash
     # with the classification columns this function appends
@@ -426,6 +444,8 @@ def diff_tables(
     )
     if tolerance and _renamed:
         tolerance = {_renamed.get(c, c): eps for c, eps in tolerance.items()}
+    if ignore_columns and _renamed:
+        ignore_columns = [_renamed.get(c, c) for c in ignore_columns]
     if mode == DiffMode.TYPED:
         # Join/group/dedup on an unorderable KEY type is unsupported by
         # Spark itself (maps cannot be hashed or compared); STRING mode
@@ -468,6 +488,7 @@ def diff_tables(
             null_safe_keys
             and not include_unchanged
             and not tolerance  # grouped comparator is exact-equality only
+            and not ignore_columns  # grouped comparator compares every column
             and types_agree
             and set(key_cols) != set(before.columns)
             and all(
@@ -568,11 +589,11 @@ def diff_tables(
             return ~((bc.isNull() & ac.isNull()) | close)
         return ~cmp_col("b", c).eqNullSafe(cmp_col("a", c))
 
-    value_compares = [
-        col_changed(c)
-        for c in common_cols
-        if c not in key_cols  # keys matched null-safely ⇒ never modified
-    ]
+    # keys matched null-safely ⇒ never modified; ignored columns are
+    # excluded from the comparator entirely (output still carries them)
+    _skip = set(key_cols) | set(ignore_columns or [])
+    compared_cols = [c for c in common_cols if c not in _skip]
+    value_compares = [col_changed(c) for c in compared_cols]
 
     if not include_unchanged and not schema_drift:
         # Drop the unchanged majority (at scale, nearly every matched
@@ -602,9 +623,7 @@ def diff_tables(
     else:
         per_col = [
             F.when(cmp, F.lit(c))
-            for cmp, c in zip(
-                value_compares, [c for c in common_cols if c not in key_cols]
-            )
+            for cmp, c in zip(value_compares, compared_cols)
         ]
         changed_array = (
             F.array_compact(F.array(*per_col)) if per_col else F.array().cast("array<string>")

@@ -447,12 +447,17 @@ def diff_snapshots(
     incremental: bool = False,
     where: dict[str, str] | None = None,
     tolerance: dict[str, dict[str, float]] | None = None,
+    ignore: dict[str, list[str]] | None = None,
 ) -> dict[str, DiffResult]:
     """Diff every table across two snapshots.
 
     ``tolerance`` maps table name → {column: absolute epsilon}; see
     :func:`dbdiff_spark.diff.diff_tables` (TYPED mode only — matched
     values within the epsilon count as unchanged).
+
+    ``ignore`` maps table name → columns excluded from the comparator
+    (audit-churn columns like ``updated_at``); see
+    :func:`dbdiff_spark.diff.diff_tables` ``ignore_columns``.
 
     ``where`` maps table name → SQL predicate applied to BOTH sides
     before diffing — the scoped diff ("only partition dt=X", "only this
@@ -517,6 +522,20 @@ def diff_snapshots(
                 b = b.filter(where[name])
                 a = a.filter(where[name])
             key = after.keys.get(name) or before.keys.get(name) or a.columns
+            # declared-PK status is judged on the ORIGINAL key: a no-PK
+            # fallback key reduced by --ignore below must keep null-safe
+            # join semantics (its NULLs are data, not PK values)
+            is_declared_pk = set(key) != set(a.columns)
+            tbl_ignore = ignore.get(name) if ignore else None
+            if tbl_ignore and not is_declared_pk:
+                # all-columns fallback key: "this column is churn" also
+                # means "it is not part of row identity" — drop it from
+                # the derived key so the remaining columns identify rows
+                key = [k for k in key if k not in set(tbl_ignore)]
+                if not key:
+                    raise ValueError(
+                        f"table {name!r}: ignoring every column leaves no key"
+                    )
             if incremental:
                 bh = before.group_hashes.get(name)
                 ah = after.group_hashes.get(name)
@@ -551,7 +570,6 @@ def diff_snapshots(
                         cond = F.lit(False)
                     b, a = b.filter(cond), a.filter(cond)
             # all-columns fallback keys treat NULLs as data → always null-safe
-            is_declared_pk = set(key) != set(a.columns)
             results[name] = diff_tables(
                 b,
                 a,
@@ -560,6 +578,7 @@ def diff_snapshots(
                 dedup_keys=True,
                 null_safe_keys=not (assume_keys_not_null and is_declared_pk),
                 tolerance=tolerance.get(name) if tolerance else None,
+                ignore_columns=tbl_ignore,
             )
         elif name in before.tables:  # dropped: every row DELETED
             b = before.load(spark, name)

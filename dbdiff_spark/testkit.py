@@ -221,6 +221,7 @@ def diff_query_df(
     table: str,
     mode: DiffMode = DiffMode.TYPED,
     tolerance: dict[str, float] | None = None,
+    ignore: list[str] | None = None,
 ) -> DataFrame:
     """The engine-side diff query the driver compares against the oracle:
     diff of (base, mutate(base)) with oracle-friendly output (modified
@@ -233,7 +234,10 @@ def diff_query_df(
     spec, mut = SPECS[table], MUTATIONS[table]
     base = prep(load_table(spark, sf_dir, table), spec)
     after = apply_mutation(base, spec, mut)
-    res = diff_tables(base, after, list(spec.key), mode=mode, tolerance=tolerance)
+    res = diff_tables(
+        base, after, list(spec.key), mode=mode, tolerance=tolerance,
+        ignore_columns=ignore,
+    )
     return res.df.select(
         F.col("diff_status"),
         F.col("is_before"),
@@ -438,7 +442,10 @@ def _after_sql(spec: TableSpec, mut: Mutation, src: str = "before") -> str:
 
 
 def diff_oracle_sql(
-    table: str, stringify: bool = False, tolerance: dict[str, float] | None = None
+    table: str,
+    stringify: bool = False,
+    tolerance: dict[str, float] | None = None,
+    ignore: list[str] | None = None,
 ) -> str:
     """ANSI-SQL twin of :func:`diff_query_df` for DuckDB.
 
@@ -452,7 +459,11 @@ def diff_oracle_sql(
     cast every column to VARCHAR *after* mutation, before the join.
     """
     spec, mut = SPECS[table], MUTATIONS[table]
-    nonkey = [c for c in spec.cols if c not in spec.key]
+    # ignored columns leave the comparator but stay in the output —
+    # mirrors diff_tables(ignore_columns=...)
+    nonkey = [
+        c for c in spec.cols if c not in spec.key and c not in (ignore or [])
+    ]
     key_cond = " AND ".join(f'b."{k}" IS NOT DISTINCT FROM a."{k}"' for k in spec.key)
     b_cols = ", ".join(f'b."{c}" AS "b_{c}"' for c in spec.cols)
     a_cols = ", ".join(f'a."{c}" AS "a_{c}"' for c in spec.cols)

@@ -217,3 +217,53 @@ def test_cli_malformed_tolerance_eps_is_clean_error(spark, tmp_path, capsys):
     )
     assert rc == 2
     assert "[Error]" in capsys.readouterr().out
+
+
+def test_cli_ignore_column_masks_churn(spark, tmp_path, monkeypatch, capsys):
+    """--ignore TABLE.COLUMN: a change confined to the ignored column
+    is not reported; a change elsewhere still is (and never lists the
+    ignored column)."""
+    import io as _io
+
+    from dbdiff_spark import cli
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", "t0"), (2, "b", "t0")], "id int, v string, upd string"
+    ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+
+    real_stdin = _io.StringIO("\nq\n")
+
+    def mutate_then_readline():
+        spark.createDataFrame(
+            [(1, "a", "t9"), (2, "B", "t9")], "id int, v string, upd string"
+        ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", _io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", mutate_then_readline)
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--ignore", "t1.upd",
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    # id=2's v change reported; id=1 (upd-only churn) absent.  With no
+    # declared PK the derived key (all columns minus ignored) includes
+    # v, so the change reads as identity change: DELETED + INSERTED.
+    assert "[v:B]" in text
+    assert "DELETED" in text and "INSERTED" in text
+    assert "[id:1]" not in text
+
+    rc = cli.main(
+        ["--parquet-dir", str(src), "--snapshot-dir", str(tmp_path / "s2"),
+         "--ignore", "badspec"]
+    )
+    assert rc == 2
+    assert "[Error]" in capsys.readouterr().out

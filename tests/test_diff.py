@@ -442,3 +442,42 @@ def test_diff_multiset_with_reserved_column_names(spark):
     assert {"n_rows__data", "diff_status__data"} <= set(out.columns)
     got = {(r["diff_status__data"], r["diff_status"]) for r in out.collect()}
     assert got == {("x", "DELETED"), ("y", "INSERTED")}
+
+
+def test_ignore_columns_masks_churn_only(spark):
+    """ignore_columns: a row differing ONLY in an ignored column is
+    NOT_MODIFIED (dropped); mixed changes report only the compared
+    column; output rows still carry the ignored column's values."""
+    before = spark.createDataFrame(
+        [(1, "a", "t0"), (2, "b", "t0"), (3, "c", "t0")],
+        "id int, v string, updated_at string",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", "t1"), (2, "B", "t1"), (3, "c", "t0")],
+        "id int, v string, updated_at string",
+    )
+    res = diff_tables(
+        before, after, ["id"], mode=DiffMode.TYPED,
+        ignore_columns=["updated_at"],
+    ).df
+    rows = sorted(res.collect(), key=lambda r: (r["id"], not r["is_before"]))
+    # only id=2 (v changed) appears; id=1 (updated_at-only churn) is out
+    assert [r["id"] for r in rows] == [2, 2]
+    assert all(r["modified_columns"] == ["v"] for r in rows)
+    # output still carries the ignored column's side values
+    assert [r["updated_at"] for r in rows] == ["t0", "t1"]
+
+
+def test_ignore_columns_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0, "x")], "id int, v double, u string")
+    with pytest.raises(ValueError, match="key column"):
+        diff_tables(df, df, ["id"], ignore_columns=["id"])
+    with pytest.raises(ValueError, match="missing from both"):
+        diff_tables(df, df, ["id"], ignore_columns=["nope"])
+    with pytest.raises(ValueError, match="both ignored and toleranced"):
+        diff_tables(
+            df, df, ["id"], mode=DiffMode.TYPED,
+            tolerance={"v": 0.1}, ignore_columns=["v"],
+        )

@@ -241,3 +241,18 @@ def test_diff_estimate_samples_before_classification(spark, sf_dir):
     # both side scans feed through a Filter containing the hash threshold
     assert plan.count("17592186044416") >= 2
     assert "Union" in plan and "FullOuter" not in plan
+
+
+def test_explain_frames_are_lazy_and_distributed(spark, sf_dir):
+    """The --explain override for eagerly-materializing queries must
+    (a) expose the DISTRIBUTED plan (parquet scans, not a local
+    result) and (b) not leave a cache behind (review regression:
+    --explain used to execute q11 and print a LocalTableScan)."""
+    frames = entry.explain_frames()
+    assert "q11_important_parts" in frames
+    jsc = spark.sparkContext._jsc  # type: ignore[attr-defined]
+    before_n = jsc.getPersistentRDDs().size()
+    df = frames["q11_important_parts"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan and "LocalTableScan" not in plan
+    assert jsc.getPersistentRDDs().size() <= before_n
