@@ -214,3 +214,40 @@ def test_tolerance_laws_on_any_numeric_mutation(spark, plan):
         k for k, d in deltas.items() if abs((float(k) + d) - float(k)) > eps
     }
     assert flagged(eps) == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=numeric_mutation())
+def test_ignore_column_law(spark, plan):
+    """Law: the flagged key set under ignore_columns=[c] equals the
+    flagged key set of the diff with column c projected away entirely —
+    ignoring is exactly 'the comparator never saw it' (outputs aside)."""
+    keys, deltas, _eps = plan
+    before = spark.createDataFrame(
+        [(k, float(k), str(k % 3)) for k in keys], "id int, v double, churn string"
+    )
+    after = spark.createDataFrame(
+        [(k, float(k) + deltas.get(k, 0.0), str((k + 1) % 3)) for k in keys],
+        "id int, v double, churn string",
+    )
+
+    def flagged(df):
+        return {r["id"] for r in df.filter("is_before").collect()}
+
+    with_ignore = flagged(
+        diff_tables(
+            before, after, ["id"], mode=DiffMode.TYPED,
+            ignore_columns=["churn"],
+        ).df
+    )
+    projected = flagged(
+        diff_tables(
+            before.drop("churn"), after.drop("churn"), ["id"],
+            mode=DiffMode.TYPED,
+        ).df
+    )
+    assert with_ignore == projected
