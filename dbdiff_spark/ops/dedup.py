@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from dbdiff_spark.io import cut_lineage, load_table, spread
 from dbdiff_spark.ops.text import (
     _D_TOKENS,
+    _SPLIT_CASE,
     _TOKENS,
     shingles_expr_duck,
     shingles_expr_spark,
@@ -989,6 +990,91 @@ LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
 DEDUP_INGEST_SQL = _ingest_sql()
 
 
+# --- leakage-safe train/val/test split ---------------------------------------
+#
+# Per-document hash splits (text.train_val_split) leak: a near-dup pair
+# straddling train and val lets the model "see" eval content — the
+# classic contamination bug benchmark papers keep re-finding.  The fix
+# is split-by-CLUSTER: every document inherits its connected-component
+# id from the near-dup graph (its own id when unpaired), and the split
+# hash is taken over that GROUP id, so entire dup clusters land in one
+# split by construction.  Same 80/10/10 thresholds as the per-doc
+# split.  Shape at scale: the CC labels are the neardup_clusters
+# output (bounded iterative propagation), one keyed left join to
+# attach them, then a map-side-combinable aggregate.
+
+
+def _split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (doc_id, group_id, split) over the near-dup corpus —
+    the testable inner frame (no cluster may span two splits)."""
+    clusters = neardup_clusters(spark, sf_dir)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = ids.unionByName(
+        ids.selectExpr(f"doc_id + {NEARDUP_OFFSET} AS doc_id")
+    )
+    return (
+        corpus_ids.join(clusters, "doc_id", "left")
+        .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS group_id")
+        .selectExpr(
+            "doc_id",
+            "group_id",
+            "CAST(conv(substr(md5(concat('split:', CAST(group_id AS STRING))),"
+            " 1, 4), 16, 10) AS BIGINT) AS split_bucket",
+        )
+        .selectExpr("doc_id", "group_id", f"{_SPLIT_CASE} AS split")
+    )
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _split_assignments(spark, sf_dir)
+        .groupBy("split")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
+            F.expr("CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY a
+),
+corpus_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {NEARDUP_OFFSET} AS doc_id FROM documents
+),
+g AS (
+  SELECT c.doc_id, coalesce(cl.cluster_id, c.doc_id) AS group_id
+  FROM corpus_ids c LEFT JOIN clusters cl ON c.doc_id = cl.doc_id
+),
+a AS (
+  SELECT doc_id, group_id,
+         ('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 4))::BIGINT
+         AS split_bucket
+  FROM g
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+FROM (SELECT *, {_SPLIT_CASE} AS split FROM a)
+GROUP BY split ORDER BY split
+"""
+
+
 # --- cross-source duplication matrix -----------------------------------------
 #
 # Which sources copy from which: the LSH candidate pairs rolled up to an
@@ -1056,4 +1142,5 @@ QUERIES = {
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "cross_source_dup_matrix": (cross_source_dup_matrix, CROSS_SOURCE_DUP_SQL),
+    "leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
 }

@@ -218,3 +218,25 @@ def test_lsh_ingest_assigns_variants_to_their_originals(spark, sf_dir):
         and r.n_shared_bands == N_BANDS
         for r in self_assign
     )
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
+    """The whole point: every near-dup cluster lands in exactly one
+    split — no LSH candidate pair may straddle train/val/test — and
+    every corpus doc is assigned exactly once."""
+    from dbdiff_spark.ops.dedup import _split_assignments, dedup_minhash_lsh
+
+    assigned = _split_assignments(spark, sf_dir)
+    rows = assigned.collect()
+    by_doc = {r.doc_id: r.split for r in rows}
+    assert len(by_doc) == len(rows)  # one assignment per doc
+    # no group spans two splits
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r.group_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values())
+    # stronger: every candidate PAIR agrees (pairs ⊆ clusters)
+    for p in dedup_minhash_lsh(spark, sf_dir).collect():
+        assert by_doc[p.id_a] == by_doc[p.id_b], (p.id_a, p.id_b)
+    # all three splits materialize at fixture scale
+    assert {r.split for r in rows} == {"train", "val", "test"}
