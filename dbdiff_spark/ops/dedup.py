@@ -37,6 +37,8 @@ from dbdiff_spark.ops.text import (
     _TOKENS,
     shingles_expr_duck,
     shingles_expr_spark,
+    split_bucket_duck,
+    split_bucket_spark,
 )
 
 N_HASHES = 8
@@ -438,9 +440,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
-edges AS (
+# The recursive transitive-closure clustering CTEs, shared by every
+# oracle that needs CC labels (NEARDUP_CLUSTERS_SQL and the
+# leakage-safe split) — one definition so the closure shape can never
+# de-synchronize between them.  Expects a preceding `pairs` CTE.
+_CC_CLUSTERS_CTES = """edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
   SELECT id_b AS a, id_a AS b FROM pairs
@@ -449,10 +453,17 @@ reach(a, b) AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
-FROM reach
-GROUP BY a
+),
+clusters AS (
+  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
+  FROM reach
+  GROUP BY a
+)"""
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
+{_CC_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -1004,10 +1015,13 @@ DEDUP_INGEST_SQL = _ingest_sql()
 # attach them, then a map-side-combinable aggregate.
 
 
-def _split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _split_assignments(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """Per-doc (doc_id, group_id, split) over the near-dup corpus —
     the testable inner frame (no cluster may span two splits)."""
-    clusters = neardup_clusters(spark, sf_dir)
+    if clusters is None:
+        clusters = neardup_clusters(spark, sf_dir)
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     corpus_ids = ids.unionByName(
         ids.selectExpr(f"doc_id + {NEARDUP_OFFSET} AS doc_id")
@@ -1018,17 +1032,15 @@ def _split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "doc_id",
             "group_id",
-            "CAST(conv(substr(md5(concat('split:', CAST(group_id AS STRING))),"
-            " 1, 4), 16, 10) AS BIGINT) AS split_bucket",
+            f"{split_bucket_spark('group_id')} AS split_bucket",
         )
         .selectExpr("doc_id", "group_id", f"{_SPLIT_CASE} AS split")
     )
 
 
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _leakage_agg(assignments: DataFrame) -> DataFrame:
     return (
-        _split_assignments(spark, sf_dir)
-        .groupBy("split")
+        assignments.groupBy("split")
         .agg(
             F.expr("CAST(count(*) AS BIGINT) AS n_docs"),
             F.expr("CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups"),
@@ -1037,22 +1049,49 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _leakage_agg(_split_assignments(spark, sf_dir))
+
+
+def _clusters_one_round_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE propagation round of the CC labeling as a fully LAZY frame —
+    the per-round plan shape, for --explain.  The converged operators
+    (neardup_clusters and its consumers) run driver actions per round
+    at construction time, so inspecting their plan would execute the
+    workload; every round has this same shape, so one round is the
+    honest plan to print."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    nbr_min = (
+        edges.join(labels, edges.src == labels.doc_id)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("label").alias("nbr_label"))
+    )
+    return labels.join(nbr_min, "doc_id", "left").selectExpr(
+        "doc_id", "least(label, coalesce(nbr_label, label)) AS cluster_id"
+    )
+
+
+EXPLAIN_FRAMES = {
+    "neardup_clusters": _clusters_one_round_lazy,
+    "leakage_safe_split": lambda spark, sf_dir: _leakage_agg(
+        _split_assignments(
+            spark, sf_dir, clusters=_clusters_one_round_lazy(spark, sf_dir)
+        )
+    ),
+}
+
+
 LEAKAGE_SAFE_SPLIT_SQL = f"""
 WITH RECURSIVE pairs AS ({_lsh_pairs_sql()}),
-edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b AS a, id_a AS b FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-),
-clusters AS (
-  SELECT a AS doc_id, CAST(least(a, min(b)) AS BIGINT) AS cluster_id
-  FROM reach GROUP BY a
-),
+{_CC_CLUSTERS_CTES},
 corpus_ids AS (
   SELECT doc_id FROM documents
   UNION ALL
@@ -1064,8 +1103,7 @@ g AS (
 ),
 a AS (
   SELECT doc_id, group_id,
-         ('0x' || substr(md5('split:' || CAST(group_id AS VARCHAR)), 1, 4))::BIGINT
-         AS split_bucket
+         {split_bucket_duck('group_id')} AS split_bucket
   FROM g
 )
 SELECT split, CAST(count(*) AS BIGINT) AS n_docs,

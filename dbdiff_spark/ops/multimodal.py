@@ -154,6 +154,11 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
             fields.append(int(payload[start:pos]))
         pos += 1  # the single whitespace after maxval
         w, h, maxval = fields
+        if w <= 0 or h <= 0:
+            # int() accepts a leading '-', so corrupt headers can parse
+            # to negative dims; a negative 3*w*h would also defeat the
+            # truncation check below (0 < negative is False)
+            raise ValueError(f"malformed PPM dimensions {w}x{h}")
         if maxval != 255:
             raise NotImplementedError("only 8-bit PPM (maxval 255)")
         data = payload[pos : pos + 3 * w * h]

@@ -643,6 +643,25 @@ _SPLIT_CASE = (
 )
 
 
+def split_bucket_spark(id_expr: str) -> str:
+    """Deterministic 16-bit split bucket from an id — the ONE salt/hash
+    both engines and every split-family op (per-doc and leakage-safe
+    per-cluster) must share; edit here, never inline."""
+    return (
+        "CAST(conv(substr(md5(concat('split:', CAST("
+        + id_expr
+        + " AS STRING))), 1, 4), 16, 10) AS BIGINT)"
+    )
+
+
+def split_bucket_duck(id_expr: str) -> str:
+    return (
+        "('0x' || substr(md5('split:' || CAST("
+        + id_expr
+        + " AS VARCHAR)), 1, 4))::BIGINT"
+    )
+
+
 def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment per document.
     Pure per-row projection — no shuffle, no RNG, reproducible on any
@@ -651,8 +670,7 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.selectExpr(
         "doc_id",
         "lang",
-        "CAST(conv(substr(md5(concat('split:', CAST(doc_id AS STRING))), 1, 4), 16, 10)"
-        " AS BIGINT) AS split_bucket",
+        f"{split_bucket_spark('doc_id')} AS split_bucket",
     ).selectExpr("doc_id", "lang", "split_bucket", f"{_SPLIT_CASE} AS split")
 
 
@@ -660,7 +678,7 @@ TRAIN_VAL_SPLIT_SQL = f"""
 SELECT doc_id, lang, split_bucket, {_SPLIT_CASE} AS split
 FROM (
   SELECT doc_id, lang,
-         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS split_bucket
+         {split_bucket_duck('doc_id')} AS split_bucket
   FROM documents
 )
 """

@@ -527,15 +527,6 @@ def diff_snapshots(
             # join semantics (its NULLs are data, not PK values)
             is_declared_pk = set(key) != set(a.columns)
             tbl_ignore = ignore.get(name) if ignore else None
-            if tbl_ignore and not is_declared_pk:
-                # all-columns fallback key: "this column is churn" also
-                # means "it is not part of row identity" — drop it from
-                # the derived key so the remaining columns identify rows
-                key = [k for k in key if k not in set(tbl_ignore)]
-                if not key:
-                    raise ValueError(
-                        f"table {name!r}: ignoring every column leaves no key"
-                    )
             if incremental:
                 bh = before.group_hashes.get(name)
                 ah = after.group_hashes.get(name)
@@ -569,6 +560,21 @@ def diff_snapshots(
                     else:
                         cond = F.lit(False)
                     b, a = b.filter(cond), a.filter(cond)
+            if tbl_ignore and not is_declared_pk:
+                # all-columns fallback key: "this column is churn" also
+                # means "it is not part of row identity" — drop it from
+                # the derived key so the remaining columns identify rows.
+                # MUST happen AFTER the incremental filter above: the
+                # manifest fingerprints were computed over the FULL key,
+                # so the group filter has to hash with that same key — a
+                # reduced-key _group_expr would live in a different hash
+                # domain and silently drop genuinely changed rows (the
+                # exact mismatch the mod check above guards against).
+                key = [k for k in key if k not in set(tbl_ignore)]
+                if not key:
+                    raise ValueError(
+                        f"table {name!r}: ignoring every column leaves no key"
+                    )
             # all-columns fallback keys treat NULLs as data → always null-safe
             results[name] = diff_tables(
                 b,

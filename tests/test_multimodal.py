@@ -166,7 +166,10 @@ def test_wav_roundtrip_property():
 
 @pytest.mark.parametrize(
     "payload",
-    [b"P6", b"P6\n2", b"P6\n# only a comment", b"P6\n2 1", b"P6\n2 1 255"],
+    [
+        b"P6", b"P6\n2", b"P6\n# only a comment", b"P6\n2 1", b"P6\n2 1 255",
+        b"P6\n2 -1 255\n" + bytes(6),  # negative dims parse via int('-1')
+    ],
 )
 def test_truncated_ppm_raises_not_hangs(payload):
     """A corrupt/truncated PPM header must fail the row, never spin —

@@ -674,3 +674,35 @@ def test_partitioned_snapshot_scoped_diff_prunes_partitions(spark, tmp_path):
     m = re.findall(r"partitionFilters=\[[^\]]*\]", plan)
     scans = [l for l in plan.splitlines() if "FileScan" in l]
     assert all("dt = d2" in s or "(dt#" in s or "equal" in s.lower() for s in scans) or m, plan
+
+
+def test_incremental_ignore_no_pk_keeps_full_key_group_filter(spark, tmp_path):
+    """Regression (r4 review): with --ignore on a no-PK table under
+    incremental diff, the changed-group filter must hash with the FULL
+    all-columns key the manifest fingerprints were computed over — the
+    ignore-reduced key lives in a different hash domain and silently
+    dropped genuinely changed rows."""
+    store = SnapshotStore(spark)
+    cols = ["id", "v", "upd"]
+    t1 = spark.createDataFrame(
+        [(i, f"v{i}", "t0") for i in range(50)], "id int, v string, upd string"
+    )
+    s1 = store.collect(
+        {"t": t1}, {"t": cols}, str(tmp_path / "s1"), track_changes=True
+    )
+    # ONE real change (id=7's v) and no churn — so only that row's
+    # full-key groups are flagged; a reduced-key hash would miss them
+    t2 = spark.createDataFrame(
+        [(i, "CHANGED" if i == 7 else f"v{i}", "t0") for i in range(50)],
+        "id int, v string, upd string",
+    )
+    s2 = store.collect(
+        {"t": t2}, {"t": cols}, str(tmp_path / "s2"), track_changes=True
+    )
+    res = diff_snapshots(
+        spark, s1, s2, mode=DiffMode.TYPED, incremental=True,
+        ignore={"t": ["upd"]},
+    )["t"].df
+    got = {(r["diff_status"], r["v"]) for r in res.collect()}
+    assert (DELETED, "v7") in got and (INSERTED, "CHANGED") in got
+    assert len(got) == 2  # nothing else surfaced

@@ -132,8 +132,13 @@ def main(names: list[str], sf_dir: str = SF_DIR, spark=None, jobs: int = 1) -> i
                 if not ok:
                     failures.append(futs[fut])
     else:
+        # per-worker connections exist only for thread safety; the
+        # sequential path registers the views once and reuses
+        con = make_con()
         for name in names:
-            ok, report = _check_one(name, qs, oracles, sf_dir, spark, make_con)
+            ok, report = _check_one(
+                name, qs, oracles, sf_dir, spark, lambda: con
+            )
             print(report)
             if not ok:
                 failures.append(name)
