@@ -1113,6 +1113,108 @@ GROUP BY split ORDER BY split
 """
 
 
+# --- contrastive pair mining -------------------------------------------------
+#
+# Training pairs for embedding-model finetuning, mined from the dedup
+# graph: POSITIVES are the LSH candidate pairs (near-duplicates — the
+# classic self-supervised positive), NEGATIVES a deterministic
+# bucket-representative document, validity-checked relationally: the
+# negative must differ from both pair members AND must not itself be an
+# LSH candidate of either (two anti-joins against the pair set — no
+# connected-components pass, the whole query stays lazy).  Pairs whose
+# assigned negative fails validation are dropped rather than repaired
+# (a probe-chain repair would complicate the oracle for a <2% tail).
+#
+# Scale shape: bucket representatives are an NB-row aggregate
+# (broadcast); the negative assignment is a map-side md5; the
+# validity checks are keyed anti-joins on the (bounded) pair set.
+
+NEG_BUCKETS = 64
+
+
+def _neg_bucket(engine: str, *id_exprs: str) -> str:
+    """16-bit md5 bucket over the pair ids — cross-engine exact (the
+    split-bucket idiom with its own salt)."""
+    concat = (
+        "concat('neg:', " + ", ':', ".join(f"CAST({e} AS STRING)" for e in id_exprs) + ")"
+        if engine == "spark"
+        else "'neg:' || " + " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in id_exprs)
+    )
+    if engine == "spark":
+        return (
+            f"CAST(conv(substr(md5({concat}), 1, 4), 16, 10) AS BIGINT)"
+            f" % {NEG_BUCKETS}"
+        )
+    return f"(('0x' || substr(md5({concat}), 1, 4))::BIGINT) % {NEG_BUCKETS}"
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = ids.unionByName(
+        ids.selectExpr(f"doc_id + {NEARDUP_OFFSET} AS doc_id")
+    )
+    reps = (
+        corpus_ids.selectExpr(
+            "doc_id", f"{_neg_bucket('spark', 'doc_id')} AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.expr("CAST(min(doc_id) AS BIGINT) AS neg_id"))
+    )
+    cand = pairs.selectExpr(
+        "id_a AS anchor",
+        "id_b AS positive",
+        f"{_neg_bucket('spark', 'id_a', 'id_b')} AS bucket",
+    ).join(F.broadcast(reps), "bucket")
+    valid = cand.filter("neg_id <> anchor AND neg_id <> positive")
+    # the negative must not be an LSH candidate of either pair member
+    p = pairs
+    for side in ("anchor", "positive"):
+        valid = valid.join(
+            p,
+            (F.expr(f"least({side}, neg_id)") == p.id_a)
+            & (F.expr(f"greatest({side}, neg_id)") == p.id_b),
+            "left_anti",
+        )
+    return valid.select("anchor", "positive", "neg_id").orderBy(
+        "anchor", "positive"
+    )
+
+
+CONTRASTIVE_PAIRS_SQL = f"""
+WITH pairs AS ({_lsh_pairs_sql()}),
+corpus_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + {NEARDUP_OFFSET} AS doc_id FROM documents
+),
+reps AS (
+  SELECT {_neg_bucket('duck', 'doc_id')} AS bucket,
+         CAST(min(doc_id) AS BIGINT) AS neg_id
+  FROM corpus_ids GROUP BY 1
+),
+cand AS (
+  SELECT id_a AS anchor, id_b AS positive, r.neg_id
+  FROM pairs p
+  JOIN reps r ON {_neg_bucket('duck', 'p.id_a', 'p.id_b')} = r.bucket
+  WHERE r.neg_id <> p.id_a AND r.neg_id <> p.id_b
+)
+SELECT anchor, positive, neg_id
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs q
+  WHERE q.id_a = least(c.anchor, c.neg_id)
+    AND q.id_b = greatest(c.anchor, c.neg_id)
+)
+AND NOT EXISTS (
+  SELECT 1 FROM pairs q
+  WHERE q.id_a = least(c.positive, c.neg_id)
+    AND q.id_b = greatest(c.positive, c.neg_id)
+)
+ORDER BY anchor, positive
+"""
+
+
 # --- cross-source duplication matrix -----------------------------------------
 #
 # Which sources copy from which: the LSH candidate pairs rolled up to an
@@ -1181,4 +1283,5 @@ QUERIES = {
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "cross_source_dup_matrix": (cross_source_dup_matrix, CROSS_SOURCE_DUP_SQL),
     "leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
+    "contrastive_pairs": (contrastive_pairs, CONTRASTIVE_PAIRS_SQL),
 }

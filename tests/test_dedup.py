@@ -240,3 +240,20 @@ def test_leakage_safe_split_never_straddles_clusters(spark, sf_dir):
         assert by_doc[p.id_a] == by_doc[p.id_b], (p.id_a, p.id_b)
     # all three splits materialize at fixture scale
     assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_contrastive_pairs_negatives_are_verified(spark, sf_dir):
+    """Every mined triple: anchor<positive (an LSH candidate pair), the
+    negative differs from both and is NOT an LSH candidate of either;
+    validation drops only a small tail of the pair set."""
+    from dbdiff_spark.ops.dedup import contrastive_pairs, dedup_minhash_lsh
+
+    pair_set = {(p.id_a, p.id_b) for p in dedup_minhash_lsh(spark, sf_dir).collect()}
+    triples = contrastive_pairs(spark, sf_dir).collect()
+    assert len(triples) > 0.8 * len(pair_set)  # small dropped tail only
+    for t in triples:
+        assert (t.anchor, t.positive) in pair_set
+        assert t.neg_id not in (t.anchor, t.positive)
+        for side in (t.anchor, t.positive):
+            lo, hi = min(side, t.neg_id), max(side, t.neg_id)
+            assert (lo, hi) not in pair_set
