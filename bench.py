@@ -107,6 +107,9 @@ HEADLINE = [
     "prepare_corpus_funnel",
     "gopher_repetition",
     "multimodal_decode",
+    "hybrid_retrieval_rrf",
+    "bpe_pair_stats",
+    "pmi_collocations",
 ]
 
 

@@ -1,0 +1,288 @@
+"""Retrieval-composition operators — the RAG-side queries a training/
+serving pipeline runs on top of the index tiers that already exist in
+this engine (BM25 lexical scoring in ``ops.text``, cosine vector search
+in ``ops.similarity``):
+
+* ``hybrid_retrieval_rrf`` — reciprocal-rank fusion of the BM25 top-k
+  and the embedding-cosine top-k for a fixed probe.  RRF (Cormack et
+  al., SIGIR 2009) needs only the two rank lists, so the fusion step is
+  a full outer join of two ≤k-row frames — broadcast-sized at ANY
+  corpus scale; all the heavy lifting stays in the two branch top-ks,
+  each of which Spark plans as TakeOrdered (per-partition heaps, driver
+  merge of k rows — no global sort, no single-partition window).
+* ``bpe_pair_stats`` — the inner loop of byte-pair-encoding tokenizer
+  training: corpus-wide counts of adjacent symbol pairs inside tokens,
+  ranked to surface the next merge candidates.  One corpus scan, one
+  map-side-combinable grouped count on the pair key, TakeOrdered top-k.
+  (Real BPE training repeats exactly this aggregate over a
+  re-segmented corpus; each iteration is this query's shape.)
+* ``pmi_collocations`` — collocation mining: adjacent-token bigrams
+  ranked by a PMI lift surrogate ``N·c(ab) / (c(a)·c(b))``.  The log is
+  deliberately omitted (libm last-ulp divergence would break the
+  bit-exact oracle — the engine-wide BM25 precedent, ``text.py``); the
+  surrogate is a strictly monotone transform of PMI, so the ranking is
+  identical.  Scores quantize to integer ppm before comparison.
+
+Exactness: every score column is either an integer count or a ppm
+quantization of a fixed textual double expression (each arithmetic step
+a correctly-rounded IEEE op, identical in both engines).  Ties break on
+the natural key.
+
+Reference parity note: the reference tool (jparound30/dbdiff) has no
+retrieval tier; these operators belong to the mandated LLM-data-
+pipeline extension surface (dedup/similarity/text analysis), composing
+the same document/embedding tables as ``ops.text`` / ``ops.similarity``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dbdiff_spark.io import load_table
+from dbdiff_spark.ops.similarity import _dot_duck, _dot_spark, _vectors, _VECTORS_SQL
+from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS, bm25_rank, BM25_RANK_SQL
+
+RRF_K = 60  # the standard RRF dampening constant (Cormack et al.)
+RRF_TOP = 10  # fused results returned
+DENSE_TOP = 20  # depth of the dense branch (matches BM25's top-20)
+DENSE_QUERY_ID = 0  # probe vector: the embedding of doc 0
+BPE_TOP = 20
+PMI_TOP = 20
+PMI_MIN_COUNT = 5  # prune rare pairs — PMI is noise-dominated below this
+
+_PPM = "CAST(1000000 AS DOUBLE)"
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -------------------------------
+
+def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine top-``DENSE_TOP`` for the fixed probe vector.
+    The single-row query side broadcasts; the corpus streams partition-
+    local (the ``knn_bruteforce`` shape with k queries = 1)."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        vecs.filter(F.col("vec_id") != DENSE_QUERY_ID)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+        .limit(DENSE_TOP)
+        .select(F.row_number().over(w).alias("cos_rank"), "doc_id")
+    )
+
+
+# The fused score: 1/(RRF_K + rank) per branch, absent rank contributes
+# 0.  The expression is textually identical in both engines (each step a
+# correctly-rounded double op), then ppm-quantized so the ORDER BY
+# domain is an integer.
+_RRF_SCORE = (
+    f"CAST(ROUND(((coalesce(CAST(1 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE) "
+    f"+ CAST(bm25_rank AS DOUBLE)), CAST(0 AS DOUBLE)) "
+    f"+ coalesce(CAST(1 AS DOUBLE) / (CAST({RRF_K} AS DOUBLE) "
+    f"+ CAST(cos_rank AS DOUBLE)), CAST(0 AS DOUBLE))) * {_PPM})) AS BIGINT)"
+)
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``RRF_TOP`` documents under reciprocal-rank fusion of the
+    BM25 lexical top-20 (fixed probe terms, ``text.bm25_rank``) and the
+    embedding-cosine top-20 (fixed probe vector).  The fusion join is
+    two ≤20-row sides — driver-trivial here, broadcast at any scale;
+    the corpus is scanned once per branch and never pairwise."""
+    sparse = bm25_rank(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    dense = _dense_topk(spark, sf_dir)
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .withColumn("rrf_ppm", F.expr(_RRF_SCORE))
+    )
+    w = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id"))
+        .limit(RRF_TOP)
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id",
+            "rrf_ppm",
+            "bm25_rank",
+            "cos_rank",
+        )
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH bm AS ({BM25_RANK_SQL}),
+vecs AS ({_VECTORS_SQL}),
+q AS (
+  SELECT embedding AS q_emb, norm AS q_norm FROM vecs
+  WHERE vec_id = {DENSE_QUERY_ID}
+),
+dense_scored AS (
+  SELECT v.vec_id AS doc_id,
+         {_dot_duck('v.embedding', 'q_emb')} / (v.norm * q_norm) AS cosine
+  FROM vecs v CROSS JOIN q
+  WHERE v.vec_id <> {DENSE_QUERY_ID}
+),
+dense AS (
+  SELECT CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+           AS cos_rank, doc_id
+  FROM dense_scored ORDER BY cosine DESC, doc_id LIMIT {DENSE_TOP}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, dense.doc_id) AS doc_id,
+         bm.rank AS bm25_rank, dense.cos_rank AS cos_rank
+  FROM bm FULL OUTER JOIN dense ON bm.doc_id = dense.doc_id
+),
+scored AS (SELECT doc_id, {_RRF_SCORE} AS rrf_ppm, bm25_rank, cos_rank FROM fused)
+SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id) AS INT) AS rank,
+       doc_id, rrf_ppm, bm25_rank, cos_rank
+FROM scored ORDER BY rrf_ppm DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
+# --- BPE merge-candidate statistics -----------------------------------------
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BPE_TOP`` adjacent character pairs inside corpus tokens —
+    the merge-candidate ranking of one BPE training iteration.
+    explode_outer + NULL post-filter (not plain explode) keeps Catalyst
+    from re-inlining the regexp chain below the exchange — the decontam
+    lesson (ARCHITECTURE.md)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.selectExpr(f"explode_outer({_TOKENS}) AS tok")
+        .filter(F.col("tok").isNotNull() & (F.length("tok") >= 2))
+    )
+    pairs = toks.selectExpr(
+        "explode_outer(transform(sequence(1, length(tok) - 1),"
+        " i -> substr(tok, i, 2))) AS pair"
+    ).filter(F.col("pair").isNotNull())
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_TOP)
+        .select(F.row_number().over(w).alias("rank"), "pair", "n_occurrences")
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH toked AS (SELECT unnest({_D_TOKENS}) AS tok FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                               i -> substr(tok, i, 2))) AS pair
+  FROM toked WHERE len(tok) >= 2
+),
+cnt AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n_occurrences FROM pairs GROUP BY 1
+)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+         AS rank, pair, n_occurrences
+FROM cnt ORDER BY n_occurrences DESC, pair LIMIT {BPE_TOP}
+"""
+
+
+# --- PMI collocations -------------------------------------------------------
+
+_PMI_SCORE = (
+    f"CAST(ROUND(((CAST(n_tokens AS DOUBLE) * CAST(c_bigram AS DOUBLE)) "
+    f"/ (CAST(c_w1 AS DOUBLE) * CAST(c_w2 AS DOUBLE))) * {_PPM}) AS BIGINT)"
+)
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``PMI_TOP`` adjacent-token collocations by PMI lift
+    surrogate ``N·c(ab)/(c(a)·c(b))`` with ``c(ab) ≥ PMI_MIN_COUNT``.
+
+    Scale shape: bigram and unigram counts are each one map-side-
+    combinable grouped count; the unigram side is vocabulary-bounded
+    (≲10⁷ rows at any corpus size), so both enrichment joins broadcast.
+    The bench-scale plan scans the corpus twice (unigram + bigram
+    branch); a 100 TB run would persist the tokenized intermediate the
+    way ``prepare_corpus_funnel`` does — same plan shape above it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.selectExpr(f"{_TOKENS} AS toks")
+    uni = (
+        toked.selectExpr("explode_outer(toks) AS w")
+        .filter(F.col("w").isNotNull())
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    n_tokens = uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
+    pairs = toked.selectExpr(
+        "explode_outer(zip_with("
+        " slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> struct(a AS w1, b AS w2))) AS p"
+    ).filter(F.col("p").isNotNull())
+    big = (
+        pairs.groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_bigram"))
+        .filter(F.col("c_bigram") >= PMI_MIN_COUNT)
+    )
+    scored = (
+        big.join(F.broadcast(uni.selectExpr("w AS w1", "c_w AS c_w1")), "w1")
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c_w AS c_w2")), "w2")
+        .join(F.broadcast(n_tokens))
+        .selectExpr("w1", "w2", "c_bigram", f"{_PMI_SCORE} AS pmi_ppm")
+    )
+    w = Window.orderBy(F.col("pmi_ppm").desc(), F.col("w1"), F.col("w2"))
+    return (
+        scored.orderBy(F.col("pmi_ppm").desc(), F.col("w1"), F.col("w2"))
+        .limit(PMI_TOP)
+        .select(
+            F.row_number().over(w).alias("rank"), "w1", "w2", "c_bigram", "pmi_ppm"
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH toked AS (SELECT {_D_TOKENS} AS toks FROM documents),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(toks) AS w FROM toked) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tokens FROM uni),
+pairs AS (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN list_zip([], [])
+                ELSE list_zip(toks[1:len(toks)-1], toks[2:len(toks)])
+                END) AS p
+  FROM toked
+),
+big AS (
+  SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS c_bigram
+  FROM pairs WHERE p IS NOT NULL GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+scored AS (
+  SELECT w1, w2, c_bigram, {_PMI_SCORE} AS pmi_ppm
+  FROM big
+  JOIN (SELECT w AS w1, c_w AS c_w1 FROM uni) USING (w1)
+  JOIN (SELECT w AS w2, c_w AS c_w2 FROM uni) USING (w2)
+  CROSS JOIN tot
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) AS INT) AS rank,
+       w1, w2, c_bigram, pmi_ppm
+FROM scored ORDER BY pmi_ppm DESC, w1, w2 LIMIT {PMI_TOP}
+"""
+
+
+QUERIES = {
+    "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
+    "bpe_pair_stats": (bpe_pair_stats, BPE_PAIR_SQL),
+    "pmi_collocations": (pmi_collocations, PMI_SQL),
+}

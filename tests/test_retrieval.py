@@ -1,0 +1,79 @@
+"""Semantic tests for the retrieval-composition operators (beyond the
+oracle-parity sweep, which pins Spark==DuckDB but not that both match
+the SPEC)."""
+
+from dbdiff_spark.ops.retrieval import (
+    RRF_K,
+    RRF_TOP,
+    bpe_pair_stats,
+    hybrid_retrieval_rrf,
+    pmi_collocations,
+)
+from dbdiff_spark.ops.similarity import _vectors
+from dbdiff_spark.ops.text import bm25_rank
+
+
+def test_hybrid_rrf_score_recomputes_from_branch_ranks(spark, sf_dir):
+    """The fused score must equal the ppm quantization of
+    1/(K+bm25_rank) + 1/(K+cos_rank) with absent branches contributing
+    0, ordered descending with doc_id tie-break."""
+    rows = hybrid_retrieval_rrf(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == RRF_TOP
+    for r in rows:
+        expect = 0.0
+        if r.bm25_rank is not None:
+            expect += 1.0 / (RRF_K + r.bm25_rank)
+        if r.cos_rank is not None:
+            expect += 1.0 / (RRF_K + r.cos_rank)
+        assert r.rrf_ppm == round(expect * 1_000_000)
+        assert r.bm25_rank is not None or r.cos_rank is not None
+    keys = [(-r.rrf_ppm, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_hybrid_rrf_draws_only_from_branch_topk(spark, sf_dir):
+    """Fused docs must come from the union of the two branch top-20s,
+    and a doc ranked in BOTH branches must outscore any doc holding
+    only ONE of those same ranks."""
+    fused = {r.doc_id: r for r in hybrid_retrieval_rrf(spark, sf_dir).collect()}
+    sparse = {r.doc_id for r in bm25_rank(spark, sf_dir).collect()}
+    vecs = _vectors(spark, sf_dir)
+    assert set(fused) <= sparse | {r.vec_id for r in vecs.collect()}
+    both = [r for r in fused.values() if r.bm25_rank and r.cos_rank]
+    single = [r for r in fused.values() if (r.bm25_rank is None) != (r.cos_rank is None)]
+    for b in both:
+        for s in single:
+            lone = s.bm25_rank if s.bm25_rank is not None else s.cos_rank
+            if lone >= min(b.bm25_rank, b.cos_rank):
+                assert b.rrf_ppm > s.rrf_ppm
+
+
+def test_bpe_pair_counts_known_corpus(spark, tmp_path):
+    """Hand-counted merge candidates: 'abab abab a' → per token 'abab'
+    pairs [ab, ba, ab]; the 1-char token contributes nothing."""
+    docs = spark.createDataFrame(
+        [(0, "abab abab a"), (1, "ba")],
+        "doc_id bigint, text string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = bpe_pair_stats(spark, str(tmp_path)).collect()
+    counts = {r.pair: r.n_occurrences for r in rows}
+    assert counts == {"ab": 4, "ba": 3}
+    assert [r.rank for r in rows] == [1, 2]
+    assert rows[0].pair == "ab"
+
+
+def test_pmi_collocation_lift_known_corpus(spark, tmp_path):
+    """'x y c' repeated 5× → bigrams (x,y)×5, (y,c)×5, (c,x)×4.
+    N=15, c(x)=c(y)=c(c)=5 → lift(x,y) = 15·5/25 = 3.0 exactly;
+    (c,x) misses the min-count and must be absent."""
+    docs = spark.createDataFrame(
+        [(0, " ".join(["x y c"] * 5))], "doc_id bigint, text string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = pmi_collocations(spark, str(tmp_path)).collect()
+    got = {(r.w1, r.w2): (r.c_bigram, r.pmi_ppm) for r in rows}
+    assert got == {("x", "y"): (5, 3_000_000), ("y", "c"): (5, 3_000_000)}
+    # deterministic tie-break: equal ppm orders by (w1, w2)
+    assert [(r.w1, r.w2) for r in rows] == [("x", "y"), ("y", "c")]

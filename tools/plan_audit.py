@@ -118,6 +118,10 @@ AUDITED = [
     "udaf_source_stats",
     "diff_customer_ignorecols",
     "leakage_safe_split",
+    # round 4, second session
+    "hybrid_retrieval_rrf",
+    "bpe_pair_stats",
+    "pmi_collocations",
 ]
 
 
