@@ -110,6 +110,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "bpe_pair_stats",
     "pmi_collocations",
+    "mmr_rerank",
 ]
 
 

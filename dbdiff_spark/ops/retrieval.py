@@ -281,8 +281,163 @@ FROM scored ORDER BY pmi_ppm DESC, w1, w2 LIMIT {PMI_TOP}
 """
 
 
+# --- MMR diversified re-ranking ---------------------------------------------
+
+MMR_TOP = 10  # diversified results returned
+MMR_SHORTLIST = DENSE_TOP  # greedy re-rank depth (the dense top-20)
+# λ = 0.5: multiply-by-0.5 is IEEE-exact (power of two), so the MMR
+# objective 0.5·rel − 0.5·max_sim is two correctly-rounded ops — the
+# Python driver greedy and the DuckDB recursive CTE compare identical
+# doubles and must elect identical winners.
+
+
+def _mmr_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense top-``MMR_SHORTLIST`` for the fixed probe, keeping the
+    embedding so candidate-pair similarities can be computed on the
+    bounded shortlist."""
+    vecs = _vectors(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    scored = (
+        vecs.filter(F.col("vec_id") != DENSE_QUERY_ID)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            "norm",
+            F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
+                "rel"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("rel").desc(), F.col("doc_id"))
+    return (
+        scored.orderBy(F.col("rel").desc(), F.col("doc_id"))
+        .limit(MMR_SHORTLIST)
+        .select(F.row_number().over(w).alias("cand_rank"), "doc_id", "rel",
+                "embedding", "norm")
+    )
+
+
+def _mmr_pair_sims(cand: DataFrame) -> DataFrame:
+    """Pairwise cosines inside the shortlist — ≤ k·(k−1) rows by
+    construction, broadcast self-join."""
+    a = cand.select(
+        F.col("doc_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = cand.select(
+        F.col("doc_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    return a.join(F.broadcast(b), F.col("a") != F.col("b")).select(
+        "a",
+        "b",
+        F.expr(f"{_dot_spark('a_emb', 'b_emb')} / (a_norm * b_norm)").alias("cos"),
+    )
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedily pick ``MMR_TOP`` of the dense top-20 maximizing
+    ``0.5·rel − 0.5·max_{s∈selected} sim(d, s)`` (ties → smaller
+    doc_id; the first pick is the most relevant candidate).
+
+    Scale shape: the corpus-scale work is the candidate top-k
+    (TakeOrdered, one scan); the greedy loop runs on the COLLECTED
+    shortlist — k and the shortlist depth are constants, so the
+    driver-side step is O(k²) on ≤20 rows at ANY corpus size (the
+    bounded-collect idiom, same class as k-means' K×dim centroid
+    collect).  Output is integer-only (selection step + original
+    candidate rank); the float objective stays internal to both
+    engines."""
+    cand = _mmr_candidates(spark, sf_dir).persist()
+    try:
+        rows = cand.select("cand_rank", "doc_id", "rel").collect()
+        sims = {
+            (r.a, r.b): r.cos for r in _mmr_pair_sims(cand).collect()
+        }
+    finally:
+        cand.unpersist()
+    remaining = {r.doc_id: r for r in rows}
+    first = min(remaining.values(), key=lambda r: (-r.rel, r.doc_id))
+    selected = [first]
+    del remaining[first.doc_id]
+    while remaining and len(selected) < MMR_TOP:
+        best = min(
+            remaining.values(),
+            key=lambda r: (
+                -((0.5 * r.rel) - (0.5 * max(sims[(r.doc_id, s.doc_id)]
+                                             for s in selected))),
+                r.doc_id,
+            ),
+        )
+        selected.append(best)
+        del remaining[best.doc_id]
+    return spark.createDataFrame(
+        [(i + 1, r.doc_id, r.cand_rank) for i, r in enumerate(selected)],
+        "rank int, doc_id bigint, cand_rank int",
+    )
+
+
+MMR_SQL = f"""
+WITH RECURSIVE
+vecs AS ({_VECTORS_SQL}),
+q AS (
+  SELECT embedding AS q_emb, norm AS q_norm FROM vecs
+  WHERE vec_id = {DENSE_QUERY_ID}
+),
+scored AS (
+  SELECT v.vec_id AS doc_id, v.embedding, v.norm,
+         {_dot_duck('v.embedding', 'q_emb')} / (v.norm * q_norm) AS rel
+  FROM vecs v CROSS JOIN q
+  WHERE v.vec_id <> {DENSE_QUERY_ID}
+),
+cand AS (
+  SELECT CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS INT)
+           AS cand_rank, doc_id, rel, embedding, norm
+  FROM scored ORDER BY rel DESC, doc_id LIMIT {MMR_SHORTLIST}
+),
+sim AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
+  FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+),
+pick(step, doc_id, selected) AS (
+  (SELECT 1, doc_id, [doc_id] FROM cand ORDER BY rel DESC, doc_id LIMIT 1)
+  UNION ALL
+  (SELECT p.step + 1, c.doc_id, list_append(p.selected, c.doc_id)
+   FROM pick p JOIN cand c ON NOT list_contains(p.selected, c.doc_id)
+   WHERE p.step < {MMR_TOP}
+   QUALIFY row_number() OVER (ORDER BY
+     (0.5 * c.rel) - (0.5 * (SELECT max(s.cos) FROM sim s
+                             WHERE s.a = c.doc_id
+                               AND list_contains(p.selected, s.b))) DESC,
+     c.doc_id) = 1)
+)
+SELECT CAST(p.step AS INT) AS rank, p.doc_id, c.cand_rank
+FROM pick p JOIN cand c USING (doc_id)
+ORDER BY p.step
+"""
+
+
+def _mmr_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy inspectable frame for the plan audit: the distributed part
+    of MMR is the shortlist + pairwise-sim computation (the greedy loop
+    is a bounded driver step over its collected result)."""
+    return _mmr_pair_sims(_mmr_candidates(spark, sf_dir))
+
+
 QUERIES = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "bpe_pair_stats": (bpe_pair_stats, BPE_PAIR_SQL),
     "pmi_collocations": (pmi_collocations, PMI_SQL),
+    "mmr_rerank": (mmr_rerank, MMR_SQL),
+}
+
+EXPLAIN_FRAMES = {
+    "mmr_rerank": _mmr_explain_frame,
 }

@@ -7,6 +7,7 @@ from dbdiff_spark.ops.retrieval import (
     RRF_TOP,
     bpe_pair_stats,
     hybrid_retrieval_rrf,
+    mmr_rerank,
     pmi_collocations,
 )
 from dbdiff_spark.ops.similarity import _vectors
@@ -77,3 +78,23 @@ def test_pmi_collocation_lift_known_corpus(spark, tmp_path):
     assert got == {("x", "y"): (5, 3_000_000), ("y", "c"): (5, 3_000_000)}
     # deterministic tie-break: equal ppm orders by (w1, w2)
     assert [(r.w1, r.w2) for r in rows] == [("x", "y"), ("y", "c")]
+
+
+def test_mmr_defers_near_duplicate_for_diversity(spark, tmp_path):
+    """Probe [1,0,0,0]; vec 1 and vec 2 are near-identical high-rel
+    directions, vec 3 is orthogonal (rel 0).  Plain relevance order is
+    1, 2, 3 — MMR must pick 1, then 3 (sim-to-1 penalty sinks 2's
+    objective below 0), then 2."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [10.0, 1.0, 0.0, 0.0], 0),
+        (2, [10.0, 1.2, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    got = mmr_rerank(spark, str(tmp_path)).collect()
+    assert [(r.rank, r.doc_id) for r in got] == [(1, 1), (2, 3), (3, 2)]
+    # cand_rank preserves the pre-MMR relevance ordering
+    assert [r.cand_rank for r in got] == [1, 3, 2]

@@ -122,6 +122,7 @@ AUDITED = [
     "hybrid_retrieval_rrf",
     "bpe_pair_stats",
     "pmi_collocations",
+    "mmr_rerank",
 ]
 
 
