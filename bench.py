@@ -111,6 +111,7 @@ HEADLINE = [
     "bpe_pair_stats",
     "pmi_collocations",
     "mmr_rerank",
+    "importance_resample",
 ]
 
 

@@ -812,8 +812,101 @@ ORDER BY stage
 """
 
 
+# --- deterministic importance resampling ------------------------------------
+#
+# Systematic weighted sampling: the curation step that up/down-samples
+# documents by an integer quality weight without randomness.  Docs are
+# laid on a line in hash order (md5 of the key — shuffle-invariant,
+# uniform); each doc occupies [start, start + w); it is replicated once
+# per step-grid point inside its interval:
+#
+#     n_copies = end div STEP − start div STEP
+#
+# which telescopes: Σ n_copies == total_weight div STEP EXACTLY — the
+# global sample size is pinned by arithmetic, not by luck.  A doc with
+# w > STEP yields multiple epochs (upsampling); w ≪ STEP yields a
+# w/STEP inclusion rate (downsampling) — the standard quality-mixing
+# primitive.
+#
+# Scale shape: the prefix sum is the same bucketed two-phase pass as
+# ``select_token_budget``, but bucketed on the leading hash byte —
+# uniform by construction, so no bucket skew at any corpus size; the
+# 256-row bucket-total table broadcasts.
+
+RESAMPLE_STEP = 10_000_000
+_RS_BUCKETS = 256
+
+
+def importance_resample(
+    spark: SparkSession, sf_dir: str, step: int = RESAMPLE_STEP
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens",
+        f"CAST(size(array_distinct({_TOKENS})) AS BIGINT) AS n_distinct",
+    ).selectExpr(
+        "doc_id",
+        # weight = distinctness ppm (the select_token_budget score)
+        "CASE WHEN n_tokens = 0 THEN 0"
+        " ELSE (1000000 * n_distinct) div n_tokens END AS weight",
+    ).selectExpr(
+        "doc_id",
+        "weight",
+        "md5(CAST(doc_id AS STRING)) AS h",
+    ).selectExpr("doc_id", "weight", "h", "substr(h, 1, 2) AS bucket")
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = docs.withColumn("local_cum", F.sum("weight").over(w))
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.sum("weight").alias("bt"))
+        .selectExpr(
+            "bucket",
+            "coalesce(sum(bt) OVER (ORDER BY bucket"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset",
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .selectExpr(
+            "doc_id",
+            "weight",
+            f"(offset + local_cum) div {step}"
+            f" - (offset + local_cum - weight) div {step} AS n_copies",
+        )
+        .filter(F.col("n_copies") > 0)
+    )
+
+
+IMPORTANCE_RESAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN len({_D_TOKENS}) = 0 THEN 0
+              ELSE (1000000 * CAST(len(list_distinct({_D_TOKENS})) AS BIGINT))
+                   // CAST(len({_D_TOKENS}) AS BIGINT) END AS weight,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+running AS (
+  SELECT doc_id, weight,
+         CAST(SUM(weight) OVER (ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS endc
+  FROM scored
+)
+SELECT doc_id, weight,
+       endc // {RESAMPLE_STEP} - (endc - weight) // {RESAMPLE_STEP} AS n_copies
+FROM running
+WHERE endc // {RESAMPLE_STEP} - (endc - weight) // {RESAMPLE_STEP} > 0
+"""
+
+
 QUERIES = {
     "prepare_corpus_funnel": (prepare_corpus_funnel, _funnel_sql()),
+    "importance_resample": (importance_resample, IMPORTANCE_RESAMPLE_SQL),
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),

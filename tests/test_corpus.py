@@ -140,3 +140,44 @@ def test_rollup_cascade_merges_losslessly(spark, sf_dir):
         )
     }
     assert cascade == direct
+
+
+def test_importance_resample_count_telescopes_exactly(spark, sf_dir):
+    """Σ n_copies must equal total_weight div STEP exactly (the
+    floor-division intervals telescope) — the sample size is pinned by
+    arithmetic, independent of the hash ordering."""
+    out = corpus.importance_resample(spark, sf_dir)
+    got = out.agg(F.sum("n_copies")).collect()[0][0]
+    total_w = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(
+            f"CAST(size({corpus._TOKENS}) AS BIGINT) AS n_tokens",
+            f"CAST(size(array_distinct({corpus._TOKENS})) AS BIGINT) AS n_distinct",
+        )
+        .selectExpr(
+            "CASE WHEN n_tokens = 0 THEN 0"
+            " ELSE (1000000 * n_distinct) div n_tokens END AS w"
+        )
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    )
+    assert got == total_w // corpus.RESAMPLE_STEP
+    # every copy count is positive and bounded by ceil(w/STEP)
+    for r in out.collect():
+        assert 1 <= r.n_copies <= r.weight // corpus.RESAMPLE_STEP + 1
+
+
+def test_importance_resample_replicates_heavy_docs(spark, tmp_path):
+    """With step below the max ppm weight, an all-distinct doc
+    (weight 1e6) must be emitted multiple times: n_copies in
+    {3, 4} for step=300k (interval of length 1e6 covers 3 or 4 grid
+    points depending on phase), and Σ n_copies still telescopes."""
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(8)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = corpus.importance_resample(spark, str(tmp_path), step=300_000).collect()
+    assert sum(r.n_copies for r in out) == (8 * 1_000_000) // 300_000
+    assert all(r.weight == 1_000_000 for r in out)
+    assert {r.n_copies for r in out} <= {3, 4}
+    assert any(r.n_copies >= 3 for r in out)

@@ -123,6 +123,7 @@ AUDITED = [
     "bpe_pair_stats",
     "pmi_collocations",
     "mmr_rerank",
+    "importance_resample",
 ]
 
 
