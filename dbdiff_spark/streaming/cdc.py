@@ -294,6 +294,83 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def stream_purchase_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the inner join above
+    plus null-padded rows for purchases that saw NO click in the prior
+    hour, emitted only once the watermark proves no matching click can
+    still arrive (state-expiry semantics — the part the inner join
+    doesn't exercise).
+
+    Emission boundary: a purchase's highest matching click time is
+    ``p_ts`` itself, so its null row emits when the global watermark
+    (min over both sides of max-event-time − delay) passes ``p_ts``.
+    Purchases inside the final watermark window stay in the state store
+    when the bounded input ends — the batch twin therefore restricts
+    null rows to ``p_ts < final_watermark``, which IS the streaming
+    semantics, not a test shortcut: on an unbounded stream those rows
+    are simply not emitted *yet*."""
+    ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+    )
+    return _run_to_completion(spark, joined, "stream_purchase_click_left", "append")
+
+
+# The final watermark both sides agree on: min over sides of
+# (max event time − 10 min delay); null rows beyond it are unemitted
+# state, so the twin excludes them (see the docstring above).
+STREAM_PC_LEFT_SQL = """
+WITH wm AS (
+  SELECT least(
+           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click')
+         ) - 600000000 AS final_wm
+),
+matched AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.user_id AS user_id
+  FROM events p
+  JOIN events c ON p.user_id = c.user_id
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+)
+SELECT purchase_id, click_id, user_id FROM matched
+UNION ALL
+SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+FROM events p CROSS JOIN wm
+WHERE p.event_type = 'purchase'
+  AND epoch_us(p.ts) < wm.final_wm
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.event_id)
+"""
+
+
 def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: a CDC stream of diff
     rows is applied micro-batch by micro-batch to a parquet-backed
@@ -942,6 +1019,7 @@ QUERIES = {
     "stream_sliding_counts": (sliding_window_counts, STREAM_SLIDING_SQL),
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
+    "stream_purchase_click_left": (stream_purchase_click_left, STREAM_PC_LEFT_SQL),
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_latest_state": (latest_state_by_key, STREAM_LATEST_STATE_SQL),

@@ -73,3 +73,40 @@ def test_stream_apply_cdc_converges_incrementally(spark, sf_dir):
     after = testkit.apply_mutation(base, spec, mut)
     assert final.exceptAll(after).count() == 0
     assert after.exceptAll(final).count() == 0
+
+
+def test_stream_left_join_emits_nulls_only_past_watermark(spark, sf_dir):
+    """Left-outer stream-stream join law: the matched subset equals the
+    inner join exactly; null-padded purchases appear only for event
+    times the final watermark has passed (later ones are unemitted
+    state); and no purchase is both matched and null-padded."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+
+    out = cdc.stream_purchase_click_left(spark, sf_dir)
+    inner = cdc.stream_purchase_click_join(spark, sf_dir)
+    matched = {(r.purchase_id, r.click_id) for r in out.filter(
+        F.col("click_id").isNotNull()).collect()}
+    assert matched == {(r.purchase_id, r.click_id) for r in inner.collect()}
+
+    # parquet carries NTZ; session TZ is UTC, so the cast is a pure
+    # reinterpretation (same normalization the streaming source applies)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wm = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .agg(F.min("mx")).collect()[0][0] - 600_000_000
+    )
+    ts_by_id = {
+        r.event_id: r.us
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    null_ids = {r.purchase_id for r in out.filter(
+        F.col("click_id").isNull()).collect()}
+    assert null_ids, "fixture must exercise the null-emission path"
+    assert not (null_ids & {p for p, _ in matched})
+    assert all(ts_by_id[p] < wm for p in null_ids)
