@@ -112,6 +112,7 @@ HEADLINE = [
     "pmi_collocations",
     "mmr_rerank",
     "importance_resample",
+    "bpe_train_merges",
 ]
 
 

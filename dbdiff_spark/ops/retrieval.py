@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, spread
 from dbdiff_spark.ops.similarity import _dot_duck, _dot_spark, _vectors, _VECTORS_SQL
 from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS, bm25_rank, BM25_RANK_SQL
 
@@ -431,13 +431,150 @@ def _mmr_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mmr_pair_sims(_mmr_candidates(spark, sf_dir))
 
 
+# --- BPE training: the full merge loop --------------------------------------
+#
+# ``bpe_pair_stats`` is ONE iteration; this is the loop.  Each round
+# counts adjacent symbol pairs over the CURRENT segmentation, adopts
+# the most frequent pair as a new symbol, and re-segments by replacing
+# its occurrences with a one-char placeholder (``replace`` is
+# leftmost-first non-overlapping in both engines — exactly BPE's greedy
+# pairing).  The corpus-scale work per round is the same
+# map-side-combinable pair count; only the 1-row winner is collected
+# (bounded-collect idiom, the k-means shape).  The exploded token frame
+# is persisted once so later rounds re-apply cheap ``replace`` chains
+# instead of re-running the tokenizer regexp.
+#
+# The DuckDB twin unrolls the identical loop as a chain of CTE stages
+# with scalar-subquery winners — the learned merges (and their counts)
+# must agree bit-for-bit.
+
+BPE_TRAIN_MERGES = 3
+
+
+def _bpe_expand(raw: str, expansions: list) -> str:
+    """Replace placeholder chars (chr(1)..chr(n)) with the expansion of
+    the merge that introduced them."""
+    return "".join(
+        expansions[ord(ch) - 1] if ord(ch) <= BPE_TRAIN_MERGES else ch
+        for ch in raw
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn ``BPE_TRAIN_MERGES`` byte-pair merges over the corpus; one
+    row per merge step with the fully-expanded merged string and its
+    pair count at adoption time.  Ties break on the raw pair bytes
+    (placeholders < letters, identical in both engines)."""
+    # spread BEFORE the regexp/explode: the one-file bench scan plans as
+    # a single task, and the persisted frame would pin every later
+    # round's replace+substr chain to one core (io.spread docstring)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = (
+        docs.selectExpr(f"explode_outer({_TOKENS}) AS tok")
+        .filter(F.col("tok").isNotNull() & (F.length("tok") >= 2))
+        .persist()
+    )
+    try:
+        seg = F.col("tok")
+        raws: list = []
+        expansions: list = []
+        out_rows = []
+        for step in range(1, BPE_TRAIN_MERGES + 1):
+            cur = toks.select(seg.alias("s")).filter(F.length("s") >= 2)
+            pairs = cur.selectExpr(
+                "explode_outer(transform(sequence(1, length(s) - 1),"
+                " i -> substr(s, i, 2))) AS pair"
+            ).filter(F.col("pair").isNotNull())
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pair"))
+                .limit(1)
+                .collect()[0]
+            )
+            expansion = _bpe_expand(top["pair"], expansions)
+            raws.append(top["pair"])
+            expansions.append(expansion)
+            out_rows.append((step, expansion, top["n"]))
+            seg = F.replace(seg, F.lit(top["pair"]), F.lit(chr(step)))
+    finally:
+        toks.unpersist()
+    return spark.createDataFrame(
+        out_rows, "step int, merge_text string, n_occurrences bigint"
+    )
+
+
+def _bpe_train_sql() -> str:
+    def stage_pairs(src: str) -> str:
+        return (
+            f"SELECT unnest(list_transform(generate_series(1, len(s) - 1),"
+            f" i -> substr(s, i, 2))) AS pair FROM {src} WHERE len(s) >= 2"
+        )
+
+    ctes = [
+        f"toked AS (SELECT unnest({_D_TOKENS}) AS tok FROM documents)",
+        "s0 AS (SELECT tok AS s FROM toked WHERE len(tok) >= 2)",
+    ]
+    for i in range(1, BPE_TRAIN_MERGES + 1):
+        ctes.append(
+            f"p{i} AS (SELECT pair, CAST(count(*) AS BIGINT) AS n"
+            f" FROM ({stage_pairs(f's{i-1}')}) GROUP BY pair"
+            f" ORDER BY n DESC, pair LIMIT 1)"
+        )
+        if i < BPE_TRAIN_MERGES:
+            ctes.append(
+                f"s{i} AS (SELECT replace(s, (SELECT pair FROM p{i}),"
+                f" chr({i})) AS s FROM s{i-1})"
+            )
+
+    # expansion of step i's raw pair: substitute placeholders from the
+    # HIGHEST earlier step down to 1, each already fully expanded
+    exp_sql = ["(SELECT pair FROM p1)"]
+    for i in range(2, BPE_TRAIN_MERGES + 1):
+        e = f"(SELECT pair FROM p{i})"
+        for j in range(i - 1, 0, -1):
+            e = f"replace({e}, chr({j}), {exp_sql[j - 1]})"
+        exp_sql.append(e)
+
+    selects = [
+        f"SELECT CAST({i} AS INT) AS step, {exp_sql[i - 1]} AS merge_text,"
+        f" (SELECT n FROM p{i}) AS n_occurrences"
+        for i in range(1, BPE_TRAIN_MERGES + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+
+def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy inspectable frame: round 1's distributed pair count (later
+    rounds add replace chains over the same shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(f"explode_outer({_TOKENS}) AS tok").filter(
+        F.col("tok").isNotNull() & (F.length("tok") >= 2)
+    )
+    pairs = toks.selectExpr(
+        "explode_outer(transform(sequence(1, length(tok) - 1),"
+        " i -> substr(tok, i, 2))) AS pair"
+    ).filter(F.col("pair").isNotNull())
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(1)
+    )
+
+
 QUERIES = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "bpe_pair_stats": (bpe_pair_stats, BPE_PAIR_SQL),
     "pmi_collocations": (pmi_collocations, PMI_SQL),
     "mmr_rerank": (mmr_rerank, MMR_SQL),
+    "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
 }
 
 EXPLAIN_FRAMES = {
     "mmr_rerank": _mmr_explain_frame,
+    "bpe_train_merges": _bpe_train_explain_frame,
 }

@@ -98,3 +98,23 @@ def test_mmr_defers_near_duplicate_for_diversity(spark, tmp_path):
     assert [(r.rank, r.doc_id) for r in got] == [(1, 1), (2, 3), (3, 2)]
     # cand_rank preserves the pre-MMR relevance ordering
     assert [r.cand_rank for r in got] == [1, 3, 2]
+
+
+def test_bpe_train_learns_composed_merges(spark, tmp_path):
+    """4 docs of 'ababab': round 1 adopts 'ab' (3/doc); re-segmented
+    '111' adopts (1,1) → expansion 'abab' (2/doc); re-segmented '21'
+    adopts (2,1) → expansion 'ababab' (1/doc).  Pins greedy
+    leftmost-first pairing AND placeholder expansion through two levels
+    of composition."""
+    from dbdiff_spark.ops.retrieval import bpe_train_merges
+
+    docs = [(i, "ababab") for i in range(4)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = bpe_train_merges(spark, str(tmp_path)).collect()
+    assert [(r.step, r.merge_text, r.n_occurrences) for r in rows] == [
+        (1, "ab", 12),
+        (2, "abab", 8),
+        (3, "ababab", 4),
+    ]

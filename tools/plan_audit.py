@@ -124,6 +124,7 @@ AUDITED = [
     "pmi_collocations",
     "mmr_rerank",
     "importance_resample",
+    "bpe_train_merges",
 ]
 
 
