@@ -113,6 +113,7 @@ HEADLINE = [
     "mmr_rerank",
     "importance_resample",
     "bpe_train_merges",
+    "event_transitions",
 ]
 
 

@@ -703,8 +703,61 @@ ORDER BY event_type, bar_start_us
 """
 
 
+# --- behavioral transition matrix -------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user next-event Markov statistics: counts and integer-ppm
+    probabilities for every observed (prev_type → next_type) pair.
+    One lag window per user (one shuffle on user_id, the natural event
+    partitioning), then a map-side-combinable pair count; the per-prev
+    row-total side is bounded by the event-type vocabulary, so its
+    enrichment join broadcasts at any scale."""
+    ev = _events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "prev_type").selectExpr(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        "(1000000 * n_transitions) div n_from AS p_ppm",
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events WHERE ts IS NOT NULL
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n_transitions
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT prev_type, CAST(sum(n_transitions) AS BIGINT) AS n_from
+  FROM pairs GROUP BY 1
+)
+SELECT prev_type, next_type, n_transitions,
+       (1000000 * n_transitions) // n_from AS p_ppm
+FROM pairs JOIN totals USING (prev_type)
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": (asof_join_purchase_click, ASOF_JOIN_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "cusum_anomalies": (cusum_anomalies, CUSUM_SQL),
     "ohlc_bars": (ohlc_bars, OHLC_SQL),
     "sequence_gaps": (sequence_gaps, SEQUENCE_GAPS_SQL),

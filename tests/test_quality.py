@@ -181,3 +181,27 @@ def test_cascade_delete_passes_through_uncascaded_tables(spark, sf_dir):
     )
     assert kept["region"].count() == frames["region"].count()
     assert {r.table_name for r in report.collect()} == {"customer"}
+
+
+def test_event_transitions_conserve_and_normalize(spark, sf_dir):
+    """Markov-statistics laws: total transitions equal Σ_user
+    (n_events − 1) over timestamped events, and each prev-type's ppm
+    row sums to 1e6 within the floor-division slack (one unit per
+    outgoing edge)."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.temporal import event_transitions
+
+    out = event_transitions(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    expected = (
+        ev.groupBy("user_id").agg((F.count(F.lit(1)) - 1).alias("m"))
+        .agg(F.sum("m")).collect()[0][0]
+    )
+    assert sum(r.n_transitions for r in out) == expected
+
+    by_prev: dict = {}
+    for r in out:
+        by_prev.setdefault(r.prev_type, []).append(r.p_ppm)
+    for prev, ppms in by_prev.items():
+        assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, prev

@@ -125,6 +125,7 @@ AUDITED = [
     "mmr_rerank",
     "importance_resample",
     "bpe_train_merges",
+    "event_transitions",
 ]
 
 
