@@ -485,13 +485,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "explode_outer(transform(sequence(1, length(s) - 1),"
                 " i -> substr(s, i, 2))) AS pair"
             ).filter(F.col("pair").isNotNull())
-            top = (
+            winners = (
                 pairs.groupBy("pair")
                 .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
                 .orderBy(F.col("n").desc(), F.col("pair"))
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not winners:  # corpus exhausted (every token fully merged)
+                break
+            top = winners[0]
             expansion = _bpe_expand(top["pair"], expansions)
             raws.append(top["pair"])
             expansions.append(expansion)
