@@ -343,6 +343,79 @@ def stream_purchase_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, joined, "stream_purchase_click_left", "append")
 
 
+def stream_purchase_click_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — completes the matrix
+    (inner / left / full).  Null emission is per-side: an unmatched
+    purchase closes when the watermark passes ``p_ts`` (its highest
+    matching click time); an unmatched CLICK can still match purchases
+    up to ``c_ts + 60 min``, so its null row waits until the watermark
+    passes that — the two horizons differ by exactly the join bound,
+    and the batch twin encodes each one."""
+    ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND "
+            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+        ),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+    )
+    return _run_to_completion(spark, joined, "stream_purchase_click_full", "append")
+
+
+STREAM_PC_FULL_SQL = """
+WITH wm AS (
+  SELECT least(
+           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase'),
+           (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click')
+         ) - 600000000 AS final_wm
+),
+matched AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.user_id AS user_id
+  FROM events p
+  JOIN events c ON p.user_id = c.user_id
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+)
+SELECT purchase_id, click_id, user_id FROM matched
+UNION ALL
+SELECT p.event_id, CAST(NULL AS BIGINT), p.user_id
+FROM events p CROSS JOIN wm
+WHERE p.event_type = 'purchase'
+  AND epoch_us(p.ts) < wm.final_wm
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.purchase_id = p.event_id)
+UNION ALL
+SELECT CAST(NULL AS BIGINT), c.event_id, c.user_id
+FROM events c CROSS JOIN wm
+WHERE c.event_type = 'click'
+  AND epoch_us(c.ts) + 3600000000 < wm.final_wm
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.event_id)
+"""
+
+
 # The final watermark both sides agree on: min over sides of
 # (max event time − 10 min delay); null rows beyond it are unemitted
 # state, so the twin excludes them (see the docstring above).
@@ -1020,6 +1093,7 @@ QUERIES = {
     "stream_session_windows": (session_window_stats, STREAM_SESSION_SQL),
     "stream_purchase_click_join": (stream_purchase_click_join, STREAM_PC_JOIN_SQL),
     "stream_purchase_click_left": (stream_purchase_click_left, STREAM_PC_LEFT_SQL),
+    "stream_purchase_click_full": (stream_purchase_click_full, STREAM_PC_FULL_SQL),
     "stream_apply_cdc": (stream_apply_cdc, _stream_apply_oracle_sql()),
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_latest_state": (latest_state_by_key, STREAM_LATEST_STATE_SQL),

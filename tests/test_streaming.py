@@ -110,3 +110,37 @@ def test_stream_left_join_emits_nulls_only_past_watermark(spark, sf_dir):
     assert null_ids, "fixture must exercise the null-emission path"
     assert not (null_ids & {p for p, _ in matched})
     assert all(ts_by_id[p] < wm for p in null_ids)
+
+
+def test_stream_full_join_per_side_horizons(spark, sf_dir):
+    """Full-outer law: the left-null subset equals the left join's, and
+    click-null rows appear only when the watermark passed c_ts + 60min
+    (the click's last possible matching purchase) — one horizon per
+    side, offset by exactly the join bound."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+
+    full = cdc.stream_purchase_click_full(spark, sf_dir)
+    left = cdc.stream_purchase_click_left(spark, sf_dir)
+    assert {(r.purchase_id, r.click_id) for r in full.filter(
+        F.col("purchase_id").isNotNull()).collect()} == {
+        (r.purchase_id, r.click_id) for r in left.collect()}
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    wm = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type").agg(F.max(F.unix_micros("ts")).alias("mx"))
+        .agg(F.min("mx")).collect()[0][0] - 600_000_000
+    )
+    click_us = {
+        r.event_id: r.us
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    null_clicks = {r.click_id for r in full.filter(
+        F.col("purchase_id").isNull()).collect()}
+    assert null_clicks, "fixture must exercise the click-null path"
+    assert all(click_us[c] + 3_600_000_000 < wm for c in null_clicks)
