@@ -114,6 +114,7 @@ HEADLINE = [
     "importance_resample",
     "bpe_train_merges",
     "event_transitions",
+    "rag_index_funnel",
 ]
 
 

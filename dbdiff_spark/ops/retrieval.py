@@ -569,12 +569,123 @@ def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RAG index-build funnel --------------------------------------------------
+#
+# The serving-side sibling of ``prepare_corpus_funnel``: documents →
+# overlapping chunks → chunk-level exact dedup → index statistics, as
+# ONE declarative lineage (flag columns, no re-chunking passes).
+# Chunking here is pure expressions (sequence + slice HOFs) — the UDTF
+# in ``text.chunk_documents`` exists to exercise the UDTF surface; a
+# funnel has no reason to pay the Python island.  Canonical-chunk
+# election is one shuffle on the chunk hash (first occurrence by
+# (doc_id, off) wins — same convention as ``dedup_exact``); vocabulary
+# size is one distinct over canonical-chunk terms.  Postings and token
+# counts are per-row HOF arithmetic, map-side combined.
+
+
+def rag_index_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row index-build report: chunks produced, canonical chunks
+    after exact dedup, postings (canonical chunk × distinct term),
+    tokens indexed, and vocabulary size."""
+    from dbdiff_spark.ops.text import CHUNK_SIZE, CHUNK_STRIDE
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    chunks = (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            "explode_outer(CASE WHEN size(toks) = 0 THEN array()"
+            f" ELSE sequence(0, size(toks) - 1, {CHUNK_STRIDE}) END) AS off",
+        )
+        .filter(F.col("off").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "off",
+            f"slice(toks, off + 1, {CHUNK_SIZE}) AS chunk",
+        )
+        .selectExpr(
+            "doc_id",
+            "off",
+            "chunk",
+            "md5(concat_ws(' ', chunk)) AS chunk_md5",
+            "CAST(size(chunk) AS BIGINT) AS n_tok",
+            "CAST(size(array_distinct(chunk)) AS BIGINT) AS n_terms",
+        )
+    )
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "off")
+    flagged = chunks.withColumn(
+        "canon", F.row_number().over(w) == F.lit(1)
+    )
+    base = flagged.selectExpr(
+        "CAST(count(*) AS BIGINT) AS n_chunks",
+        "CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_canonical",
+        "CAST(sum(CASE WHEN canon THEN n_terms ELSE 0 END) AS BIGINT)"
+        " AS n_postings",
+        "CAST(sum(CASE WHEN canon THEN n_tok ELSE 0 END) AS BIGINT)"
+        " AS n_tokens_indexed",
+    )
+    vocab = (
+        flagged.filter("canon")
+        .selectExpr("explode_outer(chunk) AS term")
+        .filter(F.col("term").isNotNull())
+        .agg(F.countDistinct("term").cast("bigint").alias("vocab_size"))
+    )
+    return base.join(F.broadcast(vocab))
+
+
+def _rag_funnel_sql() -> str:
+    from dbdiff_spark.ops.text import CHUNK_SIZE, CHUNK_STRIDE
+
+    return f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS} AS t FROM documents),
+offs AS (
+  SELECT doc_id, t, off
+  FROM toks, unnest(CASE WHEN len(t) = 0 THEN []
+                    ELSE generate_series(0, len(t) - 1, {CHUNK_STRIDE}) END)
+       AS u(off)
+),
+chunks AS (
+  SELECT doc_id, off, t[off + 1 : off + {CHUNK_SIZE}] AS chunk,
+         md5(array_to_string(t[off + 1 : off + {CHUNK_SIZE}], ' ')) AS chunk_md5
+  FROM offs
+),
+flagged AS (
+  SELECT doc_id, off, chunk,
+         row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, off) = 1
+           AS canon
+  FROM chunks
+),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN canon THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_canonical,
+         CAST(sum(CASE WHEN canon THEN len(list_distinct(chunk)) ELSE 0 END)
+              AS BIGINT) AS n_postings,
+         CAST(sum(CASE WHEN canon THEN len(chunk) ELSE 0 END) AS BIGINT)
+           AS n_tokens_indexed
+  FROM flagged
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT term) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(chunk) AS term FROM flagged WHERE canon)
+)
+SELECT n_chunks, n_canonical, n_postings, n_tokens_indexed, vocab_size
+FROM base CROSS JOIN vocab
+"""
+
+
+RAG_FUNNEL_SQL = _rag_funnel_sql()
+
+
 QUERIES = {
     "hybrid_retrieval_rrf": (hybrid_retrieval_rrf, HYBRID_RRF_SQL),
     "bpe_pair_stats": (bpe_pair_stats, BPE_PAIR_SQL),
     "pmi_collocations": (pmi_collocations, PMI_SQL),
     "mmr_rerank": (mmr_rerank, MMR_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
+    "rag_index_funnel": (rag_index_funnel, RAG_FUNNEL_SQL),
 }
 
 EXPLAIN_FRAMES = {

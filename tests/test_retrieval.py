@@ -118,3 +118,20 @@ def test_bpe_train_learns_composed_merges(spark, tmp_path):
         (2, "abab", 8),
         (3, "ababab", 4),
     ]
+
+
+def test_rag_funnel_consistent_with_chunker_and_dedup(spark, sf_dir):
+    """The funnel's counts must agree with the standalone UDTF chunker:
+    n_chunks == chunk_documents row count, n_canonical == its distinct
+    chunk_md5 count, and postings/tokens/vocab are bounded sanely."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.retrieval import rag_index_funnel
+    from dbdiff_spark.ops.text import chunk_documents
+
+    row = rag_index_funnel(spark, sf_dir).collect()[0]
+    ch = chunk_documents(spark, sf_dir)
+    assert row.n_chunks == ch.count()
+    assert row.n_canonical == ch.select("chunk_md5").distinct().count()
+    assert 0 < row.n_postings <= row.n_tokens_indexed
+    assert 0 < row.vocab_size <= row.n_postings

@@ -126,6 +126,7 @@ AUDITED = [
     "importance_resample",
     "bpe_train_merges",
     "event_transitions",
+    "rag_index_funnel",
 ]
 
 
