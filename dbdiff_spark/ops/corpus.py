@@ -842,7 +842,9 @@ def importance_resample(
 ) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").selectExpr(
+    # spread before the regexp weight projection — the one-file bench
+    # scan plans as a single task (io.spread docstring)
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id").selectExpr(
         "doc_id",
         f"CAST(size({_TOKENS}) AS BIGINT) AS n_tokens",
         f"CAST(size(array_distinct({_TOKENS})) AS BIGINT) AS n_distinct",

@@ -50,6 +50,7 @@ DENSE_QUERY_ID = 0  # probe vector: the embedding of doc 0
 BPE_TOP = 20
 PMI_TOP = 20
 PMI_MIN_COUNT = 5  # prune rare pairs — PMI is noise-dominated below this
+PMI_BROADCAST_MAX = 1_000_000  # vocab rows above this shuffle instead
 
 _PPM = "CAST(1000000 AS DOUBLE)"
 
@@ -57,28 +58,12 @@ _PPM = "CAST(1000000 AS DOUBLE)"
 # --- hybrid retrieval: reciprocal-rank fusion -------------------------------
 
 def _dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine top-``DENSE_TOP`` for the fixed probe vector.
-    The single-row query side broadcasts; the corpus streams partition-
-    local (the ``knn_bruteforce`` shape with k queries = 1)."""
-    vecs = _vectors(spark, sf_dir)
-    q = vecs.filter(F.col("vec_id") == DENSE_QUERY_ID).select(
-        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
-    )
-    scored = (
-        vecs.filter(F.col("vec_id") != DENSE_QUERY_ID)
-        .join(F.broadcast(q))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
-    return (
-        scored.orderBy(F.col("cosine").desc(), F.col("doc_id"))
-        .limit(DENSE_TOP)
-        .select(F.row_number().over(w).alias("cos_rank"), "doc_id")
+    """Embedding-cosine top-``DENSE_TOP`` for the fixed probe vector —
+    the shared ``_mmr_candidates`` shortlist (single-row broadcast query
+    side, corpus streaming partition-local, TakeOrdered top-k), ranks
+    renamed for the fusion join."""
+    return _mmr_candidates(spark, sf_dir).select(
+        F.col("cand_rank").alias("cos_rank"), "doc_id"
     )
 
 
@@ -154,24 +139,28 @@ FROM scored ORDER BY rrf_ppm DESC, doc_id LIMIT {RRF_TOP}
 
 # --- BPE merge-candidate statistics -----------------------------------------
 
-def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-``BPE_TOP`` adjacent character pairs inside corpus tokens —
-    the merge-candidate ranking of one BPE training iteration.
-    explode_outer + NULL post-filter (not plain explode) keeps Catalyst
-    from re-inlining the regexp chain below the exchange — the decontam
-    lesson (ARCHITECTURE.md)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        docs.selectExpr(f"explode_outer({_TOKENS}) AS tok")
-        .filter(F.col("tok").isNotNull() & (F.length("tok") >= 2))
+def _symbol_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-pair counts inside tokens: spread (one-file
+    scan trap) → explode_outer + NULL post-filter (not plain explode —
+    Catalyst would re-inline the regexp chain below the exchange, the
+    decontam lesson) → one map-side-combinable grouped count."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = docs.selectExpr(f"explode_outer({_TOKENS}) AS tok").filter(
+        F.col("tok").isNotNull() & (F.length("tok") >= 2)
     )
     pairs = toks.selectExpr(
         "explode_outer(transform(sequence(1, length(tok) - 1),"
         " i -> substr(tok, i, 2))) AS pair"
     ).filter(F.col("pair").isNotNull())
-    counts = pairs.groupBy("pair").agg(
+    return pairs.groupBy("pair").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BPE_TOP`` adjacent character pairs inside corpus tokens —
+    the merge-candidate ranking of one BPE training iteration."""
+    counts = _symbol_pair_counts(spark, sf_dir)
     w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
     return (
         counts.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
@@ -210,11 +199,13 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigram and unigram counts are each one map-side-
     combinable grouped count; the unigram side is vocabulary-bounded
-    (≲10⁷ rows at any corpus size), so both enrichment joins broadcast.
-    The bench-scale plan scans the corpus twice (unigram + bigram
+    (≲10⁷ rows at any corpus size) and broadcast only while it measures
+    small — past ``PMI_BROADCAST_MAX`` rows the enrichment joins fall
+    back to keyed shuffles (the ``_query_side`` guard lesson, VERDICT
+    r2).  The bench-scale plan scans the corpus twice (unigram + bigram
     branch); a 100 TB run would persist the tokenized intermediate the
     way ``prepare_corpus_funnel`` does — same plan shape above it."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toked = docs.selectExpr(f"{_TOKENS} AS toks")
     uni = (
         toked.selectExpr("explode_outer(toks) AS w")
@@ -234,9 +225,14 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_bigram"))
         .filter(F.col("c_bigram") >= PMI_MIN_COUNT)
     )
+    # one cheap aggregate job sizes the vocabulary before hinting: an
+    # unbounded broadcast is an executor OOM at scale.  Deliberately NOT
+    # persisted — a lazy query frame has no release point (the q11 cache
+    # lesson), and re-deriving a grouped count is cheaper than leaking it
+    side = F.broadcast(uni) if uni.count() <= PMI_BROADCAST_MAX else uni
     scored = (
-        big.join(F.broadcast(uni.selectExpr("w AS w1", "c_w AS c_w1")), "w1")
-        .join(F.broadcast(uni.selectExpr("w AS w2", "c_w AS c_w2")), "w2")
+        big.join(side.selectExpr("w AS w1", "c_w AS c_w1"), "w1")
+        .join(side.selectExpr("w AS w2", "c_w AS c_w2"), "w2")
         .join(F.broadcast(n_tokens))
         .selectExpr("w1", "w2", "c_bigram", f"{_PMI_SCORE} AS pmi_ppm")
     )
@@ -362,7 +358,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     finally:
         cand.unpersist()
+    schema = "rank int, doc_id bigint, cand_rank int"
     remaining = {r.doc_id: r for r in rows}
+    if not remaining:  # empty shortlist (no probe vector / empty corpus)
+        return spark.createDataFrame([], schema)
     first = min(remaining.values(), key=lambda r: (-r.rel, r.doc_id))
     selected = [first]
     del remaining[first.doc_id]
@@ -378,8 +377,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected.append(best)
         del remaining[best.doc_id]
     return spark.createDataFrame(
-        [(i + 1, r.doc_id, r.cand_rank) for i, r in enumerate(selected)],
-        "rank int, doc_id bigint, cand_rank int",
+        [(i + 1, r.doc_id, r.cand_rank) for i, r in enumerate(selected)], schema
     )
 
 
@@ -539,9 +537,13 @@ def _bpe_train_sql() -> str:
             e = f"replace({e}, chr({j}), {exp_sql[j - 1]})"
         exp_sql.append(e)
 
+    # a corpus can exhaust before the round budget (every token fully
+    # merged → p_i empty); the Spark loop breaks, so each oracle row
+    # must vanish with its round rather than emit NULLs
     selects = [
         f"SELECT CAST({i} AS INT) AS step, {exp_sql[i - 1]} AS merge_text,"
         f" (SELECT n FROM p{i}) AS n_occurrences"
+        f" WHERE (SELECT count(*) FROM p{i}) > 0"
         for i in range(1, BPE_TRAIN_MERGES + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
@@ -553,18 +555,9 @@ BPE_TRAIN_SQL = _bpe_train_sql()
 def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy inspectable frame: round 1's distributed pair count (later
     rounds add replace chains over the same shape)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(f"explode_outer({_TOKENS}) AS tok").filter(
-        F.col("tok").isNotNull() & (F.length("tok") >= 2)
-    )
-    pairs = toks.selectExpr(
-        "explode_outer(transform(sequence(1, length(tok) - 1),"
-        " i -> substr(tok, i, 2))) AS pair"
-    ).filter(F.col("pair").isNotNull())
     return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy(F.col("n").desc(), F.col("pair"))
+        _symbol_pair_counts(spark, sf_dir)
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(1)
     )
 

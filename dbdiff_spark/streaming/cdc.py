@@ -242,16 +242,11 @@ def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, result, "latest_state_by_key", "update")
 
 
-def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase matched to the
-    same user's clicks in the hour before it.
-
-    Both sides carry a watermark and the join condition bounds event time
-    on both sides, so the state store can evict rows once the watermark
-    passes ``p_ts`` / ``c_ts`` — THE requirement for an unbounded
-    stream-stream join to run with bounded state at scale.  On bounded
-    test input the result equals the batch time-bounded self-join, which
-    is exactly what the oracle asserts."""
+def _watermarked_pc_sides(spark: SparkSession, sf_dir: str):
+    """The shared sides of the stream-stream join family: watermarked
+    purchase and click streams split out of the event feed (one change
+    here — the filter, the watermark, the column set — reaches the
+    inner, left-outer, and full-outer joins alike)."""
     ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
@@ -271,12 +266,28 @@ def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("c_ts", WATERMARK)
     )
+    return purchases, clicks
+
+
+_PC_JOIN_COND = (
+    "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
+)
+
+
+def stream_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's clicks in the hour before it.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both sides, so the state store can evict rows once the watermark
+    passes ``p_ts`` / ``c_ts`` — THE requirement for an unbounded
+    stream-stream join to run with bounded state at scale.  On bounded
+    test input the result equals the batch time-bounded self-join, which
+    is exactly what the oracle asserts."""
+    purchases, clicks = _watermarked_pc_sides(spark, sf_dir)
     joined = purchases.join(
         clicks,
-        F.expr(
-            "p_user = c_user AND "
-            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
-        ),
+        F.expr(_PC_JOIN_COND),
     ).select(
         "purchase_id",
         "click_id",
@@ -309,31 +320,10 @@ def stream_purchase_click_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     null rows to ``p_ts < final_watermark``, which IS the streaming
     semantics, not a test shortcut: on an unbounded stream those rows
     are simply not emitted *yet*."""
-    ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", WATERMARK)
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", WATERMARK)
-    )
+    purchases, clicks = _watermarked_pc_sides(spark, sf_dir)
     joined = purchases.join(
         clicks,
-        F.expr(
-            "p_user = c_user AND "
-            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
-        ),
+        F.expr(_PC_JOIN_COND),
         "leftOuter",
     ).select(
         "purchase_id",
@@ -351,31 +341,10 @@ def stream_purchase_click_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     up to ``c_ts + 60 min``, so its null row waits until the watermark
     passes that — the two horizons differ by exactly the join bound,
     and the batch twin encodes each one."""
-    ev = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-        )
-        .withWatermark("p_ts", WATERMARK)
-    )
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", WATERMARK)
-    )
+    purchases, clicks = _watermarked_pc_sides(spark, sf_dir)
     joined = purchases.join(
         clicks,
-        F.expr(
-            "p_user = c_user AND "
-            "c_ts BETWEEN p_ts - INTERVAL 60 MINUTES AND p_ts"
-        ),
+        F.expr(_PC_JOIN_COND),
         "fullOuter",
     ).select(
         "purchase_id",

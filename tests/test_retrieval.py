@@ -10,7 +10,6 @@ from dbdiff_spark.ops.retrieval import (
     mmr_rerank,
     pmi_collocations,
 )
-from dbdiff_spark.ops.similarity import _vectors
 from dbdiff_spark.ops.text import bm25_rank
 
 
@@ -37,10 +36,12 @@ def test_hybrid_rrf_draws_only_from_branch_topk(spark, sf_dir):
     """Fused docs must come from the union of the two branch top-20s,
     and a doc ranked in BOTH branches must outscore any doc holding
     only ONE of those same ranks."""
+    from dbdiff_spark.ops.retrieval import _dense_topk
+
     fused = {r.doc_id: r for r in hybrid_retrieval_rrf(spark, sf_dir).collect()}
     sparse = {r.doc_id for r in bm25_rank(spark, sf_dir).collect()}
-    vecs = _vectors(spark, sf_dir)
-    assert set(fused) <= sparse | {r.vec_id for r in vecs.collect()}
+    dense = {r.doc_id for r in _dense_topk(spark, sf_dir).collect()}
+    assert set(fused) <= sparse | dense
     both = [r for r in fused.values() if r.bm25_rank and r.cos_rank]
     single = [r for r in fused.values() if (r.bm25_rank is None) != (r.cos_rank is None)]
     for b in both:

@@ -130,3 +130,41 @@ def test_multiset_auto_strategy_election(spark, sf_dir):
         assert a == f
     finally:
         spark.conf.unset(MULTISET_ONE_PASS_MAX_BYTES_CONF)
+
+
+def test_bpe_train_exhausted_corpus_agrees_with_oracle(spark, tmp_path):
+    """r4 review finding: a corpus whose tokens fully merge before the
+    round budget must stop in BOTH engines — the Spark loop breaks and
+    the oracle's per-step WHERE guard drops the empty rounds (it used
+    to emit NULL rows)."""
+    import duckdb
+
+    from dbdiff_spark.ops.retrieval import BPE_TRAIN_SQL, bpe_train_merges
+
+    spark.createDataFrame(
+        [(0, "ab ab")], "doc_id bigint, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = [(r.step, r.merge_text, r.n_occurrences)
+           for r in bpe_train_merges(spark, str(tmp_path)).collect()]
+    assert got == [(1, "ab", 2)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert con.execute(BPE_TRAIN_SQL).fetchall() == [(1, "ab", 2)]
+
+
+def test_mmr_empty_shortlist_returns_empty_frame(spark, tmp_path):
+    """r4 review finding: an embeddings table holding only the probe
+    vector empties the shortlist; mmr_rerank must return an empty
+    typed frame, not raise on min() of an empty sequence."""
+    from dbdiff_spark.ops.retrieval import mmr_rerank
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.0], 0)], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = mmr_rerank(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["rank", "doc_id", "cand_rank"]
