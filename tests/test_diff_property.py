@@ -251,3 +251,43 @@ def test_ignore_column_law(spark, plan):
         ).df
     )
     assert with_ignore == projected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    profile=st.lists(
+        # (n distinct tokens, n repeats of one token) per doc — spans
+        # zero-weight (empty), flat, and max-distinctness docs
+        st.tuples(st.integers(min_value=0, max_value=30),
+                  st.integers(min_value=0, max_value=30)),
+        min_size=1,
+        max_size=25,
+    ),
+    step=st.sampled_from([100_000, 300_000, 1_000_000]),
+)
+def test_importance_resample_telescoping_law_any_corpus(
+    spark, tmp_path_factory, profile, step
+):
+    """Σ n_copies == total_weight div step for EVERY corpus and step —
+    the systematic-sampling law is arithmetic, not distributional."""
+    from dbdiff_spark.ops import corpus as corpus_mod
+
+    tmp = tmp_path_factory.mktemp("resample")
+    rows = []
+    for i, (nd, nr) in enumerate(profile):
+        toks = [f"w{i}x{j}" for j in range(nd)] + ["rep"] * nr
+        rows.append((i, " ".join(toks)))
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        str(tmp / "documents.parquet")
+    )
+    out = corpus_mod.importance_resample(spark, str(tmp), step=step).collect()
+    total_w = 0
+    for i, (nd, nr) in enumerate(profile):
+        n_tok = nd + nr
+        n_dist = nd + (1 if nr else 0)
+        total_w += (1_000_000 * n_dist) // n_tok if n_tok else 0
+    assert sum(r.n_copies for r in out) == total_w // step
