@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from dbdiff_spark import testkit
 from dbdiff_spark.diff import DiffMode, diff_summary, diff_tables
 from dbdiff_spark.io import TABLES, load_table
-from dbdiff_spark.ops import analytics, corpus, dedup, functions, graph, history, incremental, layout, multimodal, quality, retrieval, similarity, sketch, skew, temporal, text, tpch
+from dbdiff_spark.ops import analytics, corpus, dedup, functions, graph, history, incremental, layout, multimodal, pysource, quality, retrieval, similarity, sketch, skew, temporal, text, tpch
 from dbdiff_spark.streaming import cdc
 
 DIFF_TABLES = ["customer", "lineitem", "supplier", "orders", "part", "events", "region"]
@@ -182,7 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
     out["merge3_customer"] = _with_conf(testkit.merge3_query_df)
-    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, cdc):
+    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, pysource, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
             out[name] = _with_conf(fn)
         for name, fn in getattr(mod, "NO_ORACLE_QUERIES", {}).items():
@@ -205,7 +205,7 @@ def explain_frames() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Consumers (CLI ``--explain``) fall back to ``queries()`` for every
     other name."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, cdc):
+    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, pysource, cdc):
         for name, fn in getattr(mod, "EXPLAIN_FRAMES", {}).items():
             out[name] = _with_conf(fn)
     return out
@@ -295,7 +295,7 @@ FROM cls WHERE diff_status <> 'NOT_MODIFIED'
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
     out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()
     out["merge3_customer"] = testkit.merge3_oracle_sql()
-    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, cdc):
+    for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, pysource, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():
             out[name] = sql
     return out

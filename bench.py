@@ -115,6 +115,7 @@ HEADLINE = [
     "bpe_train_merges",
     "event_transitions",
     "rag_index_funnel",
+    "pyds_source_stats",
 ]
 
 

@@ -127,6 +127,7 @@ AUDITED = [
     "bpe_train_merges",
     "event_transitions",
     "rag_index_funnel",
+    "pyds_source_stats",
 ]
 
 
