@@ -242,6 +242,114 @@ def latest_state_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, result, "latest_state_by_key", "update")
 
 
+def stream_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) running counts via Spark 4's
+    ``transformWithStateInPandas`` — the NEW arbitrary-state API
+    (StatefulProcessor + typed state handles), covered alongside the
+    legacy ``applyInPandasWithState`` op above.  State here is a
+    MapState keyed by event_type inside each user's state row — the
+    composite-counter shape (per-key sub-keys) the old API could only
+    fake with serialized blobs.
+
+    Requires the RocksDB state-store provider (the API's backing
+    contract — also the 100 TB posture: executor-local RocksDB instead
+    of JVM-heap state).  The provider conf is set for this query and
+    restored after, so sibling streaming ops keep their default store.
+    On bounded input the counts converge to the batch GROUP BY — the
+    stream ≡ batch law the gated test asserts.
+
+    GATED on ``protobuf`` (the transformWithState state protocol is
+    protobuf-framed; the library is absent from this image, like the
+    Delta/Iceberg jars and compressed-media codecs) — the contract is
+    code-covered by ``tests/test_streaming.py``'s skip-if-missing test
+    and fails fast with a clear error otherwise."""
+    try:
+        from google.protobuf import descriptor as _  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment gate
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(state-protocol framing); not installed in this environment"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    stream = _event_stream_from_table(spark, sf_dir).filter(F.col("ts").isNotNull())
+
+    class TypeCountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+
+        def handleInputRows(
+            self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            import pandas as _pd
+
+            local: dict = {}
+            for pdf in rows:
+                for t, c in pdf["event_type"].value_counts().items():
+                    local[t] = local.get(t, 0) + int(c)
+            out_t, out_n = [], []
+            for t in sorted(local):
+                prev = (
+                    self.counts.getValue((t,))[0]
+                    if self.counts.containsKey((t,))
+                    else 0
+                )
+                n = prev + local[t]
+                self.counts.updateValue((t,), (n,))
+                out_t.append(t)
+                out_n.append(n)
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_t),
+                    "event_type": out_t,
+                    "n_events": out_n,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        result = stream.groupBy("user_id").transformWithStateInPandas(
+            TypeCountProcessor(),
+            outputStructType="user_id bigint, event_type string, n_events bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = _run_to_completion(
+            spark, result, "stream_user_type_counts", "update_raw"
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    # update-mode re-emissions across micro-batches: the final count per
+    # (user, type) is the maximum running value
+    return out.groupBy("user_id", "event_type").agg(
+        F.max("n_events").cast("bigint").alias("n_events")
+    )
+
+
+STREAM_USER_TYPE_COUNTS_SQL = """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events WHERE ts IS NOT NULL
+GROUP BY user_id, event_type
+"""
+
+
 def _watermarked_pc_sides(spark: SparkSession, sf_dir: str):
     """The shared sides of the stream-stream join family: watermarked
     purchase and click streams split out of the event feed (one change
@@ -559,8 +667,11 @@ def _run_to_completion(
 ) -> DataFrame:
     """Drive a bounded stream to completion synchronously and return the
     final result as a batch DataFrame (memory sink)."""
+    # "update_raw": update-mode sink without the latest-state
+    # final-row projection below (callers post-process themselves)
+    sink_mode = "update" if output_mode == "update_raw" else output_mode
     query = (
-        stream_df.writeStream.outputMode(output_mode)
+        stream_df.writeStream.outputMode(sink_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -1067,5 +1178,8 @@ QUERIES = {
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_latest_state": (latest_state_by_key, STREAM_LATEST_STATE_SQL),
     "stream_scd2_history": (stream_scd2_history, _stream_scd2_oracle_sql()),
+    # stream_user_type_counts (transformWithStateInPandas) is NOT
+    # registered: its state protocol needs the protobuf package, absent
+    # from this image — the gated test covers the contract instead
 }
 NO_ORACLE_QUERIES = {}

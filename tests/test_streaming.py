@@ -144,3 +144,35 @@ def test_stream_full_join_per_side_horizons(spark, sf_dir):
         F.col("purchase_id").isNull()).collect()}
     assert null_clicks, "fixture must exercise the click-null path"
     assert all(click_us[c] + 3_600_000_000 < wm for c in null_clicks)
+
+
+def test_transform_with_state_counts_converge_or_gate_cleanly(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas surface: with protobuf
+    present the MapState counters must converge to the batch GROUP BY;
+    without it (this image) the operator must fail fast with the
+    documented NotImplementedError, not a worker crash."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            cdc.stream_user_type_counts(spark, sf_dir)
+        return
+
+    out = {(r.user_id, r.event_type): r.n_events
+           for r in cdc.stream_user_type_counts(spark, sf_dir).collect()}
+    batch = {(r.user_id, r.event_type): r.n
+             for r in load_table(spark, sf_dir, "events")
+             .filter(F.col("ts").isNotNull())
+             .groupBy("user_id", "event_type")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert out == batch
