@@ -556,17 +556,26 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     base.write.parquet(f"{root}/state_00000")
     schema = spark.read.parquet(changes_dir).schema
 
-    def _apply_batch(bdf: DataFrame, _bid: int) -> None:
-        states = sorted(Path(root).glob("state_*"))
+    # batchId-KEYED state versions: a retried batch overwrites its own
+    # version and reads the version preceding it, never the retry's
+    # half-written output — with the source checkpoint this is the
+    # exactly-once contract under restart (proved by the
+    # checkpoint-restart test in tests/test_streaming.py)
+    def _apply_batch(bdf: DataFrame, bid: int) -> None:
+        bound = f"state_{bid:05d}"
+        states = sorted(
+            p for p in Path(root).glob("state_*") if p.name <= bound
+        )
         cur = spark.read.parquet(str(states[-1]))
         new = apply_diff(cur, bdf, list(spec.key))
-        new.write.parquet(f"{root}/state_{len(states):05d}")
+        new.write.mode("overwrite").parquet(f"{root}/state_{bid + 1:05d}")
 
     query = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(changes_dir)
         .writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", f"{root}/checkpoint")
         .start()
     )
     try:

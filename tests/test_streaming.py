@@ -176,3 +176,73 @@ def test_transform_with_state_counts_converge_or_gate_cleanly(spark, sf_dir):
              .groupBy("user_id", "event_type")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert out == batch
+
+
+def test_foreachbatch_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint-restart law for the CDC apply loop: stop after the
+    first half of the change files, restart against the SAME
+    checkpoint with the rest added — already-applied batches must not
+    re-run (state version count == n files + 1, batchId-keyed), and
+    the final state must equal the true after snapshot."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import DiffMode, apply_diff, diff_tables
+    from dbdiff_spark.io import load_table
+
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    changes = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED).df
+
+    root = tmp_path
+    staging = root / "staging"
+    changes.repartition(4, F.col(spec.key[0])).write.parquet(str(staging))
+    files = sorted(p for p in staging.glob("part-*.parquet"))
+    assert len(files) == 4
+    changes_dir = root / "changes"
+    changes_dir.mkdir()
+    base.write.parquet(str(root / "state_00000"))
+    schema = spark.read.parquet(str(staging)).schema
+
+    def _apply_batch(bdf, bid):
+        bound = f"state_{bid:05d}"
+        states = sorted(
+            p for p in root.glob("state_*") if p.name <= bound
+        )
+        cur = spark.read.parquet(str(states[-1]))
+        new = apply_diff(cur, bdf, list(spec.key))
+        new.write.mode("overwrite").parquet(str(root / f"state_{bid + 1:05d}"))
+
+    def _run_query():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(changes_dir))
+            .writeStream.foreachBatch(_apply_batch)
+            .option("checkpointLocation", str(root / "checkpoint"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: first half of the change files, then a clean stop
+    for f in files[:2]:
+        (changes_dir / f.name).write_bytes(f.read_bytes())
+    _run_query()
+    assert len(list(root.glob("state_*"))) == 3  # base + 2 batches
+
+    # phase 2: add the rest, restart from the SAME checkpoint
+    for f in files[2:]:
+        (changes_dir / f.name).write_bytes(f.read_bytes())
+    _run_query()
+    states = sorted(root.glob("state_*"))
+    assert len(states) == 5, states  # no batch re-ran after restart
+
+    final = spark.read.parquet(str(states[-1])).select(*spec.cols)
+    assert final.exceptAll(after).count() == 0
+    assert after.exceptAll(final).count() == 0
