@@ -116,6 +116,7 @@ HEADLINE = [
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",
+    "numeric_correlations",
 ]
 
 

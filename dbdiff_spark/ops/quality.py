@@ -715,7 +715,87 @@ FROM groups
 """
 
 
+# --- cross-column correlation ------------------------------------------------
+#
+# Pearson correlations across lineitem's small-domain numeric columns
+# (quantity, discount ppm, tax ppm), computed from INTEGER moments so
+# the parallel aggregation is exact: inputs quantize to bounded grids
+# (quantity ≤ 50, ppm ≤ 10⁶), every SUM is a BIGINT (Σd² ≈ 2×10¹⁴ at
+# sf0.01 — inside int64; a 100 TB run promotes the moments to
+# DECIMAL(38) / HUGEINT, same plan).  The n·Σ combinations exceed
+# int64, so the FINAL step evaluates one fixed textual double
+# expression per pair (deterministic: identical two-operand IEEE tree
+# in both engines), ppm-quantized.  One corpus scan, one map-side-
+# combined aggregate row.
+
+_CORR_MOMS = {
+    "q": "CAST(ROUND(l_quantity) AS BIGINT)",
+    "d": "CAST(ROUND(l_discount * 1000000) AS BIGINT)",
+    "t": "CAST(ROUND(l_tax * 1000000) AS BIGINT)",
+}
+
+
+def _corr_expr(a: str, b: str) -> str:
+    """corr(a, b) in ppm from the integer moments — identical text in
+    both engines (each step one correctly-rounded IEEE double op).
+    The n·Σ products combine as DOUBLES: n·Σd² exceeds int64 already at
+    sf0.01, and the double product/difference is deterministic because
+    both engines evaluate the same two-operand expression tree."""
+    d = "CAST({} AS DOUBLE)"
+    n, sa, sb = d.format("n"), d.format(f"s_{a}"), d.format(f"s_{b}")
+    sab, saa, sbb = (
+        d.format(f"s_{a}{b}"), d.format(f"s_{a}{a}"), d.format(f"s_{b}{b}")
+    )
+    return (
+        f"CAST(ROUND(((({n} * {sab}) - ({sa} * {sb})) / "
+        f"(sqrt(({n} * {saa}) - ({sa} * {sa})) * "
+        f"sqrt(({n} * {sbb}) - ({sb} * {sb})))) "
+        f"* CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+def _corr_moment_exprs() -> list:
+    keys = list(_CORR_MOMS)
+    out = ["CAST(count(*) AS BIGINT) AS n"]
+    for k, expr in _CORR_MOMS.items():
+        out.append(f"CAST(sum({expr}) AS BIGINT) AS s_{k}")
+    for i, a in enumerate(keys):
+        for b in keys[i:]:
+            out.append(
+                f"CAST(sum(({_CORR_MOMS[a]}) * ({_CORR_MOMS[b]})) AS BIGINT)"
+                f" AS s_{a}{b}"
+            )
+    return out
+
+
+def numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Pearson-correlation report over lineitem's
+    (quantity, discount, tax) in exact integer-moment form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    moments = li.selectExpr(*_corr_moment_exprs())
+    return moments.selectExpr(
+        "n AS n_rows",
+        f"{_corr_expr('q', 'd')} AS corr_qty_disc_ppm",
+        f"{_corr_expr('q', 't')} AS corr_qty_tax_ppm",
+        f"{_corr_expr('d', 't')} AS corr_disc_tax_ppm",
+    )
+
+
+NUMERIC_CORRELATIONS_SQL = f"""
+WITH moments AS (
+  SELECT {', '.join(_corr_moment_exprs())}
+  FROM lineitem
+)
+SELECT n AS n_rows,
+       {_corr_expr('q', 'd')} AS corr_qty_disc_ppm,
+       {_corr_expr('q', 't')} AS corr_qty_tax_ppm,
+       {_corr_expr('d', 't')} AS corr_disc_tax_ppm
+FROM moments
+"""
+
+
 QUERIES = {
+    "numeric_correlations": (numeric_correlations, NUMERIC_CORRELATIONS_SQL),
     "column_drift_lineitem": (column_drift_lineitem, COLUMN_DRIFT_SQL),
     "benford_audit": (benford_audit, BENFORD_SQL),
     "k_anonymity_audit": (k_anonymity_audit, K_ANONYMITY_SQL),

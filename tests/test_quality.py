@@ -205,3 +205,32 @@ def test_event_transitions_conserve_and_normalize(spark, sf_dir):
         by_prev.setdefault(r.prev_type, []).append(r.p_ppm)
     for prev, ppms in by_prev.items():
         assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000, prev
+
+
+def test_numeric_correlations_match_numpy_and_bounds(spark, sf_dir):
+    """The integer-moment Pearson formula must agree with a direct
+    numpy recompute on the same quantized grids (to the ppm unit) and
+    stay inside [-1e6, 1e6]."""
+    import numpy as np
+
+    from dbdiff_spark.ops.quality import numeric_correlations
+
+    row = numeric_correlations(spark, sf_dir).collect()[0]
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(ROUND(l_quantity) AS BIGINT) AS q",
+            "CAST(ROUND(l_discount * 1000000) AS BIGINT) AS d",
+            "CAST(ROUND(l_tax * 1000000) AS BIGINT) AS t",
+        )
+        .toPandas()
+    )
+    assert row.n_rows == len(pdf)
+    for col_a, col_b, got in (
+        ("q", "d", row.corr_qty_disc_ppm),
+        ("q", "t", row.corr_qty_tax_ppm),
+        ("d", "t", row.corr_disc_tax_ppm),
+    ):
+        expect = np.corrcoef(pdf[col_a], pdf[col_b])[0, 1] * 1_000_000
+        assert abs(got - expect) <= 1, (col_a, col_b, got, expect)
+        assert -1_000_000 <= got <= 1_000_000

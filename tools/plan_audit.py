@@ -128,6 +128,7 @@ AUDITED = [
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",
+    "numeric_correlations",
 ]
 
 
