@@ -117,6 +117,7 @@ HEADLINE = [
     "rag_index_funnel",
     "pyds_source_stats",
     "numeric_correlations",
+    "vocab_growth_curve",
 ]
 
 

@@ -403,6 +403,83 @@ LEFT JOIN tri ON base.doc_id = tri.doc_id
 """
 
 
+# --- vocabulary growth curve (Heaps'-law raw data) ---------------------------
+#
+# Vocabulary size as a function of corpus position — the empirical
+# curve whose power-law fit is Heaps' law (the fit itself needs
+# log/exp, banned by the exactness rules; the engine emits the exact
+# integer curve and the fit happens client-side).
+#
+# The scalable trick: cumulative-distinct at every checkpoint is NOT a
+# windowed distinct (quadratic state).  A token first enters the
+# vocabulary at min(doc_id) over its occurrences, so ONE grouped min
+# per token + a checkpoint-bucketed count + a running sum over the
+# (bounded, n_docs/CHECKPOINT-row) bucket table gives the entire curve:
+# two corpus-sized map-side-combined aggregates, one tiny window.
+
+VOCAB_CHECKPOINT_DOCS = 100
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = docs.selectExpr("doc_id", f"explode_outer({_TOKENS}) AS t").filter(
+        F.col("t").isNotNull()
+    )
+    ck = f"(doc_id div {VOCAB_CHECKPOINT_DOCS}) AS checkpoint"
+    first_seen = (
+        toks.groupBy("t")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .selectExpr(ck)
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_tokens"))
+    )
+    token_mass = (
+        toks.selectExpr(ck)
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    )
+    w = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        token_mass.join(first_seen, "checkpoint", "left")
+        .selectExpr(
+            "checkpoint", "n_tokens", "coalesce(n_new_tokens, 0) AS n_new_tokens"
+        )
+        .select(
+            "checkpoint",
+            F.sum("n_tokens").over(w).cast("bigint").alias("tokens_cum"),
+            F.sum("n_new_tokens").over(w).cast("bigint").alias("vocab_size"),
+            "n_new_tokens",
+        )
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKENS}) AS t FROM documents
+),
+first_seen AS (
+  SELECT doc_id // {VOCAB_CHECKPOINT_DOCS} AS checkpoint,
+         CAST(count(*) AS BIGINT) AS n_new_tokens
+  FROM (SELECT t, min(doc_id) AS doc_id FROM toks GROUP BY t)
+  GROUP BY 1
+),
+token_mass AS (
+  SELECT doc_id // {VOCAB_CHECKPOINT_DOCS} AS checkpoint,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY 1
+)
+SELECT checkpoint,
+       CAST(sum(n_tokens) OVER (ORDER BY checkpoint
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+       CAST(sum(coalesce(n_new_tokens, 0)) OVER (ORDER BY checkpoint
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size,
+       coalesce(n_new_tokens, 0) AS n_new_tokens
+FROM token_mass LEFT JOIN first_seen USING (checkpoint)
+"""
+
+
 # --- vocabulary coverage / OOV rate ------------------------------------------
 #
 # The tokenizer-prep step of a training pipeline: build the top-V
@@ -1386,5 +1463,6 @@ QUERIES = {
     "repetition_ratio": (repetition_ratio, REPETITION_RATIO_SQL),
     "gopher_repetition": (gopher_repetition, GOPHER_REPETITION_SQL),
     "vocab_coverage": (vocab_coverage, VOCAB_COVERAGE_SQL),
+    "vocab_growth_curve": (vocab_growth_curve, VOCAB_GROWTH_SQL),
     "chunk_documents": (chunk_documents, CHUNK_DOCUMENTS_SQL),
 }

@@ -92,3 +92,32 @@ def test_gopher_oracle_matches_engine_on_token_free_docs(spark, tmp_path):
     }
     assert engine == oracle
     assert engine[0] == (0, True) and engine[1] == (0, True)
+
+
+def test_vocab_growth_curve_laws(spark, sf_dir):
+    """The curve's last point must equal the corpus totals (vocab ==
+    global distinct tokens, tokens_cum == total token count), both
+    cumulative columns must be non-decreasing, and each checkpoint's
+    vocab gain equals its n_new_tokens."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.text import _TOKENS, vocab_growth_curve
+
+    rows = sorted(
+        vocab_growth_curve(spark, sf_dir).collect(), key=lambda r: r.checkpoint
+    )
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr(f"explode({_TOKENS}) AS t")
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("t").alias("v")
+    ).collect()[0]
+    assert rows[-1].tokens_cum == totals.n
+    assert rows[-1].vocab_size == totals.v
+    prev_tok = prev_voc = 0
+    for r in rows:
+        assert r.tokens_cum >= prev_tok and r.vocab_size >= prev_voc
+        assert r.vocab_size - prev_voc == r.n_new_tokens
+        prev_tok, prev_voc = r.tokens_cum, r.vocab_size

@@ -129,6 +129,7 @@ AUDITED = [
     "rag_index_funnel",
     "pyds_source_stats",
     "numeric_correlations",
+    "vocab_growth_curve",
 ]
 
 
