@@ -168,3 +168,54 @@ def test_mmr_empty_shortlist_returns_empty_frame(spark, tmp_path):
     out = mmr_rerank(spark, str(tmp_path))
     assert out.count() == 0
     assert out.columns == ["rank", "doc_id", "cand_rank"]
+
+
+def test_round4_ops_survive_empty_tables(spark, tmp_path):
+    """Robustness sweep: every operator added this round must run on
+    EMPTY (schema-correct) tables without raising — empty corpora are
+    the first thing a new deployment feeds an engine."""
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame(
+        [],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [],
+        "l_orderkey bigint, l_linenumber int, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    from dbdiff_spark.ops.corpus import importance_resample
+    from dbdiff_spark.ops.quality import numeric_correlations
+    from dbdiff_spark.ops.retrieval import (
+        bpe_pair_stats,
+        bpe_train_merges,
+        hybrid_retrieval_rrf,
+        mmr_rerank,
+        pmi_collocations,
+        rag_index_funnel,
+    )
+    from dbdiff_spark.ops.temporal import event_transitions
+    from dbdiff_spark.ops.text import vocab_growth_curve
+
+    sf = str(tmp_path)
+    for fn, expect_rows in [
+        (hybrid_retrieval_rrf, 0),
+        (bpe_pair_stats, 0),
+        (pmi_collocations, 0),
+        (mmr_rerank, 0),
+        (bpe_train_merges, 0),
+        (rag_index_funnel, 1),       # one row of zero counts
+        (importance_resample, 0),
+        (event_transitions, 0),
+        (vocab_growth_curve, 0),
+        (numeric_correlations, 1),   # one row, NULL correlations
+    ]:
+        out = fn(spark, sf)
+        assert out.count() == expect_rows, fn.__name__
