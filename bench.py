@@ -118,6 +118,7 @@ HEADLINE = [
     "pyds_source_stats",
     "numeric_correlations",
     "vocab_growth_curve",
+    "entity_resolution_parts",
 ]
 
 

@@ -398,6 +398,16 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-free), so the DuckDB oracle can compute it as a recursive
     transitive closure instead — different algorithm, same fixpoint."""
     pairs = dedup_minhash_lsh(spark, sf_dir)
+    return _min_label_components(
+        pairs.selectExpr("id_a", "id_b")
+    ).select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list (columns
+    ``id_a``/``id_b``) → one (doc_id, label) row per node that appears
+    in a pair; shared by the near-dup clustering and entity
+    resolution."""
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
@@ -437,7 +447,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    return labels
 
 
 # The recursive transitive-closure clustering CTEs, shared by every
@@ -719,20 +729,79 @@ def fuzzy_part_match(
     )
 
 
-FUZZY_MATCH_SQL = f"""
+def _fuzzy_match_sql(block_cap: int = FUZZY_BLOCK_CAP) -> str:
+    return f"""
 WITH p AS (
   SELECT p_partkey, p_name, regexp_extract(p_name, '[a-z]+$') AS block,
          row_number() OVER (PARTITION BY regexp_extract(p_name, '[a-z]+$')
                             ORDER BY p_partkey) AS rnk
   FROM part
 ),
-c AS (SELECT p_partkey, p_name, block FROM p WHERE rnk <= {FUZZY_BLOCK_CAP})
+c AS (SELECT p_partkey, p_name, block FROM p WHERE rnk <= {block_cap})
 SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
        a.p_name AS a_name, b.p_name AS b_name,
        a.block AS block,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
 FROM c a JOIN c b ON a.block = b.block AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {FUZZY_MAX_DIST}
+"""
+
+
+FUZZY_MATCH_SQL = _fuzzy_match_sql()
+
+
+# --- entity resolution over the fuzzy-match graph ---------------------------
+#
+# Record linkage's second half: the fuzzy candidate pairs above are
+# only EVIDENCE; the entities are the connected components of the pair
+# graph (transitivity: if A≈B and B≈C, one entity {A,B,C} even when
+# dist(A,C) > the threshold).  Reuses the min-label propagation
+# machinery (`_min_label_components`) over part keys and reports one
+# row per multi-member entity with its canonical record (the minimum
+# partkey's name — deterministic).  Scale shape: the pair graph is
+# block-capped by construction — and TIGHTER here than the pair query's
+# own cap (64 vs 256): the match query surfaces candidate EVIDENCE,
+# while closure cost grows with component size, so the resolution
+# stage bounds its blocks harder (at sf0.1 the 256-cap graph is 2.4M
+# edges in ~1250-node near-cliques — fine for one keyed join+agg per
+# propagation round, hopeless for the oracle's transitive closure).
+# The name join is on the (small) entity-representative set and
+# broadcasts.
+
+ENTITY_BLOCK_CAP = 64
+
+
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = fuzzy_part_match(spark, sf_dir, block_cap=ENTITY_BLOCK_CAP).selectExpr(
+        "a_key AS id_a", "b_key AS id_b"
+    )
+    entities = _min_label_components(pairs).select(
+        F.col("doc_id").alias("p_partkey"), F.col("label").alias("entity_id")
+    )
+    names = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    summary = entities.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    return (
+        summary.join(
+            F.broadcast(
+                names.withColumnRenamed("p_partkey", "entity_id")
+            ),
+            "entity_id",
+        )
+        .select("entity_id", F.col("p_name").alias("canonical_name"), "n_members")
+    )
+
+
+ENTITY_RESOLUTION_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_key AS id_a, b_key AS id_b FROM ({_fuzzy_match_sql(ENTITY_BLOCK_CAP)})
+),
+{_CC_CLUSTERS_CTES}
+SELECT cluster_id AS entity_id, p.p_name AS canonical_name,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM clusters c JOIN part p ON p.p_partkey = c.cluster_id
+GROUP BY cluster_id, p.p_name
 """
 
 
@@ -1079,8 +1148,31 @@ def _clusters_one_round_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_one_round_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One propagation round over the entity pair graph — the lazy plan
+    shape for --explain (the converged operator runs driver actions per
+    round at construction, like neardup_clusters)."""
+    pairs = fuzzy_part_match(spark, sf_dir, block_cap=ENTITY_BLOCK_CAP).selectExpr(
+        "a_key AS id_a", "b_key AS id_b"
+    )
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    return (
+        edges.join(labels, edges.src == labels.doc_id)
+        .groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("label").alias("nbr_label"))
+    )
+
+
 EXPLAIN_FRAMES = {
     "neardup_clusters": _clusters_one_round_lazy,
+    "entity_resolution_parts": _entity_one_round_lazy,
     "leakage_safe_split": lambda spark, sf_dir: _leakage_agg(
         _split_assignments(
             spark, sf_dir, clusters=_clusters_one_round_lazy(spark, sf_dir)
@@ -1275,6 +1367,7 @@ QUERIES = {
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
+    "entity_resolution_parts": (entity_resolution_parts, ENTITY_RESOLUTION_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "neardup_clusters_bigstar": (neardup_clusters_bigstar, NEARDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

@@ -257,3 +257,38 @@ def test_contrastive_pairs_negatives_are_verified(spark, sf_dir):
         for side in (t.anchor, t.positive):
             lo, hi = min(side, t.neg_id), max(side, t.neg_id)
             assert (lo, hi) not in pair_set
+
+
+def test_entity_resolution_transitivity_and_conservation(spark, sf_dir):
+    """Entity laws: every fuzzy-pair endpoint lands in exactly one
+    entity, paired records share an entity (transitivity folds chains),
+    entity_id is the minimum member key, and member counts conserve."""
+    from dbdiff_spark.ops.dedup import (
+        ENTITY_BLOCK_CAP,
+        entity_resolution_parts,
+        fuzzy_part_match,
+    )
+
+    pairs = fuzzy_part_match(spark, sf_dir, block_cap=ENTITY_BLOCK_CAP).collect()
+    ents = entity_resolution_parts(spark, sf_dir).collect()
+    assert ents, "fixture must produce fuzzy entities"
+
+    # rebuild components in python as the independent model
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p.a_key), find(p.b_key)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for k in parent:
+        comp.setdefault(find(k), set()).add(k)
+    expect = {(root, len(members)) for root, members in comp.items()}
+    assert {(e.entity_id, e.n_members) for e in ents} == expect
+    assert all(e.entity_id == min(comp[e.entity_id]) for e in ents)

@@ -130,6 +130,7 @@ AUDITED = [
     "pyds_source_stats",
     "numeric_correlations",
     "vocab_growth_curve",
+    "entity_resolution_parts",
 ]
 
 
