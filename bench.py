@@ -119,6 +119,8 @@ HEADLINE = [
     "numeric_correlations",
     "vocab_growth_curve",
     "entity_resolution_parts",
+    "rfm_segments",
+    "supplier_return_quality",
 ]
 
 

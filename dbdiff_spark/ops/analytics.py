@@ -776,7 +776,147 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- RFM customer segmentation ----------------------------------------------
+#
+# The classic CRM cut: quartile-bin every customer on Recency (last
+# order epoch), Frequency (order count) and Monetary (lifetime cents),
+# label the 4×4×4 segments, and report segment sizes + value.  Bin 4 is
+# best on every axis.  Each axis uses the DISTRIBUTED exact NTILE from
+# the layout module (value-range bucketing + a bounded offset table —
+# bit-identical to the window NTILE without the corpus-sized
+# single-reducer window), tie-broken on custkey so the cut is
+# deterministic in both engines.  Output is ≤64 rows.
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbdiff_spark.ops.layout import _exact_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.expr("max(unix_micros(CAST(o_orderdate AS TIMESTAMP)))").alias("r_us"),
+        F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+        F.expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("m_cents"),
+    )
+    total = cust.count()
+    binned = cust
+    for val, out in (("r_us", "r_bin"), ("f_orders", "f_bin"), ("m_cents", "m_bin")):
+        binned = _exact_ntile(binned, val, "o_custkey", 4, total, out)
+    return (
+        binned.selectExpr(
+            "concat(CAST(r_bin AS STRING), CAST(f_bin AS STRING),"
+            " CAST(m_bin AS STRING)) AS segment",
+            "m_cents",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("m_cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate)) AS r_us,
+         CAST(count(*) AS BIGINT) AS f_orders,
+         CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+binned AS (
+  SELECT m_cents,
+         NTILE(4) OVER (ORDER BY r_us, o_custkey) AS r_bin,
+         NTILE(4) OVER (ORDER BY f_orders, o_custkey) AS f_bin,
+         NTILE(4) OVER (ORDER BY m_cents, o_custkey) AS m_bin
+  FROM cust
+)
+SELECT concat(CAST(r_bin AS VARCHAR), CAST(f_bin AS VARCHAR),
+              CAST(m_bin AS VARCHAR)) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(m_cents) AS BIGINT) AS total_cents
+FROM binned GROUP BY 1
+"""
+
+
+# --- ranking under uncertainty: Wilson lower bound ---------------------------
+#
+# "Worst suppliers by return rate" done right: raw rates over-rank
+# small-sample suppliers, so rank by the Wilson score interval's LOWER
+# bound (z = 2 exactly, so z² = 4 — no irrational constants).  The
+# bound is one fixed textual double expression over two integer counts
+# (sqrt is a correctly-rounded IEEE op), ppm-quantized; the per-
+# supplier counts are one map-side-combined aggregate and the top-k is
+# TakeOrdered.
+
+_WILSON_Z2 = 4  # z = 2 (~97.7% one-sided)
+WILSON_TOP = 10
+
+_WILSON_LB = (
+    "CAST(ROUND((((p_hat + (CAST(2 AS DOUBLE) / nn)) "
+    "- (CAST(2 AS DOUBLE) * sqrt(((p_hat * (CAST(1 AS DOUBLE) - p_hat)) / nn) "
+    "+ (CAST(1 AS DOUBLE) / (nn * nn))))) "
+    f"/ (CAST(1 AS DOUBLE) + (CAST({_WILSON_Z2} AS DOUBLE) / nn))) "
+    "* CAST(1000000 AS DOUBLE)) AS BIGINT)"
+)
+
+
+def supplier_return_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``WILSON_TOP`` suppliers by Wilson lower-bound return rate
+    (ties → smaller suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.expr(
+            "CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_returns"),
+    )
+    scored = counts.selectExpr(
+        "l_suppkey",
+        "n_lines",
+        "n_returns",
+        "CAST(n_lines AS DOUBLE) AS nn",
+        "CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p_hat",
+    ).selectExpr("l_suppkey", "n_lines", "n_returns", f"{_WILSON_LB} AS wilson_lb_ppm")
+    w = Window.orderBy(F.col("wilson_lb_ppm").desc(), F.col("l_suppkey"))
+    return (
+        scored.orderBy(F.col("wilson_lb_ppm").desc(), F.col("l_suppkey"))
+        .limit(WILSON_TOP)
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "l_suppkey",
+            "n_lines",
+            "n_returns",
+            "wilson_lb_ppm",
+        )
+    )
+
+
+SUPPLIER_RETURN_SQL = f"""
+WITH counts AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returns
+  FROM lineitem GROUP BY l_suppkey
+),
+scored AS (
+  SELECT l_suppkey, n_lines, n_returns, {_WILSON_LB} AS wilson_lb_ppm
+  FROM (
+    SELECT l_suppkey, n_lines, n_returns,
+           CAST(n_lines AS DOUBLE) AS nn,
+           CAST(n_returns AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p_hat
+    FROM counts
+  )
+)
+SELECT CAST(row_number() OVER (ORDER BY wilson_lb_ppm DESC, l_suppkey) AS INT)
+         AS rank, l_suppkey, n_lines, n_returns, wilson_lb_ppm
+FROM scored ORDER BY wilson_lb_ppm DESC, l_suppkey LIMIT {WILSON_TOP}
+"""
+
+
 QUERIES = {
+    "rfm_segments": (rfm_segments, RFM_SEGMENTS_SQL),
+    "supplier_return_quality": (supplier_return_quality, SUPPLIER_RETURN_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),

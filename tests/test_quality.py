@@ -234,3 +234,40 @@ def test_numeric_correlations_match_numpy_and_bounds(spark, sf_dir):
         expect = np.corrcoef(pdf[col_a], pdf[col_b])[0, 1] * 1_000_000
         assert abs(got - expect) <= 1, (col_a, col_b, got, expect)
         assert -1_000_000 <= got <= 1_000_000
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """RFM laws: segment counts partition the customer base exactly;
+    every label is three digits in 1..4; monetary mass conserves."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.analytics import rfm_segments
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    total_cents = orders.agg(
+        F.expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))")
+    ).collect()[0][0]
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert sum(r.total_cents for r in rows) == total_cents
+    for r in rows:
+        assert len(r.segment) == 3
+        assert all(c in "1234" for c in r.segment)
+
+
+def test_wilson_bound_shrinks_small_samples(spark, tmp_path):
+    """A 2/2-returns supplier must rank BELOW a 90/100 one: the Wilson
+    lower bound discounts small samples even at a perfect raw rate."""
+    rows = [(1, "R")] * 90 + [(1, "N")] * 10 + [(2, "R")] * 2
+    df = spark.createDataFrame(
+        [(i, k, f) for i, (k, f) in enumerate(rows)],
+        "l_orderkey bigint, l_suppkey bigint, l_returnflag string",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    from dbdiff_spark.ops.analytics import supplier_return_quality
+
+    out = supplier_return_quality(spark, str(tmp_path)).collect()
+    assert [r.l_suppkey for r in out] == [1, 2]
+    assert out[0].wilson_lb_ppm > out[1].wilson_lb_ppm
+    assert out[1].n_returns == 2 and out[1].n_lines == 2

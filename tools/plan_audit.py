@@ -131,6 +131,8 @@ AUDITED = [
     "numeric_correlations",
     "vocab_growth_curve",
     "entity_resolution_parts",
+    "rfm_segments",
+    "supplier_return_quality",
 ]
 
 
