@@ -124,12 +124,39 @@ def _diff_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diff_revenue_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The money question a diff answers: per change class, how many
+    rows and how much revenue moved.  One signed projection over the
+    (already diff-sized) output — INSERTED after-rows add cents,
+    DELETED before-rows subtract, and an UPDATED pair's +after/−before
+    rows net to its delta — then a map-side-combinable rollup.  Logical
+    row counts follow the diff_summary convention (after-rows, plus
+    DELETED's before-rows)."""
+    _ensure_session_conf(spark)
+    d = testkit.diff_query_df(spark, sf_dir, "orders")
+    return (
+        d.selectExpr(
+            "diff_status",
+            "CASE WHEN is_before THEN -CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+            " ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS signed_cents",
+            "CASE WHEN (NOT is_before) OR diff_status = 'DELETED'"
+            " THEN 1 ELSE 0 END AS logical_row",
+        )
+        .groupBy("diff_status")
+        .agg(
+            F.sum("logical_row").cast("bigint").alias("n_rows"),
+            F.sum("signed_cents").cast("bigint").alias("revenue_delta_cents"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for t in DIFF_TABLES:
         out[f"diff_{t}"] = _diff_query(t)
     out["diff_summary_customer"] = _diff_summary_query
+    out["diff_revenue_impact"] = _diff_revenue_impact
     out["diff_column_stats"] = _diff_column_stats
     out["diff_cascade_report"] = _diff_cascade_report
     out["snapshot_counts"] = _snapshot_counts
@@ -248,6 +275,17 @@ SELECT coalesce(parent_status, 'UNCHANGED') AS parent_status, child_status,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM li_ch LEFT JOIN ord_ch USING (o_orderkey)
 GROUP BY 1, 2
+"""
+    out["diff_revenue_impact"] = f"""
+SELECT diff_status,
+       CAST(sum(CASE WHEN (NOT is_before) OR diff_status = 'DELETED'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN is_before
+                THEN -CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+         AS revenue_delta_cents
+FROM ({testkit.diff_oracle_sql('orders')})
+GROUP BY diff_status
 """
     out["diff_lineitem_multiset"] = testkit.multiset_oracle_sql("lineitem")
     out["diff_nation_stringmode"] = testkit.diff_oracle_sql("nation", stringify=True)

@@ -121,6 +121,7 @@ HEADLINE = [
     "entity_resolution_parts",
     "rfm_segments",
     "supplier_return_quality",
+    "diff_revenue_impact",
 ]
 
 

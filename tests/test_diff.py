@@ -481,3 +481,34 @@ def test_ignore_columns_validation(spark):
             df, df, ["id"], mode=DiffMode.TYPED,
             tolerance={"v": 0.1}, ignore_columns=["v"],
         )
+
+
+def test_diff_revenue_impact_reconciles_totals(spark, sf_dir):
+    """Accounting law: summing the per-class revenue deltas must equal
+    total(after) - total(before) exactly, and per-class row counts must
+    match diff_summary."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.io import load_table
+
+    rows = {r.diff_status: r for r in entry._diff_revenue_impact(spark, sf_dir).collect()}
+    spec, mut = testkit.SPECS["orders"], testkit.MUTATIONS["orders"]
+    base = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
+    after = testkit.apply_mutation(base, spec, mut)
+    cents = "sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))"
+    total_delta = (
+        after.selectExpr(f"{cents} AS c").collect()[0].c
+        - base.selectExpr(f"{cents} AS c").collect()[0].c
+    )
+    assert sum(r.revenue_delta_cents for r in rows.values()) == total_delta
+
+    # row counts against an independent recompute of the diff summary
+    d = testkit.diff_query_df(spark, sf_dir, "orders")
+    expect = {
+        r.diff_status: r.n
+        for r in d.filter("(NOT is_before) OR diff_status = 'DELETED'")
+        .groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {k: v.n_rows for k, v in rows.items()} == expect

@@ -133,6 +133,7 @@ AUDITED = [
     "entity_resolution_parts",
     "rfm_segments",
     "supplier_return_quality",
+    "diff_revenue_impact",
 ]
 
 
