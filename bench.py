@@ -122,6 +122,7 @@ HEADLINE = [
     "rfm_segments",
     "supplier_return_quality",
     "diff_revenue_impact",
+    "multimodal_dhash_dedup",
 ]
 
 

@@ -615,6 +615,102 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- perceptual image dedup (dHash through the real codec) ------------------
+#
+# The multimodal twin of ``dedup_exact``: every document's synthetic
+# image round-trips through the REAL BMP encoder/decoder (mapInPandas,
+# Arrow-batched), a 40-bit difference hash (adjacent-pixel gradient
+# signs over the 6x8 grayscale grid) is packed per image, and images
+# agreeing on the hash group as perceptual duplicates.  The corpus is
+# the exact-copy corpus (originals + byte-identical copies at shifted
+# ids) so real duplicate groups exist by construction.  The oracle
+# regenerates the SAME grayscale grid arithmetically (the pixel-formula
+# trick every multimodal twin uses) and packs the same bits with a lead
+# window - no codec needed on the DuckDB side, which is exactly the
+# point: the codec round trip must be value-neutral.
+#
+# Scale shape: decode+hash is one Arrow-batched scan; the dedup is one
+# map-side-combinable groupBy on the 40-bit key.
+
+DHASH_COPY_OFFSET = 2_000_000  # mirrors dedup.EXACT_COPY_OFFSET
+
+
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.selectExpr(f"doc_id + {DHASH_COPY_OFFSET} AS doc_id", "text")
+    )
+    w, h = IMG_W, IMG_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = _nn_codes(text or "", w * h)
+                rgb = bytearray()
+                for c in codes:
+                    rgb += bytes((c, (2 * c + 1) % 256, (7 * c + 3) % 256))
+                dw, dh, px = decode_image(encode_bmp(w, h, bytes(rgb)))
+                gray = [
+                    (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+                    for i in range(dw * dh)
+                ]
+                dhash = 0
+                for y in range(dh):
+                    for x in range(dw - 1):
+                        if gray[y * dw + x] < gray[y * dw + x + 1]:
+                            dhash |= 1 << (y * (dw - 1) + x)
+                recs.append((int(doc_id), dhash))
+            yield pd.DataFrame(recs, columns=["doc_id", "dhash"])
+
+    hashed = corpus.mapInPandas(batches, schema="doc_id bigint, dhash bigint")
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+
+
+MULTIMODAL_DHASH_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_COPY_OFFSET} AS doc_id, text FROM documents
+),
+px AS (
+  SELECT doc_id, i,
+         CASE WHEN len(text) = 0 THEN 0
+              ELSE ord(substr(text, (i * len(text)) // {IMG_W * IMG_H} + 1, 1))
+                   % 256 END AS c
+  FROM corpus, (SELECT unnest(generate_series(0, {IMG_W * IMG_H - 1})) AS i)
+),
+gray AS (
+  SELECT doc_id, i,
+         (c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3 AS g
+  FROM px
+),
+bits AS (
+  SELECT doc_id, i, g,
+         lead(g) OVER (PARTITION BY doc_id ORDER BY i) AS ng
+  FROM gray
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN g < ng THEN
+                    (CAST(1 AS BIGINT) <<
+                     ((i // {IMG_W}) * {IMG_W - 1} + (i % {IMG_W})))
+                  ELSE 0 END) AS BIGINT) AS dhash
+  FROM bits WHERE i % {IMG_W} < {IMG_W - 1}
+  GROUP BY doc_id
+)
+SELECT dhash, CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS keep_id
+FROM hashed GROUP BY dhash HAVING count(*) > 1
+"""
+
+
 MULTIMODAL_DECODE_SQL = f"""
 WITH px AS (
   SELECT doc_id, i,
@@ -692,6 +788,7 @@ FROM s GROUP BY doc_id
 QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_dhash_dedup": (multimodal_dhash_dedup, MULTIMODAL_DHASH_SQL),
     "multimodal_audio_decode": (
         multimodal_audio_decode,
         MULTIMODAL_AUDIO_DECODE_SQL,

@@ -176,3 +176,40 @@ def test_truncated_ppm_raises_not_hangs(payload):
     end-of-buffer used to read as 'not whitespace' and loop forever."""
     with pytest.raises((ValueError, NotImplementedError)):
         multimodal.decode_image(payload)
+
+
+def test_dhash_is_codec_neutral_and_groups_copies(spark, sf_dir):
+    """The dHash computed THROUGH the BMP encode->decode round trip
+    must equal a formula-only recompute (no codec) — the round trip is
+    value-neutral — and every group must pair an original with its
+    shifted copy (keep_id = the original)."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.multimodal import (
+        DHASH_COPY_OFFSET,
+        IMG_H,
+        IMG_W,
+        _nn_codes,
+        multimodal_dhash_dedup,
+    )
+
+    out = {r.dhash: r for r in multimodal_dhash_dedup(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def formula_dhash(text):
+        codes = _nn_codes(text or "", IMG_W * IMG_H)
+        gray = [(c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3 for c in codes]
+        dh = 0
+        for y in range(IMG_H):
+            for x in range(IMG_W - 1):
+                if gray[y * IMG_W + x] < gray[y * IMG_W + x + 1]:
+                    dh |= 1 << (y * (IMG_W - 1) + x)
+        return dh
+
+    expected = {}
+    for r in docs:
+        expected.setdefault(formula_dhash(r.text), []).append(r.doc_id)
+    for dh, grp in out.items():
+        ids = expected[dh]
+        assert grp.keep_id == min(ids)
+        assert grp.n_images == 2 * len(ids)  # originals + copies
+    assert len(out) == len(expected)

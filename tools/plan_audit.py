@@ -134,6 +134,7 @@ AUDITED = [
     "rfm_segments",
     "supplier_return_quality",
     "diff_revenue_impact",
+    "multimodal_dhash_dedup",
 ]
 
 
