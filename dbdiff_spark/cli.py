@@ -238,6 +238,15 @@ def main(argv: list[str] | None = None) -> int:
         buckets=args.buckets, track_changes=args.incremental, format=args.format
     )
     sources, keys = _load_sources(spark, args)
+    # A typo'd table key in an exclusion/filter flag silently does
+    # nothing — for --ignore that means churn rows the user meant to
+    # suppress are reported as changes.  Warn before the first
+    # (possibly expensive) snapshot.
+    for flag, keyed in (("--where", where), ("--tolerance", tolerance),
+                        ("--ignore", ignore)):
+        for tname in sorted(set(keyed) - set(sources)):
+            print(f"[Warn] {flag} {tname}: no such table in the source set "
+                  f"({', '.join(sorted(sources))}) — spec has no effect")
     print(f"[Collect] snapshotting {len(sources)} tables (before)")
     before = store.collect(sources, keys, str(run_root / "snap0"), **collect_kw)
     print(f"[Collect] total record count: {before.total_count}")

@@ -206,14 +206,23 @@ def decode_audio(payload: bytes) -> tuple[int, int, list[int]]:
     pos, rate, channels, bits, data = 12, None, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
+        # Chunk sizes are attacker-/corruption-controlled: a size past
+        # the remaining payload must fail the row, not silently return
+        # a truncated sample list (the PPM decoder's hardening, mirrored)
+        if pos + 8 + size > len(payload):
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits, = struct.unpack_from("<H", body, 14)
             if fmt_tag != 1 or bits != 16:
                 raise NotImplementedError(
                     f"only PCM16 WAV is supported (fmt={fmt_tag}, bits={bits})"
                 )
+            if channels < 1:
+                raise ValueError("malformed WAV: zero channels")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # chunks are word-aligned

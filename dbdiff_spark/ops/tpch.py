@@ -690,14 +690,20 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     values, result = _q11_frames(spark, sf_dir)
     # Materialize here so the cache can be RELEASED before returning
     # (kmeans/pca pattern) — a lazy return would leak `values` into
-    # executor memory for the rest of the session.  The collect is
-    # bounded by construction: value·(1/frac) > total admits fewer
-    # than 1/frac = 5000 qualifying parts at ANY corpus size.
+    # executor memory for the rest of the session.  localCheckpoint
+    # runs the job once and pins the RESULT in the block manager —
+    # no collect→createDataFrame driver round trip (that re-upload
+    # cost q11 2× in the r4 bench).  The pinned frame is bounded by
+    # construction: value·(1/frac) > total admits fewer than
+    # 1/frac = 5000 qualifying parts at ANY corpus size, and it lives
+    # exactly as long as the returned DataFrame — the intermediate
+    # per-part cache (unbounded with part count) is what must not
+    # outlive the call, and the finally releases it.
     try:
-        rows = result.collect()
+        out = result.localCheckpoint(eager=True)
     finally:
         values.unpersist()
-    return spark.createDataFrame(rows, result.schema)
+    return out
 
 
 Q11_SQL = f"""

@@ -267,3 +267,36 @@ def test_cli_ignore_column_masks_churn(spark, tmp_path, monkeypatch, capsys):
     )
     assert rc == 2
     assert "[Error]" in capsys.readouterr().out
+
+
+def test_cli_unknown_table_key_warns(spark, tmp_path, monkeypatch, capsys):
+    """A typo'd table name in --ignore/--where/--tolerance matches no
+    table and silently does nothing — the CLI must warn before the
+    first snapshot so the user sees the spec had no effect."""
+    import io as _io
+
+    from dbdiff_spark import cli
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a")], "id int, v string"
+    ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+
+    monkeypatch.setattr("sys.stdin", _io.StringIO("q\n"))
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--ignore", "cusomer.updated_at",   # the ADVICE typo verbatim
+            "--where", "t1=id > 0",             # valid key: no warning
+            "--tolerance", "tl.v=0.5",
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "[Warn] --ignore cusomer: no such table" in text
+    assert "[Warn] --tolerance tl: no such table" in text
+    assert "[Warn] --where" not in text

@@ -178,6 +178,39 @@ def test_truncated_ppm_raises_not_hangs(payload):
         multimodal.decode_image(payload)
 
 
+def test_corrupt_wav_raises_not_truncates():
+    """RIFF chunk sizes are corruption-controlled; the decoder must
+    fail the row, never silently return a short sample list (the PPM
+    hardening, mirrored).  Three faults: data-chunk size past the
+    payload end, fmt chunk shorter than the 16 PCM bytes, and a
+    zero-channel fmt."""
+    import struct
+
+    good = multimodal.encode_wav(8_000, 1, [1, 2, 3, 4])
+    # (a) inflate the data chunk's declared size past the payload end
+    data_pos = good.index(b"data")
+    oversize = (
+        good[: data_pos + 4]
+        + struct.pack("<I", 10_000)
+        + good[data_pos + 8 :]
+    )
+    with pytest.raises(ValueError, match="truncated WAV"):
+        multimodal.decode_audio(oversize)
+    # (b) fmt chunk declares fewer than 16 bytes
+    fmt_pos = good.index(b"fmt ")
+    shortfmt = (
+        good[: fmt_pos + 4] + struct.pack("<I", 8) + good[fmt_pos + 8 : fmt_pos + 16]
+        + good[fmt_pos + 24 :]
+    )
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        multimodal.decode_audio(shortfmt)
+    # (c) zero channels
+    zeroch = bytearray(good)
+    struct.pack_into("<H", zeroch, fmt_pos + 10, 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        multimodal.decode_audio(bytes(zeroch))
+
+
 def test_dhash_is_codec_neutral_and_groups_copies(spark, sf_dir):
     """The dHash computed THROUGH the BMP encode->decode round trip
     must equal a formula-only recompute (no codec) — the round trip is
