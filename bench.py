@@ -123,6 +123,7 @@ HEADLINE = [
     "supplier_return_quality",
     "diff_revenue_impact",
     "multimodal_dhash_dedup",
+    "multimodal_dhash_neardup",
 ]
 
 

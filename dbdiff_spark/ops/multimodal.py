@@ -644,11 +644,11 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 DHASH_COPY_OFFSET = 2_000_000  # mirrors dedup.EXACT_COPY_OFFSET
 
 
-def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionByName(
-        docs.selectExpr(f"doc_id + {DHASH_COPY_OFFSET} AS doc_id", "text")
-    )
+def _dhash_frame(corpus: DataFrame) -> DataFrame:
+    """``(doc_id, dhash)`` per image, computed THROUGH the real BMP
+    encode→decode round trip in one Arrow-batched mapInPandas scan —
+    the 40-bit difference hash (adjacent-pixel gradient signs over the
+    {IMG_W}x{IMG_H} grayscale grid)."""
     w, h = IMG_W, IMG_H
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -672,7 +672,15 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 recs.append((int(doc_id), dhash))
             yield pd.DataFrame(recs, columns=["doc_id", "dhash"])
 
-    hashed = corpus.mapInPandas(batches, schema="doc_id bigint, dhash bigint")
+    return corpus.mapInPandas(batches, schema="doc_id bigint, dhash bigint")
+
+
+def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.selectExpr(f"doc_id + {DHASH_COPY_OFFSET} AS doc_id", "text")
+    )
+    hashed = _dhash_frame(corpus)
     return (
         hashed.groupBy("dhash")
         .agg(
@@ -683,12 +691,14 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_DHASH_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {DHASH_COPY_OFFSET} AS doc_id, text FROM documents
-),
+def _dhash_ctes(corpus_sql: str) -> str:
+    """The DuckDB twin of ``_dhash_frame``: regenerate the SAME
+    grayscale grid arithmetically (the pixel-formula trick every
+    multimodal twin uses) and pack the same 40 gradient-sign bits with
+    a lead window — no codec needed on the oracle side, which is
+    exactly the point: the BMP round trip must be value-neutral.
+    Yields CTEs ``corpus → px → gray → bits → hashed(doc_id, dhash)``."""
+    return f"""corpus AS ({corpus_sql}),
 px AS (
   SELECT doc_id, i,
          CASE WHEN len(text) = 0 THEN 0
@@ -714,9 +724,167 @@ hashed AS (
                   ELSE 0 END) AS BIGINT) AS dhash
   FROM bits WHERE i % {IMG_W} < {IMG_W - 1}
   GROUP BY doc_id
-)
+)"""
+
+
+MULTIMODAL_DHASH_SQL = f"""
+WITH {_dhash_ctes(f'''
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DHASH_COPY_OFFSET} AS doc_id, text FROM documents''')}
 SELECT dhash, CAST(count(*) AS BIGINT) AS n_images, min(doc_id) AS keep_id
 FROM hashed GROUP BY dhash HAVING count(*) > 1
+"""
+
+
+# --- hamming-radius perceptual near-dup --------------------------------------
+#
+# ``multimodal_dhash_dedup`` groups on EXACT 40-bit hash equality — it
+# catches re-encoded identical images, but a 1-bit hamming neighbor
+# (crop/brightness jitter) is invisible.  This is the real perceptual
+# case: band the hash into 4×10-bit LSH bands (the MinHash-LSH pattern,
+# dedup.py); hamming distance ≤ 3 over 4 bands leaves at least one band
+# untouched (pigeonhole), so the band self-join generates a COMPLETE
+# candidate set for radius 3; candidates verify with one popcount
+# expression (``bit_count(a ^ b)``) and verified pairs cluster via the
+# shared min-label connected components.
+#
+# The jittered corpus plants its perturbations at the hash level —
+# every original spawns a near copy with ``doc_id % 4`` (0..3) bit
+# flips at deterministic positions (must be recovered: ≤ radius) and a
+# far copy with 5 flips at positions DISJOINT from the near mask (must
+# be rejected: > radius from both the original and the near copy).
+# Hash-level planting is the right fixture: the machinery under test
+# (banding, popcount verify, CC) operates on hashes, and the codec path
+# producing them is already byte-exact-verified by multimodal_decode /
+# multimodal_dhash_dedup; steering exact bit counts through pixel edits
+# would re-test the codec, not the dedup.  Masks are pure doc_id
+# expressions (JVM-side in Spark, identical arithmetic in DuckDB).
+#
+# Scale shape: one Arrow-batched codec scan, one shuffle on the
+# (band_idx, band_val) key, expression-only verification, min-label CC
+# over the (sparse) verified graph.  A pathologically popular band
+# value (millions of near-black thumbnails) makes a quadratic bucket —
+# the production guard is the entity-resolution per-block cap
+# (dedup.py FUZZY_BLOCK_CAP); left uncapped here because a cap changes
+# the radius-3 completeness guarantee.
+
+DHASH_NEAR_OFFSET = 3_000_000
+DHASH_FAR_OFFSET = 4_000_000
+DHASH_BITS = (IMG_W - 1) * IMG_H  # 40
+DHASH_RADIUS = 3
+DHASH_N_BANDS = 4
+DHASH_BAND_BITS = DHASH_BITS // DHASH_N_BANDS  # 10
+# near positions (doc_id + step) % 40 are pairwise distinct and disjoint
+# from the far positions for every doc_id (all step differences ≠ 0
+# mod 40), so mask terms never collide and '+' is a safe bitwise OR.
+_NEAR_JITTER_STEPS = (0, 13, 26)  # flip i-th iff doc_id % 4 > i → 0..3 flips
+_FAR_JITTER_STEPS = (7, 20, 33, 46, 59)  # always 5 flips (> radius)
+
+
+def _shift1(pos_expr: str, engine: str) -> str:
+    if engine == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), CAST({pos_expr} AS INT))"
+    return f"(CAST(1 AS BIGINT) << ({pos_expr}))"
+
+
+def _near_mask(engine: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN doc_id % 4 > {i} THEN "
+        f"{_shift1(f'(doc_id + {s}) % {DHASH_BITS}', engine)} "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i, s in enumerate(_NEAR_JITTER_STEPS)
+    )
+
+
+def _far_mask(engine: str) -> str:
+    return " + ".join(
+        _shift1(f"(doc_id + {s}) % {DHASH_BITS}", engine)
+        for s in _FAR_JITTER_STEPS
+    )
+
+
+def _jittered_hashes(hashed: DataFrame) -> DataFrame:
+    """originals ∪ near copies (≤3 planted flips) ∪ far copies (5
+    flips), masks derived from the ORIGINAL doc_id."""
+    near = hashed.selectExpr(
+        f"doc_id + {DHASH_NEAR_OFFSET} AS doc_id",
+        f"dhash ^ ({_near_mask('spark')}) AS dhash",
+    )
+    far = hashed.selectExpr(
+        f"doc_id + {DHASH_FAR_OFFSET} AS doc_id",
+        f"dhash ^ ({_far_mask('spark')}) AS dhash",
+    )
+    return hashed.unionByName(near).unionByName(far)
+
+
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate clusters: every image within hamming
+    distance ≤ {DHASH_RADIUS} of another gets ``(doc_id, cluster_id)``
+    with cluster_id = the component-minimum doc_id."""
+    from dbdiff_spark.ops.dedup import _min_label_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    all_imgs = _jittered_hashes(_dhash_frame(docs))
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, "
+        f"(shiftright(dhash, {DHASH_BAND_BITS * b}) & {2 ** DHASH_BAND_BITS - 1})"
+        f" AS band_val)"
+        for b in range(DHASH_N_BANDS)
+    )
+    banded = all_imgs.selectExpr(
+        "doc_id", "dhash", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "dhash", "band.band_idx", "band.band_val")
+    left, right = banded.alias("x"), banded.alias("y")
+    pairs = (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.expr(f"bit_count(x.dhash ^ y.dhash) <= {DHASH_RADIUS}"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return _min_label_components(pairs).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+
+
+def _dhash_neardup_sql() -> str:
+    from dbdiff_spark.ops.dedup import _CC_CLUSTERS_CTES
+
+    return f"""
+WITH RECURSIVE {_dhash_ctes("SELECT doc_id, text FROM documents")},
+all_imgs AS (
+  SELECT doc_id, dhash FROM hashed
+  UNION ALL
+  SELECT doc_id + {DHASH_NEAR_OFFSET} AS doc_id,
+         xor(dhash, {_near_mask('duck')}) AS dhash
+  FROM hashed
+  UNION ALL
+  SELECT doc_id + {DHASH_FAR_OFFSET} AS doc_id,
+         xor(dhash, {_far_mask('duck')}) AS dhash
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, dhash, b AS band_idx,
+         (dhash >> ({DHASH_BAND_BITS} * b)) & {2 ** DHASH_BAND_BITS - 1}
+           AS band_val
+  FROM all_imgs, (SELECT unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.dhash, y.dhash)) <= {DHASH_RADIUS}
+),
+{_CC_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -798,6 +966,7 @@ QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_dhash_dedup": (multimodal_dhash_dedup, MULTIMODAL_DHASH_SQL),
+    "multimodal_dhash_neardup": (multimodal_dhash_neardup, _dhash_neardup_sql()),
     "multimodal_audio_decode": (
         multimodal_audio_decode,
         MULTIMODAL_AUDIO_DECODE_SQL,

@@ -246,3 +246,82 @@ def test_dhash_is_codec_neutral_and_groups_copies(spark, sf_dir):
         assert grp.keep_id == min(ids)
         assert grp.n_images == 2 * len(ids)  # originals + copies
     assert len(out) == len(expected)
+
+
+def test_dhash_neardup_recovers_planted_jitter_exactly(spark, sf_dir):
+    """The hamming-radius clustering must equal a brute-force
+    all-pairs union-find at radius 3 — which proves BOTH planted
+    semantics (every <=3-bit near copy recovered, every 5-bit far copy
+    rejected unless some other genuine path links it) AND banding
+    completeness (4x10-bit bands generate every radius-3 pair)."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.multimodal import (
+        _FAR_JITTER_STEPS,
+        _NEAR_JITTER_STEPS,
+        DHASH_BITS,
+        DHASH_FAR_OFFSET,
+        DHASH_NEAR_OFFSET,
+        DHASH_RADIUS,
+        IMG_H,
+        IMG_W,
+        _nn_codes,
+        multimodal_dhash_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def formula_dhash(text):
+        codes = _nn_codes(text or "", IMG_W * IMG_H)
+        gray = [(c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3 for c in codes]
+        dh = 0
+        for y in range(IMG_H):
+            for x in range(IMG_W - 1):
+                if gray[y * IMG_W + x] < gray[y * IMG_W + x + 1]:
+                    dh |= 1 << (y * (IMG_W - 1) + x)
+        return dh
+
+    imgs = {}
+    for r in docs:
+        base = formula_dhash(r.text)
+        near = base
+        for i, s in enumerate(_NEAR_JITTER_STEPS):
+            if r.doc_id % 4 > i:
+                near ^= 1 << ((r.doc_id + s) % DHASH_BITS)
+        far = base
+        for s in _FAR_JITTER_STEPS:
+            far ^= 1 << ((r.doc_id + s) % DHASH_BITS)
+        imgs[r.doc_id] = base
+        imgs[r.doc_id + DHASH_NEAR_OFFSET] = near
+        imgs[r.doc_id + DHASH_FAR_OFFSET] = far
+
+    # brute-force union-find over ALL pairs at the radius
+    parent = {i: i for i in imgs}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ids = sorted(imgs)
+    in_pair = set()
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if bin(imgs[a] ^ imgs[b]).count("1") <= DHASH_RADIUS:
+                in_pair.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in sorted(in_pair)}
+
+    actual = {
+        r.doc_id: r.cluster_id
+        for r in multimodal_dhash_neardup(spark, sf_dir).collect()
+    }
+    assert actual == expected
+    # the planted contract holds on this corpus: every near copy joins
+    # its original's cluster; no far copy joins its own original's
+    for r in docs:
+        assert actual[r.doc_id + DHASH_NEAR_OFFSET] == actual[r.doc_id]
+        far_id = r.doc_id + DHASH_FAR_OFFSET
+        assert actual.get(far_id) != actual[r.doc_id]

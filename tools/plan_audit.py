@@ -135,6 +135,7 @@ AUDITED = [
     "supplier_return_quality",
     "diff_revenue_impact",
     "multimodal_dhash_dedup",
+    "multimodal_dhash_neardup",
 ]
 
 
