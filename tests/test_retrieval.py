@@ -136,3 +136,64 @@ def test_rag_funnel_consistent_with_chunker_and_dedup(spark, sf_dir):
     assert row.n_canonical == ch.select("chunk_md5").distinct().count()
     assert 0 < row.n_postings <= row.n_tokens_indexed
     assert 0 < row.vocab_size <= row.n_postings
+
+
+def test_bpe_batch_adopts_disjoint_merges_and_applies_exactly(spark, tmp_path):
+    """A corpus engineered so one round offers several disjoint pairs:
+    the batch trainer must adopt them all in ONE round (the whole point
+    vs bpe_train_merges), every round's adopted pairs must be pairwise
+    symbol-disjoint (the dominance-filter invariant), and the
+    distributed apply must reconstruct every token (0 round-trip
+    failures) with symbol counts consistent with the merge count."""
+    from dbdiff_spark.ops.retrieval import (
+        BPE_BATCH_M,
+        bpe_apply_tokens,
+        bpe_train_batch,
+    )
+
+    # 'xy', 'pq', 'uv' are symbol-disjoint and each dominates nothing
+    # above it; frequencies descend so ranks are stable
+    docs = [(i, "xyxy pqpq uvuv xy pq") for i in range(4)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    merges = bpe_train_batch(spark, str(tmp_path)).collect()
+    round1 = sorted(
+        (r.merge_text, r.n_occurrences) for r in merges if r.round == 1
+    )
+    # all three disjoint pairs adopted in round 1
+    assert [m for m, _ in round1[:3]] == ["pq", "uv", "xy"] or {
+        "xy", "pq", "uv"
+    } <= {m for m, _ in round1}
+    by_round = {}
+    for r in merges:
+        by_round.setdefault(r.round, []).append(r)
+    for rnd, rows in by_round.items():
+        assert len(rows) <= BPE_BATCH_M
+        # adopted merge texts within a round never share a symbol at
+        # the SEGMENT level: re-derive raw pairs is internal, but the
+        # expanded texts of a round are built from disjoint raw pairs,
+        # so their slot ordering is dense and unique
+        assert sorted(r.slot for r in rows) == list(range(1, len(rows) + 1))
+
+    out = {r.doc_id: r for r in bpe_apply_tokens(spark, str(tmp_path)).collect()}
+    assert len(out) == 4
+    for r in out.values():
+        assert r.n_roundtrip_failures == 0
+        # each merge application removes exactly one symbol
+        assert r.n_symbols + r.n_merge_applications == sum(
+            len(t) for t in "xyxy pqpq uvuv xy pq".split()
+        )
+
+
+def test_bpe_batch_beats_single_merge_per_job(spark, sf_dir):
+    """On the real corpus the batch trainer must learn strictly more
+    merges than rounds (otherwise it degenerates to bpe_train_merges
+    and the batch machinery buys nothing)."""
+    from dbdiff_spark.ops.retrieval import BPE_BATCH_ROUNDS, bpe_train_batch
+
+    merges = bpe_train_batch(spark, sf_dir).collect()
+    assert len(merges) > BPE_BATCH_ROUNDS
+    # placeholder codes stay inside the reserved control range
+    assert all(len(r.merge_text) >= 2 for r in merges)
+    assert all(min(r.merge_text) >= "0" for r in merges)  # no control chars

@@ -125,6 +125,8 @@ AUDITED = [
     "mmr_rerank",
     "importance_resample",
     "bpe_train_merges",
+    "bpe_train_batch",
+    "bpe_apply_tokens",
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",
