@@ -60,6 +60,7 @@ HEADLINE = [
     "knn_bruteforce",
     "ann_lsh_bitsample",
     "ann_ivf",
+    "ann_ivf_recall_report",
     "kmeans_lloyd",
     "fuzzy_part_match",
     "passage_dedup",

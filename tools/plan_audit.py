@@ -65,6 +65,7 @@ AUDITED = [
     "delete_cascade",
     "repeated_spans",
     "ann_pq",
+    "ann_ivf_recall_report",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
