@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     out["diff_customer_drift"] = _with_conf(testkit.drift_diff_query_df)
     out["diff_roundtrip_apply"] = _with_conf(testkit.roundtrip_apply_query_df)
+    out["diff_roundtrip_apply_drift"] = _with_conf(
+        testkit.roundtrip_apply_drift_query_df
+    )
     out["merge3_customer"] = _with_conf(testkit.merge3_query_df)
     for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, pysource, cdc):
         for name, (fn, _sql) in mod.QUERIES.items():
@@ -332,6 +335,7 @@ FROM cls WHERE diff_status <> 'NOT_MODIFIED'
     )
     out["diff_customer_drift"] = testkit.drift_oracle_sql()
     out["diff_roundtrip_apply"] = testkit.roundtrip_apply_oracle_sql()
+    out["diff_roundtrip_apply_drift"] = testkit.roundtrip_apply_drift_oracle_sql()
     out["merge3_customer"] = testkit.merge3_oracle_sql()
     for mod in (analytics, tpch, text, dedup, similarity, multimodal, functions, temporal, sketch, skew, corpus, incremental, layout, history, graph, quality, retrieval, pysource, cdc):
         for name, (_fn, sql) in mod.QUERIES.items():

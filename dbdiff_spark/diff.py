@@ -689,6 +689,7 @@ def apply_diff(
     diff_df: DataFrame,
     key_cols: list[str],
     broadcast_changes: bool = True,
+    target_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reconstruct the *after* snapshot from the *before* snapshot plus a
     diff — the consumer side of the engine: ``apply_diff(b, diff(b, a))``
@@ -714,8 +715,20 @@ def apply_diff(
     same changeset idempotent — the property an at-least-once streaming
     consumer (``streaming.cdc.stream_apply_cdc``) needs when a
     micro-batch retries after a partial failure.
+
+    **Schema evolution**: a diff produced under schema drift carries the
+    UNION of both schemas (missing-side columns as typed NULLs) and
+    marks every matched row UPDATED, so the after state is entirely
+    reconstructable — but only into the right column set.  Pass
+    ``target_cols`` = the after side's columns to materialize across a
+    migration: added columns come from the diff rows; dropped columns
+    are simply not selected.  A base row that survives the anti join
+    but lacks an added column projects it as a typed NULL (unreachable
+    under full drift — every matched row is in the diff — but keeps the
+    apply total for partial/manual diffs).  Default (None) keeps the
+    identical-schema behavior: reconstruct in the base's own columns.
     """
-    cols = base.columns
+    cols = list(target_cols) if target_cols is not None else base.columns
     removed = diff_df.filter(
         (F.col("diff_status") != UPDATED) | F.col("is_before")
     ).select(*[F.col(f"`{k}`") for k in key_cols])
@@ -732,7 +745,16 @@ def apply_diff(
             for k in key_cols
         ],
     )
-    kept = b.join(r, cond, "left_anti").select(*[F.col(f"`{c}`") for c in cols])
+    base_cols = set(base.columns)
+    diff_types = dict(diff_df.dtypes)
+    kept = b.join(r, cond, "left_anti").select(
+        *[
+            F.col(f"`{c}`")
+            if c in base_cols
+            else F.lit(None).cast(diff_types.get(c, "string")).alias(c)
+            for c in cols
+        ]
+    )
     return kept.unionByName(added)
 
 

@@ -365,6 +365,52 @@ def roundtrip_apply_oracle_sql() -> str:
     return f"WITH before AS ({_prep_sql(spec)})\n{_after_sql(spec, mut)}"
 
 
+# --- diff→apply round trip ACROSS a schema migration ------------------------
+#
+# The after snapshot both mutates rows (the shared customer mutation)
+# AND migrates the schema: c_mktsegment is DROPPED and a computed
+# c_tier is ADDED.  The drift diff marks every matched row UPDATED and
+# carries the union schema, so apply_diff(base, diff, target_cols=
+# after-columns) must reproduce the after state exactly — the first
+# real-world wrinkle after the happy path (CDC materialization across
+# a migration).
+
+DRIFT_DROPPED = "c_mktsegment"
+DRIFT_ADDED = "c_tier"
+DRIFT_ADDED_EXPR = "CAST(c_custkey % 5 AS BIGINT)"
+
+
+def _drift_after_cols() -> list[str]:
+    spec = SPECS["customer"]
+    return [c for c in spec.cols if c != DRIFT_DROPPED] + [DRIFT_ADDED]
+
+
+def roundtrip_apply_drift_query_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    base = prep(load_table(spark, sf_dir, "customer"), spec)
+    after = (
+        apply_mutation(base, spec, mut)
+        .withColumn(DRIFT_ADDED, F.expr(DRIFT_ADDED_EXPR))
+        .drop(DRIFT_DROPPED)
+    )
+    d = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED)
+    out_cols = _drift_after_cols()
+    return apply_diff(
+        base, d.df, list(spec.key), target_cols=out_cols
+    ).select(*out_cols)
+
+
+def roundtrip_apply_drift_oracle_sql() -> str:
+    """The after snapshot, post-migration columns."""
+    spec, mut = SPECS["customer"], MUTATIONS["customer"]
+    keep = ", ".join(f'"{c}"' for c in spec.cols if c != DRIFT_DROPPED)
+    return (
+        f"WITH before AS ({_prep_sql(spec)}),\n"
+        f"after_same AS ({_after_sql(spec, mut)})\n"
+        f'SELECT {keep}, {DRIFT_ADDED_EXPR} AS "{DRIFT_ADDED}" FROM after_same'
+    )
+
+
 def multiset_diff_query_df(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Count-preserving diff of (base, mutate(base)) — the no-usable-key
     path (lineitem's declared composite key is not unique in this data;

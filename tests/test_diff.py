@@ -301,6 +301,41 @@ def test_apply_diff_roundtrip_law(spark, sf_dir):
         assert after.exceptAll(rebuilt).count() == 0, table
 
 
+def test_apply_diff_across_schema_migration(spark, sf_dir):
+    """apply_diff with target_cols reconstructs the after state across
+    a migration: one column dropped AND one added, on top of row
+    churn.  Every matched row is UPDATED under drift (all-modified
+    semantics), so the rebuilt frame comes wholly from the diff — and
+    both the round trip and idempotent re-apply must hold in the NEW
+    schema."""
+    from dbdiff_spark import testkit
+    from dbdiff_spark.diff import apply_diff, diff_tables
+    from pyspark.sql import functions as F
+
+    spec, mut = testkit.SPECS["customer"], testkit.MUTATIONS["customer"]
+    base = testkit.prep(load_table(spark, sf_dir, "customer"), spec)
+    after = (
+        testkit.apply_mutation(base, spec, mut)
+        .withColumn(testkit.DRIFT_ADDED, F.expr(testkit.DRIFT_ADDED_EXPR))
+        .drop(testkit.DRIFT_DROPPED)
+    )
+    d = diff_tables(base, after, list(spec.key), mode=DiffMode.TYPED).df
+    out_cols = testkit._drift_after_cols()
+    rebuilt = apply_diff(base, d, list(spec.key), target_cols=out_cols).select(
+        *out_cols
+    )
+    target = after.select(*out_cols)
+    assert rebuilt.exceptAll(target).count() == 0
+    assert target.exceptAll(rebuilt).count() == 0
+    # idempotent re-apply in the NEW schema (the rebuilt frame now HAS
+    # the added column and LACKS the dropped one)
+    twice = apply_diff(rebuilt, d, list(spec.key), target_cols=out_cols).select(
+        *out_cols
+    )
+    assert twice.exceptAll(target).count() == 0
+    assert target.exceptAll(twice).count() == 0
+
+
 def test_apply_diff_shuffled_path_matches_broadcast(spark, sf_dir):
     from dbdiff_spark import testkit
     from dbdiff_spark.diff import apply_diff, diff_tables

@@ -30,6 +30,7 @@ AUDITED = [
     "diff_lineitem",
     "diff_lineitem_multiset",
     "diff_roundtrip_apply",
+    "diff_roundtrip_apply_drift",
     "mv_maintain_orders",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
