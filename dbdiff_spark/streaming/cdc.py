@@ -1170,8 +1170,149 @@ GROUP BY 1, 2
 """
 
 
+# --- continuous near-dup dedup ingest ----------------------------------------
+#
+# The 100 TB ingest posture for the LSH dedup tier: the band index is
+# persisted state, and every arriving micro-batch (1) probes it with
+# ``ops.dedup.lsh_ingest`` — signatures for the BATCH only, one keyed
+# join — and (2) appends its own bands so LATER batches can match
+# earlier-ingested docs, not just the seeded corpus.  State writes are
+# batchId-keyed directories (the stream_apply_cdc exactly-once
+# pattern): a retried batch overwrites its own assigned/index versions
+# and probes only versions strictly below its id, never its retry's
+# half-written output.
+#
+# Batch membership is deterministic (doc_id % 3) so the oracle can
+# replay the same visibility rule in SQL: a stored doc is visible to a
+# probe iff it is seeded corpus OR arrived in a strictly earlier batch.
+# The planted pair proves the cross-batch path: two copies of a
+# synthetic text that matches NOTHING in the corpus, one in batch 0
+# and one in batch 2 — the later copy can only assign if the index
+# actually grew.
+
+STREAM_INGEST_BATCH_MOD = 3
+STREAM_INGEST_PLANT_A = 5_000_001  # % 3 == 0 → batch 0: fresh seed, assigns NULL
+STREAM_INGEST_PLANT_B = 5_000_003  # % 3 == 2 → batch 2: must assign to PLANT_A
+_PLANT_TOKENS = ("zq", "xv", "qz", "vx") * 3
+
+
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup running continuously against persisted LSH band
+    state: per new doc, the smallest visible doc sharing any band (NULL
+    ⇒ fresh cluster seed) plus the shared-band count — converging to
+    the batch visibility-ordered probe the oracle computes."""
+    import glob
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from dbdiff_spark.ops.dedup import (
+        NEARDUP_OFFSET,
+        _neardup_corpus,
+        lsh_band_index,
+        lsh_ingest,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
+    planted = spark.createDataFrame(
+        [
+            (STREAM_INGEST_PLANT_A, list(_PLANT_TOKENS)),
+            (STREAM_INGEST_PLANT_B, list(_PLANT_TOKENS)),
+        ],
+        "doc_id bigint, tokens array<string>",
+    )
+    new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET).unionByName(planted)
+
+    root = tempfile.mkdtemp(prefix="dbdiff_stream_ingest_")
+    incoming = Path(root) / "incoming"
+    incoming.mkdir()
+    # one file per batch, written in batch order: the file source
+    # triggers in (modification time, path) order, and names agree
+    for b in range(STREAM_INGEST_BATCH_MOD):
+        stage = f"{root}/stage_{b}"
+        new.filter(
+            F.col("doc_id") % STREAM_INGEST_BATCH_MOD == b
+        ).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.move(part, str(incoming / f"batch_{b}.parquet"))
+
+    lsh_band_index(old).write.parquet(f"{root}/index/seed")
+
+    def _ingest_batch(bdf: DataFrame, bid: int) -> None:
+        bound = f"batch_{bid:05d}"
+        idx_dirs = [
+            str(p)
+            for p in Path(f"{root}/index").iterdir()
+            if p.name == "seed" or p.name < bound
+        ]
+        idx = spark.read.parquet(*idx_dirs)
+        lsh_ingest(bdf, idx).write.mode("overwrite").parquet(
+            f"{root}/assigned/{bound}"
+        )
+        lsh_band_index(bdf).write.mode("overwrite").parquet(
+            f"{root}/index/{bound}"
+        )
+
+    query = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(incoming))
+        .writeStream.foreachBatch(_ingest_batch)
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.read.parquet(f"{root}/assigned/*")
+
+
+def _stream_ingest_oracle_sql() -> str:
+    from dbdiff_spark.ops.dedup import (
+        _band_exprs,
+        _NEARDUP_CORPUS_SQL,
+        _signatures_sql,
+        NEARDUP_OFFSET,
+    )
+
+    plant_text = " ".join(_PLANT_TOKENS)
+    corpus = f"""{_NEARDUP_CORPUS_SQL}
+UNION ALL SELECT {STREAM_INGEST_PLANT_A} AS doc_id, '{plant_text}' AS text
+UNION ALL SELECT {STREAM_INGEST_PLANT_B} AS doc_id, '{plant_text}' AS text"""
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    mod = STREAM_INGEST_BATCH_MOD
+    return f"""
+WITH {_signatures_sql(corpus)},
+banded AS (
+  {banded}
+),
+newb AS (SELECT * FROM banded WHERE doc_id >= {NEARDUP_OFFSET}),
+hits AS (
+  SELECT n.doc_id AS new_doc_id,
+         min(o.doc_id) AS assigned_to,
+         CAST(count(DISTINCT n.band_idx) AS BIGINT) AS n_shared_bands
+  FROM newb n JOIN banded o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+   AND (o.doc_id < {NEARDUP_OFFSET}
+        OR (o.doc_id >= {NEARDUP_OFFSET}
+            AND o.doc_id % {mod} < n.doc_id % {mod}))
+  GROUP BY n.doc_id
+)
+SELECT nd.new_doc_id, h.assigned_to,
+       CAST(coalesce(h.n_shared_bands, 0) AS BIGINT) AS n_shared_bands
+FROM (SELECT DISTINCT doc_id AS new_doc_id FROM newb) nd
+LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
+"""
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
+    "stream_dedup_ingest": (stream_dedup_ingest, _stream_ingest_oracle_sql()),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),

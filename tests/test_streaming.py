@@ -246,3 +246,31 @@ def test_foreachbatch_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     final = spark.read.parquet(str(states[-1])).select(*spec.cols)
     assert final.exceptAll(after).count() == 0
     assert after.exceptAll(final).count() == 0
+
+
+def test_stream_dedup_ingest_crosses_batches(spark, sf_dir):
+    """The planted pair proves the index GROWS: two copies of a
+    synthetic text matching nothing in the corpus — the batch-0 copy
+    must seed fresh (NULL assignment), the batch-2 copy must assign to
+    it with every band shared; and ordinary truncated docs must assign
+    to their originals exactly as the static-index batch op does."""
+    from dbdiff_spark.ops.dedup import N_BANDS, NEARDUP_OFFSET, dedup_ingest_incremental
+    from dbdiff_spark.streaming.cdc import (
+        STREAM_INGEST_PLANT_A,
+        STREAM_INGEST_PLANT_B,
+        stream_dedup_ingest,
+    )
+
+    out = {r.new_doc_id: r for r in stream_dedup_ingest(spark, sf_dir).collect()}
+    a, b = out[STREAM_INGEST_PLANT_A], out[STREAM_INGEST_PLANT_B]
+    assert a.assigned_to is None and a.n_shared_bands == 0
+    assert b.assigned_to == STREAM_INGEST_PLANT_A
+    assert b.n_shared_bands == N_BANDS
+    # for docs whose match lives in the SEEDED corpus, the streaming
+    # result agrees with the static-index batch op (the growing index
+    # only ever lowers assigned_to / raises shared bands — for this
+    # corpus originals carry the smallest ids, so seed matches win)
+    static = {r.new_doc_id: r for r in dedup_ingest_incremental(spark, sf_dir).collect()}
+    for doc_id, srow in static.items():
+        if srow.assigned_to is not None and srow.assigned_to < NEARDUP_OFFSET:
+            assert out[doc_id].assigned_to == srow.assigned_to, doc_id
