@@ -818,12 +818,10 @@ def _jittered_hashes(hashed: DataFrame) -> DataFrame:
     return hashed.unionByName(near).unionByName(far)
 
 
-def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate clusters: every image within hamming
-    distance ≤ {DHASH_RADIUS} of another gets ``(doc_id, cluster_id)``
-    with cluster_id = the component-minimum doc_id."""
-    from dbdiff_spark.ops.dedup import _min_label_components
-
+def _dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified candidate pairs — the distributed core (band self-join
+    + popcount verify + distinct); the public op adds the iterative CC
+    on top, so this lazy frame is also the plan-audit view."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     all_imgs = _jittered_hashes(_dhash_frame(docs))
     band_structs = ", ".join(
@@ -849,9 +847,23 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _min_label_components(pairs).select(
+    return pairs
+
+
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate clusters: every image within hamming
+    distance ≤ ``DHASH_RADIUS`` of another gets ``(doc_id, cluster_id)``
+    with cluster_id = the component-minimum doc_id."""
+    from dbdiff_spark.ops.dedup import _min_label_components
+
+    return _min_label_components(_dhash_neardup_pairs(spark, sf_dir)).select(
         "doc_id", F.col("label").alias("cluster_id")
     )
+
+
+EXPLAIN_FRAMES = {
+    "multimodal_dhash_neardup": _dhash_neardup_pairs,
+}
 
 
 def _dhash_neardup_sql() -> str:

@@ -945,7 +945,39 @@ QUERIES = {
     "rag_index_funnel": (rag_index_funnel, RAG_FUNNEL_SQL),
 }
 
+def _bpe_batch_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy inspectable frame for the batch trainer: one round's
+    distributed shortlist (pair count + TakeOrdered top-C); the
+    dominance filter runs on the collected ≤C rows and later rounds
+    repeat this shape over replace chains."""
+    return (
+        _symbol_pair_counts(spark, sf_dir)
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_BATCH_SCAN)
+    )
+
+
+def _bpe_apply_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy inspectable frame for the apply side: the distributed
+    replace-chain + per-doc aggregation with a FIXED literal merge
+    table (the learned table only changes the literals, never the
+    plan shape)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toked = docs.selectExpr(
+        "doc_id", f"explode_outer({_TOKENS}) AS tok"
+    ).filter(F.col("tok").isNotNull())
+    seg = F.col("tok")
+    for code, pair in enumerate(("er", "in", "st"), start=1):
+        seg = F.replace(seg, F.lit(pair), F.lit(chr(code)))
+    return toked.select("doc_id", seg.alias("seg")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.length("seg")).cast("bigint").alias("n_symbols"),
+    )
+
+
 EXPLAIN_FRAMES = {
     "mmr_rerank": _mmr_explain_frame,
     "bpe_train_merges": _bpe_train_explain_frame,
+    "bpe_train_batch": _bpe_batch_explain_frame,
+    "bpe_apply_tokens": _bpe_apply_explain_frame,
 }
