@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_lsh_bitsample",
     "ann_ivf",
     "ann_ivf_recall_report",
+    "ann_ivf_trained",
     "kmeans_lloyd",
     "fuzzy_part_match",
     "passage_dedup",

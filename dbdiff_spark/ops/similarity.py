@@ -476,6 +476,44 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
     return f"array_min(array({parts}))"
 
 
+def _kmeans_centroids(vecs: DataFrame) -> dict[int, list[float]]:
+    """The Lloyd loop itself over a ``(vec_id, embedding)`` frame:
+    KMEANS_ITERS rounds of zero-shuffle literal-argmin assignment +
+    grid-exact mean update (≤ K×dim rows collected per round).  Shared
+    by ``kmeans_lloyd`` (membership/inertia report) and
+    ``ann_ivf_trained`` (trained coarse quantizer)."""
+    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+    }
+    for _ in range(KMEANS_ITERS):
+        assigned = vecs.select(
+            "embedding",
+            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        )
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "component")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.expr(
+                    "CAST(SUM(CAST(ROUND(CAST(component AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
+                    " / 1000000 / COUNT(*)"
+                ).alias("m")
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        centroids = {
+            cell: [by_pos[p] for p in sorted(by_pos)]
+            for cell, by_pos in by_cell.items()
+        }
+    return centroids
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embedding column — the iterative-
     algorithm pattern done the Spark-native way: centroids are K×dim
@@ -502,37 +540,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = _vectors(spark, sf_dir).select("vec_id", "embedding").persist()
     try:
-        seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
-        centroids = {
-            int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
-        }
-        for _ in range(KMEANS_ITERS):
-            assigned = vecs.select(
-                "embedding",
-                F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
-            )
-            means = (
-                assigned.select(
-                    "cell", F.posexplode("embedding").alias("pos", "component")
-                )
-                .groupBy("cell", "pos")
-                .agg(
-                    F.expr(
-                        "CAST(SUM(CAST(ROUND(CAST(component AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)"
-                        " / 1000000 / COUNT(*)"
-                    ).alias("m")
-                )
-                .collect()
-            )
-            centroids = {}
-            for r in means:
-                centroids.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(
-                    r["m"]
-                )
-            centroids = {
-                cell: [by_pos[p] for p in sorted(by_pos)]
-                for cell, by_pos in centroids.items()
-            }
+        centroids = _kmeans_centroids(vecs)
         final = vecs.select(
             F.expr(_argmin_struct(centroids)).alias("best")
         ).select(F.col("best.cell").alias("cell"), F.col("best.d2").alias("d2"))
@@ -546,11 +554,11 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()
 
 
-def _kmeans_sql() -> str:
-    """Nested-CTE DuckDB twin: seed layer + KMEANS_ITERS (assign →
-    grid-mean) layers + final assignment — the oracle re-derives every
-    intermediate centroid itself, so it is a fully independent
-    computation of the same deterministic fixpoint."""
+def _kmeans_layers_sql() -> str:
+    """The shared CTE chain ``c0 … c{KMEANS_ITERS}`` re-deriving every
+    intermediate centroid — used by the k-means oracle and the
+    trained-IVF oracle (both are then fully independent computations of
+    the same deterministic fixpoint)."""
     layers = [
         f"""c0 AS (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
@@ -585,10 +593,16 @@ c{i} AS (
   ) GROUP BY cell
 )"""
         )
+    return ",\n".join(layers)
+
+
+def _kmeans_sql() -> str:
+    """Nested-CTE DuckDB twin of ``kmeans_lloyd``: the shared centroid
+    layers + final assignment."""
     n = KMEANS_ITERS
     return (
         "WITH "
-        + ",\n".join(layers)
+        + _kmeans_layers_sql()
         + f""",
 fs AS (
   SELECT v.vec_id, c.cell,
@@ -610,6 +624,184 @@ FROM fin GROUP BY cell
 
 
 KMEANS_SQL = _kmeans_sql()
+
+
+# --- IVF over TRAINED centroids ----------------------------------------------
+#
+# ``ann_ivf`` promises that "swapping seeds for trained centroids
+# changes no plumbing" — this op proves it: the coarse quantizer is the
+# k-means fixpoint (the shared ``_kmeans_centroids`` driver loop, K×dim
+# literals), assignment is the same zero-shuffle literal-argmin
+# projection k-means itself uses, and the query side ranks the K
+# literal centroids with one array_sort expression — probing nprobe
+# cells with NO window and NO extra shuffle (the seed-IVF window was
+# needed because its centroids lived in a frame; literals don't).
+# Honest measured result on THIS corpus: the synthetic embeddings are
+# near-uniform, so seed cells are already balanced (sf0.1 cell sizes
+# 220-292 seeded vs 221-266 trained) and training buys no recall here —
+# the recall report's trained row (450k ppm at sf0.1) sits between the
+# seed variants, differing by a few hits over 20 queries (partition
+# noise, deterministic but not meaningful).  On real clustered
+# embeddings raggedness is exactly what k-means fixes; what this op
+# verifies end-to-end is the trained-quantizer MACHINERY: the fixpoint
+# is bit-identical in both engines, and the search plan is strictly
+# cheaper than seed-IVF's (literal centroids need no probe window).
+
+
+def ann_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN over k-means-trained centroids: same output contract as
+    ``ann_ivf`` (top-IVF_K cosine neighbors per query)."""
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))
+        assigned = vecs.select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        )
+        probe_structs = ", ".join(
+            f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+            f"'cell', CAST({k} AS BIGINT))"
+            for k, c in sorted(centroids.items())
+        )
+        queries = (
+            vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+            .selectExpr(
+                "vec_id AS query_id",
+                "embedding AS q_emb",
+                "norm AS q_norm",
+                f"explode(slice(array_sort(array({probe_structs})), 1, {nprobe}))"
+                " AS pr",
+            )
+            .select(
+                "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
+            )
+        )
+        cand = assigned.join(
+            _query_side(queries, max_broadcast_queries, "merge"),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
+                "cosine"
+            ),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= IVF_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+        # the training loop already materialized vecs; pin the bounded
+        # result so the cache can be released before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_trained_sql(nprobe: int = IVF_NPROBE) -> str:
+    n = KMEANS_ITERS
+    return f"""
+WITH {_kmeans_layers_sql()},
+vecs AS ({_VECTORS_SQL}),
+tassigned AS (
+  SELECT vec_id, embedding, norm, cell FROM (
+    SELECT v.vec_id, v.embedding, v.norm, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS rn
+    FROM vecs v CROSS JOIN c{n} c
+  ) WHERE rn = 1
+),
+tqueries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+         cell AS q_cell
+  FROM (
+    SELECT v.vec_id, v.embedding, v.norm, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS prn
+    FROM vecs v CROSS JOIN c{n} c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {nprobe}
+),
+tcand AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
+  FROM tassigned a JOIN tqueries ON a.cell = q_cell AND a.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM tcand
+)
+WHERE rank <= {IVF_K}
+"""
+
+
+def _ann_ivf_trained_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy inspectable frame: the trained-IVF search plan with the
+    round-0 (seed) centroid literals — training only changes the
+    literal values, never the plan shape, and the public op pins its
+    bounded result with localCheckpoint (which would audit as a
+    LocalTableScan)."""
+    vecs = _vectors(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+    }
+    assigned = vecs.select(
+        "vec_id", "embedding", "norm",
+        F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+    )
+    probe_structs = ", ".join(
+        f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+        f"'cell', CAST({k} AS BIGINT))"
+        for k, c in sorted(centroids.items())
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .selectExpr(
+            "vec_id AS query_id", "embedding AS q_emb", "norm AS q_norm",
+            f"explode(slice(array_sort(array({probe_structs})), 1, {IVF_NPROBE}))"
+            " AS pr",
+        )
+        .select("query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell"))
+    )
+    cand = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
+            "cosine"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+EXPLAIN_FRAMES = {
+    "ann_ivf_trained": _ann_ivf_trained_explain_frame,
+}
 
 
 def _qvec_spark() -> str:
@@ -931,6 +1123,17 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
         )
         approx = part if approx is None else approx.unionByName(part)
+    # trained centroids at the SAME (cells, nprobe) as ivf_c8_p2: the
+    # recall-per-candidate value of training the coarse quantizer
+    approx = approx.unionByName(
+        ann_ivf_trained(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.lit("ivf_trained_c8_p2").alias("variant"),
+            "query_id",
+            "neighbor_id",
+        )
+    )
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("variant").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
@@ -953,6 +1156,10 @@ def _ann_ivf_recall_sql() -> str:
         f"SELECT '{name}' AS variant, query_id, neighbor_id"
         f" FROM ({_ann_ivf_sql(cells, nprobe)}) WHERE rank <= {ANN_K}"
         for name, cells, nprobe in IVF_RECALL_VARIANTS
+    )
+    approx += (
+        f"\nUNION ALL\nSELECT 'ivf_trained_c8_p2' AS variant, query_id,"
+        f" neighbor_id FROM ({_ann_ivf_trained_sql()}) WHERE rank <= {ANN_K}"
     )
     return f"""
 WITH exact_k AS (
@@ -1493,6 +1700,7 @@ QUERIES = {
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_recall_report": (ann_ivf_recall_report, _ann_ivf_recall_sql()),
+    "ann_ivf_trained": (ann_ivf_trained, _ann_ivf_trained_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     # deterministic grid math end-to-end → the iterative loop has an

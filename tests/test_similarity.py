@@ -115,7 +115,12 @@ def test_ivf_multiprobe_improves_recall_at_equal_budget(spark, sf_dir):
     recall = {
         r.variant: r.recall_ppm for r in ann_ivf_recall_report(spark, sf_dir).collect()
     }
-    assert set(recall) == {"ivf_c8_p1", "ivf_c8_p2", "ivf_c16_p2"}
+    assert set(recall) == {
+        "ivf_c8_p1",
+        "ivf_c8_p2",
+        "ivf_c16_p2",
+        "ivf_trained_c8_p2",
+    }
     assert recall["ivf_c8_p2"] >= recall["ivf_c8_p1"]
 
     # superset property at fixed cells: every (query, neighbor) the

@@ -67,6 +67,7 @@ AUDITED = [
     "repeated_spans",
     "ann_pq",
     "ann_ivf_recall_report",
+    "ann_ivf_trained",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
