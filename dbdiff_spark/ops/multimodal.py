@@ -763,11 +763,19 @@ FROM hashed GROUP BY dhash HAVING count(*) > 1
 #
 # Scale shape: one Arrow-batched codec scan, one shuffle on the
 # (band_idx, band_val) key, expression-only verification, min-label CC
-# over the (sparse) verified graph.  A pathologically popular band
-# value (millions of near-black thumbnails) makes a quadratic bucket —
-# the production guard is the entity-resolution per-block cap
-# (dedup.py FUZZY_BLOCK_CAP); left uncapped here because a cap changes
-# the radius-3 completeness guarantee.
+# over the (sparse) verified graph.  SIZING MATH the 100 TB deployment
+# must respect: expected candidate pairs ≈ N²·B/2^(w+1) even for
+# UNIFORM hashes (B bands of w bits), so w must grow with the corpus —
+# w ≈ log₂(N) keeps candidates ≈ N·B/2.  With hamming radius r,
+# completeness needs B ≥ r+1 bands, so the hash needs
+# H = B·w ≈ (r+1)·log₂(N) bits: at N=10⁹, r=3 that is ~124 bits — a
+# PDQ-class 128-bit hash with 4×32-bit bands, not this fixture's
+# 40-bit/4×10 grid (sound to N~10⁵; the banding/verify/CC plan is
+# width-agnostic, only the two constants change).  Within-bucket skew
+# (millions of near-black thumbnails) additionally wants the
+# entity-resolution per-block cap (dedup.py FUZZY_BLOCK_CAP); left
+# uncapped here because a cap breaks the radius-3 completeness
+# guarantee the test pins.
 
 DHASH_NEAR_OFFSET = 3_000_000
 DHASH_FAR_OFFSET = 4_000_000
