@@ -34,7 +34,15 @@ from dbdiff_spark.snapshot import SnapshotStore, diff_snapshots
 
 def _load_sources(spark, args):
     if args.parquet_dir:
-        cat = FileCatalog(spark, args.parquet_dir, TESTDATA_KEYS)
+        # user-declared keys override the built-in fixture mapping —
+        # file sources have no database to discover PKs from, and the
+        # all-columns fallback cannot survive schema drift (the key set
+        # itself diverges between snapshots)
+        declared = dict(TESTDATA_KEYS)
+        for spec in getattr(args, "key", []) or []:
+            table, _, cols = spec.partition("=")
+            declared[table.strip()] = [c.strip() for c in cols.split(",")]
+        cat = FileCatalog(spark, args.parquet_dir, declared)
         tables = cat.list_tables()
         keys = cat.primary_keys(tables)
         sources = {t: cat.load(t) for t in tables}
@@ -118,6 +126,16 @@ def main(argv: list[str] | None = None) -> int:
         help="exclude TABLE.COLUMN from the comparator entirely — "
         "audit-churn columns like updated_at (repeatable; the column "
         "still appears in output rows)",
+    )
+    parser.add_argument(
+        "--key",
+        action="append",
+        default=[],
+        metavar="TABLE=COL[,COL...]",
+        help="declare a primary key for a file-mode table (repeatable); "
+        "overrides the built-in fixture mapping — without a declared "
+        "key a table falls back to the all-columns key, which cannot "
+        "track rows across a schema migration",
     )
     parser.add_argument(
         "--apply-dir",
@@ -224,6 +242,11 @@ def main(argv: list[str] | None = None) -> int:
     if tolerance and mode is not DiffMode.TYPED:
         print("[Error] --tolerance requires --mode typed")
         return 2
+    for spec in args.key:
+        table, _, cols = spec.partition("=")
+        if not table.strip() or not cols.strip():
+            print(f"[Error] --key needs TABLE=COL[,COL...], got {spec!r}")
+            return 2
     ignore: dict[str, list[str]] = {}
     for spec in args.ignore:
         table, _, column = spec.partition(".")
@@ -324,7 +347,13 @@ def main(argv: list[str] | None = None) -> int:
                     # apply in the same domain so types line up
                     base_df = normalize_to_strings(base_df)
                     target = normalize_to_strings(target)
-                rebuilt = apply_diff(base_df, res.df, res.key_columns)
+                # target_cols: under schema drift the diff carries the
+                # union schema; reconstruct in the AFTER table's columns
+                # or the verify below reports a false MISMATCH
+                rebuilt = apply_diff(
+                    base_df, res.df, res.key_columns,
+                    target_cols=target.columns,
+                )
                 rebuilt.write.mode("overwrite").parquet(str(apply_root / tname))
                 rb = spark.read.parquet(str(apply_root / tname))
                 mismatch = rb.exceptAll(target).count() + target.exceptAll(rb).count()

@@ -82,6 +82,50 @@ def test_cli_apply_dir_reconstructs_after_state(spark, tmp_path, monkeypatch, ca
     assert rebuilt == {("1", "a"), ("2", "B"), ("4", "d")}
 
 
+def test_cli_apply_dir_survives_schema_drift(spark, tmp_path, monkeypatch, capsys):
+    """--apply-dir across a schema migration: the mutated 'database'
+    drops one column and adds another between snapshots; the apply must
+    reconstruct in the AFTER schema (target_cols) and self-verify [OK]
+    — reconstructing in the base schema was a guaranteed MISMATCH."""
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id int, s string, old int"
+    ).write.parquet(str(src / "t1.parquet"))
+
+    real_stdin = io.StringIO("\nq\n")
+
+    def fake_readline():
+        # migration + row churn: drop `old`, add `flag`, update id=2
+        spark.createDataFrame(
+            [(1, "a", True), (2, "B", False)], "id int, s string, flag boolean"
+        ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+        return real_stdin.readline()
+
+    monkeypatch.setattr("sys.stdin", io.StringIO())
+    monkeypatch.setattr("sys.stdin.readline", fake_readline)
+    apply_dir = tmp_path / "applied"
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--mode", "typed",
+            "--key", "t1=id",
+            "--apply-dir", str(apply_dir),
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "[Apply] t1" in text and "[OK]" in text and "MISMATCH" not in text
+    rebuilt = spark.read.parquet(str(apply_dir / "gen1" / "t1"))
+    assert set(rebuilt.columns) == {"id", "s", "flag"}
+    assert {(r.id, r.s, r.flag) for r in rebuilt.collect()} == {
+        (1, "a", True),
+        (2, "B", False),
+    }
+
+
 def test_cli_profile_only_and_vacuum(spark, tmp_path, capsys):
     from dbdiff_spark import cli
     from dbdiff_spark.catalog import TESTDATA_KEYS, FileCatalog
