@@ -1196,7 +1196,46 @@ STREAM_INGEST_PLANT_B = 5_000_003  # % 3 == 2 → batch 2: must assign to PLANT_
 _PLANT_TOKENS = ("zq", "xv", "qz", "vx") * 3
 
 
-def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def compact_band_index(spark: SparkSession, index_root: str) -> int:
+    """Fold the ingest's per-batch band-index generations (``seed`` +
+    ``batch_*``) into a single fresh ``seed`` generation.  The index is
+    a SET of ``(doc_id, band_idx, band_key)`` rows — union order never
+    affects a probe — so compaction is semantically a no-op that bounds
+    the directory/file count a long-running ingest accumulates (one dir
+    per micro-batch forever, otherwise).  Returns the compacted row
+    count.
+
+    MUST run at a stream barrier (query stopped): the exactly-once
+    retry contract reads generations strictly below the retried
+    batchId, and a compacted seed that already absorbed batch b's
+    bands would leak them into b's own retry probe.  Staging-dir swap:
+    a crash mid-compaction leaves the old generations plus an ignored
+    ``_staging`` dir (underscore-prefixed paths are invisible to the
+    parquet reader), never a half state."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(index_root)
+    parts = sorted(
+        p for p in root.iterdir()
+        if p.is_dir() and not p.name.startswith(("_", "."))
+    )
+    df = spark.read.parquet(*[str(p) for p in parts])
+    staging = root / "_staging_compact"
+    shutil.rmtree(staging, ignore_errors=True)
+    # repartition by the probe key so the compacted generation's files
+    # are band-clustered (row-group pruning on future keyed probes)
+    df.repartition("band_key").write.parquet(str(staging))
+    n = spark.read.parquet(str(staging)).count()
+    for p in parts:
+        shutil.rmtree(p)
+    staging.rename(root / "seed")
+    return n
+
+
+def stream_dedup_ingest(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
     """Near-dup dedup running continuously against persisted LSH band
     state: per new doc, the smallest visible doc sharing any band (NULL
     ⇒ fresh cluster seed) plus the shared-band count — converging to
@@ -1224,9 +1263,9 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET).unionByName(planted)
 
-    root = tempfile.mkdtemp(prefix="dbdiff_stream_ingest_")
+    root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ingest_")
     incoming = Path(root) / "incoming"
-    incoming.mkdir()
+    incoming.mkdir(parents=True)
     # one file per batch, written in batch order: the file source
     # triggers in (modification time, path) order, and names agree
     for b in range(STREAM_INGEST_BATCH_MOD):

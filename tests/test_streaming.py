@@ -274,3 +274,44 @@ def test_stream_dedup_ingest_crosses_batches(spark, sf_dir):
     for doc_id, srow in static.items():
         if srow.assigned_to is not None and srow.assigned_to < NEARDUP_OFFSET:
             assert out[doc_id].assigned_to == srow.assigned_to, doc_id
+
+
+def test_band_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
+    """compact_band_index folds seed + per-batch generations into one
+    seed generation; a probe of a fresh batch against the compacted
+    index must equal the probe against the original generation set
+    (the index is a set — compaction is semantically a no-op)."""
+    import shutil
+    from pathlib import Path
+
+    from dbdiff_spark.io import load_table, spread
+    from dbdiff_spark.ops.dedup import lsh_ingest
+    from dbdiff_spark.ops.text import _TOKENS
+    from dbdiff_spark.streaming.cdc import compact_band_index, stream_dedup_ingest
+
+    root = tmp_path / "ingest"
+    stream_dedup_ingest(spark, sf_dir, root=str(root))
+    index = root / "index"
+    gens_before = sorted(p.name for p in index.iterdir() if p.is_dir())
+    assert len(gens_before) == 4  # seed + 3 batch generations
+
+    keep = tmp_path / "index_orig"
+    shutil.copytree(index, keep)
+
+    n = compact_band_index(spark, str(index))
+    gens_after = [p.name for p in index.iterdir() if p.is_dir()
+                  if not p.name.startswith("_")]
+    assert gens_after == ["seed"]
+    assert n == spark.read.parquet(str(keep / "*")).count()
+
+    probe = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")\
+        .selectExpr(f"doc_id + 9000000 AS doc_id", f"{_TOKENS} AS tokens")
+    got_orig = {
+        r.new_doc_id: (r.assigned_to, r.n_shared_bands)
+        for r in lsh_ingest(probe, spark.read.parquet(str(keep / "*"))).collect()
+    }
+    got_comp = {
+        r.new_doc_id: (r.assigned_to, r.n_shared_bands)
+        for r in lsh_ingest(probe, spark.read.parquet(str(index / "seed"))).collect()
+    }
+    assert got_orig == got_comp and len(got_comp) > 0
