@@ -55,6 +55,7 @@ HEADLINE = [
     "user_sessions",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ingest_full",
     "dedup_simhash",
     "text_quality",
     "knn_bruteforce",

@@ -207,11 +207,10 @@ def _band_exprs(prefix: str = "") -> list[str]:
     return out
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: signature projection (no shuffle) →
-    band explode (narrow) → self-join on band key (ONE shuffle) →
-    distinct pairs."""
-    corpus = _neardup_corpus(spark, sf_dir)
+def _lsh_pairs(corpus: DataFrame) -> DataFrame:
+    """Candidate pairs over a ``doc_id, tokens`` corpus: signature
+    projection (no shuffle) → band explode (narrow) → self-join on the
+    band key (ONE shuffle) → distinct pairs."""
     sigs = _signatures_spark(corpus)
     band_structs = ", ".join(
         f"struct({b} AS band_idx, {expr} AS band_key)"
@@ -235,6 +234,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over the near-dup corpus (the
+    ``_lsh_pairs`` shape applied to originals + truncated variants)."""
+    return _lsh_pairs(_neardup_corpus(spark, sf_dir))
 
 
 def _lsh_pairs_sql() -> str:
@@ -1070,6 +1075,93 @@ LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
 DEDUP_INGEST_SQL = _ingest_sql()
 
 
+# ``lsh_ingest``'s scope note punts within-batch duplicates to "the
+# batch operators, then ingest the representatives" — this is that
+# composition as one operator: (1) within-batch candidate pairs (band
+# self-join restricted to the batch), (2) min-label CC elects each
+# cluster's minimum-id doc as representative, (3) ONLY representatives
+# probe the stored index, (4) every batch doc inherits its
+# representative's assignment.  Probing |reps| ≤ |batch| docs is the
+# cost win; the fixture plants exact copies inside the batch
+# (doc_id + INTRA_COPY_OFFSET) so step 1 has real clusters to collapse.
+
+INTRA_COPY_OFFSET = 6_000_000
+
+
+def dedup_ingest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
+    arriving = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET)
+    batch = arriving.unionByName(
+        arriving.selectExpr(
+            f"doc_id + {INTRA_COPY_OFFSET} AS doc_id", "tokens"
+        )
+    )
+    clusters = _min_label_components(_lsh_pairs(batch))
+    assign = (
+        batch.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("new_doc_id"),
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("rep_id"),
+        )
+    )
+    reps = batch.join(
+        assign.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+    )
+    probe = lsh_ingest(reps, lsh_band_index(old)).select(
+        F.col("new_doc_id").alias("rep_id"),
+        "assigned_to",
+        "n_shared_bands",
+    )
+    return assign.join(probe, "rep_id").select(
+        "new_doc_id", "rep_id", "assigned_to", "n_shared_bands"
+    )
+
+
+def _ingest_full_sql() -> str:
+    corpus = f"""{_NEARDUP_CORPUS_SQL}
+UNION ALL
+SELECT doc_id + {INTRA_COPY_OFFSET} AS doc_id, text
+FROM ({_NEARDUP_CORPUS_SQL}) WHERE doc_id >= {NEARDUP_OFFSET}"""
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return f"""
+WITH RECURSIVE {_signatures_sql(corpus)},
+banded AS (
+  {banded}
+),
+new_b AS (SELECT * FROM banded WHERE doc_id >= {NEARDUP_OFFSET}),
+old_b AS (SELECT * FROM banded WHERE doc_id < {NEARDUP_OFFSET}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM new_b x JOIN new_b y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+{_CC_CLUSTERS_CTES},
+assign AS (
+  SELECT nd.doc_id AS new_doc_id,
+         coalesce(c.cluster_id, nd.doc_id) AS rep_id
+  FROM (SELECT DISTINCT doc_id FROM new_b) nd
+  LEFT JOIN clusters c ON nd.doc_id = c.doc_id
+),
+hits AS (
+  SELECT n.doc_id AS rep_id, min(o.doc_id) AS assigned_to,
+         CAST(count(DISTINCT n.band_idx) AS BIGINT) AS n_shared_bands
+  FROM new_b n JOIN old_b o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+  WHERE n.doc_id IN (SELECT rep_id FROM assign)
+  GROUP BY n.doc_id
+)
+SELECT a.new_doc_id, a.rep_id, h.assigned_to,
+       CAST(coalesce(h.n_shared_bands, 0) AS BIGINT) AS n_shared_bands
+FROM assign a LEFT JOIN hits h ON a.rep_id = h.rep_id
+"""
+
+
 # --- leakage-safe train/val/test split ---------------------------------------
 #
 # Per-document hash splits (text.train_val_split) leak: a near-dup pair
@@ -1364,6 +1456,7 @@ GROUP BY 1, 2 ORDER BY 1, 2
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ingest_incremental": (dedup_ingest_incremental, DEDUP_INGEST_SQL),
+    "dedup_ingest_full": (dedup_ingest_full, _ingest_full_sql()),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),

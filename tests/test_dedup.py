@@ -292,3 +292,44 @@ def test_entity_resolution_transitivity_and_conservation(spark, sf_dir):
     expect = {(root, len(members)) for root, members in comp.items()}
     assert {(e.entity_id, e.n_members) for e in ents} == expect
     assert all(e.entity_id == min(comp[e.entity_id]) for e in ents)
+
+
+def test_ingest_full_members_inherit_representative(spark, sf_dir):
+    """The composed batch-ingest: planted intra-batch copies must elect
+    their lower-id sibling as representative and inherit its assignment
+    verbatim; representatives assign exactly as the plain probe does."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.dedup import (
+        INTRA_COPY_OFFSET,
+        NEARDUP_OFFSET,
+        dedup_ingest_full,
+        dedup_ingest_incremental,
+    )
+
+    out = {r.new_doc_id: r for r in dedup_ingest_full(spark, sf_dir).collect()}
+    plain = {
+        r.new_doc_id: r for r in dedup_ingest_incremental(spark, sf_dir).collect()
+    }
+    n_copies = 0
+    for doc_id, row in out.items():
+        if doc_id >= NEARDUP_OFFSET + INTRA_COPY_OFFSET:
+            sib = doc_id - INTRA_COPY_OFFSET
+            # exact copy -> all bands shared -> same cluster as the
+            # sibling (the cluster min may be a THIRD doc when natural
+            # band collisions merge clusters — rep equality is the law,
+            # not rep == sibling)
+            assert row.rep_id == out[sib].rep_id <= sib
+            assert (row.assigned_to, row.n_shared_bands) == (
+                out[sib].assigned_to, out[sib].n_shared_bands,
+            )
+            n_copies += 1
+    assert n_copies > 0
+    # a representative's probe result equals the standalone incremental
+    # probe for the same doc (the composition changes who probes, not
+    # what a probe returns)
+    for doc_id, row in plain.items():
+        if out[doc_id].rep_id == doc_id:
+            assert (out[doc_id].assigned_to, out[doc_id].n_shared_bands) == (
+                row.assigned_to, row.n_shared_bands,
+            ), doc_id

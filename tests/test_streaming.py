@@ -315,3 +315,123 @@ def test_band_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
         for r in lsh_ingest(probe, spark.read.parquet(str(index / "seed"))).collect()
     }
     assert got_orig == got_comp and len(got_comp) > 0
+
+
+def test_dedup_ingest_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint-restart law for the dedup ingest loop (mirrors the
+    CDC apply restart test): stop after the first two batch files,
+    restart against the SAME checkpoint with the third added — the
+    restarted run's assignments must equal a fresh single run's, and
+    already-written assigned/index generations must not be rewritten."""
+    import glob
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.dedup import (
+        NEARDUP_OFFSET,
+        _neardup_corpus,
+        lsh_band_index,
+        lsh_ingest,
+    )
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
+    new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET)
+    schema = new.schema
+
+    staging = tmp_path / "staging"
+    batch_files = []
+    for b in range(3):
+        stage = staging / f"b{b}"
+        new.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(str(stage))
+        batch_files.append(Path(glob.glob(str(stage / "part-*.parquet"))[0]))
+
+    def make_runner(root: Path):
+        (root / "incoming").mkdir(parents=True)
+        lsh_band_index(old).write.parquet(str(root / "index" / "seed"))
+
+        def _ingest_batch(bdf, bid):
+            bound = f"batch_{bid:05d}"
+            idx_dirs = [
+                str(p) for p in (root / "index").iterdir()
+                if p.name == "seed" or p.name < bound
+            ]
+            idx = spark.read.parquet(*idx_dirs)
+            lsh_ingest(bdf, idx).write.mode("overwrite").parquet(
+                str(root / "assigned" / bound)
+            )
+            lsh_band_index(bdf).write.mode("overwrite").parquet(
+                str(root / "index" / bound)
+            )
+
+        def run():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(root / "incoming"))
+                .writeStream.foreachBatch(_ingest_batch)
+                .option("checkpointLocation", str(root / "checkpoint"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        return run
+
+    # The file source orders by MILLISECOND mtime; copies landing in
+    # the same ms tie nondeterministically (the real op is safe — each
+    # batch file's mtime is a full parquet write apart), so the test
+    # pins strictly increasing whole-second mtimes.
+    import os
+    import time as _time
+
+    t0 = int(_time.time())
+
+    def copy_spaced(f, root, b):
+        dest = root / "incoming" / f.parent.name
+        shutil.copy(f, dest)
+        os.utime(dest, (t0 + b, t0 + b))
+
+    # restarted run: two files, stop, add the third, same checkpoint
+    r1 = tmp_path / "restarted"
+    run1 = make_runner(r1)
+    for b, f in enumerate(batch_files[:2]):
+        copy_spaced(f, r1, b)
+    run1()
+    assert sorted(p.name for p in (r1 / "assigned").iterdir()) == [
+        "batch_00000", "batch_00001",
+    ]
+    before_files = sorted(
+        str(p.relative_to(r1)) + f":{p.stat().st_mtime_ns}"
+        for b in ("batch_00000", "batch_00001")
+        for p in (r1 / "assigned" / b).rglob("*.parquet")
+    )
+    copy_spaced(batch_files[2], r1, 2)
+    run1()
+    after_files = sorted(
+        str(p.relative_to(r1)) + f":{p.stat().st_mtime_ns}"
+        for b in ("batch_00000", "batch_00001")
+        for p in (r1 / "assigned" / b).rglob("*.parquet")
+    )
+    assert before_files == after_files  # earlier batches never re-ran
+
+    # fresh single run over all three files at once
+    r2 = tmp_path / "fresh"
+    run2 = make_runner(r2)
+    for b, f in enumerate(batch_files):
+        copy_spaced(f, r2, b)
+    run2()
+
+    got1 = {
+        (r.new_doc_id, r.assigned_to, r.n_shared_bands)
+        for r in spark.read.parquet(str(r1 / "assigned" / "*")).collect()
+    }
+    got2 = {
+        (r.new_doc_id, r.assigned_to, r.n_shared_bands)
+        for r in spark.read.parquet(str(r2 / "assigned" / "*")).collect()
+    }
+    assert got1 == got2 and len(got1) > 0

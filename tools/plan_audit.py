@@ -76,6 +76,7 @@ AUDITED = [
     "frequent_itemsets",
     "validate_orders",
     "dedup_ingest_incremental",
+    "dedup_ingest_full",
     # round 3 additions
     "q6_forecast_revenue",
     "q9_product_profit",
