@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ingest_full",
+    "lsh_pair_calibration",
     "dedup_simhash",
     "text_quality",
     "knn_bruteforce",

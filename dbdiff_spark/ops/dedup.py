@@ -1162,6 +1162,101 @@ FROM assign a LEFT JOIN hits h ON a.rep_id = h.rep_id
 """
 
 
+# --- LSH calibration: estimated vs exact Jaccard -----------------------------
+#
+# The dedup tier's analog of ``ann_ivf_recall_report``: every candidate
+# pair's minhash agreement (0..8 equal signature slots — the quantity
+# LSH thresholds on) against the EXACT shingle-set Jaccard, bucketed by
+# agreement level.  E[slots equal]/8 estimates J, so mean exact Jaccard
+# must rise monotonically with the bucket — the evaluation a production
+# dedup runs before picking its band/row configuration.  Candidates
+# guarantee one full band (2 slots) agrees, so buckets start at ≥2.
+#
+# Exactness: slot equality is string equality; exact Jaccard is
+# |∩|·10⁶ div |∪| over DISTINCT shingle sets (Spark array_intersect /
+# array_union match DuckDB list_intersect / list_distinct(concat) —
+# both deduplicate); bucket means are integer-div of integer sums.
+# Scale shape: pairs are the banding's bounded output; four keyed
+# joins back to per-doc frames, one map-side-combinable aggregate.
+
+
+def lsh_pair_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = _signatures_spark(corpus)
+    dsets = corpus.selectExpr(
+        "doc_id",
+        f"array_distinct({shingles_expr_spark('tokens')}) AS shd",
+    )
+    pairs = _lsh_pairs(corpus)
+    siga = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{s}").alias(f"ha{s}") for s in range(N_HASHES)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{s}").alias(f"hb{s}") for s in range(N_HASHES)],
+    )
+    seta = dsets.select(F.col("doc_id").alias("id_a"), F.col("shd").alias("sha"))
+    setb = dsets.select(F.col("doc_id").alias("id_b"), F.col("shd").alias("shb"))
+    n_eq = " + ".join(
+        f"(CASE WHEN ha{s} = hb{s} THEN 1 ELSE 0 END)" for s in range(N_HASHES)
+    )
+    scored = (
+        pairs.join(siga, "id_a")
+        .join(sigb, "id_b")
+        .join(seta, "id_a")
+        .join(setb, "id_b")
+        .selectExpr(
+            f"CAST(({n_eq}) AS INT) AS n_equal_slots",
+            "CAST(size(array_intersect(sha, shb)) * 1000000"
+            " div size(array_union(sha, shb)) AS BIGINT) AS jac_ppm",
+        )
+    )
+    return scored.groupBy("n_equal_slots").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("CAST(sum(jac_ppm) div count(*) AS BIGINT)").alias(
+            "mean_exact_jaccard_ppm"
+        ),
+    )
+
+
+def _pair_calibration_sql() -> str:
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)"
+        for s in range(N_HASHES)
+    )
+    return f"""
+WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
+banded AS (
+  {banded}
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+dsets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
+scored AS (
+  SELECT CAST(({n_eq}) AS INT) AS n_equal_slots,
+         CAST(len(list_intersect(da.shd, db.shd)) * 1000000
+              // len(list_distinct(da.shd || db.shd)) AS BIGINT) AS jac_ppm
+  FROM cpairs p
+  JOIN sigs sa ON p.id_a = sa.doc_id
+  JOIN sigs sb ON p.id_b = sb.doc_id
+  JOIN dsets da ON p.id_a = da.doc_id
+  JOIN dsets db ON p.id_b = db.doc_id
+)
+SELECT n_equal_slots, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_exact_jaccard_ppm
+FROM scored GROUP BY n_equal_slots
+"""
+
+
 # --- leakage-safe train/val/test split ---------------------------------------
 #
 # Per-document hash splits (text.train_val_split) leak: a near-dup pair
@@ -1457,6 +1552,7 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_ingest_incremental": (dedup_ingest_incremental, DEDUP_INGEST_SQL),
     "dedup_ingest_full": (dedup_ingest_full, _ingest_full_sql()),
+    "lsh_pair_calibration": (lsh_pair_calibration, _pair_calibration_sql()),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),

@@ -333,3 +333,23 @@ def test_ingest_full_members_inherit_representative(spark, sf_dir):
             assert (out[doc_id].assigned_to, out[doc_id].n_shared_bands) == (
                 row.assigned_to, row.n_shared_bands,
             ), doc_id
+
+
+def test_lsh_calibration_is_monotone_and_starts_at_one_band(spark, sf_dir):
+    """Calibration law: mean exact Jaccard rises monotonically with the
+    minhash-agreement bucket, and no candidate has fewer than
+    BAND_SIZE equal slots (a candidate shares at least one full band)."""
+    from dbdiff_spark.ops.dedup import BAND_SIZE, N_HASHES, lsh_pair_calibration
+
+    rows = sorted(
+        lsh_pair_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.n_equal_slots,
+    )
+    assert rows
+    assert rows[0].n_equal_slots >= BAND_SIZE
+    assert rows[-1].n_equal_slots <= N_HASHES
+    means = [r.mean_exact_jaccard_ppm for r in rows]
+    assert means == sorted(means)
+    # full agreement (8/8 slots) is dominated by true near-dups
+    full = [r for r in rows if r.n_equal_slots == N_HASHES]
+    assert full and full[0].mean_exact_jaccard_ppm > 500_000
