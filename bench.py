@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_ingest_full",
     "lsh_pair_calibration",
     "dedup_simhash",
+    "dedup_simhash_neardup",
     "text_quality",
     "knn_bruteforce",
     "ann_lsh_bitsample",

@@ -327,6 +327,145 @@ HAVING count(*) > 1
 """
 
 
+# --- hamming-radius SimHash --------------------------------------------------
+#
+# ``dedup_simhash`` groups on EXACT fingerprint equality; SimHash's
+# whole point is that near-duplicates land a FEW bits apart, so the
+# radius form is the one production uses.  Same machinery as the
+# perceptual dhash near-dup (ops/multimodal.py): band the fingerprint
+# into LSH bands (hamming ≤ r over r+1 bands leaves one band clean —
+# complete candidate generation by pigeonhole), verify candidates with
+# one ``bit_count(a ^ b)`` expression, cluster via the shared
+# min-label CC.
+#
+# Width is chosen BY the probe-pinned sizing math, not inherited from
+# the 16-bit demo fingerprint: at 16 bits a radius-3 ball holds 697 of
+# 65536 codes, so at N=10⁴ every doc has ~100 RANDOM neighbors and the
+# graph collapses into one giant component (measured: the sf0.1 oracle
+# closure never finished).  This op therefore packs a 60-bit majority
+# fingerprint (two md5 streams; 60 ≤ 62 keeps the packed value a
+# positive BIGINT in both engines) into 6×10-bit bands at radius 5:
+# random-edge probability Σ C(60,0..5)/2⁶⁰ ≈ 5e-12 — zero chance
+# pairs even at 10⁵ docs — while the truncated variants' measured
+# distance histogram (0..10+) puts ~58% within the radius, so real
+# recoveries dominate.  Exact-fingerprint groups sit at distance 0 and
+# are provably contained in the radius clusters (tested).
+
+SIMHASH_NEARDUP_BITS = 60
+SIMHASH_RADIUS = 5
+SIMHASH_N_BANDS = 6  # radius+1 bands → pigeonhole completeness
+SIMHASH_BAND_BITS = SIMHASH_NEARDUP_BITS // SIMHASH_N_BANDS  # 10
+
+
+def _sim60_sources() -> list:
+    """(hash column, 1-based char position) feeding each of the 60 bit
+    votes — 30 chars from md5(t), 30 from md5('x' || t)."""
+    return [
+        ("h1", j + 1) if j < 30 else ("h2", j - 29)
+        for j in range(SIMHASH_NEARDUP_BITS)
+    ]
+
+
+def _simhash60_frame(corpus: DataFrame) -> DataFrame:
+    """``(doc_id, fp)`` — the 60-bit SimHash as a positive BIGINT."""
+    ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
+        "doc_id", "md5(t) AS h1", "md5(concat('x', t)) AS h2"
+    )
+    aggs = [F.count(F.col("h1")).alias("n")] + [
+        F.count_if(
+            F.expr(f"instr('89abcdef', substr({src}, {pos}, 1)) > 0")
+        ).alias(f"b{j}")
+        for j, (src, pos) in enumerate(_sim60_sources())
+    ]
+    val = " + ".join(
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_NEARDUP_BITS)
+    )
+    return ex.groupBy("doc_id").agg(*aggs).selectExpr(
+        "doc_id", f"CAST({val} AS BIGINT) AS fp"
+    )
+
+
+def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash clusters at hamming radius ≤ ``SIMHASH_RADIUS``:
+    ``(doc_id, cluster_id)`` with cluster_id the component minimum.
+
+    Clustering uses large-star/small-star, not min-label: SimHash is a
+    vocabulary-level hash, so on this template-generated corpus
+    genuinely similar docs are DENSE in hamming space (sf0.1: 77k
+    verified pairs over 7.6k clustered docs, mean degree ~20) and the
+    resulting components are deep — min-label needs diameter rounds
+    (measured 1.6× slower) while big-star contracts in O(log²).  The
+    component-minimum fixpoint is algorithm-independent, so the
+    recursive-closure oracle is unchanged."""
+    fp = _simhash60_frame(_neardup_corpus(spark, sf_dir))
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, "
+        f"(shiftright(fp, {SIMHASH_BAND_BITS * b}) & {2 ** SIMHASH_BAND_BITS - 1})"
+        f" AS band_val)"
+        for b in range(SIMHASH_N_BANDS)
+    )
+    banded = fp.selectExpr(
+        "doc_id", "fp", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "fp", "band.band_idx", "band.band_val")
+    left, right = banded.alias("x"), banded.alias("y")
+    pairs = (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.expr(f"bit_count(x.fp ^ y.fp) <= {SIMHASH_RADIUS}"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+        pairs.selectExpr("id_b AS src", "id_a AS dst")
+    )
+    return bigstar_components(sym)
+
+
+def _simhash60_int_duck() -> str:
+    terms = [
+        f"(CASE WHEN 2 * len(list_filter({'hs1' if src == 'h1' else 'hs2'},"
+        f" h -> strpos('89abcdef', substr(h, {pos}, 1)) > 0)) > len(hs1)"
+        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, (src, pos) in enumerate(_sim60_sources())
+    ]
+    return " + ".join(terms)
+
+
+def _simhash_neardup_sql() -> str:
+    return f"""
+WITH RECURSIVE sfps AS (
+  SELECT doc_id, CAST({_simhash60_int_duck()} AS BIGINT) AS fp
+  FROM (
+    SELECT doc_id,
+           list_transform({_D_TOKENS}, x -> md5(x)) AS hs1,
+           list_transform({_D_TOKENS}, x -> md5(concat('x', x))) AS hs2
+    FROM ({_NEARDUP_CORPUS_SQL})
+  )
+),
+sbands AS (
+  SELECT doc_id, fp, b AS band_idx,
+         (fp >> ({SIMHASH_BAND_BITS} * b)) & {2 ** SIMHASH_BAND_BITS - 1}
+           AS band_val
+  FROM sfps, (SELECT unnest(generate_series(0, {SIMHASH_N_BANDS - 1})) AS b)
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM sbands x JOIN sbands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.fp, y.fp)) <= {SIMHASH_RADIUS}
+),
+{_CC_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
 # --- exact n-gram Jaccard over LSH candidates -------------------------------
 
 JACCARD_THRESHOLD = 0.5
@@ -1561,6 +1700,7 @@ QUERIES = {
     "neardup_clusters_bigstar": (neardup_clusters_bigstar, NEARDUP_CLUSTERS_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_simhash_neardup": (dedup_simhash_neardup, _simhash_neardup_sql()),
     "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "neardup_clusters": (neardup_clusters, NEARDUP_CLUSTERS_SQL),
     "cross_source_dup_matrix": (cross_source_dup_matrix, CROSS_SOURCE_DUP_SQL),

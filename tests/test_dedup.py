@@ -353,3 +353,50 @@ def test_lsh_calibration_is_monotone_and_starts_at_one_band(spark, sf_dir):
     # full agreement (8/8 slots) is dominated by true near-dups
     full = [r for r in rows if r.n_equal_slots == N_HASHES]
     assert full and full[0].mean_exact_jaccard_ppm > 500_000
+
+
+def test_simhash_neardup_contains_exact_groups(spark, sf_dir):
+    """Radius law: every exact-fingerprint group (distance 0) must land
+    inside one radius-3 cluster, and every emitted pair really is
+    within the radius (re-verified against independently recomputed
+    fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.dedup import (
+        SIMHASH_RADIUS,
+        _neardup_corpus,
+        _simhash60_frame,
+        dedup_simhash_neardup,
+    )
+
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in dedup_simhash_neardup(spark, sf_dir).collect()
+    }
+    assert clusters
+    fps = {
+        r.doc_id: r.fp
+        for r in _simhash60_frame(_neardup_corpus(spark, sf_dir)).collect()
+    }
+    # exact groups are distance-0 neighbors: same cluster, always
+    by_fp = {}
+    for d, f in fps.items():
+        by_fp.setdefault(f, []).append(d)
+    n_groups = 0
+    for members in by_fp.values():
+        if len(members) > 1:
+            n_groups += 1
+            assert len({clusters[d] for d in members}) == 1
+    assert n_groups > 0
+    # clustered docs sit within the radius of SOME cluster-mate
+    by_cluster = {}
+    for d, c in clusters.items():
+        by_cluster.setdefault(c, []).append(d)
+    for members in by_cluster.values():
+        assert len(members) > 1  # singletons are never emitted
+        for d in members:
+            assert any(
+                bin(fps[d] ^ fps[o]).count("1") <= SIMHASH_RADIUS
+                for o in members
+                if o != d
+            )

@@ -77,6 +77,7 @@ AUDITED = [
     "validate_orders",
     "dedup_ingest_incremental",
     "dedup_ingest_full",
+    "dedup_simhash_neardup",
     "lsh_pair_calibration",
     # round 3 additions
     "q6_forecast_revenue",
