@@ -242,11 +242,13 @@ def main(argv: list[str] | None = None) -> int:
     if tolerance and mode is not DiffMode.TYPED:
         print("[Error] --tolerance requires --mode typed")
         return 2
+    declared_keys: dict[str, list[str]] = {}
     for spec in args.key:
         table, _, cols = spec.partition("=")
         if not table.strip() or not cols.strip():
             print(f"[Error] --key needs TABLE=COL[,COL...], got {spec!r}")
             return 2
+        declared_keys[table.strip()] = [c.strip() for c in cols.split(",")]
     ignore: dict[str, list[str]] = {}
     for spec in args.ignore:
         table, _, column = spec.partition(".")
@@ -266,10 +268,21 @@ def main(argv: list[str] | None = None) -> int:
     # suppress are reported as changes.  Warn before the first
     # (possibly expensive) snapshot.
     for flag, keyed in (("--where", where), ("--tolerance", tolerance),
-                        ("--ignore", ignore)):
+                        ("--ignore", ignore), ("--key", declared_keys)):
         for tname in sorted(set(keyed) - set(sources)):
             print(f"[Warn] {flag} {tname}: no such table in the source set "
                   f"({', '.join(sorted(sources))}) — spec has no effect")
+    # A typo'd COLUMN in --key would surface later as an opaque Spark
+    # analysis error mid-snapshot; fail fast against the real schema.
+    for tname, cols in sorted(declared_keys.items()):
+        if tname not in sources:
+            continue
+        missing = [c for c in cols if c not in sources[tname].columns]
+        if missing:
+            print(f"[Error] --key {tname}: no such column(s) "
+                  f"{', '.join(missing)} (table has: "
+                  f"{', '.join(sources[tname].columns)})")
+            return 2
     print(f"[Collect] snapshotting {len(sources)} tables (before)")
     before = store.collect(sources, keys, str(run_root / "snap0"), **collect_kw)
     print(f"[Collect] total record count: {before.total_count}")

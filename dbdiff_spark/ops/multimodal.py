@@ -648,7 +648,7 @@ def _dhash_frame(corpus: DataFrame) -> DataFrame:
     """``(doc_id, dhash)`` per image, computed THROUGH the real BMP
     encode→decode round trip in one Arrow-batched mapInPandas scan —
     the 40-bit difference hash (adjacent-pixel gradient signs over the
-    {IMG_W}x{IMG_H} grayscale grid)."""
+    6x8 grayscale grid)."""
     w, h = IMG_W, IMG_H
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

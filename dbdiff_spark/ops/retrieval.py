@@ -591,10 +591,11 @@ def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expands it (no recursion).  TOKEN_PATTERN is [a-z0-9]+, so control
 # codes never collide with corpus symbols.
 #
-# The DuckDB twin replicates the greedy adoption as a recursive CTE
-# walking the ranked shortlist (accumulating the adopted list and a
-# used-symbol string) and re-segments with ``list_reduce`` over the
-# round's [pair, code] list; the merge tables agree bit-for-bit.
+# The DuckDB twin replicates the dominance adoption as the same NOT
+# EXISTS self-join over the ranked shortlist (a candidate survives iff
+# no higher-ranked candidate shares a symbol) and re-segments with
+# ``list_reduce`` over the round's [pair, code] list; the merge tables
+# agree bit-for-bit.
 # ``bpe_apply_tokens`` is the missing *apply* side: tokenize the whole
 # corpus with the learned table as pure replace expressions, plus an
 # in-plan round-trip proof (expanding every placeholder must

@@ -1196,40 +1196,71 @@ STREAM_INGEST_PLANT_B = 5_000_003  # % 3 == 2 → batch 2: must assign to PLANT_
 _PLANT_TOKENS = ("zq", "xv", "qz", "vx") * 3
 
 
+def band_index_generations(
+    spark: SparkSession, index_root: str, below: str | None = None
+) -> list[str]:
+    """Visible band-index generation paths under ``index_root``.
+    Compacted/seeded ``seed*`` generations are always visible; per-batch
+    ``batch_*`` generations only when strictly below ``below`` — the
+    exactly-once retry horizon: a retried batch must never probe its own
+    half-written previous attempt.  Listing goes through the Hadoop
+    FileSystem API (``dbdiff_spark.fs``), so the index root may live on
+    ``file://``, ``hdfs://``, or ``s3a://`` alike."""
+    from dbdiff_spark import fs
+
+    return [
+        f"{index_root}/{g}"
+        for g in fs.list_dirs(spark, index_root)
+        if g.startswith("seed") or below is None or g < below
+    ]
+
+
 def compact_band_index(spark: SparkSession, index_root: str) -> int:
-    """Fold the ingest's per-batch band-index generations (``seed`` +
-    ``batch_*``) into a single fresh ``seed`` generation.  The index is
-    a SET of ``(doc_id, band_idx, band_key)`` rows — union order never
-    affects a probe — so compaction is semantically a no-op that bounds
-    the directory/file count a long-running ingest accumulates (one dir
-    per micro-batch forever, otherwise).  Returns the compacted row
-    count.
+    """Fold the ingest's band-index generations (``seed*`` +
+    ``batch_*``) into a single fresh ``seed_NNNNN`` generation.  The
+    index is a SET of ``(doc_id, band_idx, band_key)`` rows — union
+    order never affects a probe — so compaction is semantically a no-op
+    that bounds the directory/file count a long-running ingest
+    accumulates (one dir per micro-batch forever, otherwise).  Returns
+    the compacted row count.
 
     MUST run at a stream barrier (query stopped): the exactly-once
     retry contract reads generations strictly below the retried
     batchId, and a compacted seed that already absorbed batch b's
-    bands would leak them into b's own retry probe.  Staging-dir swap:
-    a crash mid-compaction leaves the old generations plus an ignored
-    ``_staging`` dir (underscore-prefixed paths are invisible to the
-    parquet reader), never a half state."""
-    import shutil
-    from pathlib import Path
+    bands would leak them into b's own retry probe.
 
-    root = Path(index_root)
-    parts = sorted(
-        p for p in root.iterdir()
-        if p.is_dir() and not p.name.startswith(("_", "."))
-    )
-    df = spark.read.parquet(*[str(p) for p in parts])
-    staging = root / "_staging_compact"
-    shutil.rmtree(staging, ignore_errors=True)
+    Crash-safe publish-then-expire order: the compacted rows build in a
+    Spark-invisible ``_staging_compact`` dir, RENAME to a fresh
+    always-visible ``seed_NNNNN`` name, and only then are the old
+    generations deleted.  A crash before the rename leaves the old
+    index fully intact (plus an ignored staging dir); a crash during
+    the deletes leaves the new seed plus a suffix of old generations —
+    duplicated ``(doc_id, band_idx, band_key)`` rows, which probes
+    tolerate by construction (``min(doc_id)`` / ``count(DISTINCT
+    band_idx)`` aggregation).  At no point is the readable index empty
+    or half-written.  All maintenance goes through the Hadoop
+    FileSystem API, never driver-local ``pathlib``/``shutil``."""
+    from dbdiff_spark import fs
+
+    gens = fs.list_dirs(spark, index_root)
+    df = spark.read.parquet(*[f"{index_root}/{g}" for g in gens])
+    staging = f"{index_root}/_staging_compact"
+    fs.delete(spark, staging)
     # repartition by the probe key so the compacted generation's files
     # are band-clustered (row-group pruning on future keyed probes)
-    df.repartition("band_key").write.parquet(str(staging))
-    n = spark.read.parquet(str(staging)).count()
-    for p in parts:
-        shutil.rmtree(p)
-    staging.rename(root / "seed")
+    df.repartition("band_key").write.parquet(staging)
+    n = spark.read.parquet(staging).count()
+    next_ord = 1 + max(
+        (
+            int(g[5:])
+            for g in gens
+            if g.startswith("seed_") and g[5:].isdigit()
+        ),
+        default=0,
+    )
+    fs.rename(spark, staging, f"{index_root}/seed_{next_ord:05d}")
+    for g in gens:
+        fs.delete(spark, f"{index_root}/{g}")
     return n
 
 
@@ -1240,11 +1271,9 @@ def stream_dedup_ingest(
     state: per new doc, the smallest visible doc sharing any band (NULL
     ⇒ fresh cluster seed) plus the shared-band count — converging to
     the batch visibility-ordered probe the oracle computes."""
-    import glob
-    import shutil
     import tempfile
-    from pathlib import Path
 
+    from dbdiff_spark import fs
     from dbdiff_spark.ops.dedup import (
         NEARDUP_OFFSET,
         _neardup_corpus,
@@ -1264,28 +1293,26 @@ def stream_dedup_ingest(
     new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET).unionByName(planted)
 
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ingest_")
-    incoming = Path(root) / "incoming"
-    incoming.mkdir(parents=True)
+    incoming = f"{root}/incoming"
+    fs.mkdirs(spark, incoming)
     # one file per batch, written in batch order: the file source
-    # triggers in (modification time, path) order, and names agree
+    # triggers in (modification time, path) order, and the zero-padded
+    # names agree lexicographically even on an mtime tie
     for b in range(STREAM_INGEST_BATCH_MOD):
         stage = f"{root}/stage_{b}"
         new.filter(
             F.col("doc_id") % STREAM_INGEST_BATCH_MOD == b
         ).coalesce(1).write.parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        shutil.move(part, str(incoming / f"batch_{b}.parquet"))
+        part = fs.glob(spark, f"{stage}/part-*.parquet")[0]
+        fs.rename(spark, part, f"{incoming}/batch_{b:05d}.parquet")
 
     lsh_band_index(old).write.parquet(f"{root}/index/seed")
 
     def _ingest_batch(bdf: DataFrame, bid: int) -> None:
         bound = f"batch_{bid:05d}"
-        idx_dirs = [
-            str(p)
-            for p in Path(f"{root}/index").iterdir()
-            if p.name == "seed" or p.name < bound
-        ]
-        idx = spark.read.parquet(*idx_dirs)
+        idx = spark.read.parquet(
+            *band_index_generations(spark, f"{root}/index", below=bound)
+        )
         lsh_ingest(bdf, idx).write.mode("overwrite").parquet(
             f"{root}/assigned/{bound}"
         )

@@ -344,3 +344,46 @@ def test_cli_unknown_table_key_warns(spark, tmp_path, monkeypatch, capsys):
     assert "[Warn] --ignore cusomer: no such table" in text
     assert "[Warn] --tolerance tl: no such table" in text
     assert "[Warn] --where" not in text
+
+
+def test_cli_key_spec_validated_against_schema(spark, tmp_path, monkeypatch, capsys):
+    """--key is covered by the unknown-table warning loop, and a
+    declared key COLUMN missing from the table schema fails fast with a
+    clear error instead of an opaque analysis error mid-snapshot."""
+    import io as _io
+
+    from dbdiff_spark import cli
+
+    src = tmp_path / "db"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a")], "id int, v string"
+    ).write.mode("overwrite").parquet(str(src / "t1.parquet"))
+
+    # typo'd table → warning, run proceeds
+    monkeypatch.setattr("sys.stdin", _io.StringIO("q\n"))
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps"),
+            "--key", "t2=id",
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 0
+    assert "[Warn] --key t2: no such table" in capsys.readouterr().out
+
+    # typo'd column on a real table → hard error before any snapshot
+    monkeypatch.setattr("sys.stdin", _io.StringIO("q\n"))
+    rc = cli.main(
+        [
+            "--parquet-dir", str(src),
+            "--snapshot-dir", str(tmp_path / "snaps2"),
+            "--key", "t1=id,idd",
+            "-o", str(tmp_path / "out.xlsx"),
+        ]
+    )
+    assert rc == 2
+    text = capsys.readouterr().out
+    assert "[Error] --key t1: no such column(s) idd" in text
+    assert "[Collect]" not in text

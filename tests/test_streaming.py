@@ -301,7 +301,10 @@ def test_band_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
     n = compact_band_index(spark, str(index))
     gens_after = [p.name for p in index.iterdir() if p.is_dir()
                   if not p.name.startswith("_")]
-    assert gens_after == ["seed"]
+    # publish-then-expire: the compacted rows land under a FRESH
+    # always-visible seed_NNNNN name (never overwriting "seed"), so a
+    # crash can only ever leave duplicates, not an empty index
+    assert gens_after == ["seed_00001"]
     assert n == spark.read.parquet(str(keep / "*")).count()
 
     probe = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")\
@@ -312,9 +315,30 @@ def test_band_index_compaction_preserves_probes(spark, sf_dir, tmp_path):
     }
     got_comp = {
         r.new_doc_id: (r.assigned_to, r.n_shared_bands)
-        for r in lsh_ingest(probe, spark.read.parquet(str(index / "seed"))).collect()
+        for r in lsh_ingest(
+            probe, spark.read.parquet(str(index / "seed_00001"))
+        ).collect()
     }
     assert got_orig == got_comp and len(got_comp) > 0
+
+    # crash-window equivalence: mid-expiry state (new seed + leftover
+    # old generations) duplicates rows, and a probe must not care — the
+    # min(doc_id)/count(DISTINCT band_idx) aggregation dedups them
+    from dbdiff_spark.streaming.cdc import band_index_generations
+
+    both = spark.read.parquet(str(index / "seed_00001"), str(keep / "*"))
+    got_dup = {
+        r.new_doc_id: (r.assigned_to, r.n_shared_bands)
+        for r in lsh_ingest(probe, both).collect()
+    }
+    assert got_dup == got_comp
+
+    # a second compaction picks the next ordinal and expires the first
+    n2 = compact_band_index(spark, str(index))
+    assert n2 == n
+    assert band_index_generations(spark, str(index)) == [
+        str(index / "seed_00002")
+    ]
 
 
 def test_dedup_ingest_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
@@ -353,12 +377,12 @@ def test_dedup_ingest_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
         lsh_band_index(old).write.parquet(str(root / "index" / "seed"))
 
         def _ingest_batch(bdf, bid):
+            from dbdiff_spark.streaming.cdc import band_index_generations
+
             bound = f"batch_{bid:05d}"
-            idx_dirs = [
-                str(p) for p in (root / "index").iterdir()
-                if p.name == "seed" or p.name < bound
-            ]
-            idx = spark.read.parquet(*idx_dirs)
+            idx = spark.read.parquet(
+                *band_index_generations(spark, str(root / "index"), below=bound)
+            )
             lsh_ingest(bdf, idx).write.mode("overwrite").parquet(
                 str(root / "assigned" / bound)
             )
