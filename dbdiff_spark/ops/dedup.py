@@ -335,61 +335,180 @@ HAVING count(*) > 1
 # perceptual dhash near-dup (ops/multimodal.py): band the fingerprint
 # into LSH bands (hamming ≤ r over r+1 bands leaves one band clean —
 # complete candidate generation by pigeonhole), verify candidates with
-# one ``bit_count(a ^ b)`` expression, cluster via the shared
-# min-label CC.
+# a per-band popcount sum (the bands tile the fingerprint, so
+# Σ_b bit_count(band_a ^ band_b) IS the hamming distance), cluster via
+# the shared big-star CC.
 #
-# Width is chosen BY the probe-pinned sizing math, not inherited from
-# the 16-bit demo fingerprint: at 16 bits a radius-3 ball holds 697 of
-# 65536 codes, so at N=10⁴ every doc has ~100 RANDOM neighbors and the
-# graph collapses into one giant component (measured: the sf0.1 oracle
-# closure never finished).  This op therefore packs a 60-bit majority
-# fingerprint (two md5 streams; 60 ≤ 62 keeps the packed value a
-# positive BIGINT in both engines) into 6×10-bit bands at radius 5:
-# random-edge probability Σ C(60,0..5)/2⁶⁰ ≈ 5e-12 — zero chance
-# pairs even at 10⁵ docs — while the truncated variants' measured
-# distance histogram (0..10+) puts ~58% within the radius, so real
-# recoveries dominate.  Exact-fingerprint groups sit at distance 0 and
-# are provably contained in the radius clusters (tested).
+# SIZING — band width AND fingerprint width are derived from the
+# corpus count at call time, not compile-time constants.  The
+# probe-pinned law (tools/probe_dhash_scale.py): a band self-join over
+# B bands of w bits generates ≈ N²·B/2^(w+1) candidate pairs even for
+# uniform fingerprints, so w must track log₂(N) — w = ⌈log₂N⌉ keeps
+# candidates ≈ N·B/2.  Completeness at radius r needs B ≥ r+1 bands,
+# so the fingerprint carries H = (r+1)·⌈log₂N⌉ bits: it GROWS with the
+# corpus (N=10³ → 60 bits, N=10⁶ → 120 bits, N=10⁹ → 180).  Both
+# engines re-derive the identical w from their own corpus count (the
+# SemDeDup K ≈ √n pattern, similarity.py), so the oracle stays
+# hash-exact at every scale.  The fingerprint is an ARRAY of 6 band
+# values — each ≤ 2^w ≤ 2¹⁶, always a positive BIGINT in both engines
+# — never one packed word, which would cap H at 62 bits.
+#
+# Width floor/cap: 8 ≤ w ≤ 16 covers 2⁵·⁶..10⁶ docs per the law; the
+# cap exists because bit votes come from md5 hex streams (32 chars
+# each) and 6×16 = 96 bits = exactly three streams.  Lifting the cap
+# for 10⁹-doc corpora means adding a fourth stream — one line — not a
+# redesign.  At 16 bits a radius-3 ball holds 697/65536 codes, so a
+# SINGLE-band 16-bit fingerprint is degenerate at N=10⁴ (measured:
+# ~100 random neighbors/doc, the oracle closure never finished) —
+# width lives in the BAND, completeness in the band COUNT.
+#
+# Candidate-explosion seatbelt: before the pair join runs, one cheap
+# aggregation computes the EXACT candidate count the band join will
+# generate (Σ C(k,2) over band buckets) and aborts with a clear error
+# when it exceeds CANDIDATE_CAP_PER_ITEM·N — the signature of a
+# degenerate corpus (one band value capturing half the docs) that
+# would otherwise quietly go quadratic.
 
-SIMHASH_NEARDUP_BITS = 60
 SIMHASH_RADIUS = 5
 SIMHASH_N_BANDS = 6  # radius+1 bands → pigeonhole completeness
-SIMHASH_BAND_BITS = SIMHASH_NEARDUP_BITS // SIMHASH_N_BANDS  # 10
+SIMHASH_BAND_BITS_MIN = 8
+SIMHASH_BAND_BITS_MAX = 16  # 6×16 = 96 bits = three full md5 streams
+# Seatbelt cap, per item.  Tuned-uniform load is ≈ B/2 candidates/item,
+# but real corpora carry legitimate duplicate structure: this fixture's
+# template-generated documents measure 133/item at sf0.01 (w=10) and
+# 364/item at sf0.1 (w=14) — dense but LINEAR in N.  1024 leaves that
+# regime room while still tripping the quadratic failures the guard is
+# for: one band value capturing half the corpus costs ≥ N/8 per item
+# (trips for any N ≥ 8192), and a width cap left far below log₂N at
+# production scale (e.g. w=16 at N=10⁹ → 45k/item) aborts loudly
+# instead of melting the shuffle.
+CANDIDATE_CAP_PER_ITEM = 1024
 
 
-def _sim60_sources() -> list:
-    """(hash column, 1-based char position) feeding each of the 60 bit
-    votes — 30 chars from md5(t), 30 from md5('x' || t)."""
-    return [
-        ("h1", j + 1) if j < 30 else ("h2", j - 29)
-        for j in range(SIMHASH_NEARDUP_BITS)
-    ]
+def hamming_band_bits(n_items: int, lo: int, hi: int) -> int:
+    """Band width for hamming LSH over ``n_items``: w = ⌈log₂N⌉ clamped
+    to [lo, hi] — the probe-pinned rule that keeps the band self-join's
+    candidate count ≈ N·B/2 (candidates = N²·B/2^(w+1) for uniform
+    fingerprints).  Integer-exact in both engines: Python
+    ``(n-1).bit_length()`` ≡ DuckDB ``length(format('{:b}', n-1))`` for
+    n ≥ 2 — no floating-point log that could round differently."""
+    return max(lo, min(hi, max(1, int(n_items) - 1).bit_length()))
 
 
-def _simhash60_frame(corpus: DataFrame) -> DataFrame:
-    """``(doc_id, fp)`` — the 60-bit SimHash as a positive BIGINT."""
+def _band_bits_duck(count_sql: str, lo: int, hi: int) -> str:
+    """DuckDB twin of :func:`hamming_band_bits` as a scalar expression
+    over a COUNT(*) subquery — the oracle re-derives the identical w
+    from its own corpus count."""
+    return (
+        f"GREATEST({lo}, LEAST({hi}, length(format('{{:b}}', "
+        f"GREATEST(({count_sql}) - 1, 1)))))"
+    )
+
+
+def assert_band_load(
+    banded: DataFrame,
+    n_items: int,
+    op_name: str,
+    cap_per_item: int = CANDIDATE_CAP_PER_ITEM,
+) -> int:
+    """Pre-flight guard for banded hamming self-joins: computes the
+    EXACT number of candidate pairs the band join will generate —
+    Σ C(k,2) over (band_idx, band_val) buckets, one map-side-combinable
+    aggregation over the banded frame — and raises with a diagnosis
+    when it exceeds ``cap_per_item · n_items``.  In the tuned regime
+    (w ≈ log₂N) candidates sit at ≈ B/2 per item; a blowout means the
+    corpus is degenerate under this fingerprint (e.g. one band value
+    capturing half the items — near-black thumbnails, boilerplate
+    docs) or the width cap is too low for the corpus size.  Returns
+    the candidate count so callers can log it."""
+    row = (
+        banded.groupBy("band_idx", "band_val")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("cand"))
+        .collect()[0]
+    )
+    candidates = int(row["cand"] or 0)
+    cap = cap_per_item * max(int(n_items), 1)
+    if candidates > cap:
+        raise ValueError(
+            f"{op_name}: band self-join would generate {candidates} "
+            f"candidate pairs for {n_items} items (cap {cap} = "
+            f"{cap_per_item}/item). The corpus is degenerate under this "
+            f"fingerprint or the band width is too narrow — widen the "
+            f"bands toward w = ceil(log2(N)) or pre-filter the dominant "
+            f"band buckets."
+        )
+    return candidates
+
+
+def _sim_sources(n_bits: int) -> list:
+    """(hash column, 1-based char position) feeding each bit vote —
+    bit j reads char j%32+1 of md5 stream j//32 (streams: md5(t),
+    md5('x'||t), md5('y'||t))."""
+    return [(f"h{j // 32 + 1}", j % 32 + 1) for j in range(n_bits)]
+
+
+def simhash_corpus_width(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(corpus size, derived band width) for the neardup corpus.  The
+    count is metadata-cheap: count(*) on the bare documents scan folds
+    to parquet row-group metadata, and the corpus is exactly 2× it
+    (originals + truncated variants)."""
+    n = 2 * load_table(spark, sf_dir, "documents").count()
+    return n, hamming_band_bits(n, SIMHASH_BAND_BITS_MIN, SIMHASH_BAND_BITS_MAX)
+
+
+def _simhash_frame(corpus: DataFrame, band_bits: int) -> DataFrame:
+    """``(doc_id, fp)`` — the majority-vote SimHash as an array of
+    ``SIMHASH_N_BANDS`` band values, each ``band_bits`` wide (total
+    fingerprint 6·w bits)."""
+    n_bits = SIMHASH_N_BANDS * band_bits
     ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
-        "doc_id", "md5(t) AS h1", "md5(concat('x', t)) AS h2"
+        "doc_id",
+        "md5(t) AS h1",
+        "md5(concat('x', t)) AS h2",
+        "md5(concat('y', t)) AS h3",
     )
     aggs = [F.count(F.col("h1")).alias("n")] + [
         F.count_if(
             F.expr(f"instr('89abcdef', substr({src}, {pos}, 1)) > 0")
         ).alias(f"b{j}")
-        for j, (src, pos) in enumerate(_sim60_sources())
+        for j, (src, pos) in enumerate(_sim_sources(n_bits))
     ]
-    val = " + ".join(
-        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT)"
-        f" ELSE CAST(0 AS BIGINT) END)"
-        for j in range(SIMHASH_NEARDUP_BITS)
+    band_vals = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * b{b * band_bits + i} > n THEN CAST({1 << i} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for i in range(band_bits)
+        )
+        + " AS BIGINT)"
+        for b in range(SIMHASH_N_BANDS)
     )
     return ex.groupBy("doc_id").agg(*aggs).selectExpr(
-        "doc_id", f"CAST({val} AS BIGINT) AS fp"
+        "doc_id", f"array({band_vals}) AS fp"
+    )
+
+
+def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy banded-fingerprint frame (doc_id, fp, band_idx, band_val) —
+    also the plan-audit view of the op's distributed core."""
+    _n, w = simhash_corpus_width(spark, sf_dir)
+    fp = _simhash_frame(_neardup_corpus(spark, sf_dir), w)
+    return fp.selectExpr(
+        "doc_id", "fp", "posexplode(fp) AS (band_idx, band_val)"
     )
 
 
 def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash clusters at hamming radius ≤ ``SIMHASH_RADIUS``:
     ``(doc_id, cluster_id)`` with cluster_id the component minimum.
+
+    Band width w (and with it the 6·w-bit fingerprint) derives from
+    the corpus count at call time — see the section header for the
+    sizing law; the DuckDB twin re-derives the identical w from its
+    own count(*).  The banded frame is localCheckpoint'ed once and
+    shared by the candidate-explosion seatbelt scan and the pair join,
+    so the fingerprint aggregation runs exactly once.
 
     Clustering uses large-star/small-star, not min-label: SimHash is a
     vocabulary-level hash, so on this template-generated corpus
@@ -399,67 +518,88 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 1.6× slower) while big-star contracts in O(log²).  The
     component-minimum fixpoint is algorithm-independent, so the
     recursive-closure oracle is unchanged."""
-    fp = _simhash60_frame(_neardup_corpus(spark, sf_dir))
-    band_structs = ", ".join(
-        f"struct({b} AS band_idx, "
-        f"(shiftright(fp, {SIMHASH_BAND_BITS * b}) & {2 ** SIMHASH_BAND_BITS - 1})"
-        f" AS band_val)"
-        for b in range(SIMHASH_N_BANDS)
-    )
-    banded = fp.selectExpr(
-        "doc_id", "fp", f"explode(array({band_structs})) AS band"
-    ).select("doc_id", "fp", "band.band_idx", "band.band_val")
-    left, right = banded.alias("x"), banded.alias("y")
-    pairs = (
-        left.join(
-            right,
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .filter(F.expr(f"bit_count(x.fp ^ y.fp) <= {SIMHASH_RADIUS}"))
-        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
-        .distinct()
-    )
+    n, _w = simhash_corpus_width(spark, sf_dir)
+    banded = _simhash_banded(spark, sf_dir).localCheckpoint(eager=True)
+    assert_band_load(banded, n, "dedup_simhash_neardup")
+    pairs = _simhash_pairs(banded)
     sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
     return bigstar_components(sym)
 
 
-def _simhash60_int_duck() -> str:
-    terms = [
-        f"(CASE WHEN 2 * len(list_filter({'hs1' if src == 'h1' else 'hs2'},"
-        f" h -> strpos('89abcdef', substr(h, {pos}, 1)) > 0)) > len(hs1)"
-        f" THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j, (src, pos) in enumerate(_sim60_sources())
-    ]
-    return " + ".join(terms)
+def _simhash_pairs(banded: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from a banded-fingerprint frame: band
+    self-join for candidates, per-band popcount sum (≡ full hamming
+    distance, since the bands tile the fingerprint) for the verify."""
+    left, right = banded.alias("x"), banded.alias("y")
+    dist = " + ".join(
+        f"bit_count(x.fp[{b}] ^ y.fp[{b}])" for b in range(SIMHASH_N_BANDS)
+    )
+    return (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(F.expr(f"({dist}) <= {SIMHASH_RADIUS}"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
 
 
 def _simhash_neardup_sql() -> str:
+    w_expr = _band_bits_duck(
+        f"SELECT count(*) FROM ({_NEARDUP_CORPUS_SQL})",
+        SIMHASH_BAND_BITS_MIN,
+        SIMHASH_BAND_BITS_MAX,
+    )
+    dist = " + ".join(
+        f"bit_count(xor(fx.fp[{b + 1}], fy.fp[{b + 1}]))"
+        for b in range(SIMHASH_N_BANDS)
+    )
     return f"""
-WITH RECURSIVE sfps AS (
-  SELECT doc_id, CAST({_simhash60_int_duck()} AS BIGINT) AS fp
-  FROM (
-    SELECT doc_id,
-           list_transform({_D_TOKENS}, x -> md5(x)) AS hs1,
-           list_transform({_D_TOKENS}, x -> md5(concat('x', x))) AS hs2
-    FROM ({_NEARDUP_CORPUS_SQL})
-  )
+WITH RECURSIVE params AS MATERIALIZED (
+  SELECT {w_expr} AS w
 ),
-sbands AS (
-  SELECT doc_id, fp, b AS band_idx,
-         (fp >> ({SIMHASH_BAND_BITS} * b)) & {2 ** SIMHASH_BAND_BITS - 1}
+hx AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({_D_TOKENS}, x -> md5(x)) AS hs1,
+         list_transform({_D_TOKENS}, x -> md5(concat('x', x))) AS hs2,
+         list_transform({_D_TOKENS}, x -> md5(concat('y', x))) AS hs3
+  FROM ({_NEARDUP_CORPUS_SQL})
+),
+sbits AS MATERIALIZED (
+  SELECT doc_id, j,
+         CASE WHEN 2 * len(list_filter(
+                  CASE j // 32 WHEN 0 THEN hs1 WHEN 1 THEN hs2 ELSE hs3 END,
+                  h -> strpos('89abcdef', substr(h, (j % 32) + 1, 1)) > 0))
+                  > len(hs1)
+              THEN 1 ELSE 0 END AS bit
+  FROM hx, (SELECT unnest(generate_series(
+              0, {SIMHASH_N_BANDS} * (SELECT w FROM params) - 1)) AS j) js
+),
+sbands AS MATERIALIZED (
+  SELECT doc_id, CAST(j // w AS INT) AS band_idx,
+         CAST(sum(CAST(bit AS BIGINT) << CAST(j % w AS INT)) AS BIGINT)
            AS band_val
-  FROM sfps, (SELECT unnest(generate_series(0, {SIMHASH_N_BANDS - 1})) AS b)
+  FROM sbits, params
+  GROUP BY doc_id, j // w
+),
+sfps AS MATERIALIZED (
+  SELECT doc_id, list(band_val ORDER BY band_idx) AS fp
+  FROM sbands GROUP BY doc_id
 ),
 pairs AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM sbands x JOIN sbands y
+  FROM sbands x
+  JOIN sbands y
     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
    AND x.doc_id < y.doc_id
-  WHERE bit_count(xor(x.fp, y.fp)) <= {SIMHASH_RADIUS}
+  JOIN sfps fx ON fx.doc_id = x.doc_id
+  JOIN sfps fy ON fy.doc_id = y.doc_id
+  WHERE ({dist}) <= {SIMHASH_RADIUS}
 ),
 {_CC_CLUSTERS_CTES}
 SELECT doc_id, cluster_id FROM clusters
@@ -1497,6 +1637,9 @@ def _entity_one_round_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXPLAIN_FRAMES = {
+    "dedup_simhash_neardup": lambda spark, sf_dir: _simhash_pairs(
+        _simhash_banded(spark, sf_dir)
+    ),
     "neardup_clusters": _clusters_one_round_lazy,
     "entity_resolution_parts": _entity_one_round_lazy,
     "leakage_safe_split": lambda spark, sf_dir: _leakage_agg(

@@ -781,8 +781,26 @@ DHASH_NEAR_OFFSET = 3_000_000
 DHASH_FAR_OFFSET = 4_000_000
 DHASH_BITS = (IMG_W - 1) * IMG_H  # 40
 DHASH_RADIUS = 3
-DHASH_N_BANDS = 4
-DHASH_BAND_BITS = DHASH_BITS // DHASH_N_BANDS  # 10
+# Band width derives from the image count at call time (the w ≈ log₂N
+# rule, see dedup.hamming_band_bits); the 40-bit hash is grid-bound, so
+# the width CAP is 40/(radius+1) = 10 — pigeonhole completeness needs
+# ≥ 4 bands.  Past N ≈ 10³ images the cap binds and per-item candidate
+# load grows linearly with N: that is the hard ceiling of a 40-bit
+# fingerprint (this fixture's codec grid), and exactly what the
+# 128-bit variant below exists for — its width cap sits at 32 bits
+# (N ≈ 4·10⁹) with the same machinery.
+DHASH_BAND_BITS_MIN = 6
+DHASH_BAND_BITS_MAX = DHASH_BITS // (DHASH_RADIUS + 1)  # 10
+
+
+def dhash_corpus_width(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(image count, derived band width) for the jittered dhash corpus
+    — exactly 3× the documents count (original + near + far copy); the
+    count folds to parquet row-group metadata."""
+    from dbdiff_spark.ops.dedup import hamming_band_bits
+
+    n = 3 * load_table(spark, sf_dir, "documents").count()
+    return n, hamming_band_bits(n, DHASH_BAND_BITS_MIN, DHASH_BAND_BITS_MAX)
 # near positions (doc_id + step) % 40 are pairwise distinct and disjoint
 # from the far positions for every doc_id (all step differences ≠ 0
 # mod 40), so mask terms never collide and '+' is a safe bitwise OR.
@@ -826,23 +844,30 @@ def _jittered_hashes(hashed: DataFrame) -> DataFrame:
     return hashed.unionByName(near).unionByName(far)
 
 
-def _dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified candidate pairs — the distributed core (band self-join
-    + popcount verify + distinct); the public op adds the iterative CC
-    on top, so this lazy frame is also the plan-audit view."""
+def _dhash_banded(spark: SparkSession, sf_dir: str, band_bits: int) -> DataFrame:
+    """Lazy (doc_id, dhash, band_idx, band_val) frame over the jittered
+    corpus — ⌈40/w⌉ bands of ``band_bits`` (the last band narrower when
+    w does not divide 40; pigeonhole completeness only needs the band
+    COUNT ≥ radius+1, which the width cap guarantees)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     all_imgs = _jittered_hashes(_dhash_frame(docs))
+    n_bands = -(-DHASH_BITS // band_bits)
     band_structs = ", ".join(
         f"struct({b} AS band_idx, "
-        f"(shiftright(dhash, {DHASH_BAND_BITS * b}) & {2 ** DHASH_BAND_BITS - 1})"
+        f"(shiftright(dhash, {band_bits * b})"
+        f" & {(1 << min(band_bits, DHASH_BITS - band_bits * b)) - 1})"
         f" AS band_val)"
-        for b in range(DHASH_N_BANDS)
+        for b in range(n_bands)
     )
-    banded = all_imgs.selectExpr(
+    return all_imgs.selectExpr(
         "doc_id", "dhash", f"explode(array({band_structs})) AS band"
     ).select("doc_id", "dhash", "band.band_idx", "band.band_val")
+
+
+def _dhash_pairs(banded: DataFrame) -> DataFrame:
+    """Band self-join candidates verified by one single-word popcount."""
     left, right = banded.alias("x"), banded.alias("y")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("x.band_idx") == F.col("y.band_idx"))
@@ -855,16 +880,29 @@ def _dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs
+
+
+def _dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified candidate pairs — the distributed core (band self-join
+    + popcount verify + distinct); the public op adds the iterative CC
+    on top, so this lazy frame is also the plan-audit view."""
+    _n, w = dhash_corpus_width(spark, sf_dir)
+    return _dhash_pairs(_dhash_banded(spark, sf_dir, w))
 
 
 def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate clusters: every image within hamming
     distance ≤ ``DHASH_RADIUS`` of another gets ``(doc_id, cluster_id)``
-    with cluster_id = the component-minimum doc_id."""
-    from dbdiff_spark.ops.dedup import _min_label_components
+    with cluster_id = the component-minimum doc_id.  Band width derives
+    from the corpus count (oracle re-derives it identically); the
+    banded frame is localCheckpoint'ed once so the codec scan feeds
+    both the candidate-explosion seatbelt and the pair join."""
+    from dbdiff_spark.ops.dedup import _min_label_components, assert_band_load
 
-    return _min_label_components(_dhash_neardup_pairs(spark, sf_dir)).select(
+    n, w = dhash_corpus_width(spark, sf_dir)
+    banded = _dhash_banded(spark, sf_dir, w).localCheckpoint(eager=True)
+    assert_band_load(banded, n, "multimodal_dhash_neardup")
+    return _min_label_components(_dhash_pairs(banded)).select(
         "doc_id", F.col("label").alias("cluster_id")
     )
 
@@ -875,10 +913,18 @@ EXPLAIN_FRAMES = {
 
 
 def _dhash_neardup_sql() -> str:
-    from dbdiff_spark.ops.dedup import _CC_CLUSTERS_CTES
+    from dbdiff_spark.ops.dedup import _CC_CLUSTERS_CTES, _band_bits_duck
 
+    w_expr = _band_bits_duck(
+        "SELECT 3 * count(*) FROM documents",
+        DHASH_BAND_BITS_MIN,
+        DHASH_BAND_BITS_MAX,
+    )
     return f"""
-WITH RECURSIVE {_dhash_ctes("SELECT doc_id, text FROM documents")},
+WITH RECURSIVE dparams AS MATERIALIZED (
+  SELECT {w_expr} AS w
+),
+{_dhash_ctes("SELECT doc_id, text FROM documents")},
 all_imgs AS (
   SELECT doc_id, dhash FROM hashed
   UNION ALL
@@ -891,10 +937,14 @@ all_imgs AS (
   FROM hashed
 ),
 bands AS (
-  SELECT doc_id, dhash, b AS band_idx,
-         (dhash >> ({DHASH_BAND_BITS} * b)) & {2 ** DHASH_BAND_BITS - 1}
+  SELECT doc_id, dhash, CAST(b AS INT) AS band_idx,
+         (dhash >> CAST(w * b AS INT))
+           & ((CAST(1 AS BIGINT)
+               << CAST(LEAST(w, {DHASH_BITS} - w * b) AS INT)) - 1)
            AS band_val
-  FROM all_imgs, (SELECT unnest(generate_series(0, {DHASH_N_BANDS - 1})) AS b)
+  FROM all_imgs, dparams,
+       (SELECT unnest(generate_series(0, {DHASH_BITS - 1})) AS b) bs
+  WHERE b * w < {DHASH_BITS}
 ),
 pairs AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

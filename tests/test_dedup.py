@@ -357,16 +357,17 @@ def test_lsh_calibration_is_monotone_and_starts_at_one_band(spark, sf_dir):
 
 def test_simhash_neardup_contains_exact_groups(spark, sf_dir):
     """Radius law: every exact-fingerprint group (distance 0) must land
-    inside one radius-3 cluster, and every emitted pair really is
+    inside one radius-5 cluster, and every emitted pair really is
     within the radius (re-verified against independently recomputed
-    fingerprints)."""
+    fingerprints at the same derived band width)."""
     from pyspark.sql import functions as F
 
     from dbdiff_spark.ops.dedup import (
         SIMHASH_RADIUS,
         _neardup_corpus,
-        _simhash60_frame,
+        _simhash_frame,
         dedup_simhash_neardup,
+        simhash_corpus_width,
     )
 
     clusters = {
@@ -374,9 +375,10 @@ def test_simhash_neardup_contains_exact_groups(spark, sf_dir):
         for r in dedup_simhash_neardup(spark, sf_dir).collect()
     }
     assert clusters
+    _n, w = simhash_corpus_width(spark, sf_dir)
     fps = {
-        r.doc_id: r.fp
-        for r in _simhash60_frame(_neardup_corpus(spark, sf_dir)).collect()
+        r.doc_id: tuple(r.fp)
+        for r in _simhash_frame(_neardup_corpus(spark, sf_dir), w).collect()
     }
     # exact groups are distance-0 neighbors: same cluster, always
     by_fp = {}
@@ -396,7 +398,56 @@ def test_simhash_neardup_contains_exact_groups(spark, sf_dir):
         assert len(members) > 1  # singletons are never emitted
         for d in members:
             assert any(
-                bin(fps[d] ^ fps[o]).count("1") <= SIMHASH_RADIUS
+                sum(bin(a ^ b).count("1") for a, b in zip(fps[d], fps[o]))
+                <= SIMHASH_RADIUS
                 for o in members
                 if o != d
             )
+
+
+def test_hamming_band_bits_tracks_corpus_size():
+    """The w ≈ ⌈log₂N⌉ derivation: shifts with corpus size, clamps at
+    the floor/cap, and the DuckDB twin expression derives the IDENTICAL
+    width for every N (including the off-by-one edges around powers of
+    two and the n=1 degenerate count)."""
+    import duckdb
+
+    from dbdiff_spark.ops.dedup import _band_bits_duck, hamming_band_bits
+
+    assert hamming_band_bits(1_000, 8, 16) == 10   # the sf0.01 corpus
+    assert hamming_band_bits(10_000, 8, 16) == 14  # the sf0.1 corpus
+    assert hamming_band_bits(100, 8, 16) == 8      # floor binds
+    assert hamming_band_bits(10**6, 8, 16) == 16   # cap binds (larger N)
+    assert hamming_band_bits(2**14, 8, 16) == 14   # exact power: 2^w ≥ N
+    assert hamming_band_bits(2**14 + 1, 8, 16) == 15
+
+    for n in (1, 2, 3, 255, 256, 257, 1_000, 16_384, 16_385, 10**9):
+        got = duckdb.sql(
+            f"SELECT {_band_bits_duck(f'SELECT {n}', 8, 16)}"
+        ).fetchone()[0]
+        assert got == hamming_band_bits(n, 8, 16), n
+
+
+def test_band_load_seatbelt_trips_on_degenerate_corpus(spark):
+    """The candidate-explosion guard: a corpus where one band value
+    captures half the items aborts with the diagnosis BEFORE the pair
+    join; a healthy corpus passes and reports the exact candidate
+    count the band join will generate."""
+    import pytest
+
+    from dbdiff_spark.ops.dedup import assert_band_load
+
+    n = 512
+    schema = "doc_id long, fp array<bigint>, band_idx int, band_val long"
+    degenerate = spark.createDataFrame(
+        [(i, [0 if i < n // 2 else i], 0, 0 if i < n // 2 else i)
+         for i in range(n)],
+        schema,
+    )
+    with pytest.raises(ValueError, match="band self-join would generate"):
+        assert_band_load(degenerate, n, "test_op", cap_per_item=8)
+
+    healthy = spark.createDataFrame(
+        [(i, [i], 0, i) for i in range(n)], schema
+    )
+    assert assert_band_load(healthy, n, "test_op", cap_per_item=8) == 0
