@@ -131,6 +131,7 @@ HEADLINE = [
     "diff_revenue_impact",
     "multimodal_dhash_dedup",
     "multimodal_dhash_neardup",
+    "multimodal_dhash128_neardup",
 ]
 
 

@@ -380,6 +380,14 @@ def jdbc_table_auto(
     if part_col is None:
         part_col = next((k for k in keys if types.get(k) in _DATETIME_TYPES), None)
     if part_col is None:
+        # varchar/UUID primary keys (very common) get boundary-sampled
+        # range predicates instead of silently falling back to the
+        # single-connection scan — the reference's own bottleneck
+        str_col = next((k for k in keys if types.get(k) == "string"), None)
+        if str_col is not None:
+            return jdbc_table_string_partitioned(
+                spark, db, table, str_col, num_partitions
+            )
         return frame
     q = quote_ident(db.type, part_col)
     # positional access: dialects disagree on alias case folding (Derby
@@ -409,6 +417,123 @@ def jdbc_table_auto(
         lower_bound=lo,
         upper_bound=hi,
     )
+
+
+# Dialect predicate builders for MOD(hash(key), N) partition scans of
+# string-keyed tables (the scheme the reference's dialects support:
+# pg hashtext, mysql crc32, mssql checksum).  hashtext/CHECKSUM can
+# return INT_MIN, where ABS() overflows — mask to 31 bits instead.
+_HASH_MOD_PREDICATE = {
+    "postgresql": lambda c, n, i: (
+        f"MOD(CAST(hashtext({c}) AS BIGINT) & 2147483647, {n}) = {i}"
+    ),
+    "mysql": lambda c, n, i: f"MOD(crc32({c}), {n}) = {i}",
+    "sqlserver": lambda c, n, i: f"(CHECKSUM({c}) & 2147483647) % {n} = {i}",
+}
+
+
+def hash_mod_predicates(db: DbConfig, col: str, num_partitions: int) -> list[str]:
+    """``MOD(hash(col), N) = i`` partition predicates for the three
+    reference dialects.  NULL keys hash to NULL (predicate false on
+    every partition), so partition 0 additionally takes ``IS NULL`` —
+    no row may be silently dropped by partitioning.
+
+    Trade-off vs :func:`jdbc_table_string_partitioned`: hash-mod
+    predicates are UNINDEXABLE, so the source database executes N full
+    table scans (N× server I/O).  Use them when range boundaries are
+    unsafe — case-insensitive or nondeterministic collations where the
+    server's ORDER BY disagrees with predicate comparisons."""
+    if db.type not in _HASH_MOD_PREDICATE:
+        raise ValueError(
+            f"no hash-mod partitioning for dialect {db.type!r} "
+            f"(supported: {sorted(_HASH_MOD_PREDICATE)})"
+        )
+    q = quote_ident(db.type, col)
+    build = _HASH_MOD_PREDICATE[db.type]
+    preds = [build(q, num_partitions, i) for i in range(num_partitions)]
+    preds[0] = f"{preds[0]} OR {q} IS NULL"
+    return preds
+
+
+def jdbc_table_predicates(
+    spark: SparkSession, db: DbConfig, table: str, predicates: list[str]
+):
+    """Load a table as one JDBC scan per predicate (Spark's
+    ``predicates`` reader API) — the predicates must be disjoint and
+    exhaustive or rows duplicate/vanish."""
+    return spark.read.jdbc(
+        url=db.jdbc_url(),
+        table=f"{db.schema}{quote_ident(db.type, table)}",
+        predicates=list(predicates),
+        properties=db.jdbc_properties(),
+    )
+
+
+def _offset_probe_sql(db: DbConfig, table: str, col: str, offset: int) -> str:
+    q = quote_ident(db.type, col)
+    src = f"{db.schema}{quote_ident(db.type, table)}"
+    if db.type == "mysql":
+        return f"SELECT {q} AS b FROM {src} ORDER BY {q} LIMIT 1 OFFSET {offset}"
+    # SQL-standard OFFSET/FETCH: postgresql, sqlserver (2012+), derby,
+    # and the generic-JDBC path
+    return (
+        f"SELECT {q} AS b FROM {src} ORDER BY {q} "
+        f"OFFSET {offset} ROWS FETCH NEXT 1 ROWS ONLY"
+    )
+
+
+def jdbc_table_string_partitioned(
+    spark: SparkSession,
+    db: DbConfig,
+    table: str,
+    col: str,
+    num_partitions: int = 16,
+):
+    """Parallel JDBC scan of a varchar/UUID-keyed table via
+    boundary-sampled RANGE predicates.
+
+    One COUNT round-trip plus N-1 single-row ``ORDER BY col OFFSET k``
+    probes pick the N-quantile key boundaries; partition i scans
+    ``[b_i, b_{i+1})``.  Each partition predicate is a key-range the
+    source PK index serves — unlike ``MOD(hash(col), N)`` partitioning
+    (also available, :func:`hash_mod_predicates`), whose predicates
+    force N full table scans server-side.  NULL keys ride with the
+    first partition; duplicate boundaries (heavy key skew) collapse
+    adjacent partitions rather than duplicating rows; tiny tables fall
+    back to the single scan.
+
+    100 TB posture: the probe cost is N index lookups regardless of
+    table size, and the per-partition scans are index ranges, so a
+    UUID-keyed billion-row table parallelizes exactly like an integral
+    one."""
+    src = f"{db.schema}{quote_ident(db.type, table)}"
+    cnt_row = _read_query(
+        spark, db, f"SELECT COUNT(*) AS c FROM {src}"
+    ).collect()[0]
+    cnt = int(cnt_row[0] or 0)
+    if cnt < 2 * num_partitions:
+        return jdbc_table(spark, db, table)
+    boundaries: list[str] = []
+    for k in range(1, num_partitions):
+        rows = _read_query(
+            spark, db, _offset_probe_sql(db, table, col, k * cnt // num_partitions)
+        ).collect()
+        if rows and rows[0][0] is not None:
+            boundaries.append(str(rows[0][0]))
+    uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
+    if not uniq:
+        return jdbc_table(spark, db, table)
+    q = quote_ident(db.type, col)
+
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    preds = [f"{q} < {lit(uniq[0])} OR {q} IS NULL"]
+    preds += [
+        f"{q} >= {lit(a)} AND {q} < {lit(b)}" for a, b in zip(uniq, uniq[1:])
+    ]
+    preds.append(f"{q} >= {lit(uniq[-1])}")
+    return jdbc_table_predicates(spark, db, table, preds)
 
 
 # Declared keys for the driver-generated test tables (FIXTURES.md §B).

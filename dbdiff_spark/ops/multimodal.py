@@ -907,11 +907,6 @@ def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EXPLAIN_FRAMES = {
-    "multimodal_dhash_neardup": _dhash_neardup_pairs,
-}
-
-
 def _dhash_neardup_sql() -> str:
     from dbdiff_spark.ops.dedup import _CC_CLUSTERS_CTES, _band_bits_duck
 
@@ -952,6 +947,297 @@ pairs AS (
     ON x.band_idx = y.band_idx AND x.band_val = y.band_val
    AND x.doc_id < y.doc_id
   WHERE bit_count(xor(x.dhash, y.dhash)) <= {DHASH_RADIUS}
+),
+{_CC_CLUSTERS_CTES}
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+# --- 128-bit PDQ-class perceptual near-dup -----------------------------------
+#
+# The 40-bit dhash above is grid-bound: its band-width cap (w = 10)
+# binds past N ~ 10^3 images — the hard ceiling of that FINGERPRINT,
+# not of the machinery.  This variant is the production shape the
+# repo's sizing table calls for at 10^9 images: a 128-bit gradient
+# fingerprint (17x8 grayscale grid -> 16 gradient signs x 8 rows,
+# through the REAL padded-stride BMP round trip) carried as TWO packed
+# BIGINT words, banded at a runtime-derived width snapped to the even
+# splits {8, 16, 32} (w divides 64, so a band never straddles a word
+# and extraction is one shift+mask), verified with a two-word popcount
+# ``bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)``.  At bench N
+# (~1.5k/15k images) the derivation lands on 8x16-bit bands; past
+# N = 2^16 it shifts to 4x32 (radius 3 needs only >= 4 bands), which
+# keeps candidates ~ N·B/2 out to N ~ 4·10^9.
+#
+# The oracle never touches the words: it regenerates the same bits
+# arithmetically (the pixel-formula trick), packs BAND VALUES directly
+# (<= 2^32, so DuckDB BIGINTs stay positive — no 1<<63, which DuckDB
+# rejects), and verifies with the per-band popcount sum, which equals
+# the two-word popcount because the bands tile the fingerprint.
+# Jitter planting mirrors the 40-bit op (near copies <= 3 flips, far
+# copies 5 flips at positions disjoint from every near mask — all
+# pairwise step differences are nonzero mod 128).
+
+IMG128_W, IMG128_H = 17, 8
+DHASH128_BITS = (IMG128_W - 1) * IMG128_H  # 128
+DHASH128_RADIUS = 3
+DHASH128_NEAR_OFFSET = 6_000_000
+DHASH128_FAR_OFFSET = 7_000_000
+DHASH128_SPLITS = (8, 16, 32)
+_NEAR128_STEPS = (0, 43, 86)  # flip i-th iff doc_id % 4 > i -> 0..3 flips
+_FAR128_STEPS = (7, 29, 51, 73, 95)  # always 5 flips (> radius)
+
+
+def dhash128_layout(n_items: int) -> tuple[int, int]:
+    """(band width, band count): the w ~ log2(N) rule snapped UP to the
+    even splits {8, 16, 32} so bands tile the two 64-bit words without
+    straddling.  The DuckDB twin re-derives the identical snap."""
+    from dbdiff_spark.ops.dedup import hamming_band_bits
+
+    wanted = hamming_band_bits(
+        n_items, DHASH128_SPLITS[0], DHASH128_SPLITS[-1]
+    )
+    w = next(s for s in DHASH128_SPLITS if s >= wanted)
+    return w, DHASH128_BITS // w
+
+
+def dhash128_corpus_layout(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, int]:
+    """(image count, band width, band count) — the corpus is exactly 3x
+    the documents count (original + near + far copy); the count folds
+    to parquet row-group metadata."""
+    n = 3 * load_table(spark, sf_dir, "documents").count()
+    w, b = dhash128_layout(n)
+    return n, w, b
+
+
+def _dhash128_frame(corpus: DataFrame) -> DataFrame:
+    """``(doc_id, fp_lo, fp_hi)`` through the real BMP encode->decode
+    round trip (17px rows stride-pad to 52 bytes — the padded-row codec
+    path is genuinely exercised).  Words carry bits 0..63 / 64..127 as
+    raw two's-complement BIGINTs (bit 63/127 may set the sign; xor and
+    popcount are sign-agnostic)."""
+    w, h = IMG128_W, IMG128_H
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = _nn_codes(text or "", w * h)
+                rgb = bytearray()
+                for c in codes:
+                    rgb += bytes((c, (2 * c + 1) % 256, (7 * c + 3) % 256))
+                dw, dh, px = decode_image(encode_bmp(w, h, bytes(rgb)))
+                gray = [
+                    (px[3 * i] + px[3 * i + 1] + px[3 * i + 2]) // 3
+                    for i in range(dw * dh)
+                ]
+                fp = 0
+                for y in range(dh):
+                    for x in range(dw - 1):
+                        if gray[y * dw + x] < gray[y * dw + x + 1]:
+                            fp |= 1 << (y * (dw - 1) + x)
+                lo, hi = fp & ((1 << 64) - 1), fp >> 64
+                recs.append(
+                    (
+                        int(doc_id),
+                        lo - (1 << 64) if lo >= (1 << 63) else lo,
+                        hi - (1 << 64) if hi >= (1 << 63) else hi,
+                    )
+                )
+            yield pd.DataFrame(recs, columns=["doc_id", "fp_lo", "fp_hi"])
+
+    return corpus.mapInPandas(
+        batches, schema="doc_id bigint, fp_lo bigint, fp_hi bigint"
+    )
+
+
+def _mask128_words(steps: tuple, guarded: bool) -> tuple[str, str]:
+    """(lo_mask, hi_mask) Spark expressions planting flips at positions
+    ``(doc_id + s) % 128``.  '+' is a safe bitwise OR: the positions are
+    pairwise distinct mod 128 for every doc_id, so terms never carry
+    (including the sign-bit term 1<<63, which two's-complement addition
+    still places correctly when no other term collides)."""
+    lo_terms, hi_terms = [], []
+    for i, s in enumerate(steps):
+        pos = f"((doc_id + {s}) % {DHASH128_BITS})"
+        guard = f"doc_id % 4 > {i} AND " if guarded else ""
+        lo_terms.append(
+            f"(CASE WHEN {guard}{pos} < 64 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+        hi_terms.append(
+            f"(CASE WHEN {guard}{pos} >= 64 THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST({pos} - 64 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(lo_terms), " + ".join(hi_terms)
+
+
+def _jittered128(hashed: DataFrame) -> DataFrame:
+    """originals ∪ near copies (<=3 planted flips) ∪ far copies (5
+    flips), masks derived from the ORIGINAL doc_id."""
+    near_lo, near_hi = _mask128_words(_NEAR128_STEPS, guarded=True)
+    far_lo, far_hi = _mask128_words(_FAR128_STEPS, guarded=False)
+    near = hashed.selectExpr(
+        f"doc_id + {DHASH128_NEAR_OFFSET} AS doc_id",
+        f"fp_lo ^ ({near_lo}) AS fp_lo",
+        f"fp_hi ^ ({near_hi}) AS fp_hi",
+    )
+    far = hashed.selectExpr(
+        f"doc_id + {DHASH128_FAR_OFFSET} AS doc_id",
+        f"fp_lo ^ ({far_lo}) AS fp_lo",
+        f"fp_hi ^ ({far_hi}) AS fp_hi",
+    )
+    return hashed.unionByName(near).unionByName(far)
+
+
+def _dhash128_banded(
+    spark: SparkSession, sf_dir: str, band_bits: int
+) -> DataFrame:
+    """Lazy (doc_id, fp_lo, fp_hi, band_idx, band_val) frame — each
+    band one shift+mask out of its word (w divides 64: no straddle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    imgs = _jittered128(_dhash128_frame(docs))
+    mask = (1 << band_bits) - 1
+    structs = []
+    for b in range(DHASH128_BITS // band_bits):
+        s = b * band_bits
+        word, shift = ("fp_lo", s) if s < 64 else ("fp_hi", s - 64)
+        structs.append(
+            f"struct({b} AS band_idx, "
+            f"(shiftright({word}, {shift}) & {mask}) AS band_val)"
+        )
+    return imgs.selectExpr(
+        "doc_id", "fp_lo", "fp_hi",
+        f"explode(array({', '.join(structs)})) AS band",
+    ).select("doc_id", "fp_lo", "fp_hi", "band.band_idx", "band.band_val")
+
+
+def _dhash128_pairs(banded: DataFrame) -> DataFrame:
+    """Band self-join candidates verified by the two-word popcount."""
+    left, right = banded.alias("x"), banded.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .filter(
+            F.expr(
+                f"bit_count(x.fp_lo ^ y.fp_lo) + bit_count(x.fp_hi ^ y.fp_hi)"
+                f" <= {DHASH128_RADIUS}"
+            )
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def _dhash128_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy plan-audit view of the distributed core."""
+    _n, w, _b = dhash128_corpus_layout(spark, sf_dir)
+    return _dhash128_pairs(_dhash128_banded(spark, sf_dir, w))
+
+
+def multimodal_dhash128_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """128-bit perceptual near-duplicate clusters at hamming radius <=
+    ``DHASH128_RADIUS``: ``(doc_id, cluster_id)`` with cluster_id the
+    component-minimum doc_id.  Band layout derives from the corpus
+    count (8x16 at bench N, 4x32 past 2^16 images); the banded frame is
+    localCheckpoint'ed once so the codec scan feeds both the
+    candidate-explosion seatbelt and the pair join."""
+    from dbdiff_spark.ops.dedup import _min_label_components, assert_band_load
+
+    n, w, _b = dhash128_corpus_layout(spark, sf_dir)
+    banded = _dhash128_banded(spark, sf_dir, w).localCheckpoint(eager=True)
+    assert_band_load(banded, n, "multimodal_dhash128_neardup")
+    return _min_label_components(_dhash128_pairs(banded)).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+
+
+def _dhash128_neardup_sql() -> str:
+    from dbdiff_spark.ops.dedup import _CC_CLUSTERS_CTES, _band_bits_duck
+
+    wanted = _band_bits_duck(
+        "SELECT 3 * count(*) FROM documents",
+        DHASH128_SPLITS[0],
+        DHASH128_SPLITS[-1],
+    )
+    npx = IMG128_W * IMG128_H
+    near_flip = " OR ".join(
+        f"(doc_id % 4 > {i} AND (doc_id + {s}) % {DHASH128_BITS} = j)"
+        for i, s in enumerate(_NEAR128_STEPS)
+    )
+    far_flip = " OR ".join(
+        f"((doc_id + {s}) % {DHASH128_BITS} = j)" for s in _FAR128_STEPS
+    )
+    return f"""
+WITH RECURSIVE d128params AS MATERIALIZED (
+  SELECT CASE WHEN ({wanted}) <= 8 THEN 8
+              WHEN ({wanted}) <= 16 THEN 16
+              ELSE 32 END AS w
+),
+px128 AS (
+  SELECT doc_id, i,
+         CASE WHEN len(text) = 0 THEN 0
+              ELSE ord(substr(text, (i * len(text)) // {npx} + 1, 1))
+                   % 256 END AS c
+  FROM documents, (SELECT unnest(generate_series(0, {npx - 1})) AS i)
+),
+lead128 AS MATERIALIZED (
+  SELECT doc_id, i,
+         (c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3 AS g,
+         lead((c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3)
+           OVER (PARTITION BY doc_id ORDER BY i) AS ng
+  FROM px128
+),
+base_bits AS MATERIALIZED (
+  SELECT doc_id,
+         (i // {IMG128_W}) * {IMG128_W - 1} + (i % {IMG128_W}) AS j,
+         CASE WHEN g < ng THEN 1 ELSE 0 END AS bit
+  FROM lead128 WHERE i % {IMG128_W} < {IMG128_W - 1}
+),
+all_bits AS MATERIALIZED (
+  SELECT doc_id, j, bit FROM base_bits
+  UNION ALL
+  SELECT doc_id + {DHASH128_NEAR_OFFSET} AS doc_id, j,
+         CASE WHEN {near_flip} THEN 1 - bit ELSE bit END AS bit
+  FROM base_bits
+  UNION ALL
+  SELECT doc_id + {DHASH128_FAR_OFFSET} AS doc_id, j,
+         CASE WHEN {far_flip} THEN 1 - bit ELSE bit END AS bit
+  FROM base_bits
+),
+dbands128 AS MATERIALIZED (
+  SELECT doc_id, CAST(j // w AS INT) AS band_idx,
+         CAST(sum(CAST(bit AS BIGINT) << CAST(j % w AS INT)) AS BIGINT)
+           AS band_val
+  FROM all_bits, d128params
+  GROUP BY doc_id, j // w
+),
+cand128 AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM dbands128 x JOIN dbands128 y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+   AND x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand128 c
+  JOIN dbands128 bx ON bx.doc_id = c.id_a
+  JOIN dbands128 byy ON byy.doc_id = c.id_b AND byy.band_idx = bx.band_idx
+  GROUP BY c.id_a, c.id_b
+  HAVING sum(bit_count(xor(bx.band_val, byy.band_val)))
+           <= {DHASH128_RADIUS}
 ),
 {_CC_CLUSTERS_CTES}
 SELECT doc_id, cluster_id FROM clusters
@@ -1032,11 +1318,21 @@ FROM s GROUP BY doc_id
 """
 
 
+EXPLAIN_FRAMES = {
+    "multimodal_dhash_neardup": _dhash_neardup_pairs,
+    "multimodal_dhash128_neardup": _dhash128_neardup_pairs,
+}
+
+
 QUERIES = {
     "multimodal_metadata": (multimodal_metadata, MULTIMODAL_METADATA_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_dhash_dedup": (multimodal_dhash_dedup, MULTIMODAL_DHASH_SQL),
     "multimodal_dhash_neardup": (multimodal_dhash_neardup, _dhash_neardup_sql()),
+    "multimodal_dhash128_neardup": (
+        multimodal_dhash128_neardup,
+        _dhash128_neardup_sql(),
+    ),
     "multimodal_audio_decode": (
         multimodal_audio_decode,
         MULTIMODAL_AUDIO_DECODE_SQL,

@@ -325,3 +325,105 @@ def test_dhash_neardup_recovers_planted_jitter_exactly(spark, sf_dir):
         assert actual[r.doc_id + DHASH_NEAR_OFFSET] == actual[r.doc_id]
         far_id = r.doc_id + DHASH_FAR_OFFSET
         assert actual.get(far_id) != actual[r.doc_id]
+
+
+def test_dhash128_layout_snaps_to_word_aligned_splits():
+    """Band layout derivation: w ≈ log₂N snapped UP to {8,16,32} so
+    bands tile the two 64-bit words; the DuckDB CASE in the oracle
+    derives the identical snap for every N."""
+    import duckdb
+
+    from dbdiff_spark.ops.dedup import _band_bits_duck
+    from dbdiff_spark.ops.multimodal import DHASH128_SPLITS, dhash128_layout
+
+    assert dhash128_layout(100) == (8, 16)
+    assert dhash128_layout(1_500) == (16, 8)    # the sf0.01 corpus
+    assert dhash128_layout(15_000) == (16, 8)   # the sf0.1 corpus
+    assert dhash128_layout(2**16) == (16, 8)
+    assert dhash128_layout(2**16 + 1) == (32, 4)  # the 10⁹-image regime
+    assert dhash128_layout(4 * 10**9) == (32, 4)
+
+    for n in (1, 100, 1_500, 2**16, 2**16 + 1, 10**9):
+        wanted = _band_bits_duck(
+            f"SELECT {n}", DHASH128_SPLITS[0], DHASH128_SPLITS[-1]
+        )
+        got = duckdb.sql(
+            f"SELECT CASE WHEN ({wanted}) <= 8 THEN 8 "
+            f"WHEN ({wanted}) <= 16 THEN 16 ELSE 32 END"
+        ).fetchone()[0]
+        assert got == dhash128_layout(n)[0], n
+
+
+def test_dhash128_neardup_recovers_planted_jitter_exactly(spark, sf_dir):
+    """The 128-bit hamming clustering must equal a brute-force
+    all-pairs union-find at radius 3 — proving the planted semantics
+    AND banding completeness at the derived word-aligned layout, with
+    the two-word popcount verify."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.multimodal import (
+        _FAR128_STEPS,
+        _NEAR128_STEPS,
+        _nn_codes,
+        DHASH128_BITS,
+        DHASH128_FAR_OFFSET,
+        DHASH128_NEAR_OFFSET,
+        DHASH128_RADIUS,
+        IMG128_H,
+        IMG128_W,
+        multimodal_dhash128_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def formula_dhash128(text):
+        codes = _nn_codes(text or "", IMG128_W * IMG128_H)
+        gray = [(c + ((2 * c + 1) % 256) + ((7 * c + 3) % 256)) // 3 for c in codes]
+        fp = 0
+        for y in range(IMG128_H):
+            for x in range(IMG128_W - 1):
+                if gray[y * IMG128_W + x] < gray[y * IMG128_W + x + 1]:
+                    fp |= 1 << (y * (IMG128_W - 1) + x)
+        return fp
+
+    imgs = {}
+    for r in docs:
+        base = formula_dhash128(r.text)
+        near = base
+        for i, s in enumerate(_NEAR128_STEPS):
+            if r.doc_id % 4 > i:
+                near ^= 1 << ((r.doc_id + s) % DHASH128_BITS)
+        far = base
+        for s in _FAR128_STEPS:
+            far ^= 1 << ((r.doc_id + s) % DHASH128_BITS)
+        imgs[r.doc_id] = base
+        imgs[r.doc_id + DHASH128_NEAR_OFFSET] = near
+        imgs[r.doc_id + DHASH128_FAR_OFFSET] = far
+
+    parent = {i: i for i in imgs}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ids = sorted(imgs)
+    in_pair = set()
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if bin(imgs[a] ^ imgs[b]).count("1") <= DHASH128_RADIUS:
+                in_pair.update((a, b))
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in sorted(in_pair)}
+
+    actual = {
+        r.doc_id: r.cluster_id
+        for r in multimodal_dhash128_neardup(spark, sf_dir).collect()
+    }
+    assert actual == expected
+    for r in docs:
+        assert actual[r.doc_id + DHASH128_NEAR_OFFSET] == actual[r.doc_id]
+        far_id = r.doc_id + DHASH128_FAR_OFFSET
+        assert actual.get(far_id) != actual[r.doc_id]

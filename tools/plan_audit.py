@@ -144,6 +144,7 @@ AUDITED = [
     "diff_revenue_impact",
     "multimodal_dhash_dedup",
     "multimodal_dhash_neardup",
+    "multimodal_dhash128_neardup",
 ]
 
 
