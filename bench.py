@@ -120,6 +120,7 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_train_batch",
     "bpe_apply_tokens",
+    "bpe_apply_from_artifact",
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",

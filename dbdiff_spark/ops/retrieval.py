@@ -601,10 +601,20 @@ def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-plan round-trip proof (expanding every placeholder must
 # reconstruct the original token).
 
-BPE_BATCH_ROUNDS = 3
-BPE_BATCH_M = 8          # merge budget per round
-BPE_BATCH_SCAN = 48      # ranked candidates the greedy filter examines
-_BPE_MAX_CODE = BPE_BATCH_ROUNDS * BPE_BATCH_M  # placeholder chr() ceiling
+BPE_BATCH_ROUNDS = 8
+BPE_BATCH_M = 64         # merge budget per round (vocab = up to R*M)
+BPE_BATCH_SCAN = 256     # ranked candidates the dominance filter examines
+# Placeholder k becomes chr(BPE_CODE_BASE + k): the offset keeps codes
+# disjoint from corpus symbols ([a-z0-9]) at ANY vocabulary size —
+# un-offset codes collide from merge 48 on (chr(48) = '0').  All codes
+# stay in the BMP, so Spark length()/substr() (UTF-16 units) and DuckDB
+# len()/substr() (codepoints) agree on every segment.
+BPE_CODE_BASE = 256
+_BPE_APPLY_STAGE = 64    # replaces per checkpoint stage in the apply path
+
+
+def _bpe_code(k: int) -> str:
+    return chr(BPE_CODE_BASE + k)
 
 
 def _bpe_batch_learn(
@@ -612,52 +622,63 @@ def _bpe_batch_learn(
 ) -> tuple[list, list, list]:
     """Run the batch training loop.  Returns ``(merge_rows,
     per-round adopted raw pairs, dense expansion list)`` where
-    merge_rows are ``(round, slot, merge_text, n_occurrences)``."""
+    merge_rows are ``(round, slot, merge_text, n_occurrences)``.
+
+    Each round materializes the re-segmented corpus once
+    (``localCheckpoint``) and applies only ITS OWN ≤m replaces on top of
+    the previous round's segments, so total replace passes are R·m —
+    not the R²·m/2 a cumulative expression chain from the raw tokens
+    would cost (and the expression depth stays ≤ m, clear of analyzer
+    recursion limits at production vocabularies).  Length-1 segments
+    can never pair again and are dropped as they appear."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    toks = (
-        docs.selectExpr(f"explode_outer({_TOKENS}) AS tok")
-        .filter(F.col("tok").isNotNull() & (F.length("tok") >= 2))
-        .persist()
+    cur = (
+        docs.selectExpr(f"explode_outer({_TOKENS}) AS s")
+        .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
+        .localCheckpoint(eager=True)
     )
-    try:
-        seg = F.col("tok")
-        expansions: list = []
-        rounds_adopted: list = []
-        out_rows: list = []
-        for rnd in range(1, BPE_BATCH_ROUNDS + 1):
-            cur = toks.select(seg.alias("s")).filter(F.length("s") >= 2)
-            pairs = cur.selectExpr(
-                "explode_outer(transform(sequence(1, length(s) - 1),"
-                " i -> substr(s, i, 2))) AS pair"
-            ).filter(F.col("pair").isNotNull())
-            shortlist = (
-                pairs.groupBy("pair")
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("pair"))
-                .limit(BPE_BATCH_SCAN)
-                .collect()
+    expansions: list = []
+    rounds_adopted: list = []
+    out_rows: list = []
+    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+        pairs = cur.selectExpr(
+            "explode_outer(transform(sequence(1, length(s) - 1),"
+            " i -> substr(s, i, 2))) AS pair"
+        ).filter(F.col("pair").isNotNull())
+        shortlist = (
+            pairs.groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(BPE_BATCH_SCAN)
+            .collect()
+        )
+        adopted = [
+            (row["pair"], row["n"])
+            for i, row in enumerate(shortlist)
+            if not any(
+                ch in hi["pair"] for hi in shortlist[:i] for ch in row["pair"]
             )
-            adopted = [
-                (row["pair"], row["n"])
-                for i, row in enumerate(shortlist)
-                if not any(
-                    ch in hi["pair"] for hi in shortlist[:i] for ch in row["pair"]
-                )
-            ][:BPE_BATCH_M]
-            if not adopted:  # corpus exhausted
-                break
-            base = len(expansions)
-            for j, (pair, n) in enumerate(adopted, start=1):
-                expansion = "".join(
-                    expansions[ord(ch) - 1] if ord(ch) <= _BPE_MAX_CODE else ch
-                    for ch in pair
-                )
-                expansions.append(expansion)
-                out_rows.append((rnd, j, expansion, n))
-                seg = F.replace(seg, F.lit(pair), F.lit(chr(base + j)))
-            rounds_adopted.append([p for p, _ in adopted])
-    finally:
-        toks.unpersist()
+        ][:BPE_BATCH_M]
+        if not adopted:  # corpus exhausted
+            break
+        base = len(expansions)
+        seg = F.col("s")
+        for j, (pair, n) in enumerate(adopted, start=1):
+            expansion = "".join(
+                expansions[ord(ch) - BPE_CODE_BASE - 1]
+                if ord(ch) > BPE_CODE_BASE
+                else ch
+                for ch in pair
+            )
+            expansions.append(expansion)
+            out_rows.append((rnd, j, expansion, n))
+            seg = F.replace(seg, F.lit(pair), F.lit(_bpe_code(base + j)))
+        cur = (
+            cur.select(seg.alias("s"))
+            .filter(F.length("s") >= 2)
+            .localCheckpoint(eager=True)
+        )
+        rounds_adopted.append([p for p, _ in adopted])
     return out_rows, rounds_adopted, expansions
 
 
@@ -670,30 +691,68 @@ def bpe_train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed tokenization with the learned merge table — the
-    apply side of BPE as pure JVM replace expressions (one narrow scan,
-    no Python), with an in-plan round-trip proof: re-expanding every
-    placeholder must reconstruct the original token, so
-    ``n_roundtrip_failures`` is 0 by construction."""
-    _, rounds_adopted, expansions = _bpe_batch_learn(spark, sf_dir)
+def bpe_merge_artifact(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    """Train and PERSIST the merge table as a parquet artifact — the
+    production contract: train once on a reference corpus, then any
+    number of ``bpe_apply`` runs (on this or other corpora, other
+    clusters) load the artifact instead of retraining.
+
+    Artifact schema: ``round, slot, code, pair, merge_text,
+    n_occurrences`` — ``pair`` is the 2-symbol surface form to replace
+    (it may contain earlier placeholder codes), ``code`` the 1-based
+    placeholder ordinal it becomes (rendered as chr(BPE_CODE_BASE +
+    code)); replaying the replaces in ``code`` order reproduces the
+    trained segmentation exactly, and ``merge_text`` (fully expanded)
+    drives the reverse expansion."""
+    rows, rounds_adopted, _ = _bpe_batch_learn(spark, sf_dir)
+    flat_pairs = [p for rnd_pairs in rounds_adopted for p in rnd_pairs]
+    data = [
+        (rnd, slot, k + 1, flat_pairs[k], merge_text, n)
+        for k, (rnd, slot, merge_text, n) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "round int, slot int, code int, pair string, merge_text string,"
+        " n_occurrences bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df
+
+
+def _bpe_apply_report(
+    spark,
+    sf_dir: str,
+    pair_codes: list,
+    expansions: list,
+) -> DataFrame:
+    """Distributed apply of a learned merge table as pure JVM replace
+    expressions, with the in-plan round-trip proof (re-expanding every
+    placeholder must reconstruct the original token).  Replaces run in
+    ``_BPE_APPLY_STAGE``-sized checkpointed stages: expression depth
+    stays bounded at production vocabularies while total passes remain
+    one per merge."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    toked = docs.selectExpr(
+    cur = docs.selectExpr(
         "doc_id", f"explode_outer({_TOKENS}) AS tok"
-    ).filter(F.col("tok").isNotNull())
-    seg = F.col("tok")
-    code = 0
-    for adopted in rounds_adopted:
-        for pair in adopted:
-            code += 1
-            seg = F.replace(seg, F.lit(pair), F.lit(chr(code)))
-    recon = seg
+    ).filter(F.col("tok").isNotNull()).withColumn("seg", F.col("tok"))
+    for lo in range(0, len(pair_codes), _BPE_APPLY_STAGE):
+        seg = F.col("seg")
+        for pair, code_char in pair_codes[lo : lo + _BPE_APPLY_STAGE]:
+            seg = F.replace(seg, F.lit(pair), F.lit(code_char))
+        cur = cur.withColumn("seg", seg)
+        if lo + _BPE_APPLY_STAGE < len(pair_codes):
+            cur = cur.localCheckpoint(eager=True)
+    cur = cur.withColumn("recon", F.col("seg"))
     # expansions are fully expanded (base chars only) — order-free
-    for k in range(len(expansions), 0, -1):
-        recon = F.replace(recon, F.lit(chr(k)), F.lit(expansions[k - 1]))
+    for lo in range(len(expansions), 0, -_BPE_APPLY_STAGE):
+        recon = F.col("recon")
+        for k in range(lo, max(lo - _BPE_APPLY_STAGE, 0), -1):
+            recon = F.replace(recon, F.lit(_bpe_code(k)), F.lit(expansions[k - 1]))
+        cur = cur.withColumn("recon", recon)
+        if lo - _BPE_APPLY_STAGE > 0:
+            cur = cur.localCheckpoint(eager=True)
     return (
-        toked.select("doc_id", F.col("tok"), seg.alias("seg"), recon.alias("recon"))
-        .groupBy("doc_id")
+        cur.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(F.length("seg")).cast("bigint").alias("n_symbols"),
@@ -708,8 +767,39 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train + apply in one call (the r5 shape, kept for the bench
+    continuity): tokenize the whole corpus with the learned table."""
+    _, rounds_adopted, expansions = _bpe_batch_learn(spark, sf_dir)
+    pair_codes = [
+        (pair, _bpe_code(k + 1))
+        for k, pair in enumerate(
+            p for rnd_pairs in rounds_adopted for p in rnd_pairs
+        )
+    ]
+    return _bpe_apply_report(spark, sf_dir, pair_codes, expansions)
+
+
+def bpe_apply_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact round trip, end to end: train → persist parquet →
+    RELOAD → drive the distributed apply entirely from the loaded rows.
+    Oracle equality against the retrain-and-apply SQL proves the
+    persisted table carries the full trained state (surface pairs in
+    code order + expansions) with nothing left in driver memory."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="dbdiff_bpe_artifact_") + "/merges"
+    bpe_merge_artifact(spark, sf_dir, path)
+    merges = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["code"]
+    )
+    pair_codes = [(r["pair"], _bpe_code(r["code"])) for r in merges]
+    expansions = [r["merge_text"] for r in merges]
+    return _bpe_apply_report(spark, sf_dir, pair_codes, expansions)
+
+
 def _bpe_batch_ctes() -> list[str]:
-    M, C, R = BPE_BATCH_M, BPE_BATCH_SCAN, BPE_BATCH_ROUNDS
+    M, C, R, B = BPE_BATCH_M, BPE_BATCH_SCAN, BPE_BATCH_ROUNDS, BPE_CODE_BASE
 
     def pairs_src(src: str) -> str:
         return (
@@ -719,12 +809,13 @@ def _bpe_batch_ctes() -> list[str]:
 
     def sym(pos: int) -> str:
         return (
-            f"(CASE WHEN ord(substr(p, {pos}, 1)) <= {_BPE_MAX_CODE}"
-            f" THEN el[ord(substr(p, {pos}, 1))] ELSE substr(p, {pos}, 1) END)"
+            f"(CASE WHEN ord(substr(p, {pos}, 1)) > {B}"
+            f" THEN el[ord(substr(p, {pos}, 1)) - {B}]"
+            f" ELSE substr(p, {pos}, 1) END)"
         )
 
     # every chain CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
-    # each inlined reference re-runs the whole lower chain — with three
+    # each inlined reference re-runs the whole lower chain — with
     # rounds of bc→ba→bexp→bz→bs stacking, inlining compounds to
     # minutes on a 500-doc corpus (measured) vs sub-second materialized
     ctes = [
@@ -760,7 +851,7 @@ def _bpe_batch_ctes() -> list[str]:
         ctes.append(
             f"bz{r} AS MATERIALIZED (SELECT list_transform("
             f" (SELECT adopted FROM ba{r}),"
-            f" (p, i) -> [p, chr(CAST(len(e.el) + i AS INT))]) AS z"
+            f" (p, i) -> [p, chr(CAST({B} + len(e.el) + i AS INT))]) AS z"
             f" FROM bexp{r-1} e)"
         )
         ctes.append(
@@ -794,7 +885,7 @@ def _bpe_batch_train_sql() -> str:
 
 
 def _bpe_apply_sql() -> str:
-    R = BPE_BATCH_ROUNDS
+    R, B = BPE_BATCH_ROUNDS, BPE_CODE_BASE
     allz = " || ".join(f"z{r}.z" for r in range(1, R + 1))
     froms = ", ".join(f"bz{r} z{r}" for r in range(1, R + 1))
     return (
@@ -810,7 +901,7 @@ bmerged AS (
 brecon AS (
   SELECT doc_id, tok, seg,
          list_reduce(list_prepend([seg, ''],
-             (SELECT list_transform(el, (e, i) -> [chr(CAST(i AS INT)), e])
+             (SELECT list_transform(el, (e, i) -> [chr(CAST({B} + i AS INT)), e])
               FROM bexp{R})),
            (acc, px) -> [replace(acc[1], px[1], px[2]), ''])[1] AS recon
   FROM bmerged)
@@ -943,6 +1034,7 @@ QUERIES = {
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
     "bpe_train_batch": (bpe_train_batch, _bpe_batch_train_sql()),
     "bpe_apply_tokens": (bpe_apply_tokens, _bpe_apply_sql()),
+    "bpe_apply_from_artifact": (bpe_apply_from_artifact, _bpe_apply_sql()),
     "rag_index_funnel": (rag_index_funnel, RAG_FUNNEL_SQL),
 }
 
@@ -981,4 +1073,5 @@ EXPLAIN_FRAMES = {
     "bpe_train_merges": _bpe_train_explain_frame,
     "bpe_train_batch": _bpe_batch_explain_frame,
     "bpe_apply_tokens": _bpe_apply_explain_frame,
+    "bpe_apply_from_artifact": _bpe_apply_explain_frame,
 }

@@ -197,3 +197,43 @@ def test_bpe_batch_beats_single_merge_per_job(spark, sf_dir):
     # placeholder codes stay inside the reserved control range
     assert all(len(r.merge_text) >= 2 for r in merges)
     assert all(min(r.merge_text) >= "0" for r in merges)  # no control chars
+
+
+def test_bpe_artifact_roundtrip_drives_apply(spark, tmp_path):
+    """The persisted merge artifact must carry the FULL trained state:
+    reloading it and replaying the replaces in code order reproduces
+    the in-memory apply exactly, and codes live above BPE_CODE_BASE so
+    they can never collide with corpus symbols at any vocabulary."""
+    from dbdiff_spark.ops.retrieval import (
+        BPE_CODE_BASE,
+        bpe_apply_from_artifact,
+        bpe_apply_tokens,
+        bpe_merge_artifact,
+    )
+
+    docs = [(i, "xyxy pqpq uvuv xy pq xyxypq") for i in range(4)]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+
+    art = bpe_merge_artifact(spark, str(tmp_path), str(tmp_path / "merges"))
+    saved = sorted(spark.read.parquet(str(tmp_path / "merges")).collect(),
+                   key=lambda r: r.code)
+    assert [tuple(r) for r in sorted(art.collect(), key=lambda r: r.code)] == [
+        tuple(r) for r in saved
+    ]
+    # codes dense from 1; surface pairs may embed earlier codes, all of
+    # which must decode above the reserved base
+    assert [r.code for r in saved] == list(range(1, len(saved) + 1))
+    for r in saved:
+        for ch in r.pair:
+            assert ord(ch) < 128 or ord(ch) > BPE_CODE_BASE
+
+    via_artifact = {
+        r.doc_id: tuple(r) for r in bpe_apply_from_artifact(spark, str(tmp_path)).collect()
+    }
+    in_memory = {
+        r.doc_id: tuple(r) for r in bpe_apply_tokens(spark, str(tmp_path)).collect()
+    }
+    assert via_artifact == in_memory
+    assert all(r[-1] == 0 for r in via_artifact.values())  # 0 roundtrip failures
