@@ -332,6 +332,33 @@ def main() -> None:
         round(sum(ratios) / len(ratios), 2) if ratios and sf == "0.1" else None
     )
     print(f"# host_inflation vs r2 controls: {host_inflation}", file=sys.stderr)
+    # Extended tier (VERDICT r5 #7): every non-stream registry query not
+    # in HEADLINE runs ONCE (no warmup, no min-of-3) so a perf
+    # regression anywhere in the registry shows in the artifact.  These
+    # are coverage-tracking numbers — noisier than the headline tier by
+    # design — and are kept OUT of "value"/r2_subset so the headline
+    # metric stays comparable across rounds.  --headline-only skips.
+    extended_total = 0.0
+    n_extended = 0
+    if "--headline-only" not in sys.argv[1:]:
+        skipped = []
+        for name in sorted(qs):
+            if name in times or name.startswith("stream_"):
+                continue
+            try:
+                t0 = time.time()
+                run_query(qs[name](spark, SF_DIR))
+                dt = round(time.time() - t0, 3)
+            except Exception as exc:  # one bad query must not sink the artifact
+                skipped.append(name)
+                print(f"# extended {name} FAILED: {exc}", file=sys.stderr)
+                continue
+            times[name] = dt
+            extended_total += dt
+            n_extended += 1
+            print(f"# extended {name}: {dt:.3f}s", file=sys.stderr)
+        if skipped:
+            print(f"# extended tier skipped: {skipped}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -341,6 +368,8 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "n_queries": len(times),
+                "n_extended": n_extended,
+                "extended_total": round(extended_total, 3),
                 "r2_subset_total": r2_total,
                 "host_inflation": host_inflation,
             }

@@ -675,3 +675,42 @@ SELECT "{k}", merge_status, 'theirs' AS side, NOT pt AS deleted,
        {", ".join(f'CASE WHEN pt THEN "t_{c}" END AS "{c}"' for c in vals)}
 FROM cls WHERE merge_status = 'CONFLICT'
 """
+
+
+def write_clustered_embeddings(
+    spark: SparkSession,
+    out_dir: str,
+    n: int = 2000,
+    dim: int = 64,
+    k: int = 8,
+    seed: int = 7,
+    sigma: float = 0.05,
+):
+    """Mixture-of-Gaussians embeddings fixture — the shape real
+    embedding spaces have.  The driver testdata's embeddings are
+    near-uniform, where a trained coarse quantizer provably cannot buy
+    recall over seeded cells (documented in ``ann_ivf_trained``); this
+    generator exists so the trained-IVF recall win is demonstrable on
+    clustered data.  Deterministic in ``seed``; schema mirrors the
+    driver fixture (``vec_id bigint, embedding array<float>,
+    label int``), so every similarity op runs on it unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0.0, 1.0, (k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k, size=n)
+    pts = (centers[labels] + rng.normal(0.0, sigma, (n, dim))).astype(
+        np.float32
+    )
+    rows = [
+        (int(i), [float(x) for x in pts[i]], int(labels[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return df
