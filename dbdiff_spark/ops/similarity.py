@@ -670,48 +670,119 @@ def ann_ivf_trained(
             "norm",
             F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
         )
-        probe_structs = ", ".join(
-            f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
-            f"'cell', CAST({k} AS BIGINT))"
-            for k, c in sorted(centroids.items())
-        )
-        queries = (
-            vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-            .selectExpr(
-                "vec_id AS query_id",
-                "embedding AS q_emb",
-                "norm AS q_norm",
-                f"explode(slice(array_sort(array({probe_structs})), 1, {nprobe}))"
-                " AS pr",
-            )
-            .select(
-                "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
-            )
-        )
-        cand = assigned.join(
-            _query_side(queries, max_broadcast_queries, "merge"),
-            (F.col("cell") == F.col("q_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
-                "cosine"
-            ),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        out = (
-            cand.withColumn("rank", F.row_number().over(wq))
-            .filter(F.col("rank") <= IVF_K)
-            .select("query_id", "neighbor_id", "cosine", "rank")
+        out = _ivf_literal_search(
+            vecs, assigned, centroids, nprobe, max_broadcast_queries
         )
         # the training loop already materialized vecs; pin the bounded
         # result so the cache can be released before returning
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+
+
+def _ivf_literal_search(
+    vecs: DataFrame,
+    assigned: DataFrame,
+    centroids: dict[int, list[float]],
+    nprobe: int,
+    max_broadcast_queries: int,
+) -> DataFrame:
+    """The serving half of trained IVF: rank the K literal centroids per
+    query (one array_sort expression — no window, no extra shuffle),
+    probe ``nprobe`` cells against the assignment frame, exact-rank the
+    cell-restricted candidates.  ``assigned`` may be freshly computed or
+    reloaded from a persisted index — the search is agnostic."""
+    probe_structs = ", ".join(
+        f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+        f"'cell', CAST({k} AS BIGINT))"
+        for k, c in sorted(centroids.items())
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .selectExpr(
+            "vec_id AS query_id",
+            "embedding AS q_emb",
+            "norm AS q_norm",
+            f"explode(slice(array_sort(array({probe_structs})), 1, {nprobe}))"
+            " AS pr",
+        )
+        .select(
+            "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
+        )
+    )
+    cand = assigned.join(
+        _query_side(queries, max_broadcast_queries, "merge"),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)").alias(
+            "cosine"
+        ),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_ivf_index_persist(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Build-once / serve-many IVF: train the coarse quantizer, PERSIST
+    the index — centroids parquet plus the assignment frame
+    ``partitionBy(cell)`` (the layout a serving fleet partition-prunes
+    probes on) — then RELOAD both artifacts and answer the query set
+    entirely from them.  Oracle equality against the retrain-and-search
+    SQL proves the persisted index reproduces the in-memory build
+    exactly (doubles round-trip parquet bit-for-bit), mirroring
+    ``bpe_apply_from_artifact``'s artifact contract for the ANN tier."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dbdiff_ivf_index_")
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))
+        spark.createDataFrame(
+            [
+                (int(k), [float(x) for x in c])
+                for k, c in sorted(centroids.items())
+            ],
+            "cell bigint, centroid array<double>",
+        ).coalesce(1).write.parquet(f"{root}/centroids")
+        vecs.select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        ).write.partitionBy("cell").parquet(f"{root}/assignments")
+    finally:
+        vecs.unpersist()
+    # --- serving path: everything below touches ONLY the artifacts
+    # (plus the raw query vectors) — no retraining, no reassignment
+    loaded_centroids = {
+        int(r["cell"]): [float(x) for x in r["centroid"]]
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    }
+    loaded = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", "embedding", "norm", F.col("cell").cast("bigint").alias("cell")
+    )
+    out = _ivf_literal_search(
+        _vectors(spark, sf_dir),
+        loaded,
+        loaded_centroids,
+        nprobe,
+        max_broadcast_queries,
+    )
+    return out.localCheckpoint(eager=True)
 
 
 def _ann_ivf_trained_sql(nprobe: int = IVF_NPROBE) -> str:
@@ -806,6 +877,7 @@ def _ann_ivf_trained_explain_frame(spark: SparkSession, sf_dir: str) -> DataFram
 
 EXPLAIN_FRAMES = {
     "ann_ivf_trained": _ann_ivf_trained_explain_frame,
+    "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
 }
 
 
@@ -1706,6 +1778,7 @@ QUERIES = {
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_recall_report": (ann_ivf_recall_report, _ann_ivf_recall_sql()),
     "ann_ivf_trained": (ann_ivf_trained, _ann_ivf_trained_sql()),
+    "ann_ivf_index_persist": (ann_ivf_index_persist, _ann_ivf_trained_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     # deterministic grid math end-to-end → the iterative loop has an

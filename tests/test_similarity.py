@@ -161,3 +161,31 @@ def test_trained_ivf_beats_seed_ivf_on_clustered_embeddings(spark, tmp_path):
     assert all(
         recall["ivf_trained_c8_p2"] >= v for v in recall.values()
     )
+
+
+def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir):
+    """Build-once/serve-many: the persisted index (centroids parquet +
+    cell-partitioned assignments) must reproduce the in-memory trained
+    search exactly, and the assignment layout must actually be
+    partitioned by cell (the structure a serving fleet prunes on)."""
+    import glob
+
+    from dbdiff_spark.ops.similarity import (
+        ann_ivf_index_persist,
+        ann_ivf_trained,
+    )
+
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in ann_ivf_index_persist(spark, sf_dir).collect()
+    }
+    trained = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in ann_ivf_trained(spark, sf_dir).collect()
+    }
+    assert served == trained and len(served) > 0
+
+    roots = sorted(glob.glob("/tmp/dbdiff_ivf_index_*/assignments"))
+    assert roots, "persisted index directory missing"
+    cells = [p for p in glob.glob(roots[-1] + "/cell=*")]
+    assert len(cells) > 1  # hive-partitioned by cell

@@ -68,6 +68,7 @@ AUDITED = [
     "ann_pq",
     "ann_ivf_recall_report",
     "ann_ivf_trained",
+    "ann_ivf_index_persist",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
