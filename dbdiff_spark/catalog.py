@@ -482,6 +482,61 @@ def _offset_probe_sql(db: DbConfig, table: str, col: str, offset: int) -> str:
     )
 
 
+# Dialects whose windowed ROW_NUMBER() OVER (ORDER BY …) lets all
+# boundaries come back in ONE ordered round trip.  Derby is excluded:
+# its ROW_NUMBER does not accept an ORDER BY inside OVER.
+_ROW_NUMBER_BOUNDARY_DIALECTS = {"postgresql", "mysql", "sqlserver"}
+
+
+def _string_literal(db_type: str, v: str) -> str:
+    """SQL string literal, escaped for interpolation into partition
+    predicates.  Single quotes double everywhere; MySQL additionally
+    interprets backslash escapes in string literals (default sql_mode),
+    so a boundary like ``a\\zz`` must ship as ``a\\\\zz`` or the
+    interpreted literal re-sorts and the partitions stop being disjoint
+    — silent row duplication/loss."""
+    if db_type == "mysql":
+        v = v.replace("\\", "\\\\")
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _sample_boundaries(
+    spark: SparkSession,
+    db: DbConfig,
+    table: str,
+    col: str,
+    cnt: int,
+    num_partitions: int,
+) -> list[str]:
+    """The N-quantile key boundaries.  On dialects with windowed
+    ROW_NUMBER this is ONE ordered round trip (a single index scan
+    server-side); elsewhere it falls back to N-1 ``ORDER BY … OFFSET``
+    probes — each an O(offset) index walk (OFFSET discards, it does not
+    seek), totaling ~N·P/2 entries visited.  Both are index-only."""
+    q = quote_ident(db.type, col)
+    src = f"{db.schema}{quote_ident(db.type, table)}"
+    step = cnt // num_partitions
+    ranks = [k * step for k in range(1, num_partitions)]
+    if db.type in _ROW_NUMBER_BOUNDARY_DIALECTS:
+        in_list = ", ".join(str(r) for r in ranks)
+        rows = _read_query(
+            spark,
+            db,
+            f"SELECT b FROM (SELECT {q} AS b, "
+            f"ROW_NUMBER() OVER (ORDER BY {q}) AS rn FROM {src}) t "
+            f"WHERE rn IN ({in_list})",
+        ).collect()
+        return [str(r[0]) for r in rows if r[0] is not None]
+    out = []
+    for r in ranks:
+        rows = _read_query(
+            spark, db, _offset_probe_sql(db, table, col, r)
+        ).collect()
+        if rows and rows[0][0] is not None:
+            out.append(str(rows[0][0]))
+    return out
+
+
 def jdbc_table_string_partitioned(
     spark: SparkSession,
     db: DbConfig,
@@ -492,41 +547,46 @@ def jdbc_table_string_partitioned(
     """Parallel JDBC scan of a varchar/UUID-keyed table via
     boundary-sampled RANGE predicates.
 
-    One COUNT round-trip plus N-1 single-row ``ORDER BY col OFFSET k``
-    probes pick the N-quantile key boundaries; partition i scans
-    ``[b_i, b_{i+1})``.  Each partition predicate is a key-range the
-    source PK index serves — unlike ``MOD(hash(col), N)`` partitioning
-    (also available, :func:`hash_mod_predicates`), whose predicates
-    force N full table scans server-side.  NULL keys ride with the
-    first partition; duplicate boundaries (heavy key skew) collapse
-    adjacent partitions rather than duplicating rows; tiny tables fall
-    back to the single scan.
+    One COUNT round-trip plus a boundary-sampling pass
+    (:func:`_sample_boundaries`) picks the N-quantile key boundaries;
+    partition i scans ``[b_i, b_{i+1})``.  Each partition predicate is
+    a key-range the source PK index serves — unlike ``MOD(hash(col),
+    N)`` partitioning (also available, :func:`hash_mod_predicates`),
+    whose predicates force N full table scans server-side.  NULL keys
+    ride with the first partition; duplicate boundaries (heavy key
+    skew) collapse adjacent partitions rather than duplicating rows;
+    tiny tables fall back to the single scan, as does ANY probe failure
+    (a dialect without OFFSET/FETCH or window support must degrade to
+    the working single-connection read, never abort the snapshot).
 
-    100 TB posture: the probe cost is N index lookups regardless of
-    table size, and the per-partition scans are index ranges, so a
-    UUID-keyed billion-row table parallelizes exactly like an integral
-    one."""
+    100 TB posture: setup is one COUNT plus one ordered index scan
+    (the row_number dialects) and the per-partition scans are index
+    ranges, so a UUID-keyed billion-row table parallelizes like an
+    integral one.  Boundary values that are not range-stable under the
+    server collation (case-insensitive collations) should use
+    :func:`hash_mod_predicates` instead."""
     src = f"{db.schema}{quote_ident(db.type, table)}"
-    cnt_row = _read_query(
-        spark, db, f"SELECT COUNT(*) AS c FROM {src}"
-    ).collect()[0]
-    cnt = int(cnt_row[0] or 0)
-    if cnt < 2 * num_partitions:
+    try:
+        cnt_row = _read_query(
+            spark, db, f"SELECT COUNT(*) AS c FROM {src}"
+        ).collect()[0]
+        cnt = int(cnt_row[0] or 0)
+        if cnt < 2 * num_partitions:
+            return jdbc_table(spark, db, table)
+        boundaries = _sample_boundaries(
+            spark, db, table, col, cnt, num_partitions
+        )
+    except Exception:
+        # the probe SQL is dialect-dependent; an unsupported dialect
+        # degrades to the (slow, correct) single-connection scan
         return jdbc_table(spark, db, table)
-    boundaries: list[str] = []
-    for k in range(1, num_partitions):
-        rows = _read_query(
-            spark, db, _offset_probe_sql(db, table, col, k * cnt // num_partitions)
-        ).collect()
-        if rows and rows[0][0] is not None:
-            boundaries.append(str(rows[0][0]))
     uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
     if not uniq:
         return jdbc_table(spark, db, table)
     q = quote_ident(db.type, col)
 
     def lit(v: str) -> str:
-        return "'" + v.replace("'", "''") + "'"
+        return _string_literal(db.type, v)
 
     preds = [f"{q} < {lit(uniq[0])} OR {q} IS NULL"]
     preds += [

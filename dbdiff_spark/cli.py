@@ -274,15 +274,20 @@ def main(argv: list[str] | None = None) -> int:
                   f"({', '.join(sorted(sources))}) — spec has no effect")
     # A typo'd COLUMN in --key would surface later as an opaque Spark
     # analysis error mid-snapshot; fail fast against the real schema.
-    for tname, cols in sorted(declared_keys.items()):
-        if tname not in sources:
-            continue
-        missing = [c for c in cols if c not in sources[tname].columns]
-        if missing:
-            print(f"[Error] --key {tname}: no such column(s) "
-                  f"{', '.join(missing)} (table has: "
-                  f"{', '.join(sources[tname].columns)})")
-            return 2
+    # File-mode only (JDBC mode discovers keys from the catalog and
+    # ignores --key), and case-insensitive to match Spark's default
+    # column resolution (spark.sql.caseSensitive=false).
+    if args.parquet_dir:
+        for tname, cols in sorted(declared_keys.items()):
+            if tname not in sources:
+                continue
+            have = {c.lower() for c in sources[tname].columns}
+            missing = [c for c in cols if c.lower() not in have]
+            if missing:
+                print(f"[Error] --key {tname}: no such column(s) "
+                      f"{', '.join(missing)} (table has: "
+                      f"{', '.join(sources[tname].columns)})")
+                return 2
     print(f"[Collect] snapshotting {len(sources)} tables (before)")
     before = store.collect(sources, keys, str(run_root / "snap0"), **collect_kw)
     print(f"[Collect] total record count: {before.total_count}")

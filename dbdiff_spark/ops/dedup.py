@@ -499,11 +499,15 @@ def _simhash_frame(corpus: DataFrame, band_bits: int) -> DataFrame:
     )
 
 
-def _simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_banded(
+    spark: SparkSession, sf_dir: str, band_bits: int | None = None
+) -> DataFrame:
     """Lazy banded-fingerprint frame (doc_id, fp, band_idx, band_val) —
-    also the plan-audit view of the op's distributed core."""
-    _n, w = simhash_corpus_width(spark, sf_dir)
-    fp = _simhash_frame(_neardup_corpus(spark, sf_dir), w)
+    also the plan-audit view of the op's distributed core.  Pass the
+    already-derived width to avoid re-running the corpus count job."""
+    if band_bits is None:
+        _n, band_bits = simhash_corpus_width(spark, sf_dir)
+    fp = _simhash_frame(_neardup_corpus(spark, sf_dir), band_bits)
     return fp.selectExpr(
         "doc_id", "fp", "posexplode(fp) AS (band_idx, band_val)"
     )
@@ -528,8 +532,8 @@ def dedup_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured 1.6× slower) while big-star contracts in O(log²).  The
     component-minimum fixpoint is algorithm-independent, so the
     recursive-closure oracle is unchanged."""
-    n, _w = simhash_corpus_width(spark, sf_dir)
-    banded = _simhash_banded(spark, sf_dir).localCheckpoint(eager=True)
+    n, w = simhash_corpus_width(spark, sf_dir)
+    banded = _simhash_banded(spark, sf_dir, w).localCheckpoint(eager=True)
     assert_band_load(banded, n, "dedup_simhash_neardup")
     pairs = _simhash_pairs(banded)
     sym = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(

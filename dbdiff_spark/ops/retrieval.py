@@ -673,12 +673,16 @@ def _bpe_batch_learn(
             expansions.append(expansion)
             out_rows.append((rnd, j, expansion, n))
             seg = F.replace(seg, F.lit(pair), F.lit(_bpe_code(base + j)))
-        cur = (
-            cur.select(seg.alias("s"))
-            .filter(F.length("s") >= 2)
-            .localCheckpoint(eager=True)
-        )
         rounds_adopted.append([p for p, _ in adopted])
+        if rnd < BPE_BATCH_ROUNDS:
+            # the re-segmentation only feeds the NEXT round's counting
+            # job — skipping it on the final round saves a full corpus
+            # pass whose result nothing reads
+            cur = (
+                cur.select(seg.alias("s"))
+                .filter(F.length("s") >= 2)
+                .localCheckpoint(eager=True)
+            )
     return out_rows, rounds_adopted, expansions
 
 
@@ -780,15 +784,23 @@ def bpe_apply_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_apply_report(spark, sf_dir, pair_codes, expansions)
 
 
-def bpe_apply_from_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_apply_from_artifact(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
     """The artifact round trip, end to end: train → persist parquet →
     RELOAD → drive the distributed apply entirely from the loaded rows.
     Oracle equality against the retrain-and-apply SQL proves the
     persisted table carries the full trained state (surface pairs in
     code order + expansions) with nothing left in driver memory."""
+    import hashlib
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="dbdiff_bpe_artifact_") + "/merges"
+    # stable per-corpus path (overwrite semantics in bpe_merge_artifact)
+    # — bench warmup+timed runs reuse one directory, no tempdir leak
+    path = path or (
+        f"{tempfile.gettempdir()}/dbdiff_bpe_artifact_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/merges"
+    )
     bpe_merge_artifact(spark, sf_dir, path)
     merges = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["code"]

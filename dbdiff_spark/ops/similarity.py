@@ -736,6 +736,7 @@ def ann_ivf_index_persist(
     sf_dir: str,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     nprobe: int = IVF_NPROBE,
+    index_root: str | None = None,
 ) -> DataFrame:
     """Build-once / serve-many IVF: train the coarse quantizer, PERSIST
     the index — centroids parquet plus the assignment frame
@@ -745,9 +746,16 @@ def ann_ivf_index_persist(
     SQL proves the persisted index reproduces the in-memory build
     exactly (doubles round-trip parquet bit-for-bit), mirroring
     ``bpe_apply_from_artifact``'s artifact contract for the ANN tier."""
+    import hashlib
     import tempfile
 
-    root = tempfile.mkdtemp(prefix="dbdiff_ivf_index_")
+    # a STABLE per-corpus path, overwritten on rebuild — repeated calls
+    # (bench warmup+timed runs) reuse one directory instead of leaking
+    # a fresh mkdtemp copy of the assignments every invocation
+    root = index_root or (
+        f"{tempfile.gettempdir()}/dbdiff_ivf_index_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
     vecs = _vectors(spark, sf_dir).persist()
     try:
         centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))
@@ -757,13 +765,15 @@ def ann_ivf_index_persist(
                 for k, c in sorted(centroids.items())
             ],
             "cell bigint, centroid array<double>",
-        ).coalesce(1).write.parquet(f"{root}/centroids")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
         vecs.select(
             "vec_id",
             "embedding",
             "norm",
             F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
-        ).write.partitionBy("cell").parquet(f"{root}/assignments")
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{root}/assignments"
+        )
     finally:
         vecs.unpersist()
     # --- serving path: everything below touches ONLY the artifacts

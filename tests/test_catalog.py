@@ -242,3 +242,64 @@ def test_ingest_ledger_exactly_once_and_rewrite_detection(spark, tmp_path):
     plan = led.pending_df(str(src))._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan
     assert "Scan parquet" in plan
+
+
+def test_string_literal_escapes_per_dialect():
+    """Partition-predicate literals: quotes double everywhere; MySQL
+    additionally doubles backslashes (its literals interpret backslash
+    escapes — an unescaped one re-sorts the boundary and breaks
+    partition disjointness)."""
+    from dbdiff_spark.catalog import _string_literal
+
+    assert _string_literal("postgresql", "o'brien") == "'o''brien'"
+    assert _string_literal("postgresql", "a\\zz") == "'a\\zz'"
+    assert _string_literal("mysql", "a\\zz") == "'a\\\\zz'"
+    assert _string_literal("mysql", "o'b\\c") == "'o''b\\\\c'"
+
+
+def test_string_partitioner_falls_back_on_probe_failure(monkeypatch, spark):
+    """A dialect whose probe SQL errors (no OFFSET/FETCH, no window
+    functions) must degrade to the single-connection scan, never abort
+    the snapshot."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+
+    def boom(spark_, db_, sql_):
+        raise RuntimeError("syntax error near OFFSET")
+
+    monkeypatch.setattr(cat, "_read_query", boom)
+    monkeypatch.setattr(
+        cat, "jdbc_table", lambda spark_, db_, table_, **kw: "single-scan"
+    )
+    out = cat.jdbc_table_string_partitioned(
+        spark, DbConfig(type="postgresql"), "t", "uid", 4
+    )
+    assert out == "single-scan"
+
+
+def test_boundary_sampling_uses_one_round_trip_on_window_dialects(
+    monkeypatch, spark
+):
+    """pg/mysql/mssql boundary sampling is ONE ordered ROW_NUMBER query
+    (single index scan server-side), not N-1 O(offset) OFFSET walks."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+
+    calls = []
+
+    class _Rows:
+        def collect(self):
+            return [("b1",), ("b2",), ("b3",)]
+
+    def fake_read_query(spark_, db_, sql_):
+        calls.append(sql_)
+        return _Rows()
+
+    monkeypatch.setattr(cat, "_read_query", fake_read_query)
+    got = cat._sample_boundaries(
+        spark, DbConfig(type="postgresql"), "t", "uid", 1000, 4
+    )
+    assert got == ["b1", "b2", "b3"]
+    assert len(calls) == 1
+    assert "ROW_NUMBER() OVER (ORDER BY" in calls[0]
+    assert "rn IN (250, 500, 750)" in calls[0]

@@ -163,7 +163,7 @@ def test_trained_ivf_beats_seed_ivf_on_clustered_embeddings(spark, tmp_path):
     )
 
 
-def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir):
+def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir, tmp_path):
     """Build-once/serve-many: the persisted index (centroids parquet +
     cell-partitioned assignments) must reproduce the in-memory trained
     search exactly, and the assignment layout must actually be
@@ -175,9 +175,12 @@ def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir):
         ann_ivf_trained,
     )
 
+    root = str(tmp_path / "ivf_index")
     served = {
         (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
-        for r in ann_ivf_index_persist(spark, sf_dir).collect()
+        for r in ann_ivf_index_persist(
+            spark, sf_dir, index_root=root
+        ).collect()
     }
     trained = {
         (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
@@ -185,7 +188,5 @@ def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir):
     }
     assert served == trained and len(served) > 0
 
-    roots = sorted(glob.glob("/tmp/dbdiff_ivf_index_*/assignments"))
-    assert roots, "persisted index directory missing"
-    cells = [p for p in glob.glob(roots[-1] + "/cell=*")]
+    cells = glob.glob(f"{root}/assignments/cell=*")
     assert len(cells) > 1  # hive-partitioned by cell
