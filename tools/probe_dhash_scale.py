@@ -79,9 +79,20 @@ def main() -> None:
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
+    from dbdiff_spark.ops.dedup import (
+        SIMHASH_BAND_BITS_MAX,
+        SIMHASH_BAND_BITS_MIN,
+        hamming_band_bits,
+    )
+
     spark = get_spark(app_name="probe_dhash_scale")
-    print("| N | w | expected N²·B/2^(w+1) | measured pairs | exponent | s |")
-    print("|---|---|---|---|---|---|")
+    # derived_w: what the runtime derivation (r6) would actually pick at
+    # this N — the law the fixed-w rows validate empirically
+    print(
+        "| N | w | derived_w(N) | expected N²·B/2^(w+1) | measured pairs"
+        " | exponent | s |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for band_bits in (10, 16):
         prev = None
         for n in scales:
@@ -92,9 +103,12 @@ def main() -> None:
                 if prev and prev[1] > 0 and pairs > 0
                 else "-"
             )
+            derived = hamming_band_bits(
+                n, SIMHASH_BAND_BITS_MIN, SIMHASH_BAND_BITS_MAX
+            )
             print(
-                f"| {n} | {band_bits} | {expected} | {pairs} | {expo} "
-                f"| {dt:.1f} |",
+                f"| {n} | {band_bits} | {derived} | {expected} | {pairs}"
+                f" | {expo} | {dt:.1f} |",
                 flush=True,
             )
             prev = (n, pairs)
