@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_ivf_recall_report",
     "ann_ivf_trained",
     "ann_ivf_index_persist",
+    "ann_ivf_cells_scaled",
     "kmeans_lloyd",
     "fuzzy_part_match",
     "passage_dedup",

@@ -408,7 +408,44 @@ def ann_ivf(
     )
 
 
-def _ann_ivf_sql(cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
+def ann_ivf_cells_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF with the cell count DERIVED from the corpus size — C ≈ ⌈√n⌉
+    snapped up to the 16-grid, the identical derivation (and single-
+    level n^1.5 optimum argument) as ``semdedup_cells``: assignment
+    costs n·C, the within-cell probe n²/C, balancing at C = √n.  The
+    fixed-C ``ann_ivf`` variants stay registered for the recall A/B
+    (those comparisons only hold at pinned configs); THIS op is the
+    100 TB default — at 10⁹ vectors it derives ~32k cells (a ~16 MB
+    seed broadcast) where the pinned C=8 would put 1.25e8 vectors in
+    every probed cell.  The oracle re-derives the identical C from its
+    own count(*)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return ann_ivf(
+        spark,
+        sf_dir,
+        max_broadcast_queries=max_broadcast_queries,
+        cells=semdedup_cells(n),
+        nprobe=nprobe,
+    )
+
+
+def _ann_ivf_cells_scaled_sql(nprobe: int = IVF_NPROBE) -> str:
+    cells_expr = (
+        f"(SELECT GREATEST({SEMDEDUP_CELL_GRID}, {SEMDEDUP_CELL_GRID}"
+        f" * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))"
+        f" FROM embeddings)"
+    )
+    return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe)
+
+
+def _ann_ivf_sql(cells=IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
+    # ``cells`` may be an int or a scalar-subquery string (the
+    # derived-cells oracle) — it lands in one WHERE comparison
     return f"""
 WITH vecs AS ({_VECTORS_SQL}),
 seeds AS (
@@ -1788,6 +1825,7 @@ QUERIES = {
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_recall_report": (ann_ivf_recall_report, _ann_ivf_recall_sql()),
     "ann_ivf_trained": (ann_ivf_trained, _ann_ivf_trained_sql()),
+    "ann_ivf_cells_scaled": (ann_ivf_cells_scaled, _ann_ivf_cells_scaled_sql()),
     "ann_ivf_index_persist": (ann_ivf_index_persist, _ann_ivf_trained_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),

@@ -190,3 +190,28 @@ def test_ivf_index_persist_serves_from_reloaded_artifacts(spark, sf_dir, tmp_pat
 
     cells = glob.glob(f"{root}/assignments/cell=*")
     assert len(cells) > 1  # hive-partitioned by cell
+
+
+def test_ivf_scaled_cells_derive_from_corpus_count(spark, sf_dir):
+    """The derived-C variant uses the semdedup ⌈√n⌉-on-16-grid rule and
+    produces the identical result to ann_ivf pinned at that C — the
+    derivation changes only the seed-set size, never the machinery."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import (
+        ann_ivf,
+        ann_ivf_cells_scaled,
+        semdedup_cells,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    c = semdedup_cells(n)
+    assert c >= 16 and c * c >= n  # at least √n cells
+    scaled = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf_cells_scaled(spark, sf_dir).collect()
+    }
+    pinned = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ann_ivf(spark, sf_dir, cells=c).collect()
+    }
+    assert scaled == pinned and len(scaled) > 0

@@ -69,6 +69,7 @@ AUDITED = [
     "ann_ivf_recall_report",
     "ann_ivf_trained",
     "ann_ivf_index_persist",
+    "ann_ivf_cells_scaled",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
