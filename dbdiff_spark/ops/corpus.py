@@ -18,8 +18,9 @@ Scale posture:
   shuffle on the shard key.
 - ``domain_cap``: row_number per domain — one shuffle on the domain key,
   then a map-side filter.  AQE handles skewed domains.
-- ``bloom_join_prune``: the classic semi-join reduction — build a 4096-
-  bit bloom over the selective dimension keys (one small aggregation),
+- ``bloom_join_prune``: the classic semi-join reduction — build a bloom
+  sized from the build-side count (next pow2 of 16 bits/key, ≈0.55% fpr
+  at any scale) over the selective dimension keys (one small aggregation),
   broadcast the 128-word filter as a single array row, and evaluate the
   membership test as a map-side FILTER on the fact side.  No explode, no
   extra shuffle on the probe path: at scale this prunes the fact table
@@ -256,23 +257,37 @@ FROM (
 # table (orders) map-side before any join.  Reports, per order priority,
 # how many orders the bloom passes vs. truly match — the false-positive
 # overhead is the price of skipping the full semi-join shuffle.
-BLOOM_BITS = 4096  # 128 words x 32 bits
-BLOOM_WORDS = BLOOM_BITS // 32
+BLOOM_MIN_BITS = 4096  # floor: 128 words x 32 bits
 BLOOM_K = 3
+BLOOM_BITS_PER_KEY = 16  # with k=3 hashes → fpr ≈ 0.55% at ANY build size
 DIM_PRED = "c_acctbal > 8000"
 
 
-def _pos_spark(key_expr: str, i: int) -> str:
+def bloom_bits(n_keys: int) -> int:
+    """Filter size DERIVED from the build-side key count: the next
+    power of two ≥ BLOOM_BITS_PER_KEY·n (floor 4096).  Power-of-two so
+    the 60-bit md5 slice mods to an exactly uniform position in both
+    engines; fpr stays ≈ (1 − e^(−k·n/m))^k ≈ 0.55% at any scale.  (The
+    r5 fixed 4096-bit filter was already ~60% fpr at sf0.1's ~2.7k
+    build keys and pure noise at the 100 TB target — the same
+    compile-time-constant failure mode as the fixed hamming band
+    widths, fixed the same way: integer-exact bit-length derivation the
+    oracle replays from its own count.)"""
+    n = max(int(n_keys), 1)
+    return 1 << max(12, (BLOOM_BITS_PER_KEY * n - 1).bit_length())
+
+
+def _pos_spark(key_expr: str, i: int, bits: int) -> str:
     return (
         f"CAST(conv(substr(md5(concat('bf{i}:', CAST({key_expr} AS STRING))), 1, 15),"
-        f" 16, 10) AS BIGINT) % {BLOOM_BITS}"
+        f" 16, 10) AS BIGINT) % {bits}"
     )
 
 
-def _pos_duck(key_expr: str, i: int) -> str:
+def _pos_duck(key_expr: str, i: int, mod: str = "m") -> str:
     return (
         f"('0x' || substr(md5('bf{i}:' || CAST({key_expr} AS VARCHAR)), 1, 15))"
-        f"::BIGINT % {BLOOM_BITS}"
+        f"::BIGINT % {mod}"
     )
 
 
@@ -282,18 +297,23 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     sel = customer.filter(F.expr(DIM_PRED)).select("c_custkey")
+    # size the filter from the build side (one cheap filter-count job);
+    # the oracle re-derives the identical m from its own count(*)
+    m_bits = bloom_bits(sel.count())
+    n_words = m_bits // 32
 
     positions = sel.selectExpr(
-        f"explode(array({', '.join(_pos_spark('c_custkey', i) for i in range(BLOOM_K))}))"
+        f"explode(array("
+        f"{', '.join(_pos_spark('c_custkey', i, m_bits) for i in range(BLOOM_K))}))"
         " AS pos"
     )
     words = positions.selectExpr(
         "pos div 32 AS word",
         "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS mask",
     ).groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
-    # Densify to all 128 words and pack into ONE array row for broadcast.
+    # Densify to all words and pack into ONE array row for broadcast.
     full = (
-        spark.range(BLOOM_WORDS)
+        spark.range(n_words)
         .withColumnRenamed("id", "word")
         .join(words, "word", "left")
         .selectExpr("word", "coalesce(bits, CAST(0 AS BIGINT)) AS bits")
@@ -306,8 +326,9 @@ def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probe = orders.crossJoin(F.broadcast(packed))
     pass_terms = " AND ".join(
-        f"(element_at(bf, CAST(({_pos_spark('o_custkey', i)}) div 32 AS INT) + 1)"
-        f" & shiftleft(CAST(1 AS BIGINT), CAST(({_pos_spark('o_custkey', i)}) % 32 AS INT))) != 0"
+        f"(element_at(bf, CAST(({_pos_spark('o_custkey', i, m_bits)}) div 32 AS INT) + 1)"
+        f" & shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(({_pos_spark('o_custkey', i, m_bits)}) % 32 AS INT))) != 0"
         for i in range(BLOOM_K)
     )
     flagged = probe.selectExpr(
@@ -343,9 +364,16 @@ _D_PASS_TERMS = " AND ".join(
 
 BLOOM_SQL = f"""
 WITH sel AS (SELECT c_custkey FROM customer WHERE {DIM_PRED}),
+bparams AS MATERIALIZED (
+  -- same next-pow2(16·n) derivation as bloom_bits(): integer-exact
+  -- bit-length, never a float log
+  SELECT (CAST(1 AS BIGINT) << GREATEST(12, length(format('{{:b}}',
+           GREATEST({BLOOM_BITS_PER_KEY} * count(*) - 1, 1))))) AS m
+  FROM sel
+),
 pos AS (
   SELECT unnest([{', '.join(_pos_duck('c_custkey', i) for i in range(BLOOM_K))}]) AS pos
-  FROM sel
+  FROM sel, bparams
 ),
 wb AS (
   SELECT pos // 32 AS word,
@@ -354,14 +382,15 @@ wb AS (
 ),
 bfa AS (
   SELECT array_agg(COALESCE(wb.bits, 0) ORDER BY d.w) AS bf
-  FROM generate_series(0, {BLOOM_WORDS - 1}) d(w)
+  FROM (SELECT unnest(generate_series(0, (SELECT m // 32 - 1 FROM bparams)))
+          AS w) d
   LEFT JOIN wb ON wb.word = d.w
 ),
 flagged AS (
   SELECT o.o_orderpriority,
          ({_D_PASS_TERMS}) AS bloom_pass,
          s.c_custkey IS NOT NULL AS is_true
-  FROM orders o CROSS JOIN bfa
+  FROM orders o CROSS JOIN bfa CROSS JOIN bparams
   LEFT JOIN sel s ON o.o_custkey = s.c_custkey
 )
 SELECT o_orderpriority,
