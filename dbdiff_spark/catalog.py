@@ -518,15 +518,28 @@ def _sample_boundaries(
     step = cnt // num_partitions
     ranks = [k * step for k in range(1, num_partitions)]
     if db.type in _ROW_NUMBER_BOUNDARY_DIALECTS:
-        in_list = ", ".join(str(r) for r in ranks)
-        rows = _read_query(
-            spark,
-            db,
-            f"SELECT b FROM (SELECT {q} AS b, "
-            f"ROW_NUMBER() OVER (ORDER BY {q}) AS rn FROM {src}) t "
-            f"WHERE rn IN ({in_list})",
-        ).collect()
-        return [str(r[0]) for r in rows if r[0] is not None]
+        try:
+            in_list = ", ".join(str(r) for r in ranks)
+            rows = _read_query(
+                spark,
+                db,
+                f"SELECT b, rn FROM (SELECT {q} AS b, "
+                f"ROW_NUMBER() OVER (ORDER BY {q}) AS rn FROM {src}) t "
+                f"WHERE rn IN ({in_list})",
+            ).collect()
+            # result-set order is NOT guaranteed (and Spark's JDBC reader
+            # wraps the query in another subquery) — misordered boundaries
+            # would yield overlapping/empty partition predicates, so sort
+            # client-side by the rank we selected alongside
+            return [
+                str(r["b"])
+                for r in sorted(rows, key=lambda r: int(r["rn"]))
+                if r["b"] is not None
+            ]
+        except Exception:
+            # e.g. MySQL < 8 / MariaDB without window functions: degrade
+            # to the O(offset) probe walk, NOT to the single scan
+            pass
     out = []
     for r in ranks:
         rows = _read_query(
@@ -582,6 +595,13 @@ def jdbc_table_string_partitioned(
         return jdbc_table(spark, db, table)
     uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
     if not uniq:
+        return jdbc_table(spark, db, table)
+    if db.type == "mysql" and any("\\" in b for b in uniq):
+        # MySQL's backslash handling depends on the session sql_mode
+        # (NO_BACKSLASH_ESCAPES inverts it); a literal we cannot render
+        # unambiguously must not become a partition predicate — quote
+        # doubling alone is mode-independent, so only backslash-bearing
+        # boundaries force the fallback
         return jdbc_table(spark, db, table)
     q = quote_ident(db.type, col)
 

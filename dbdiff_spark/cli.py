@@ -46,7 +46,18 @@ def _load_sources(spark, args):
         tables = cat.list_tables()
         keys = cat.primary_keys(tables)
         sources = {t: cat.load(t) for t in tables}
+        # normalize declared key columns to the table schema's casing:
+        # Spark resolves columns case-insensitively but diff_tables'
+        # key guard (and output projection) is case-sensitive, so a
+        # --key spec typed in the wrong case must not die mid-run
+        for t, cols in keys.items():
+            if t in sources:
+                actual = {c.lower(): c for c in sources[t].columns}
+                keys[t] = [actual.get(c.lower(), c) for c in cols]
         return sources, keys
+    if getattr(args, "key", None):
+        print("[Warn] --key has no effect with a JDBC source "
+              "(keys come from the live catalog)")
     conf = load_configuration(args.conf)
     cat = JdbcCatalog(spark, conf.db)
     tables = cat.list_tables()

@@ -259,7 +259,13 @@ FROM (
 # overhead is the price of skipping the full semi-join shuffle.
 BLOOM_MIN_BITS = 4096  # floor: 128 words x 32 bits
 BLOOM_K = 3
-BLOOM_BITS_PER_KEY = 16  # with k=3 hashes → fpr ≈ 0.55% at ANY build size
+BLOOM_BITS_PER_KEY = 16  # with k=3 hashes → fpr ≈ 0.55% below the cap
+# Ceiling: the filter broadcasts as ONE packed array row, so it must
+# stay broadcast-sized — 2^24 bits = 512k words ≈ 4 MB.  Builds past
+# ~1M keys saturate the cap and fpr degrades (honestly reported by the
+# query's false-positive columns); the production answer there is a
+# per-bucket partitioned bloom, not a bigger single row.
+BLOOM_MAX_LOG2 = 24
 DIM_PRED = "c_acctbal > 8000"
 
 
@@ -274,7 +280,9 @@ def bloom_bits(n_keys: int) -> int:
     widths, fixed the same way: integer-exact bit-length derivation the
     oracle replays from its own count.)"""
     n = max(int(n_keys), 1)
-    return 1 << max(12, (BLOOM_BITS_PER_KEY * n - 1).bit_length())
+    return 1 << min(
+        BLOOM_MAX_LOG2, max(12, (BLOOM_BITS_PER_KEY * n - 1).bit_length())
+    )
 
 
 def _pos_spark(key_expr: str, i: int, bits: int) -> str:
@@ -367,8 +375,9 @@ WITH sel AS (SELECT c_custkey FROM customer WHERE {DIM_PRED}),
 bparams AS MATERIALIZED (
   -- same next-pow2(16·n) derivation as bloom_bits(): integer-exact
   -- bit-length, never a float log
-  SELECT (CAST(1 AS BIGINT) << GREATEST(12, length(format('{{:b}}',
-           GREATEST({BLOOM_BITS_PER_KEY} * count(*) - 1, 1))))) AS m
+  SELECT (CAST(1 AS BIGINT) << LEAST({BLOOM_MAX_LOG2},
+           GREATEST(12, length(format('{{:b}}',
+           GREATEST({BLOOM_BITS_PER_KEY} * count(*) - 1, 1)))))) AS m
   FROM sel
 ),
 pos AS (

@@ -434,12 +434,19 @@ def ann_ivf_cells_scaled(
     )
 
 
-def _ann_ivf_cells_scaled_sql(nprobe: int = IVF_NPROBE) -> str:
-    cells_expr = (
-        f"(SELECT GREATEST({SEMDEDUP_CELL_GRID}, {SEMDEDUP_CELL_GRID}"
+def _cells_scaled_duck(count_src: str) -> str:
+    """DuckDB twin of :func:`semdedup_cells` over a COUNT(*) source —
+    the single shared spelling of the ⌈√n⌉-on-the-grid derivation, so
+    the semdedup and derived-cells-IVF oracles can never drift apart.
+    ``sqrt`` of an exact integer is IEEE-identical across engines."""
+    return (
+        f"GREATEST({SEMDEDUP_CELL_GRID}, {SEMDEDUP_CELL_GRID}"
         f" * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))"
-        f" FROM embeddings)"
-    )
+    ) + f" AS __cells FROM {count_src}"
+
+
+def _ann_ivf_cells_scaled_sql(nprobe: int = IVF_NPROBE) -> str:
+    cells_expr = f"(SELECT {_cells_scaled_duck('embeddings')})"
     return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe)
 
 
@@ -1462,13 +1469,7 @@ corpus AS (
   SELECT vec_id + {NEARDUP_OFFSET} AS vec_id, embedding, norm FROM vecs
 ),
 k AS (
-  -- same K = grid(ceil-ish sqrt) derivation as semdedup_cells(); sqrt
-  -- of an exact integer is IEEE-identical across engines
-  SELECT GREATEST({SEMDEDUP_CELL_GRID},
-                  {SEMDEDUP_CELL_GRID}
-                  * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))
-         AS cells
-  FROM corpus
+  SELECT {_cells_scaled_duck('corpus').replace('__cells', 'cells')}
 ),
 c0 AS (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid

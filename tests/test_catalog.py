@@ -285,11 +285,20 @@ def test_boundary_sampling_uses_one_round_trip_on_window_dialects(
     import dbdiff_spark.catalog as cat
     from dbdiff_spark.config import DbConfig
 
+    from pyspark.sql import Row
+
     calls = []
 
     class _Rows:
         def collect(self):
-            return [("b1",), ("b2",), ("b3",)]
+            # deliberately misordered: result-set order is unguaranteed
+            # (Spark wraps the query in a subquery), so the sampler must
+            # sort client-side by the rank it selects alongside
+            return [
+                Row(b="b2", rn=500),
+                Row(b="b3", rn=750),
+                Row(b="b1", rn=250),
+            ]
 
     def fake_read_query(spark_, db_, sql_):
         calls.append(sql_)
@@ -299,7 +308,38 @@ def test_boundary_sampling_uses_one_round_trip_on_window_dialects(
     got = cat._sample_boundaries(
         spark, DbConfig(type="postgresql"), "t", "uid", 1000, 4
     )
-    assert got == ["b1", "b2", "b3"]
+    assert got == ["b1", "b2", "b3"]  # rn-sorted despite arrival order
     assert len(calls) == 1
     assert "ROW_NUMBER() OVER (ORDER BY" in calls[0]
     assert "rn IN (250, 500, 750)" in calls[0]
+
+
+def test_boundary_sampling_degrades_window_failure_to_offset_probes(
+    monkeypatch, spark
+):
+    """MySQL < 8 / MariaDB without window functions: the ROW_NUMBER
+    query errors, and the sampler must degrade to the OFFSET probe walk
+    — NOT to the single-connection scan."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+
+    calls = []
+
+    def fake_read_query(spark_, db_, sql_):
+        calls.append(sql_)
+        if "ROW_NUMBER" in sql_:
+            raise RuntimeError("1064: syntax error near 'OVER'")
+
+        class _R:
+            def collect(self_inner):
+                return [(f"b{len(calls)}",)]
+
+        return _R()
+
+    monkeypatch.setattr(cat, "_read_query", fake_read_query)
+    got = cat._sample_boundaries(
+        spark, DbConfig(type="mysql"), "t", "uid", 1000, 4
+    )
+    assert len(got) == 3
+    offset_probes = [c for c in calls if "LIMIT 1 OFFSET" in c]
+    assert len(offset_probes) == 3  # the mysql OFFSET dialect branch
