@@ -486,17 +486,20 @@ def _offset_probe_sql(db: DbConfig, table: str, col: str, offset: int) -> str:
 # boundaries come back in ONE ordered round trip.  Derby is excluded:
 # its ROW_NUMBER does not accept an ORDER BY inside OVER.
 _ROW_NUMBER_BOUNDARY_DIALECTS = {"postgresql", "mysql", "sqlserver"}
+# servers observed to reject the windowed boundary query this process
+# lifetime (MySQL < 8 / MariaDB) — skip straight to the OFFSET walk
+_NO_WINDOW_SERVERS: set[str] = set()
 
 
 def _string_literal(db_type: str, v: str) -> str:
-    """SQL string literal, escaped for interpolation into partition
-    predicates.  Single quotes double everywhere; MySQL additionally
-    interprets backslash escapes in string literals (default sql_mode),
-    so a boundary like ``a\\zz`` must ship as ``a\\\\zz`` or the
-    interpreted literal re-sorts and the partitions stop being disjoint
-    — silent row duplication/loss."""
-    if db_type == "mysql":
-        v = v.replace("\\", "\\\\")
+    """SQL string literal for partition predicates: quote doubling only
+    — the one escape that is interpreted identically under every
+    dialect AND session mode.  Backslash rendering is mode-dependent on
+    MySQL (sql_mode NO_BACKSLASH_ESCAPES inverts it) and on legacy
+    PostgreSQL (standard_conforming_strings=off), so ANY rendering of a
+    backslash is wrong under one of the modes; callers must route
+    backslash-bearing values away from literal predicates entirely
+    (see the fallback in :func:`jdbc_table_string_partitioned`)."""
     return "'" + v.replace("'", "''") + "'"
 
 
@@ -517,7 +520,10 @@ def _sample_boundaries(
     src = f"{db.schema}{quote_ident(db.type, table)}"
     step = cnt // num_partitions
     ranks = [k * step for k in range(1, num_partitions)]
-    if db.type in _ROW_NUMBER_BOUNDARY_DIALECTS:
+    if (
+        db.type in _ROW_NUMBER_BOUNDARY_DIALECTS
+        and db.jdbc_url() not in _NO_WINDOW_SERVERS
+    ):
         try:
             in_list = ", ".join(str(r) for r in ranks)
             rows = _read_query(
@@ -538,8 +544,10 @@ def _sample_boundaries(
             ]
         except Exception:
             # e.g. MySQL < 8 / MariaDB without window functions: degrade
-            # to the O(offset) probe walk, NOT to the single scan
-            pass
+            # to the O(offset) probe walk, NOT to the single scan — and
+            # remember, so a REPL diffing many tables over many
+            # generations pays the doomed round trip only once
+            _NO_WINDOW_SERVERS.add(db.jdbc_url())
     out = []
     for r in ranks:
         rows = _read_query(
@@ -596,9 +604,10 @@ def jdbc_table_string_partitioned(
     uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
     if not uniq:
         return jdbc_table(spark, db, table)
-    if db.type == "mysql" and any("\\" in b for b in uniq):
-        # MySQL's backslash handling depends on the session sql_mode
-        # (NO_BACKSLASH_ESCAPES inverts it); a literal we cannot render
+    if db.type in ("mysql", "postgresql") and any("\\" in b for b in uniq):
+        # backslash rendering is session-mode-dependent on these
+        # dialects (MySQL NO_BACKSLASH_ESCAPES, legacy PG
+        # standard_conforming_strings=off); a literal we cannot render
         # unambiguously must not become a partition predicate — quote
         # doubling alone is mode-independent, so only backslash-bearing
         # boundaries force the fallback

@@ -55,9 +55,6 @@ def _load_sources(spark, args):
                 actual = {c.lower(): c for c in sources[t].columns}
                 keys[t] = [actual.get(c.lower(), c) for c in cols]
         return sources, keys
-    if getattr(args, "key", None):
-        print("[Warn] --key has no effect with a JDBC source "
-              "(keys come from the live catalog)")
     conf = load_configuration(args.conf)
     cat = JdbcCatalog(spark, conf.db)
     tables = cat.list_tables()
@@ -260,6 +257,10 @@ def main(argv: list[str] | None = None) -> int:
             print(f"[Error] --key needs TABLE=COL[,COL...], got {spec!r}")
             return 2
         declared_keys[table.strip()] = [c.strip() for c in cols.split(",")]
+    if declared_keys and not args.parquet_dir:
+        # once, up front — not per REPL generation in _load_sources
+        print("[Warn] --key has no effect with a JDBC source "
+              "(keys come from the live catalog)")
     ignore: dict[str, list[str]] = {}
     for spec in args.ignore:
         table, _, column = spec.partition(".")

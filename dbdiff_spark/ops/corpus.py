@@ -271,9 +271,11 @@ DIM_PRED = "c_acctbal > 8000"
 
 def bloom_bits(n_keys: int) -> int:
     """Filter size DERIVED from the build-side key count: the next
-    power of two ≥ BLOOM_BITS_PER_KEY·n (floor 4096).  Power-of-two so
+    power of two ≥ BLOOM_BITS_PER_KEY·n (floor 4096, ceiling 2^24 —
+    the broadcast bound documented at BLOOM_MAX_LOG2).  Power-of-two so
     the 60-bit md5 slice mods to an exactly uniform position in both
-    engines; fpr stays ≈ (1 − e^(−k·n/m))^k ≈ 0.55% at any scale.  (The
+    engines; fpr stays ≈ (1 − e^(−k·n/m))^k ≈ 0.55% up to the ceiling
+    (~1M build keys) and degrades honestly past it.  (The
     r5 fixed 4096-bit filter was already ~60% fpr at sf0.1's ~2.7k
     build keys and pure noise at the 100 TB target — the same
     compile-time-constant failure mode as the fixed hamming band

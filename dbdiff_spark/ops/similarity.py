@@ -442,11 +442,12 @@ def _cells_scaled_duck(count_src: str) -> str:
     return (
         f"GREATEST({SEMDEDUP_CELL_GRID}, {SEMDEDUP_CELL_GRID}"
         f" * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))"
-    ) + f" AS __cells FROM {count_src}"
+        f" AS cells FROM {count_src}"
+    )
 
 
 def _ann_ivf_cells_scaled_sql(nprobe: int = IVF_NPROBE) -> str:
-    cells_expr = f"(SELECT {_cells_scaled_duck('embeddings')})"
+    cells_expr = f"(SELECT {_cells_scaled_duck('embeddings')})"  # alias inert in a scalar subquery
     return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe)
 
 
@@ -1469,7 +1470,7 @@ corpus AS (
   SELECT vec_id + {NEARDUP_OFFSET} AS vec_id, embedding, norm FROM vecs
 ),
 k AS (
-  SELECT {_cells_scaled_duck('corpus').replace('__cells', 'cells')}
+  SELECT {_cells_scaled_duck('corpus')}
 ),
 c0 AS (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid

@@ -245,16 +245,58 @@ def test_ingest_ledger_exactly_once_and_rewrite_detection(spark, tmp_path):
 
 
 def test_string_literal_escapes_per_dialect():
-    """Partition-predicate literals: quotes double everywhere; MySQL
-    additionally doubles backslashes (its literals interpret backslash
-    escapes — an unescaped one re-sorts the boundary and breaks
-    partition disjointness)."""
+    """Partition-predicate literals use quote doubling ONLY — the one
+    escape every dialect and session mode interprets identically.
+    Backslash-bearing boundaries never reach literal rendering (the
+    partitioner falls back instead: rendering them is wrong under one
+    of MySQL's / legacy PG's session modes either way)."""
     from dbdiff_spark.catalog import _string_literal
 
     assert _string_literal("postgresql", "o'brien") == "'o''brien'"
-    assert _string_literal("postgresql", "a\\zz") == "'a\\zz'"
-    assert _string_literal("mysql", "a\\zz") == "'a\\\\zz'"
-    assert _string_literal("mysql", "o'b\\c") == "'o''b\\\\c'"
+    assert _string_literal("sqlserver", "a\\zz") == "'a\\zz'"
+    assert _string_literal("mysql", "o'b") == "'o''b'"
+
+
+def test_backslash_boundary_forces_single_scan_on_ambiguous_dialects(
+    monkeypatch, spark
+):
+    """MySQL/PG backslash rendering is session-mode-dependent, so a
+    sampled boundary containing a backslash must force the single-scan
+    fallback rather than ship an ambiguous literal predicate."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+
+    class _Count:
+        def collect(self):
+            from pyspark.sql import Row
+
+            return [Row(c=1000)]
+
+    monkeypatch.setattr(cat, "_read_query", lambda s, d, q: _Count())
+    monkeypatch.setattr(
+        cat, "_sample_boundaries",
+        lambda s, d, t, c, n, p: ["aaa", "k\\mid", "zzz"],
+    )
+    monkeypatch.setattr(
+        cat, "jdbc_table", lambda s, d, t, **kw: "single-scan"
+    )
+    monkeypatch.setattr(
+        cat, "jdbc_table_predicates",
+        lambda s, d, t, preds: ("predicates", preds),
+    )
+    out = cat.jdbc_table_string_partitioned(
+        spark, DbConfig(type="mysql", url="jdbc:mysql://h/d"), "t", "uid", 4
+    )
+    assert out == "single-scan"
+    # a backslash-free boundary set on the same dialect partitions fine
+    monkeypatch.setattr(
+        cat, "_sample_boundaries",
+        lambda s, d, t, c, n, p: ["aaa", "kmid", "zzz"],
+    )
+    out2 = cat.jdbc_table_string_partitioned(
+        spark, DbConfig(type="mysql", url="jdbc:mysql://h/d"), "t", "uid", 4
+    )
+    assert out2[0] == "predicates" and len(out2[1]) == 4
 
 
 def test_string_partitioner_falls_back_on_probe_failure(monkeypatch, spark):
