@@ -456,16 +456,25 @@ def hash_mod_predicates(db: DbConfig, col: str, num_partitions: int) -> list[str
 
 
 def jdbc_table_predicates(
-    spark: SparkSession, db: DbConfig, table: str, predicates: list[str]
+    spark: SparkSession,
+    db: DbConfig,
+    table: str,
+    predicates: list[str],
+    fetch_size: int = 10_000,
 ):
     """Load a table as one JDBC scan per predicate (Spark's
     ``predicates`` reader API) — the predicates must be disjoint and
-    exhaustive or rows duplicate/vanish."""
+    exhaustive or rows duplicate/vanish.
+
+    ``fetchsize`` mirrors :func:`jdbc_read_options`: without it pgjdbc
+    (default 0) and MySQL Connector/J buffer the entire per-partition
+    result set in executor memory — exactly the large tables this path
+    exists to parallelize."""
     return spark.read.jdbc(
         url=db.jdbc_url(),
         table=f"{db.schema}{quote_ident(db.type, table)}",
         predicates=list(predicates),
-        properties=db.jdbc_properties(),
+        properties={"fetchsize": str(fetch_size), **db.jdbc_properties()},
     )
 
 
@@ -600,6 +609,20 @@ def jdbc_table_string_partitioned(
     except Exception:
         # the probe SQL is dialect-dependent; an unsupported dialect
         # degrades to the (slow, correct) single-connection scan
+        return jdbc_table(spark, db, table)
+    if boundaries != sorted(boundaries):
+        # The OFFSET-probe walk issues N-1 queries at different times:
+        # concurrent inserts/deletes between probes can hand back
+        # non-monotone boundaries, and out-of-order boundaries make the
+        # range predicates overlap (a row between two swapped boundaries
+        # matches both '< b0' and '>= b_last'), silently DUPLICATING
+        # rows in the snapshot.  A sort disagreement can also mean the
+        # server collation orders differently than the client (the
+        # case-insensitive case the docstring routes to hash_mod) —
+        # either way the predicates are untrustworthy, so degrade to the
+        # single-connection scan like every other probe failure.  The
+        # windowed single-query path is snapshot-consistent, so this
+        # check costs nothing there.
         return jdbc_table(spark, db, table)
     uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
     if not uniq:

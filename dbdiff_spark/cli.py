@@ -279,8 +279,12 @@ def main(argv: list[str] | None = None) -> int:
     # nothing — for --ignore that means churn rows the user meant to
     # suppress are reported as changes.  Warn before the first
     # (possibly expensive) snapshot.
+    # In JDBC mode the blanket '--key has no effect' warning above
+    # already covers every --key spec — re-warning mistyped tables here
+    # would contradict it (the keys were never going to be used).
+    key_warn = declared_keys if args.parquet_dir else {}
     for flag, keyed in (("--where", where), ("--tolerance", tolerance),
-                        ("--ignore", ignore), ("--key", declared_keys)):
+                        ("--ignore", ignore), ("--key", key_warn)):
         for tname in sorted(set(keyed) - set(sources)):
             print(f"[Warn] {flag} {tname}: no such table in the source set "
                   f"({', '.join(sorted(sources))}) — spec has no effect")

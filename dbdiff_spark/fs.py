@@ -83,3 +83,39 @@ def glob(spark: SparkSession, pattern: str) -> list[str]:
     if statuses is None:
         return []
     return sorted(st.getPath().toString() for st in statuses)
+
+
+def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
+    """Default root for persisted model artifacts (IVF index, BPE merge
+    table) when the caller gives no explicit path.
+
+    Three properties the demo/bench call sites need:
+
+    - **Session-scheme-qualified.**  The base is the session's
+      ``spark.sql.warehouse.dir`` (itself resolved against
+      ``fs.defaultFS``), so on a cluster the artifacts land next to the
+      warehouse — hdfs/s3a — not on a driver-local ``/tmp`` that the
+      executors reading the partitioned assignments cannot see.
+    - **Process-private.**  The path is salted with uid+pid: a
+      world-shared ``/tmp`` directory keyed only by the corpus hash
+      lets concurrent runs overwrite each other's parquet mid-read, and
+      lets another user on a multi-user host pre-create or replace the
+      artifact.  Within one process the path is STABLE, so bench
+      warmup+timed runs reuse (overwrite) one directory instead of
+      leaking a fresh mkdtemp copy per invocation.
+    - **Corpus-keyed.**  Distinct corpora get distinct roots so two
+      sf_dirs never clobber each other's artifacts in one process.
+
+    Production deployments pass an explicit durable ``path`` — this
+    default exists for self-contained runs, and accumulated per-pid
+    directories live under the warehouse where they are easy to find
+    and vacuum."""
+    import hashlib
+    import os
+
+    base = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).rstrip("/")
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    key = hashlib.md5(corpus_key.encode()).hexdigest()[:12]
+    return f"{base}/_dbdiff_artifacts/u{uid}_p{os.getpid()}/{kind}_{key}"

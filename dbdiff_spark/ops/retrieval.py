@@ -792,15 +792,12 @@ def bpe_apply_from_artifact(
     Oracle equality against the retrain-and-apply SQL proves the
     persisted table carries the full trained state (surface pairs in
     code order + expansions) with nothing left in driver memory."""
-    import hashlib
-    import tempfile
+    from .. import fs as _hfs
 
-    # stable per-corpus path (overwrite semantics in bpe_merge_artifact)
-    # — bench warmup+timed runs reuse one directory, no tempdir leak
-    path = path or (
-        f"{tempfile.gettempdir()}/dbdiff_bpe_artifact_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}/merges"
-    )
+    # default root: session-warehouse-scheme-qualified, uid+pid-salted,
+    # stable per corpus within the process (see fs.artifact_root);
+    # overwrite semantics in bpe_merge_artifact keep reruns leak-free
+    path = path or f"{_hfs.artifact_root(spark, 'bpe', sf_dir)}/merges"
     bpe_merge_artifact(spark, sf_dir, path)
     merges = sorted(
         spark.read.parquet(path).collect(), key=lambda r: r["code"]

@@ -791,16 +791,11 @@ def ann_ivf_index_persist(
     SQL proves the persisted index reproduces the in-memory build
     exactly (doubles round-trip parquet bit-for-bit), mirroring
     ``bpe_apply_from_artifact``'s artifact contract for the ANN tier."""
-    import hashlib
-    import tempfile
+    from .. import fs as _hfs
 
-    # a STABLE per-corpus path, overwritten on rebuild — repeated calls
-    # (bench warmup+timed runs) reuse one directory instead of leaking
-    # a fresh mkdtemp copy of the assignments every invocation
-    root = index_root or (
-        f"{tempfile.gettempdir()}/dbdiff_ivf_index_"
-        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
-    )
+    # default root: session-warehouse-scheme-qualified, uid+pid-salted,
+    # stable per corpus within the process (see fs.artifact_root)
+    root = index_root or _hfs.artifact_root(spark, "ivf_index", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
         centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))

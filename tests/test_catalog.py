@@ -385,3 +385,68 @@ def test_boundary_sampling_degrades_window_failure_to_offset_probes(
     assert len(got) == 3
     offset_probes = [c for c in calls if "LIMIT 1 OFFSET" in c]
     assert len(offset_probes) == 3  # the mysql OFFSET dialect branch
+
+
+def test_non_monotone_boundaries_force_single_scan(monkeypatch, spark):
+    """The OFFSET-probe walk issues N-1 queries at different times:
+    concurrent writes can return out-of-order boundaries, whose range
+    predicates then OVERLAP (rows silently duplicate in the snapshot).
+    Any non-monotone boundary sequence must degrade to the
+    single-connection scan (ADVICE r6)."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+
+    class _Count:
+        def collect(self):
+            from pyspark.sql import Row
+
+            return [Row(c=1000)]
+
+    monkeypatch.setattr(cat, "_read_query", lambda s, d, q: _Count())
+    monkeypatch.setattr(
+        cat, "_sample_boundaries",
+        lambda s, d, t, c, n, p: ["mmm", "aaa", "zzz"],  # swapped by a race
+    )
+    monkeypatch.setattr(
+        cat, "jdbc_table", lambda s, d, t, **kw: "single-scan"
+    )
+    monkeypatch.setattr(
+        cat, "jdbc_table_predicates",
+        lambda s, d, t, preds: ("predicates", preds),
+    )
+    out = cat.jdbc_table_string_partitioned(
+        spark, DbConfig(type="postgresql"), "t", "uid", 4
+    )
+    assert out == "single-scan"
+    # the same boundaries in order partition fine
+    monkeypatch.setattr(
+        cat, "_sample_boundaries",
+        lambda s, d, t, c, n, p: ["aaa", "mmm", "zzz"],
+    )
+    out2 = cat.jdbc_table_string_partitioned(
+        spark, DbConfig(type="postgresql"), "t", "uid", 4
+    )
+    assert out2[0] == "predicates" and len(out2[1]) == 4
+
+
+def test_jdbc_table_predicates_sets_fetchsize(monkeypatch, spark):
+    """Predicate-partitioned reads must stream results like every other
+    JDBC path: without fetchsize, pgjdbc (default 0) buffers the whole
+    per-partition result set in executor memory — on exactly the large
+    string-keyed tables this path exists for (ADVICE r6)."""
+    import dbdiff_spark.catalog as cat
+    from dbdiff_spark.config import DbConfig
+    from pyspark.sql.readwriter import DataFrameReader
+
+    seen = {}
+
+    def fake_jdbc(self, url, table, *args, **kwargs):
+        seen.update(kwargs)
+        return "df"
+
+    monkeypatch.setattr(DataFrameReader, "jdbc", fake_jdbc)
+    out = cat.jdbc_table_predicates(
+        spark, DbConfig(type="postgresql"), "t", ["uid < 'm'", "uid >= 'm'"]
+    )
+    assert out == "df"
+    assert seen["properties"]["fetchsize"] == "10000"

@@ -219,3 +219,28 @@ def test_round4_ops_survive_empty_tables(spark, tmp_path):
     ]:
         out = fn(spark, sf)
         assert out.count() == expect_rows, fn.__name__
+
+
+def test_artifact_root_is_scheme_qualified_and_process_private(spark):
+    """Default artifact roots (IVF index, BPE merges) must resolve under
+    the session warehouse — carrying its filesystem scheme so executors
+    on a cluster can read them — and must be salted with uid+pid so
+    concurrent processes / other users on a shared host cannot collide
+    on a predictable world-shared path (review finding r6)."""
+    import os
+
+    from dbdiff_spark import fs
+
+    root = fs.artifact_root(spark, "ivf_index", "/some/corpus")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    assert root.startswith(warehouse + "/"), root
+    # the warehouse dir is already resolved against fs.defaultFS —
+    # locally that means a file: scheme the Hadoop Path APIs accept
+    assert ":" in warehouse.split("/")[0] or warehouse.startswith("/"), warehouse
+    assert f"u{os.getuid()}_p{os.getpid()}" in root
+    # stable within the process, distinct across corpora
+    assert root == fs.artifact_root(spark, "ivf_index", "/some/corpus")
+    assert root != fs.artifact_root(spark, "ivf_index", "/other/corpus")
+    # underscore prefix keeps the artifact tree Spark-invisible to any
+    # reader scanning the warehouse root
+    assert "/_dbdiff_artifacts/" in root
