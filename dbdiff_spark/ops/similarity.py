@@ -521,13 +521,17 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
     return f"array_min(array({parts}))"
 
 
-def _kmeans_centroids(vecs: DataFrame) -> dict[int, list[float]]:
+def _kmeans_centroids(vecs: DataFrame, k: int = KMEANS_K) -> dict[int, list[float]]:
     """The Lloyd loop itself over a ``(vec_id, embedding)`` frame:
     KMEANS_ITERS rounds of zero-shuffle literal-argmin assignment +
     grid-exact mean update (≤ K×dim rows collected per round).  Shared
-    by ``kmeans_lloyd`` (membership/inertia report) and
-    ``ann_ivf_trained`` (trained coarse quantizer)."""
-    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    by ``kmeans_lloyd`` (membership/inertia report, pinned K — the
+    cluster count there is the user's modelling choice) and the
+    trained-IVF tier (K derived from the corpus size, see
+    ``ann_ivf_trained``).  Driver payload stays sane at scale: K≈√n at
+    10⁹ vectors is ~32k centroids × dim ≈ MBs/round, and the collected
+    means are the ONLY driver-resident state."""
+    seeds = vecs.filter(F.col("vec_id") < k).collect()
     centroids = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
     }
@@ -599,15 +603,19 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()
 
 
-def _kmeans_layers_sql() -> str:
+def _kmeans_layers_sql(k_sql: "int | str" = KMEANS_K) -> str:
     """The shared CTE chain ``c0 … c{KMEANS_ITERS}`` re-deriving every
-    intermediate centroid — used by the k-means oracle and the
-    trained-IVF oracle (both are then fully independent computations of
-    the same deterministic fixpoint)."""
+    intermediate centroid — used by the k-means oracle (pinned K) and
+    the trained-IVF oracle (``k_sql`` a scalar subquery re-deriving
+    K ≈ ⌈√n⌉ from the oracle's own count, so both engines compute the
+    same fixpoint from the same independently-derived K).  Centroid
+    layers are MATERIALIZED: DuckDB inlines plain CTEs, and the final
+    layer is referenced twice downstream (assignment + query probe) —
+    inlining would re-run the whole lower chain per reference."""
     layers = [
-        f"""c0 AS (
+        f"""c0 AS MATERIALIZED (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
-  FROM embeddings WHERE vec_id < {KMEANS_K}
+  FROM embeddings WHERE vec_id < {k_sql}
 )"""
     ]
     for i in range(1, KMEANS_ITERS + 1):
@@ -624,7 +632,7 @@ a{i} AS (
     FROM s{i}
   ) WHERE rn = 1
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT cell, array_agg(m ORDER BY pos) AS centroid FROM (
     SELECT cell, pos,
            CAST(SUM(CAST(ROUND(component * 1000000) AS BIGINT)) AS DOUBLE)
@@ -698,6 +706,18 @@ KMEANS_SQL = _kmeans_sql()
 # need no probe window).
 
 
+def _derived_kmeans_k(spark: SparkSession, sf_dir: str) -> int:
+    """K for the trained/persisted IVF tier: ``semdedup_cells`` over the
+    RAW embeddings count (count(*) on the bare scan folds to parquet
+    row-group metadata) — the identical ⌈√n⌉-on-the-grid derivation the
+    untrained ``ann_ivf_cells_scaled`` uses, so the production
+    build-once/serve-many path trains √n centroids instead of a pinned
+    8: at 10⁹ vectors a probe scans ~n/32k per cell, not n/8.  The
+    oracle re-derives the same K via ``_cells_scaled_duck`` inside the
+    k-means CTE layers."""
+    return semdedup_cells(load_table(spark, sf_dir, "embeddings").count())
+
+
 def ann_ivf_trained(
     spark: SparkSession,
     sf_dir: str,
@@ -705,10 +725,32 @@ def ann_ivf_trained(
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
     """IVF ANN over k-means-trained centroids: same output contract as
-    ``ann_ivf`` (top-IVF_K cosine neighbors per query)."""
+    ``ann_ivf`` (top-IVF_K cosine neighbors per query).  K is DERIVED
+    from the corpus size (``_derived_kmeans_k``); the pinned-K recall
+    A/B variants keep their fixed configs (comparisons only hold at
+    pinned configs)."""
+    return _ann_ivf_trained_with_k(
+        spark,
+        sf_dir,
+        _derived_kmeans_k(spark, sf_dir),
+        nprobe,
+        max_broadcast_queries,
+    )
+
+
+def _ann_ivf_trained_with_k(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int,
+    nprobe: int,
+    max_broadcast_queries: int,
+) -> DataFrame:
+    """Train-then-search at an explicit K — the shared body behind
+    ``ann_ivf_trained`` (derived K) and the recall report's pinned
+    ``ivf_trained_c8_p2`` A/B variant."""
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))
+        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"), k)
         assigned = vecs.select(
             "vec_id",
             "embedding",
@@ -796,9 +838,10 @@ def ann_ivf_index_persist(
     # default root: session-warehouse-scheme-qualified, uid+pid-salted,
     # stable per corpus within the process (see fs.artifact_root)
     root = index_root or _hfs.artifact_root(spark, "ivf_index", sf_dir)
+    k = _derived_kmeans_k(spark, sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"))
+        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"), k)
         spark.createDataFrame(
             [
                 (int(k), [float(x) for x in c])
@@ -835,10 +878,16 @@ def ann_ivf_index_persist(
     return out.localCheckpoint(eager=True)
 
 
-def _ann_ivf_trained_sql(nprobe: int = IVF_NPROBE) -> str:
+def _ann_ivf_trained_sql(
+    nprobe: int = IVF_NPROBE, k_sql: "int | str | None" = None
+) -> str:
     n = KMEANS_ITERS
+    if k_sql is None:
+        # K re-derived from the oracle's own count(*) — the twin of
+        # _derived_kmeans_k, via the shared _cells_scaled_duck spelling
+        k_sql = f"(SELECT {_cells_scaled_duck('embeddings')})"
     return f"""
-WITH {_kmeans_layers_sql()},
+WITH {_kmeans_layers_sql(k_sql)},
 vecs AS ({_VECTORS_SQL}),
 tassigned AS (
   SELECT vec_id, embedding, norm, cell FROM (
@@ -1251,9 +1300,13 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         approx = part if approx is None else approx.unionByName(part)
     # trained centroids at the SAME (cells, nprobe) as ivf_c8_p2: the
-    # recall-per-candidate value of training the coarse quantizer
+    # recall-per-candidate value of training the coarse quantizer —
+    # PINNED K here (A/B comparisons only hold at pinned configs; the
+    # registry op ann_ivf_trained derives K from the corpus size)
     approx = approx.unionByName(
-        ann_ivf_trained(spark, sf_dir)
+        _ann_ivf_trained_with_k(
+            spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES
+        )
         .filter(F.col("rank") <= ANN_K)
         .select(
             F.lit("ivf_trained_c8_p2").alias("variant"),
@@ -1286,7 +1339,8 @@ def _ann_ivf_recall_sql() -> str:
     )
     approx += (
         f"\nUNION ALL\nSELECT 'ivf_trained_c8_p2' AS variant, query_id,"
-        f" neighbor_id FROM ({_ann_ivf_trained_sql()}) WHERE rank <= {ANN_K}"
+        f" neighbor_id FROM ({_ann_ivf_trained_sql(k_sql=KMEANS_K)})"
+        f" WHERE rank <= {ANN_K}"
     )
     return f"""
 WITH exact_k AS (
