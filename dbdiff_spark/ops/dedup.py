@@ -350,15 +350,17 @@ HAVING count(*) > 1
 # engines re-derive the identical w from their own corpus count (the
 # SemDeDup K ≈ √n pattern, similarity.py), so the oracle stays
 # hash-exact at every scale.  The fingerprint is an ARRAY of 6 band
-# values — each ≤ 2^w ≤ 2¹⁶, always a positive BIGINT in both engines
-# — never one packed word, which would cap H at 62 bits.
+# values — each ≤ 2^w ≤ 2⁶², always a positive BIGINT in both engines
+# — never one packed word, which would cap H itself at 62 bits.
 #
-# Width floor/cap: 8 ≤ w ≤ 30 — the law w = ⌈log₂N⌉ holds unclamped to
-# N = 2³⁰ ≈ 10⁹ docs.  Bit votes come from a DERIVED number of md5 hex
-# streams (one per 32 bits, stream s = md5(chr(97+s)||token)), so
-# bench-scale corpora pay for only 2-3 streams while a 10⁹-doc run
-# materializes six; the DuckDB twin generates stream rows only up to
-# ⌈6w/32⌉, keeping its md5 cost proportional too.  At 16 bits a
+# Width floor/cap: 8 ≤ w ≤ 62 — the law w = ⌈log₂N⌉ holds unclamped to
+# N = 2⁶² docs (the cap is the engines' positive-BIGINT shift ceiling,
+# not a scale limit; see SIMHASH_BAND_BITS_MAX).  Bit votes come from
+# a DERIVED number of md5 hex streams (one per 32 bits, stream s =
+# md5(chr(97+s)||token)), so bench-scale corpora pay for only 2-3
+# streams while a 10⁹-doc run materializes six; the DuckDB twin
+# generates stream rows only up to ⌈6w/32⌉, keeping its md5 cost
+# proportional too.  At 16 bits a
 # radius-3 ball holds 697/65536 codes, so a SINGLE-band 16-bit
 # fingerprint is degenerate at N=10⁴ (measured: ~100 random
 # neighbors/doc, the oracle closure never finished) — width lives in
@@ -374,11 +376,17 @@ HAVING count(*) > 1
 SIMHASH_RADIUS = 5
 SIMHASH_N_BANDS = 6  # radius+1 bands → pigeonhole completeness
 SIMHASH_BAND_BITS_MIN = 8
-# 6×30 = 180 bits = six md5 streams — w = ⌈log₂N⌉ holds to N = 2³⁰ ≈ 10⁹
-# docs before clamping.  Streams are derived from the bit count (one
-# md5 per 32 bits, prefix chr(97+s)), so bench-scale corpora still pay
-# for only 2-3 streams.
-SIMHASH_BAND_BITS_MAX = 30
+# w = ⌈log₂N⌉ holds UNCLAMPED to N = 2⁶² docs — far beyond any corpus —
+# so the >10⁹-doc regime degrades by WIDENING (6×62 = 372 bits = twelve
+# md5 streams) instead of seatbelt-aborting at a fixed width (the r6
+# cap was 30).  62 is the engine-exactness ceiling, not a modeling
+# choice: each band value must stay a positive BIGINT in BOTH engines
+# (DuckDB rejects 1<<63), which caps the per-band shift at bit 61.
+# Streams are derived from the bit count (one md5 per 32 bits, prefix
+# chr(97+s)), so bench-scale corpora still pay for only 2-3 streams and
+# a 10⁹-doc run six; the derivation law is probe-pinned per width
+# (tools/probe_dhash_scale.py --synthetic-derivation).
+SIMHASH_BAND_BITS_MAX = 62
 # Seatbelt cap, per item.  Tuned-uniform load is ≈ B/2 candidates/item,
 # but real corpora carry legitimate duplicate structure: this fixture's
 # template-generated documents measure 133/item at sf0.01 (w=10) and
@@ -584,7 +592,9 @@ hx AS MATERIALIZED (
          list_transform({_D_TOKENS}, x -> md5(concat(chr(CAST(97 + s AS INT)), x))) AS hs,
          len({_D_TOKENS}) AS ntok
   FROM ({_NEARDUP_CORPUS_SQL}),
-       (SELECT unnest(generate_series(0, 5)) AS s) ss, params
+       (SELECT unnest(generate_series(0,
+          {(SIMHASH_N_BANDS * SIMHASH_BAND_BITS_MAX + 31) // 32 - 1})) AS s) ss,
+       params
   WHERE s * 32 < {SIMHASH_N_BANDS} * w
 ),
 sbits AS MATERIALIZED (

@@ -618,7 +618,13 @@ def _bpe_code(k: int) -> str:
 
 
 def _bpe_batch_learn(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_BATCH_ROUNDS,
+    m: int = BPE_BATCH_M,
+    scan: int = BPE_BATCH_SCAN,
+    where: str | None = None,
+    adoption: str = "dominance",
 ) -> tuple[list, list, list]:
     """Run the batch training loop.  Returns ``(merge_rows,
     per-round adopted raw pairs, dense expansion list)`` where
@@ -630,8 +636,36 @@ def _bpe_batch_learn(
     not the R²·m/2 a cumulative expression chain from the raw tokens
     would cost (and the expression depth stays ≤ m, clear of analyzer
     recursion limits at production vocabularies).  Length-1 segments
-    can never pair again and are dropped as they appear."""
+    can never pair again and are dropped as they appear.
+
+    ``rounds``/``m``/``scan`` default to the registry config; the
+    production-depth probe (``tools/probe_bpe_depth.py``) raises them
+    to the 32k-vocab posture (m=256) the design note sizes.  ``where``
+    restricts the TRAINING corpus (a SQL predicate over ``documents``)
+    — the cross-corpus workflow trains on one slice and applies to a
+    disjoint one.
+
+    ``adoption`` picks the per-round disjoint-set rule:
+
+    * ``dominance`` (registry default): a candidate survives iff it
+      shares no symbol with ANY higher-ranked candidate, adopted or
+      not.  Cheapest oracle (one NOT EXISTS self-join), but MEASURED
+      to self-limit at ~sqrt(alphabet) adoptions/round on natural
+      corpora (hot symbols high in the shortlist veto nearly
+      everything below), so the m budget never binds and depth grows
+      ~quadratically in rounds.
+    * ``greedy`` (production density): classic maximal-disjoint
+      matching — a candidate is blocked only by previously ADOPTED
+      pairs, reaching ~alphabet/2 adoptions/round, which compounds
+      ~1.5x per round (each merge adds a symbol) until the m cap
+      binds.  Oracle-expressible WITHOUT the cascading recursive CTE
+      that got greedy rejected in r5: every symbol is ONE char, and
+      adopted pairs are pairwise disjoint, so the concatenation of
+      adopted pairs IS the used-symbol set — one ``list_reduce``
+      over the ranked shortlist (see ``_bpe_batch_ctes``)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    if where:
+        docs = docs.filter(where)
     cur = (
         docs.selectExpr(f"explode_outer({_TOKENS}) AS s")
         .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
@@ -640,7 +674,7 @@ def _bpe_batch_learn(
     expansions: list = []
     rounds_adopted: list = []
     out_rows: list = []
-    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+    for rnd in range(1, rounds + 1):
         pairs = cur.selectExpr(
             "explode_outer(transform(sequence(1, length(s) - 1),"
             " i -> substr(s, i, 2))) AS pair"
@@ -649,16 +683,25 @@ def _bpe_batch_learn(
             pairs.groupBy("pair")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair"))
-            .limit(BPE_BATCH_SCAN)
+            .limit(scan)
             .collect()
         )
-        adopted = [
-            (row["pair"], row["n"])
-            for i, row in enumerate(shortlist)
-            if not any(
-                ch in hi["pair"] for hi in shortlist[:i] for ch in row["pair"]
-            )
-        ][:BPE_BATCH_M]
+        if adoption == "greedy":
+            adopted, used = [], set()
+            for row in shortlist:
+                if len(adopted) >= m:
+                    break
+                if not any(ch in used for ch in row["pair"]):
+                    adopted.append((row["pair"], row["n"]))
+                    used.update(row["pair"])
+        else:
+            adopted = [
+                (row["pair"], row["n"])
+                for i, row in enumerate(shortlist)
+                if not any(
+                    ch in hi["pair"] for hi in shortlist[:i] for ch in row["pair"]
+                )
+            ][:m]
         if not adopted:  # corpus exhausted
             break
         base = len(expansions)
@@ -674,7 +717,7 @@ def _bpe_batch_learn(
             out_rows.append((rnd, j, expansion, n))
             seg = F.replace(seg, F.lit(pair), F.lit(_bpe_code(base + j)))
         rounds_adopted.append([p for p, _ in adopted])
-        if rnd < BPE_BATCH_ROUNDS:
+        if rnd < rounds:
             # the re-segmentation only feeds the NEXT round's counting
             # job — skipping it on the final round saves a full corpus
             # pass whose result nothing reads
@@ -695,7 +738,25 @@ def bpe_train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_merge_artifact(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+def bpe_train_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy-adoption merge table (same schema as
+    ``bpe_train_batch``): per round, a ranked candidate is blocked only
+    by previously ADOPTED pairs — classic maximal-disjoint matching, so
+    the round actually fills toward the m budget (~alphabet/2) where
+    the dominance rule self-limits at ~sqrt(alphabet).  This is the
+    adoption rule the production-depth probe
+    (``tools/probe_bpe_depth.py``) runs at m=256 to reach 4k+ merges in
+    tens of rounds; the registry entry oracle-checks it at the shared
+    R=8 config via the non-cascading list_reduce twin."""
+    rows, _, _ = _bpe_batch_learn(spark, sf_dir, adoption="greedy")
+    return spark.createDataFrame(
+        rows, "round int, slot int, merge_text string, n_occurrences bigint"
+    )
+
+
+def bpe_merge_artifact(
+    spark: SparkSession, sf_dir: str, path: str, **learn_kwargs
+) -> DataFrame:
     """Train and PERSIST the merge table as a parquet artifact — the
     production contract: train once on a reference corpus, then any
     number of ``bpe_apply`` runs (on this or other corpora, other
@@ -708,7 +769,7 @@ def bpe_merge_artifact(spark: SparkSession, sf_dir: str, path: str) -> DataFrame
     code)); replaying the replaces in ``code`` order reproduces the
     trained segmentation exactly, and ``merge_text`` (fully expanded)
     drives the reverse expansion."""
-    rows, rounds_adopted, _ = _bpe_batch_learn(spark, sf_dir)
+    rows, rounds_adopted, _ = _bpe_batch_learn(spark, sf_dir, **learn_kwargs)
     flat_pairs = [p for rnd_pairs in rounds_adopted for p in rnd_pairs]
     data = [
         (rnd, slot, k + 1, flat_pairs[k], merge_text, n)
@@ -728,14 +789,22 @@ def _bpe_apply_report(
     sf_dir: str,
     pair_codes: list,
     expansions: list,
+    where: str | None = None,
 ) -> DataFrame:
     """Distributed apply of a learned merge table as pure JVM replace
     expressions, with the in-plan round-trip proof (re-expanding every
     placeholder must reconstruct the original token).  Replaces run in
     ``_BPE_APPLY_STAGE``-sized checkpointed stages: expression depth
     stays bounded at production vocabularies while total passes remain
-    one per merge."""
+    one per merge.  ``where`` restricts the corpus being tokenized —
+    the cross-corpus workflow applies a trained table to documents the
+    trainer never saw (unseen symbols simply never match a replace,
+    and the round-trip proof is corpus-independent: placeholder codes
+    cannot occur in raw tokens, so expanding them back in reverse code
+    order always reconstructs the original)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    if where:
+        docs = docs.filter(where)
     cur = docs.selectExpr(
         "doc_id", f"explode_outer({_TOKENS}) AS tok"
     ).filter(F.col("tok").isNotNull()).withColumn("seg", F.col("tok"))
@@ -807,7 +876,43 @@ def bpe_apply_from_artifact(
     return _bpe_apply_report(spark, sf_dir, pair_codes, expansions)
 
 
-def _bpe_batch_ctes() -> list[str]:
+BPE_TRAIN_SLICE = "doc_id % 2 = 0"
+BPE_APPLY_SLICE = "doc_id % 2 = 1"
+
+
+def bpe_apply_cross_corpus(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """The REAL tokenizer workflow: train on one corpus slice (even
+    doc_ids), persist the merge artifact, RELOAD it, and apply to a
+    DISJOINT slice (odd doc_ids) the trainer never saw.
+
+    What this proves beyond ``bpe_apply_from_artifact`` (which trains
+    and applies on the SAME corpus): the artifact's surface pairs +
+    expansions are corpus-portable — unseen target symbols simply
+    never match a replace, segment lengths stay well-defined, and the
+    round-trip proof holds on out-of-domain text by construction
+    (placeholder codes cannot occur in raw tokens).  The oracle
+    re-trains on the even slice and re-applies to the odd slice in
+    SQL, so artifact ≡ memory AND train/apply slice separation are
+    both the checked claim."""
+    from .. import fs as _hfs
+
+    path = path or f"{_hfs.artifact_root(spark, 'bpe_xc', sf_dir)}/merges"
+    bpe_merge_artifact(spark, sf_dir, path, where=BPE_TRAIN_SLICE)
+    merges = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["code"]
+    )
+    pair_codes = [(r["pair"], _bpe_code(r["code"])) for r in merges]
+    expansions = [r["merge_text"] for r in merges]
+    return _bpe_apply_report(
+        spark, sf_dir, pair_codes, expansions, where=BPE_APPLY_SLICE
+    )
+
+
+def _bpe_batch_ctes(
+    train_where: str | None = None, adoption: str = "dominance"
+) -> list[str]:
     M, C, R, B = BPE_BATCH_M, BPE_BATCH_SCAN, BPE_BATCH_ROUNDS, BPE_CODE_BASE
 
     def pairs_src(src: str) -> str:
@@ -827,9 +932,10 @@ def _bpe_batch_ctes() -> list[str]:
     # each inlined reference re-runs the whole lower chain — with
     # rounds of bc→ba→bexp→bz→bs stacking, inlining compounds to
     # minutes on a 500-doc corpus (measured) vs sub-second materialized
+    train_filter = f" WHERE {train_where}" if train_where else ""
     ctes = [
         f"btoked AS MATERIALIZED (SELECT unnest({_D_TOKENS}) AS tok"
-        f" FROM documents)",
+        f" FROM documents{train_filter})",
         "bs0 AS MATERIALIZED (SELECT tok AS s FROM btoked WHERE len(tok) >= 2)",
         "bexp0 AS MATERIALIZED (SELECT CAST([] AS VARCHAR[]) AS el)",
     ]
@@ -839,17 +945,39 @@ def _bpe_batch_ctes() -> list[str]:
             f" row_number() OVER (ORDER BY count(*) DESC, pair) AS rk"
             f" FROM ({pairs_src(f'bs{r-1}')}) GROUP BY pair QUALIFY rk <= {C})"
         )
-        ctes.append(
-            f"ba{r} AS MATERIALIZED ("
-            f" SELECT coalesce(list(pair ORDER BY rk), CAST([] AS VARCHAR[]))"
-            f" AS adopted FROM ("
-            f"  SELECT c.pair, c.rk FROM bc{r} c"
-            f"  WHERE NOT EXISTS ("
-            f"   SELECT 1 FROM bc{r} h WHERE h.rk < c.rk"
-            f"    AND (contains(h.pair, substr(c.pair, 1, 1))"
-            f"     OR contains(h.pair, substr(c.pair, 2, 1))))"
-            f"  ORDER BY c.rk LIMIT {M}))"
-        )
+        if adoption == "greedy":
+            # Greedy maximal-disjoint matching as ONE list_reduce — no
+            # recursive CTE (whose joined side re-executes per
+            # iteration in DuckDB, the r5 rejection).  Key invariant:
+            # symbols are single chars and adopted pairs are pairwise
+            # disjoint, so the accumulated concatenation of adopted
+            # pairs doubles as the used-symbol set; a single-char
+            # contains() can never straddle a pair boundary.  len(acc)
+            # < 2M caps the round at the m budget.
+            ctes.append(
+                f"ba{r} AS MATERIALIZED ("
+                f" SELECT list_transform(generate_series(1, len(st) // 2),"
+                f"  i -> substr(st, 2 * i - 1, 2)) AS adopted FROM ("
+                f"  SELECT list_reduce(list_prepend('',"
+                f"   (SELECT coalesce(list(pair ORDER BY rk),"
+                f"    CAST([] AS VARCHAR[])) FROM bc{r})),"
+                f"   (acc, p) -> CASE WHEN len(acc) < {2 * M}"
+                f"    AND NOT contains(acc, substr(p, 1, 1))"
+                f"    AND NOT contains(acc, substr(p, 2, 1))"
+                f"   THEN acc || p ELSE acc END) AS st))"
+            )
+        else:
+            ctes.append(
+                f"ba{r} AS MATERIALIZED ("
+                f" SELECT coalesce(list(pair ORDER BY rk), CAST([] AS VARCHAR[]))"
+                f" AS adopted FROM ("
+                f"  SELECT c.pair, c.rk FROM bc{r} c"
+                f"  WHERE NOT EXISTS ("
+                f"   SELECT 1 FROM bc{r} h WHERE h.rk < c.rk"
+                f"    AND (contains(h.pair, substr(c.pair, 1, 1))"
+                f"     OR contains(h.pair, substr(c.pair, 2, 1))))"
+                f"  ORDER BY c.rk LIMIT {M}))"
+            )
         ctes.append(
             f"bexp{r} AS MATERIALIZED (SELECT el ||"
             f" list_transform((SELECT adopted FROM ba{r}),"
@@ -872,7 +1000,7 @@ def _bpe_batch_ctes() -> list[str]:
     return ctes
 
 
-def _bpe_batch_train_sql() -> str:
+def _bpe_batch_train_sql(adoption: str = "dominance") -> str:
     R = BPE_BATCH_ROUNDS
     selects = [
         f"SELECT CAST({r} AS INT) AS round,"
@@ -887,21 +1015,25 @@ def _bpe_batch_train_sql() -> str:
     ]
     return (
         "WITH "
-        + ",\n".join(_bpe_batch_ctes())
+        + ",\n".join(_bpe_batch_ctes(adoption=adoption))
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
 
 
-def _bpe_apply_sql() -> str:
+def _bpe_apply_sql(
+    train_where: str | None = None, apply_where: str | None = None
+) -> str:
     R, B = BPE_BATCH_ROUNDS, BPE_CODE_BASE
     allz = " || ".join(f"z{r}.z" for r in range(1, R + 1))
     froms = ", ".join(f"bz{r} z{r}" for r in range(1, R + 1))
+    apply_filter = f" WHERE {apply_where}" if apply_where else ""
     return (
         "WITH "
-        + ",\n".join(_bpe_batch_ctes())
+        + ",\n".join(_bpe_batch_ctes(train_where))
         + f""",
-dtok AS (SELECT doc_id, unnest({_D_TOKENS}) AS tok FROM documents),
+dtok AS (SELECT doc_id, unnest({_D_TOKENS}) AS tok
+         FROM documents{apply_filter}),
 bmerged AS (
   SELECT doc_id, tok,
          list_reduce(list_prepend([tok, ''], (SELECT {allz} FROM {froms})),
@@ -1042,8 +1174,13 @@ QUERIES = {
     "mmr_rerank": (mmr_rerank, MMR_SQL),
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
     "bpe_train_batch": (bpe_train_batch, _bpe_batch_train_sql()),
+    "bpe_train_greedy": (bpe_train_greedy, _bpe_batch_train_sql("greedy")),
     "bpe_apply_tokens": (bpe_apply_tokens, _bpe_apply_sql()),
     "bpe_apply_from_artifact": (bpe_apply_from_artifact, _bpe_apply_sql()),
+    "bpe_apply_cross_corpus": (
+        bpe_apply_cross_corpus,
+        _bpe_apply_sql(BPE_TRAIN_SLICE, BPE_APPLY_SLICE),
+    ),
     "rag_index_funnel": (rag_index_funnel, RAG_FUNNEL_SQL),
 }
 
@@ -1081,6 +1218,8 @@ EXPLAIN_FRAMES = {
     "mmr_rerank": _mmr_explain_frame,
     "bpe_train_merges": _bpe_train_explain_frame,
     "bpe_train_batch": _bpe_batch_explain_frame,
+    "bpe_train_greedy": _bpe_batch_explain_frame,
     "bpe_apply_tokens": _bpe_apply_explain_frame,
     "bpe_apply_from_artifact": _bpe_apply_explain_frame,
+    "bpe_apply_cross_corpus": _bpe_apply_explain_frame,
 }

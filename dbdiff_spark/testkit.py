@@ -714,3 +714,53 @@ def write_clustered_embeddings(
         f"{out_dir}/embeddings.parquet"
     )
     return df
+
+
+def write_bpe_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    n_docs: int = 3000,
+    lexicon: int = 6000,
+    seed: int = 11,
+):
+    """Morphologically-rich synthetic corpus for production-depth BPE
+    runs.  The driver ``documents`` fixture has a ~50-word vocabulary —
+    its merge supply exhausts after a few hundred merges, so the
+    32k-vocab posture (``ops/retrieval.py`` design note: m=256,
+    ~125 rounds) is physically undemonstrable on it.  This generator
+    builds a ``lexicon``-word vocabulary of syllable-concatenated
+    pseudo-words (shared sub-word structure = deep merge material, the
+    shape real language has) Zipf-sampled into documents.
+
+    Deterministic in ``seed``; schema mirrors the driver fixture
+    (``doc_id bigint, text string, lang string, source string,
+    n_chars bigint``) so every text/retrieval op runs on it
+    unchanged."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    consonants = list("bcdfghjklmnpqrstvwz")
+    vowels = list("aeiou")
+    syllables = [c + v for c in consonants for v in vowels]  # 95 × 2 chars
+    words = set()
+    while len(words) < lexicon:
+        k = int(rng.integers(3, 7))  # 3-6 syllables → 6-12 chars
+        words.add("".join(rng.choice(syllables) for _ in range(k)))
+    lex = sorted(words)
+    # Zipf-ish weights: heavy head gives high-frequency pairs (realistic
+    # adoption pressure), long tail keeps late rounds supplied
+    weights = 1.0 / np.arange(1, len(lex) + 1) ** 0.9
+    weights /= weights.sum()
+    rows = []
+    for i in range(n_docs):
+        n_words = int(rng.integers(40, 120))
+        text = " ".join(rng.choice(lex, size=n_words, p=weights))
+        rows.append((i, text, "xx", "synthetic-bpe", len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return df

@@ -418,11 +418,17 @@ def test_hamming_band_bits_tracks_corpus_size():
     assert hamming_band_bits(10_000, 8, 16) == 14  # the sf0.1 corpus
     assert hamming_band_bits(100, 8, 16) == 8      # floor binds
     assert hamming_band_bits(10**6, 8, 16) == 16   # cap binds (larger N)
-    # the shipped simhash cap is 30: the law holds unclamped to ~10⁹ docs
+    # the simhash cap is 62 (r7, was 30): the law holds unclamped past
+    # 10⁹ docs — the >2³⁰ regime degrades by WIDENING, not aborting.
+    # 62 is the positive-BIGINT shift ceiling shared by both engines.
     from dbdiff_spark.ops.dedup import SIMHASH_BAND_BITS_MAX
 
-    assert SIMHASH_BAND_BITS_MAX == 30
-    assert hamming_band_bits(10**9, 8, 30) == 30
+    assert SIMHASH_BAND_BITS_MAX == 62
+    assert hamming_band_bits(10**9, 8, 62) == 30      # 10⁹ docs: w=30
+    assert hamming_band_bits(2**30 + 1, 8, 62) == 31  # past the old cap
+    assert hamming_band_bits(10**10, 8, 62) == 34     # 10¹⁰ docs
+    assert hamming_band_bits(10**12, 8, 62) == 40     # 10¹² docs
+    assert hamming_band_bits(2**62 + 1, 8, 62) == 62  # cap binds only here
     assert hamming_band_bits(2**14, 8, 16) == 14   # exact power: 2^w ≥ N
     assert hamming_band_bits(2**14 + 1, 8, 16) == 15
 
@@ -431,6 +437,14 @@ def test_hamming_band_bits_tracks_corpus_size():
             f"SELECT {_band_bits_duck(f'SELECT {n}', 8, 16)}"
         ).fetchone()[0]
         assert got == hamming_band_bits(n, 8, 16), n
+    # w=31+ twin equality — the r6 verdict's derivation coverage ask:
+    # both engines must derive the identical width integer-exactly in
+    # the beyond-10⁹ regime, all the way to the 62-bit ceiling
+    for n in (2**30, 2**30 + 1, 10**10, 10**12, 2**45, 2**61, 2**62 + 1):
+        got = duckdb.sql(
+            f"SELECT {_band_bits_duck(f'SELECT {n}', 8, 62)}"
+        ).fetchone()[0]
+        assert got == hamming_band_bits(n, 8, 62), n
 
 
 def test_band_load_seatbelt_trips_on_degenerate_corpus(spark):

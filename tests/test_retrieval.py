@@ -237,3 +237,96 @@ def test_bpe_artifact_roundtrip_drives_apply(spark, tmp_path):
     }
     assert via_artifact == in_memory
     assert all(r[-1] == 0 for r in via_artifact.values())  # 0 roundtrip failures
+
+
+def test_bpe_cross_corpus_trains_even_applies_odd(spark, tmp_path):
+    """bpe_apply_cross_corpus is the real tokenizer workflow: train on
+    the even-doc_id slice, persist, reload, apply to the DISJOINT odd
+    slice.  The report must cover exactly the odd docs, round-trip with
+    zero failures on text the trainer never saw, and the persisted
+    artifact must contain only even-slice-trained merges."""
+    from dbdiff_spark.ops.retrieval import bpe_apply_cross_corpus
+
+    docs = [
+        # even docs: one vocabulary; odd docs: overlapping + unseen words
+        (0, "stream stream spark spark sql"),
+        (1, "stream spark quorum quorum zzz"),
+        (2, "stream sql sql spark table"),
+        (3, "quorum table unseenword stream"),
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = bpe_apply_cross_corpus(
+        spark, str(tmp_path), path=str(tmp_path / "merges")
+    ).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3]
+    assert all(r.n_roundtrip_failures == 0 for r in out)
+    # some merge trained on the even slice must actually fire on the
+    # odd slice (shared vocabulary), or the test proves nothing
+    assert sum(r.n_merge_applications for r in out) > 0
+
+
+def test_bpe_greedy_adoption_is_denser_than_dominance(spark, sf_dir):
+    """The greedy maximal-disjoint rule blocks only on ADOPTED pairs,
+    so per round it fills toward the m budget where dominance
+    self-limits at ~sqrt(alphabet) (the r7 probe finding).  On the same
+    corpus and config, greedy must adopt strictly more merges — and
+    both tables must stay valid BPE tables (disjointness within each
+    round)."""
+    from dbdiff_spark.ops.retrieval import (
+        BPE_CODE_BASE,
+        bpe_train_batch,
+        bpe_train_greedy,
+    )
+
+    from dbdiff_spark.ops.retrieval import _bpe_batch_learn
+
+    greedy = bpe_train_greedy(spark, sf_dir).collect()
+    dominance = bpe_train_batch(spark, sf_dir).collect()
+    assert len(greedy) > len(dominance) > 0
+    assert BPE_CODE_BASE == 256  # codes clear of corpus symbols
+    # adopted pairs within one greedy round are pairwise symbol-disjoint
+    # — the property that keeps one counting job's counts valid for all
+    # of the round's merges (disjoint replaces commute)
+    _, rounds_adopted, _ = _bpe_batch_learn(spark, sf_dir, adoption="greedy")
+    for rnd_pairs in rounds_adopted:
+        # disjointness is ACROSS pairs — a self-repeated pair like 'gg'
+        # is fine (its replace cannot interact with any other merge)
+        sym_sets = [set(p) for p in rnd_pairs]
+        for i, a in enumerate(sym_sets):
+            for b in sym_sets[i + 1:]:
+                assert not (a & b), f"overlap in round: {rnd_pairs}"
+
+
+def test_bpe_depth_beyond_512_merges_roundtrips(spark, tmp_path):
+    """Depth regression for the r6 mandate: on a morphologically-rich
+    synthetic corpus the greedy learner must push past the previous
+    <=512-merge ceiling, the staged apply must survive the resulting
+    checkpoint-chain depth, and every token must round-trip.  (The full
+    m=256 / 4k-merge configuration runs in tools/probe_bpe_depth.py —
+    this is the CI-scale cut of the same path.)"""
+    from dbdiff_spark import testkit
+    from dbdiff_spark.ops.retrieval import (
+        _bpe_apply_report,
+        _bpe_batch_learn,
+        _bpe_code,
+    )
+
+    testkit.write_bpe_corpus(spark, str(tmp_path), n_docs=300, lexicon=1500)
+    rows, rounds_adopted, expansions = _bpe_batch_learn(
+        spark, str(tmp_path), rounds=14, m=128, scan=1024, adoption="greedy"
+    )
+    assert len(rows) > 512, f"only {len(rows)} merges"
+    pair_codes = [
+        (p, _bpe_code(k + 1))
+        for k, p in enumerate(q for rnd in rounds_adopted for q in rnd)
+    ]
+    agg = _bpe_apply_report(
+        spark, str(tmp_path), pair_codes, expansions
+    ).selectExpr(
+        "sum(n_merge_applications) AS apps",
+        "sum(n_roundtrip_failures) AS fails",
+    ).collect()[0]
+    assert agg["fails"] == 0
+    assert agg["apps"] > 0

@@ -136,6 +136,8 @@ AUDITED = [
     "bpe_train_batch",
     "bpe_apply_tokens",
     "bpe_apply_from_artifact",
+    "bpe_apply_cross_corpus",
+    "bpe_train_greedy",
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",

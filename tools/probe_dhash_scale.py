@@ -73,10 +73,52 @@ def candidate_count(spark, n: int, band_bits: int) -> tuple[int, float]:
     return pairs, time.time() - t0
 
 
+def synthetic_derivation() -> None:
+    """No-Spark derivation table for the beyond-bench regime: what band
+    width w = ⌈log₂N⌉ both engines derive at synthetic corpus sizes —
+    including N > 2³⁰, the regime the r6 width cap (30) would have
+    seatbelt-aborted and the r7 cap (62) degrades by WIDENING.  The
+    expected per-item candidate load stays ≈ B/2 at every N because
+    the derived 2^(w+1) tracks N² — the probe-pinned law the measured
+    rows below validate at bench scale.  DuckDB twin equality is
+    asserted per row, so this table is also a derivation check."""
+    import duckdb
+
+    from dbdiff_spark.ops.dedup import (
+        SIMHASH_BAND_BITS_MAX,
+        SIMHASH_BAND_BITS_MIN,
+        SIMHASH_N_BANDS,
+        _band_bits_duck,
+        hamming_band_bits,
+    )
+
+    print("| N (synthetic) | derived w | fp bits (6w) | md5 streams |"
+          " expected cand/item (B/2·N²/2^w/N) |")
+    print("|---|---|---|---|---|")
+    for n in (10**4, 10**6, 10**9, 2**30 + 1, 10**10, 10**12, 2**62 + 1):
+        w = hamming_band_bits(n, SIMHASH_BAND_BITS_MIN, SIMHASH_BAND_BITS_MAX)
+        duck = duckdb.sql(
+            f"SELECT {_band_bits_duck(f'SELECT {n}', SIMHASH_BAND_BITS_MIN, SIMHASH_BAND_BITS_MAX)}"
+        ).fetchone()[0]
+        assert duck == w, (n, duck, w)
+        cand_per_item = n * SIMHASH_N_BANDS / 2 ** (w + 1)
+        print(
+            f"| {n:.2e} | {w} | {SIMHASH_N_BANDS * w} |"
+            f" {-(-SIMHASH_N_BANDS * w // 32)} | {cand_per_item:.2f} |"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="30000,100000,300000")
+    ap.add_argument(
+        "--synthetic-derivation", action="store_true",
+        help="print the no-Spark synthetic-N derivation table and exit",
+    )
     args = ap.parse_args()
+    if args.synthetic_derivation:
+        synthetic_derivation()
+        return
     scales = [int(s) for s in args.scales.split(",")]
 
     from dbdiff_spark.ops.dedup import (
