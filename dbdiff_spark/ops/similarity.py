@@ -521,6 +521,64 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
     return f"array_min(array({parts}))"
 
 
+# Above this K, centroids stop being inlined as literal expressions.
+# The zero-shuffle literal argmin is the best plan while the generated
+# expression stays analyzer-sized (K×dim double literals ≈ 25 chars
+# each: K=1024 × 16 dims ≈ 0.4 MB — fine; K=32k ≈ 13 MB — not), so the
+# derived-K tier (K ≈ √n) switches to a broadcast-join assignment at
+# scale: centroids ship once per executor as a broadcast FRAME (32k ×
+# 16 dims ≈ 4 MB), distances are computed in the join, and the
+# per-vector argmin is one min(struct) aggregation.  Both paths share
+# the (d2, cell) lexicographic tie-break, so they assign identically —
+# asserted cross-path in tests/test_similarity.py.
+KMEANS_LITERAL_MAX = 1024
+
+
+def _centroid_frame(spark: SparkSession, centroids: dict[int, list[float]]):
+    return spark.createDataFrame(
+        [
+            (int(k), [float(x) for x in c])
+            for k, c in sorted(centroids.items())
+        ],
+        "cell bigint, centroid array<double>",
+    )
+
+
+def _assign_cells(
+    vecs: DataFrame,
+    centroids: dict[int, list[float]],
+    literal_max: int | None = None,
+) -> DataFrame:
+    """``vecs`` + a ``cell`` column = nearest centroid (tie-break
+    smallest cell).  Literal-argmin projection below ``literal_max``
+    centroids (zero shuffle); broadcast-join + min(struct) argmin above
+    it (the K ≈ √n regime where a literal expression would be MBs of
+    SQL text).  Requires a unique ``vec_id`` column for the join path's
+    re-attach."""
+    if literal_max is None:
+        literal_max = KMEANS_LITERAL_MAX  # resolved at call time
+    if len(centroids) <= literal_max:
+        return vecs.withColumn(
+            "cell", F.expr(_argmin_struct(centroids) + ".cell")
+        )
+    cdf = _centroid_frame(vecs.sparkSession, centroids)
+    best = (
+        vecs.select("vec_id", "embedding")
+        .join(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            F.struct(
+                F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
+                F.col("cell"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select("vec_id", F.col("best.cell").alias("cell"))
+    )
+    return vecs.join(best, "vec_id")
+
+
 def _kmeans_centroids(vecs: DataFrame, k: int = KMEANS_K) -> dict[int, list[float]]:
     """The Lloyd loop itself over a ``(vec_id, embedding)`` frame:
     KMEANS_ITERS rounds of zero-shuffle literal-argmin assignment +
@@ -536,10 +594,7 @@ def _kmeans_centroids(vecs: DataFrame, k: int = KMEANS_K) -> dict[int, list[floa
         int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
     }
     for _ in range(KMEANS_ITERS):
-        assigned = vecs.select(
-            "embedding",
-            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
-        )
+        assigned = _assign_cells(vecs, centroids).select("embedding", "cell")
         means = (
             assigned.select(
                 "cell", F.posexplode("embedding").alias("pos", "component")
@@ -751,11 +806,8 @@ def _ann_ivf_trained_with_k(
     vecs = _vectors(spark, sf_dir).persist()
     try:
         centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"), k)
-        assigned = vecs.select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
         )
         out = _ivf_literal_search(
             vecs, assigned, centroids, nprobe, max_broadcast_queries
@@ -774,29 +826,49 @@ def _ivf_literal_search(
     nprobe: int,
     max_broadcast_queries: int,
 ) -> DataFrame:
-    """The serving half of trained IVF: rank the K literal centroids per
-    query (one array_sort expression — no window, no extra shuffle),
+    """The serving half of trained IVF: rank the K centroids per query,
     probe ``nprobe`` cells against the assignment frame, exact-rank the
     cell-restricted candidates.  ``assigned`` may be freshly computed or
-    reloaded from a persisted index — the search is agnostic."""
-    probe_structs = ", ".join(
-        f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
-        f"'cell', CAST({k} AS BIGINT))"
-        for k, c in sorted(centroids.items())
-    )
-    queries = (
-        vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .selectExpr(
+    reloaded from a persisted index — the search is agnostic.
+
+    Probe ranking mirrors the assignment's two regimes: below
+    ``KMEANS_LITERAL_MAX`` centroids, one array_sort expression over K
+    literal structs (no window, no shuffle); above it, a broadcast join
+    against the centroid frame + a per-query row_number — the seed-IVF
+    probe shape, whose window runs over Q×K skinny rows only."""
+    qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    if len(centroids) <= KMEANS_LITERAL_MAX:
+        probe_structs = ", ".join(
+            f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+            f"'cell', CAST({k} AS BIGINT))"
+            for k, c in sorted(centroids.items())
+        )
+        queries = qbase.selectExpr(
             "vec_id AS query_id",
             "embedding AS q_emb",
             "norm AS q_norm",
             f"explode(slice(array_sort(array({probe_structs})), 1, {nprobe}))"
             " AS pr",
-        )
-        .select(
+        ).select(
             "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
         )
-    )
+    else:
+        cdf = _centroid_frame(vecs.sparkSession, centroids)
+        wp = Window.partitionBy("query_id").orderBy("d2", "cell")
+        queries = (
+            qbase.selectExpr(
+                "vec_id AS query_id", "embedding AS q_emb", "norm AS q_norm"
+            )
+            .join(F.broadcast(cdf))
+            .withColumn(
+                "d2", F.expr(_dist2_spark("q_emb", "centroid"))
+            )
+            .withColumn("prn", F.row_number().over(wp))
+            .filter(F.col("prn") <= nprobe)
+            .select(
+                "query_id", "q_emb", "q_norm", F.col("cell").alias("q_cell")
+            )
+        )
     cand = assigned.join(
         _query_side(queries, max_broadcast_queries, "merge"),
         (F.col("cell") == F.col("q_cell"))
@@ -842,18 +914,11 @@ def ann_ivf_index_persist(
     vecs = _vectors(spark, sf_dir).persist()
     try:
         centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"), k)
-        spark.createDataFrame(
-            [
-                (int(k), [float(x) for x in c])
-                for k, c in sorted(centroids.items())
-            ],
-            "cell bigint, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
-        vecs.select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.expr(_argmin_struct(centroids) + ".cell").alias("cell"),
+        _centroid_frame(spark, centroids).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
         ).write.mode("overwrite").partitionBy("cell").parquet(
             f"{root}/assignments"
         )

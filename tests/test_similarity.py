@@ -246,3 +246,48 @@ def test_trained_ivf_k_is_derived_from_corpus_size(spark, sf_dir, tmp_path):
     # more than the old pinned 8
     assert KMEANS_K < written <= k
     assert len(_glob.glob(f"{root}/assignments/cell=*")) > KMEANS_K
+
+
+def test_kmeans_join_assignment_matches_literal_path(spark, sf_dir):
+    """The broadcast-join assignment (the K > KMEANS_LITERAL_MAX regime
+    where a literal argmin expression would be MBs of SQL text) must
+    assign every vector to the IDENTICAL cell as the literal path —
+    same (d2, cell) lexicographic tie-break, different plan.  Also
+    covers the probe side: forcing the join regime through the full
+    trained search must reproduce the literal-path result exactly."""
+    from dbdiff_spark.ops import similarity as sim
+
+    vecs = sim._vectors(spark, sf_dir)
+    seeds = vecs.filter("vec_id < 8").collect()
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+    }
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_cells(vecs, centroids, literal_max=1024)
+        .select("vec_id", "cell").collect()
+    }
+    joined = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_cells(vecs, centroids, literal_max=0)
+        .select("vec_id", "cell").collect()
+    }
+    assert lit == joined and len(lit) > 0
+
+    # full search equality with the join regime forced end to end
+    import pytest
+
+    orig = sim.KMEANS_LITERAL_MAX
+    base = {
+        (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+        for r in sim.ann_ivf_trained(spark, sf_dir).collect()
+    }
+    sim.KMEANS_LITERAL_MAX = 0
+    try:
+        forced = {
+            (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))
+            for r in sim.ann_ivf_trained(spark, sf_dir).collect()
+        }
+    finally:
+        sim.KMEANS_LITERAL_MAX = orig
+    assert forced == base and len(base) > 0
