@@ -399,9 +399,13 @@ def main() -> None:
         # noise on this host (VERDICT r6 #5).  The cheap tail stays
         # one-shot — its absolute noise is bounded by its cost.
         for name in sorted(extended_names, key=lambda n: -times[n])[:10]:
-            t0 = time.time()
-            run_query(qs[name](spark, SF_DIR))
-            dt = round(time.time() - t0, 3)
+            try:
+                t0 = time.time()
+                run_query(qs[name](spark, SF_DIR))
+                dt = round(time.time() - t0, 3)
+            except Exception as exc:  # keep the first-run time; never sink the artifact
+                print(f"# extended rerun {name} FAILED: {exc}", file=sys.stderr)
+                continue
             if dt < times[name]:
                 times[name] = dt
             print(f"# extended rerun {name}: {dt:.3f}s -> {times[name]:.3f}s",

@@ -564,6 +564,31 @@ def _sample_boundaries(
         ).collect()
         if rows and rows[0][0] is not None:
             out.append(str(rows[0][0]))
+    if out != sorted(out):
+        # The walk issues N-1 queries at DIFFERENT times: concurrent
+        # inserts/deletes between probes can hand back non-monotone
+        # boundaries, whose range predicates then OVERLAP (a row
+        # between two swapped boundaries matches both '< b0' and
+        # '>= b_last'), silently DUPLICATING rows in the snapshot —
+        # so any out-of-order sequence degrades to the single scan.
+        # The check is byte-order, so a case-insensitive server
+        # collation can also trip it on a quiet table; that degrade is
+        # conservative-correct, and the docstring already routes CI
+        # collations to hash_mod_predicates.  The windowed path above
+        # is exempt BY CONSTRUCTION: one snapshot-consistent statement,
+        # rn-sorted, in the server's own predicate order — checking it
+        # against Python byte order would wrongly single-scan valid
+        # locale-collated boundaries.
+        import warnings
+
+        warnings.warn(
+            f"{table}.{col}: offset-probe boundaries came back "
+            "non-monotone (concurrent writes during sampling, or a "
+            "case-insensitive collation) — degrading to the "
+            "single-connection scan",
+            stacklevel=2,
+        )
+        return []
     return out
 
 
@@ -609,20 +634,6 @@ def jdbc_table_string_partitioned(
     except Exception:
         # the probe SQL is dialect-dependent; an unsupported dialect
         # degrades to the (slow, correct) single-connection scan
-        return jdbc_table(spark, db, table)
-    if boundaries != sorted(boundaries):
-        # The OFFSET-probe walk issues N-1 queries at different times:
-        # concurrent inserts/deletes between probes can hand back
-        # non-monotone boundaries, and out-of-order boundaries make the
-        # range predicates overlap (a row between two swapped boundaries
-        # matches both '< b0' and '>= b_last'), silently DUPLICATING
-        # rows in the snapshot.  A sort disagreement can also mean the
-        # server collation orders differently than the client (the
-        # case-insensitive case the docstring routes to hash_mod) —
-        # either way the predicates are untrustworthy, so degrade to the
-        # single-connection scan like every other probe failure.  The
-        # windowed single-query path is snapshot-consistent, so this
-        # check costs nothing there.
         return jdbc_table(spark, db, table)
     uniq = [b for i, b in enumerate(boundaries) if i == 0 or b != boundaries[i - 1]]
     if not uniq:

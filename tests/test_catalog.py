@@ -387,26 +387,33 @@ def test_boundary_sampling_degrades_window_failure_to_offset_probes(
     assert len(offset_probes) == 3  # the mysql OFFSET dialect branch
 
 
-def test_non_monotone_boundaries_force_single_scan(monkeypatch, spark):
+def test_non_monotone_offset_probe_boundaries_force_single_scan(
+    monkeypatch, spark
+):
     """The OFFSET-probe walk issues N-1 queries at different times:
     concurrent writes can return out-of-order boundaries, whose range
     predicates then OVERLAP (rows silently duplicate in the snapshot).
-    Any non-monotone boundary sequence must degrade to the
-    single-connection scan (ADVICE r6)."""
+    A non-monotone walk sequence must warn and degrade to the
+    single-connection scan (ADVICE r6).  The windowed path is exempt by
+    construction (one snapshot-consistent rn-sorted statement) — a
+    byte-order check there would wrongly single-scan valid
+    locale-collated boundaries."""
+    import warnings
+
     import dbdiff_spark.catalog as cat
     from dbdiff_spark.config import DbConfig
 
-    class _Count:
+    class _One:
+        def __init__(self, v):
+            self.v = v
+
         def collect(self):
-            from pyspark.sql import Row
+            return [(self.v,)]
 
-            return [Row(c=1000)]
-
-    monkeypatch.setattr(cat, "_read_query", lambda s, d, q: _Count())
-    monkeypatch.setattr(
-        cat, "_sample_boundaries",
-        lambda s, d, t, c, n, p: ["mmm", "aaa", "zzz"],  # swapped by a race
-    )
+    # derby takes the OFFSET walk (no windowed-boundary support);
+    # simulate a race: the rank-2 probe sees newly-inserted low keys
+    walk = iter([_One(1000), _One("mmm"), _One("aaa"), _One("zzz")])
+    monkeypatch.setattr(cat, "_read_query", lambda s, d, q: next(walk))
     monkeypatch.setattr(
         cat, "jdbc_table", lambda s, d, t, **kw: "single-scan"
     )
@@ -414,18 +421,16 @@ def test_non_monotone_boundaries_force_single_scan(monkeypatch, spark):
         cat, "jdbc_table_predicates",
         lambda s, d, t, preds: ("predicates", preds),
     )
-    out = cat.jdbc_table_string_partitioned(
-        spark, DbConfig(type="postgresql"), "t", "uid", 4
-    )
+    db = DbConfig(type="derby")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = cat.jdbc_table_string_partitioned(spark, db, "t", "uid", 4)
     assert out == "single-scan"
+    assert any("non-monotone" in str(w.message) for w in caught)
     # the same boundaries in order partition fine
-    monkeypatch.setattr(
-        cat, "_sample_boundaries",
-        lambda s, d, t, c, n, p: ["aaa", "mmm", "zzz"],
-    )
-    out2 = cat.jdbc_table_string_partitioned(
-        spark, DbConfig(type="postgresql"), "t", "uid", 4
-    )
+    walk2 = iter([_One(1000), _One("aaa"), _One("mmm"), _One("zzz")])
+    monkeypatch.setattr(cat, "_read_query", lambda s, d, q: next(walk2))
+    out2 = cat.jdbc_table_string_partitioned(spark, db, "t", "uid", 4)
     assert out2[0] == "predicates" and len(out2[1]) == 4
 
 

@@ -282,14 +282,18 @@ def test_bpe_greedy_adoption_is_denser_than_dominance(spark, sf_dir):
 
     from dbdiff_spark.ops.retrieval import _bpe_batch_learn
 
-    greedy = bpe_train_greedy(spark, sf_dir).collect()
+    # one greedy training run serves both checks (bpe_train_greedy is a
+    # thin frame wrapper over _bpe_batch_learn)
+    greedy_rows, rounds_adopted, _ = _bpe_batch_learn(
+        spark, sf_dir, adoption="greedy"
+    )
     dominance = bpe_train_batch(spark, sf_dir).collect()
-    assert len(greedy) > len(dominance) > 0
+    assert len(greedy_rows) > len(dominance) > 0
+    assert bpe_train_greedy is not None  # registry export
     assert BPE_CODE_BASE == 256  # codes clear of corpus symbols
     # adopted pairs within one greedy round are pairwise symbol-disjoint
     # — the property that keeps one counting job's counts valid for all
     # of the round's merges (disjoint replaces commute)
-    _, rounds_adopted, _ = _bpe_batch_learn(spark, sf_dir, adoption="greedy")
     for rnd_pairs in rounds_adopted:
         # disjointness is ACROSS pairs — a self-repeated pair like 'gg'
         # is fine (its replace cannot interact with any other merge)
@@ -315,7 +319,7 @@ def test_bpe_depth_beyond_512_merges_roundtrips(spark, tmp_path):
 
     testkit.write_bpe_corpus(spark, str(tmp_path), n_docs=300, lexicon=1500)
     rows, rounds_adopted, expansions = _bpe_batch_learn(
-        spark, str(tmp_path), rounds=14, m=128, scan=1024, adoption="greedy"
+        spark, str(tmp_path), rounds=20, m=128, scan=1024, adoption="greedy"
     )
     assert len(rows) > 512, f"only {len(rows)} merges"
     pair_codes = [

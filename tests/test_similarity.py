@@ -275,8 +275,6 @@ def test_kmeans_join_assignment_matches_literal_path(spark, sf_dir):
     assert lit == joined and len(lit) > 0
 
     # full search equality with the join regime forced end to end
-    import pytest
-
     orig = sim.KMEANS_LITERAL_MAX
     base = {
         (r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9))

@@ -30,7 +30,7 @@ What the probe asserts (not just reports):
   produces the identical report to the in-memory path.
 
 Usage: python tools/probe_bpe_depth.py [--target-merges 4096]
-  [--m 256] [--scan 1024] [--max-rounds 60] [--n-docs 3000]
+  [--m 256] [--scan 2048] [--max-rounds 80] [--n-docs 3000]
 (run with 2>/dev/null — Spark progress bars interleave stdout).
 Writes nothing to the repo; prints per-round progress and a final
 JSON line for ARCHITECTURE.md.
@@ -55,7 +55,7 @@ def main() -> int:
     ap.add_argument("--target-merges", type=int, default=4096)
     ap.add_argument("--m", type=int, default=256)
     ap.add_argument("--scan", type=int, default=2048)
-    ap.add_argument("--max-rounds", type=int, default=60)
+    ap.add_argument("--max-rounds", type=int, default=80)
     ap.add_argument("--n-docs", type=int, default=3000)
     ap.add_argument("--lexicon", type=int, default=6000)
     args = ap.parse_args()
