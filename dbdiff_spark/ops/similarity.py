@@ -658,19 +658,23 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs.unpersist()
 
 
-def _kmeans_layers_sql(k_sql: "int | str" = KMEANS_K) -> str:
+def _kmeans_layers_sql(
+    k_sql: "int | str" = KMEANS_K, src: str = "embeddings"
+) -> str:
     """The shared CTE chain ``c0 … c{KMEANS_ITERS}`` re-deriving every
     intermediate centroid — used by the k-means oracle (pinned K) and
     the trained-IVF oracle (``k_sql`` a scalar subquery re-deriving
     K ≈ ⌈√n⌉ from the oracle's own count, so both engines compute the
-    same fixpoint from the same independently-derived K).  Centroid
+    same fixpoint from the same independently-derived K).  ``src`` is
+    the training relation — the full corpus by default, a
+    dense-renumbered sample CTE for the sample-trained tier.  Centroid
     layers are MATERIALIZED: DuckDB inlines plain CTEs, and the final
     layer is referenced twice downstream (assignment + query probe) —
     inlining would re-run the whole lower chain per reference."""
     layers = [
         f"""c0 AS MATERIALIZED (
   SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
-  FROM embeddings WHERE vec_id < {k_sql}
+  FROM {src} WHERE vec_id < {k_sql}
 )"""
     ]
     for i in range(1, KMEANS_ITERS + 1):
@@ -678,7 +682,7 @@ def _kmeans_layers_sql(k_sql: "int | str" = KMEANS_K) -> str:
             f"""s{i} AS (
   SELECT v.vec_id, v.embedding, c.cell,
          {_dist2_duck('v.embedding', 'c.centroid')} AS d2
-  FROM embeddings v CROSS JOIN c{i - 1} c
+  FROM {src} v CROSS JOIN c{i - 1} c
 ),
 a{i} AS (
   SELECT vec_id, embedding, cell FROM (
@@ -943,8 +947,79 @@ def ann_ivf_index_persist(
     return out.localCheckpoint(eager=True)
 
 
+# Training-sample budget per centroid.  faiss defaults to 39 points
+# per centroid (min_points_per_centroid) and warns below that; the
+# MULTIPLIER here is pinned at 4 so the bench corpora (n=500/2000)
+# actually exercise the subsampling path (mod 3 / mod 10) — the
+# machinery is invariant in the multiplier, and a production config
+# raises it.  The sample still GROWS with the corpus (≈ mult·√n rows:
+# 10⁹ vectors → ~128k training rows), which is the point: Lloyd
+# iterations cost sample·K distance evals instead of n·K, turning the
+# train step from n^1.5 into n (the assignment pass dominates).
+SAMPLE_PER_CENTROID = 4
+
+
+def ann_ivf_sample_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF trained on a bounded DETERMINISTIC subsample — the way
+    production vector engines actually train at 10⁹ vectors: k-means
+    never sees the full corpus (Lloyd over n·K distances per round is
+    an n^1.5 bill at derived K ≈ √n); it sees every mod-th vector
+    (mod = max(1, n // (SAMPLE_PER_CENTROID·K)), dense-renumbered so
+    the seed rule and the shared Lloyd loop apply unchanged), and the
+    FULL corpus is then assigned once with the trained centroids.
+    Search is the shared two-regime trained-IVF path.  The oracle
+    re-derives n, K, and mod from its own count(*) and re-runs the
+    identical sample fixpoint — sample membership is pure integer
+    arithmetic (``vec_id % mod``), so both engines train on exactly
+    the same rows."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
+    mod = max(1, n // (SAMPLE_PER_CENTROID * k))
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        sample = vecs.filter(F.col("vec_id") % mod == 0).selectExpr(
+            f"vec_id div {mod} AS vec_id", "embedding"
+        )
+        centroids = _kmeans_centroids(sample, k)
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        )
+        out = _ivf_literal_search(
+            vecs, assigned, centroids, nprobe, max_broadcast_queries
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_sample_trained_sql(nprobe: int = IVF_NPROBE) -> str:
+    pre = f"""tp AS MATERIALIZED (
+  SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod
+  FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
+),
+tsample AS MATERIALIZED (
+  SELECT vec_id // (SELECT smod FROM tp) AS vec_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT smod FROM tp) = 0
+),
+"""
+    return _ann_ivf_trained_sql(
+        nprobe,
+        k_sql="(SELECT cells FROM tp)",
+        train_src="tsample",
+        pre_ctes=pre,
+    )
+
+
 def _ann_ivf_trained_sql(
-    nprobe: int = IVF_NPROBE, k_sql: "int | str | None" = None
+    nprobe: int = IVF_NPROBE,
+    k_sql: "int | str | None" = None,
+    train_src: str = "embeddings",
+    pre_ctes: str = "",
 ) -> str:
     n = KMEANS_ITERS
     if k_sql is None:
@@ -952,7 +1027,7 @@ def _ann_ivf_trained_sql(
         # _derived_kmeans_k, via the shared _cells_scaled_duck spelling
         k_sql = f"(SELECT {_cells_scaled_duck('embeddings')})"
     return f"""
-WITH {_kmeans_layers_sql(k_sql)},
+WITH {pre_ctes}{_kmeans_layers_sql(k_sql, train_src)},
 vecs AS ({_VECTORS_SQL}),
 tassigned AS (
   SELECT vec_id, embedding, norm, cell FROM (
@@ -1041,6 +1116,7 @@ def _ann_ivf_trained_explain_frame(spark: SparkSession, sf_dir: str) -> DataFram
 
 EXPLAIN_FRAMES = {
     "ann_ivf_trained": _ann_ivf_trained_explain_frame,
+    "ann_ivf_sample_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
 }
 
@@ -1941,6 +2017,10 @@ QUERIES = {
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "ann_ivf_recall_report": (ann_ivf_recall_report, _ann_ivf_recall_sql()),
     "ann_ivf_trained": (ann_ivf_trained, _ann_ivf_trained_sql()),
+    "ann_ivf_sample_trained": (
+        ann_ivf_sample_trained,
+        _ann_ivf_sample_trained_sql(),
+    ),
     "ann_ivf_cells_scaled": (ann_ivf_cells_scaled, _ann_ivf_cells_scaled_sql()),
     "ann_ivf_index_persist": (ann_ivf_index_persist, _ann_ivf_trained_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
