@@ -803,13 +803,22 @@ def _ann_ivf_trained_with_k(
     k: int,
     nprobe: int,
     max_broadcast_queries: int,
+    sample_mod: int = 1,
 ) -> DataFrame:
     """Train-then-search at an explicit K — the shared body behind
-    ``ann_ivf_trained`` (derived K) and the recall report's pinned
+    ``ann_ivf_trained`` (derived K), ``ann_ivf_sample_trained``
+    (``sample_mod`` > 1: Lloyd sees every mod-th vector,
+    dense-renumbered so the seed rule applies unchanged, while the
+    FULL corpus is assigned once), and the recall report's pinned
     ``ivf_trained_c8_p2`` A/B variant."""
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids = _kmeans_centroids(vecs.select("vec_id", "embedding"), k)
+        train = vecs.select("vec_id", "embedding")
+        if sample_mod > 1:
+            train = vecs.filter(
+                F.col("vec_id") % sample_mod == 0
+            ).selectExpr(f"vec_id div {sample_mod} AS vec_id", "embedding")
+        centroids = _kmeans_centroids(train, k)
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "norm", "cell"
         )
@@ -980,21 +989,9 @@ def ann_ivf_sample_trained(
     n = load_table(spark, sf_dir, "embeddings").count()
     k = semdedup_cells(n)
     mod = max(1, n // (SAMPLE_PER_CENTROID * k))
-    vecs = _vectors(spark, sf_dir).persist()
-    try:
-        sample = vecs.filter(F.col("vec_id") % mod == 0).selectExpr(
-            f"vec_id div {mod} AS vec_id", "embedding"
-        )
-        centroids = _kmeans_centroids(sample, k)
-        assigned = _assign_cells(vecs, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        )
-        out = _ivf_literal_search(
-            vecs, assigned, centroids, nprobe, max_broadcast_queries
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        vecs.unpersist()
+    return _ann_ivf_trained_with_k(
+        spark, sf_dir, k, nprobe, max_broadcast_queries, sample_mod=mod
+    )
 
 
 def _ann_ivf_sample_trained_sql(nprobe: int = IVF_NPROBE) -> str:

@@ -276,20 +276,18 @@ def test_bpe_greedy_adoption_is_denser_than_dominance(spark, sf_dir):
     round)."""
     from dbdiff_spark.ops.retrieval import (
         BPE_CODE_BASE,
+        _bpe_batch_learn,
         bpe_train_batch,
-        bpe_train_greedy,
     )
 
-    from dbdiff_spark.ops.retrieval import _bpe_batch_learn
-
-    # one greedy training run serves both checks (bpe_train_greedy is a
-    # thin frame wrapper over _bpe_batch_learn)
+    # one greedy training run serves both checks (the public
+    # bpe_train_greedy wrapper over the same learner is exercised by
+    # the oracle-parity sweep)
     greedy_rows, rounds_adopted, _ = _bpe_batch_learn(
         spark, sf_dir, adoption="greedy"
     )
     dominance = bpe_train_batch(spark, sf_dir).collect()
     assert len(greedy_rows) > len(dominance) > 0
-    assert bpe_train_greedy is not None  # registry export
     assert BPE_CODE_BASE == 256  # codes clear of corpus symbols
     # adopted pairs within one greedy round are pairwise symbol-disjoint
     # — the property that keeps one counting job's counts valid for all
