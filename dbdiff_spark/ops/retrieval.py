@@ -793,21 +793,29 @@ def _bpe_apply_report(
 ) -> DataFrame:
     """Distributed apply of a learned merge table as pure JVM replace
     expressions, with the in-plan round-trip proof (re-expanding every
-    placeholder must reconstruct the original token).  Replaces run in
-    ``_BPE_APPLY_STAGE``-sized checkpointed stages: expression depth
-    stays bounded at production vocabularies while total passes remain
-    one per merge.  ``where`` restricts the corpus being tokenized —
-    the cross-corpus workflow applies a trained table to documents the
-    trainer never saw (unseen symbols simply never match a replace,
-    and the round-trip proof is corpus-independent: placeholder codes
-    cannot occur in raw tokens, so expanding them back in reverse code
-    order always reconstructs the original)."""
+    placeholder must reconstruct the original token).
+
+    The replace chain runs over DISTINCT tokens only: segmentation is a
+    pure function of the token, and real corpora are Zipf — the
+    vocabulary is orders of magnitude smaller than the token stream, so
+    the R·m replace passes (and their ``_BPE_APPLY_STAGE``-sized
+    checkpoints, ~90 at production depth) materialize a vocab-sized
+    frame instead of the full corpus, and the corpus pays ONE join to
+    pick up its per-token results (AQE broadcasts the vocab side when
+    it fits; skewed hot tokens are exactly what AQE skew-join handles).
+    ``where`` restricts the corpus being tokenized — the cross-corpus
+    workflow applies a trained table to documents the trainer never saw
+    (unseen symbols simply never match a replace, and the round-trip
+    proof is corpus-independent: placeholder codes cannot occur in raw
+    tokens, so expanding them back in reverse code order always
+    reconstructs the original)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     if where:
         docs = docs.filter(where)
-    cur = docs.selectExpr(
+    corpus = docs.selectExpr(
         "doc_id", f"explode_outer({_TOKENS}) AS tok"
-    ).filter(F.col("tok").isNotNull()).withColumn("seg", F.col("tok"))
+    ).filter(F.col("tok").isNotNull())
+    cur = corpus.select("tok").distinct().withColumn("seg", F.col("tok"))
     for lo in range(0, len(pair_codes), _BPE_APPLY_STAGE):
         seg = F.col("seg")
         for pair, code_char in pair_codes[lo : lo + _BPE_APPLY_STAGE]:
@@ -825,7 +833,8 @@ def _bpe_apply_report(
         if lo - _BPE_APPLY_STAGE > 0:
             cur = cur.localCheckpoint(eager=True)
     return (
-        cur.groupBy("doc_id")
+        corpus.join(cur, "tok")
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum(F.length("seg")).cast("bigint").alias("n_symbols"),
