@@ -569,21 +569,31 @@ def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # adopts up to m SYMBOL-DISJOINT pairs per round: two pairs sharing
 # no symbol can never overlap in any segment, so the round's counts
 # stay valid for every adopted pair and the m sequential replaces
-# commute — one counting job serves m merges (vocab/m rounds; m=256 →
-# 125 rounds for a 32k vocabulary).  Per round the corpus-scale work
-# is still the single map-side-combinable pair count; only the top
-# BPE_BATCH_SCAN ranked candidates are collected (bounded), and the
-# disjointness filter runs on that driver-side shortlist.
+# commute — one counting job serves m merges.  Per round the
+# corpus-scale work is still the single map-side-combinable pair
+# count; only the top BPE_BATCH_SCAN ranked candidates are collected
+# (bounded), and the disjointness filter runs on that driver-side
+# shortlist.
 #
-# The adoption rule is a DOMINANCE FILTER, not sequential greedy: a
-# candidate survives iff it shares no symbol with ANY higher-ranked
-# candidate (adopted or not); the round adopts the top-m survivors.
-# Survivors are pairwise disjoint (a conflicting pair would have one
-# side ranked higher), and unlike the greedy walk the rule has no
-# sequential dependency, so the oracle is one NOT EXISTS self-join
-# over the 48-row shortlist — a recursive-CTE walk re-executes the
-# joined candidate CTE per iteration in DuckDB (measured 48× per
-# round, compounding to ~48^rounds), which is why greedy was rejected.
+# TWO adoption rules, one invariant (pairwise disjointness):
+#
+# * DOMINANCE (registry default): a candidate survives iff it shares
+#   no symbol with ANY higher-ranked candidate, adopted or not; the
+#   round adopts the top-m survivors.  No sequential dependency, so
+#   the oracle is one NOT EXISTS self-join.  MEASURED LIMIT (r7,
+#   tools/probe_bpe_depth.py): hot symbols near the top of every
+#   shortlist veto almost everything below, so adoptions self-limit
+#   at ~sqrt(alphabet)/round (3-9 on a rich corpus) — the naive
+#   "vocab/m rounds" sizing this note once claimed never happens.
+# * GREEDY (production depth, ``bpe_train_greedy``): classic maximal
+#   matching — blocked only by previously ADOPTED pairs — fills
+#   toward ~alphabet/2 per round and compounds ~1.5x/round (each
+#   merge adds a symbol) until the m budget binds; measured 5745
+#   merges in 80 rounds at m=256.  The r5 objection (a recursive-CTE
+#   walk re-executes its joined CTE per DuckDB iteration, ~48x/round)
+#   no longer applies: symbols are single chars and adopted pairs are
+#   disjoint, so the concatenated adopted pairs ARE the used-symbol
+#   set, and the whole walk is ONE list_reduce over the shortlist.
 #
 # Placeholder codes are GLOBALLY sequential (chr(1), chr(2), ...), so
 # the expansion table is dense, and a pair adopted in round r can only
