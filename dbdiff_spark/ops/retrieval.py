@@ -1216,10 +1216,10 @@ def _bpe_batch_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_apply_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lazy inspectable frame for the apply side: the distributed
-    replace-chain + per-doc aggregation with a FIXED literal merge
-    table (the learned table only changes the literals, never the
-    plan shape)."""
+    """Lazy inspectable frame for the apply side: the DISTINCT-token
+    replace chain + corpus join + per-doc aggregation with a FIXED
+    literal merge table (the learned table only changes the literals
+    and the checkpoint staging, never the plan shape)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toked = docs.selectExpr(
         "doc_id", f"explode_outer({_TOKENS}) AS tok"
@@ -1227,7 +1227,8 @@ def _bpe_apply_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = F.col("tok")
     for code, pair in enumerate(("er", "in", "st"), start=1):
         seg = F.replace(seg, F.lit(pair), F.lit(chr(code)))
-    return toked.select("doc_id", seg.alias("seg")).groupBy("doc_id").agg(
+    vocab = toked.select("tok").distinct().select("tok", seg.alias("seg"))
+    return toked.join(vocab, "tok").groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.sum(F.length("seg")).cast("bigint").alias("n_symbols"),
     )
