@@ -522,15 +522,18 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
 
 
 # Above this K, centroids stop being inlined as literal expressions.
-# The zero-shuffle literal argmin is the best plan while the generated
+# The literal argmin is the natural plan while the generated
 # expression stays analyzer-sized (K×dim double literals ≈ 25 chars
-# each: K=1024 × 16 dims ≈ 0.4 MB — fine; K=32k ≈ 13 MB — not), so the
-# derived-K tier (K ≈ √n) switches to a broadcast-join assignment at
-# scale: centroids ship once per executor as a broadcast FRAME (32k ×
-# 16 dims ≈ 4 MB), distances are computed in the join, and the
-# per-vector argmin is one min(struct) aggregation.  Both paths share
-# the (d2, cell) lexicographic tie-break, so they assign identically —
-# asserted cross-path in tests/test_similarity.py.
+# each: K=1024 × 16 dims ≈ 0.4 MB — fine; K=2048 × 64 dims = 5.6 MB
+# measured — not), so the derived-K tier (K ≈ √n) switches to a
+# DATA-DRIVEN assignment at scale: the centroids travel as one
+# broadcast row holding array<struct<cell, centroid>> (32k × 16 dims
+# ≈ 4 MB), cross-joined in (1-row BroadcastNestedLoopJoin — the corpus
+# never moves) and argmin'd per row with an array_min(transform(...))
+# HOF.  Both paths share the (d2, cell) lexicographic tie-break, so
+# they assign identically — asserted cross-path in
+# tests/test_similarity.py; probe-measured 1.5× faster than the
+# literal form at K=1024-2048 as well (tools/probe_ivf_scale.py).
 KMEANS_LITERAL_MAX = 1024
 
 
@@ -550,33 +553,53 @@ def _assign_cells(
     literal_max: int | None = None,
 ) -> DataFrame:
     """``vecs`` + a ``cell`` column = nearest centroid (tie-break
-    smallest cell).  Literal-argmin projection below ``literal_max``
-    centroids (zero shuffle); broadcast-join + min(struct) argmin above
-    it (the K ≈ √n regime where a literal expression would be MBs of
-    SQL text).  Requires a unique ``vec_id`` column for the join path's
-    re-attach."""
+    smallest cell).  BOTH regimes are zero-shuffle:
+
+    * ``K <= literal_max``: the centroid values are inlined as
+      expression LITERALS (``_argmin_struct``) — the plan carries no
+      extra node at all.
+    * above it (the K ≈ √n regime, where the literal form would be MBs
+      of SQL text — 5.6 MB measured at K=2048×64 dims): the centroids
+      travel as DATA — one broadcast row holding an
+      ``array<struct<cell, centroid>>`` cross-joined in (a 1-row
+      BroadcastNestedLoopJoin, no exchange of ``vecs``), with the
+      argmin computed per row by an ``array_min(transform(...))`` HOF
+      over that array.  Same (d2, cell) lexicographic tie-break, so
+      the two paths assign identically (cross-path-tested).  A
+      broadcast-join + min(struct)-groupBy formulation was measured
+      1.15-1.3× FASTER in local mode (tools/probe_ivf_scale.py) but
+      re-shuffles the full corpus on vec_id — a cost local[32] cannot
+      price and a 100 TB cluster pays in full; the HOF form keeps the
+      corpus in place at any K."""
     if literal_max is None:
         literal_max = KMEANS_LITERAL_MAX  # resolved at call time
     if len(centroids) <= literal_max:
         return vecs.withColumn(
             "cell", F.expr(_argmin_struct(centroids) + ".cell")
         )
-    cdf = _centroid_frame(vecs.sparkSession, centroids)
-    best = (
-        vecs.select("vec_id", "embedding")
-        .join(F.broadcast(cdf))
-        .select(
-            "vec_id",
-            F.struct(
-                F.expr(_dist2_spark("embedding", "centroid")).alias("d2"),
-                F.col("cell"),
-            ).alias("dc"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dc").alias("best"))
-        .select("vec_id", F.col("best.cell").alias("cell"))
+    cdf = vecs.sparkSession.createDataFrame(
+        [
+            (
+                [
+                    (int(k), [float(x) for x in c])
+                    for k, c in sorted(centroids.items())
+                ],
+            )
+        ],
+        "carr array<struct<cell: bigint, centroid: array<double>>>",
     )
-    return vecs.join(best, "vec_id")
+    return (
+        vecs.crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "cell",
+            F.expr(
+                "array_min(transform(carr, c -> struct("
+                + _dist2_spark("embedding", "c.centroid")
+                + " AS d2, c.cell AS cell))).cell"
+            ),
+        )
+        .drop("carr")
+    )
 
 
 def _kmeans_centroids(vecs: DataFrame, k: int = KMEANS_K) -> dict[int, list[float]]:
