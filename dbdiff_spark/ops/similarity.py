@@ -547,6 +547,25 @@ def _centroid_frame(spark: SparkSession, centroids: dict[int, list[float]]):
     )
 
 
+def _centroid_array_row(
+    spark: SparkSession, centroids: dict[int, list[float]]
+):
+    """The trained centroids as ONE row holding the whole
+    ``array<struct<cell, centroid>>`` — the broadcast side of the
+    data-driven (large-K) assignment and probe regimes."""
+    return spark.createDataFrame(
+        [
+            (
+                [
+                    (int(k), [float(x) for x in c])
+                    for k, c in sorted(centroids.items())
+                ],
+            )
+        ],
+        "carr array<struct<cell: bigint, centroid: array<double>>>",
+    )
+
+
 def _assign_cells(
     vecs: DataFrame,
     centroids: dict[int, list[float]],
@@ -577,19 +596,10 @@ def _assign_cells(
         return vecs.withColumn(
             "cell", F.expr(_argmin_struct(centroids) + ".cell")
         )
-    cdf = vecs.sparkSession.createDataFrame(
-        [
-            (
-                [
-                    (int(k), [float(x) for x in c])
-                    for k, c in sorted(centroids.items())
-                ],
-            )
-        ],
-        "carr array<struct<cell: bigint, centroid: array<double>>>",
-    )
     return (
-        vecs.crossJoin(F.broadcast(cdf))
+        vecs.crossJoin(
+            F.broadcast(_centroid_array_row(vecs.sparkSession, centroids))
+        )
         .withColumn(
             "cell",
             F.expr(
@@ -867,11 +877,13 @@ def _ivf_literal_search(
     cell-restricted candidates.  ``assigned`` may be freshly computed or
     reloaded from a persisted index — the search is agnostic.
 
-    Probe ranking mirrors the assignment's two regimes: below
-    ``KMEANS_LITERAL_MAX`` centroids, one array_sort expression over K
-    literal structs (no window, no shuffle); above it, a broadcast join
-    against the centroid frame + a per-query row_number — the seed-IVF
-    probe shape, whose window runs over Q×K skinny rows only."""
+    Probe ranking mirrors the assignment's two regimes — BOTH
+    zero-shuffle, one shared shape: a per-query
+    ``explode(slice(array_sort(<struct array>), 1, nprobe))`` where
+    the struct array is K inlined literals below ``KMEANS_LITERAL_MAX``
+    and the broadcast ``carr`` data row (1-row
+    BroadcastNestedLoopJoin) above it.  No window, no per-query
+    shuffle in either regime."""
     qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
     if len(centroids) <= KMEANS_LITERAL_MAX:
         probe_structs = ", ".join(
@@ -879,32 +891,24 @@ def _ivf_literal_search(
             f"'cell', CAST({k} AS BIGINT))"
             for k, c in sorted(centroids.items())
         )
-        queries = qbase.selectExpr(
-            "vec_id AS query_id",
-            "embedding AS q_emb",
-            "norm AS q_norm",
-            f"explode(slice(array_sort(array({probe_structs})), 1, {nprobe}))"
-            " AS pr",
-        ).select(
-            "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
-        )
+        arr = f"array({probe_structs})"
     else:
-        cdf = _centroid_frame(vecs.sparkSession, centroids)
-        wp = Window.partitionBy("query_id").orderBy("d2", "cell")
-        queries = (
-            qbase.selectExpr(
-                "vec_id AS query_id", "embedding AS q_emb", "norm AS q_norm"
-            )
-            .join(F.broadcast(cdf))
-            .withColumn(
-                "d2", F.expr(_dist2_spark("q_emb", "centroid"))
-            )
-            .withColumn("prn", F.row_number().over(wp))
-            .filter(F.col("prn") <= nprobe)
-            .select(
-                "query_id", "q_emb", "q_norm", F.col("cell").alias("q_cell")
-            )
+        qbase = qbase.crossJoin(F.broadcast(_centroid_array_row(
+            vecs.sparkSession, centroids
+        )))
+        arr = (
+            "transform(carr, c -> struct("
+            + _dist2_spark("embedding", "c.centroid")
+            + " AS d2, c.cell AS cell))"
         )
+    queries = qbase.selectExpr(
+        "vec_id AS query_id",
+        "embedding AS q_emb",
+        "norm AS q_norm",
+        f"explode(slice(array_sort({arr}), 1, {nprobe})) AS pr",
+    ).select(
+        "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
+    )
     cand = assigned.join(
         _query_side(queries, max_broadcast_queries, "merge"),
         (F.col("cell") == F.col("q_cell"))
