@@ -508,17 +508,38 @@ def _centroid_literal(comps: list[float]) -> str:
     )
 
 
-def _argmin_struct(centroids: dict[int, list[float]]) -> str:
-    """``array_min`` over ``struct(d2, cell)`` literals: lexicographic
-    struct ordering gives nearest-centroid with smallest-cell tie-break
-    — the same total order as ``ORDER BY d2, cell`` — as ONE projection
-    expression, no join, no window, no shuffle."""
-    parts = ", ".join(
-        f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
-        f"'cell', CAST({k} AS BIGINT))"
-        for k, c in sorted(centroids.items())
+def _centroid_struct_array(
+    centroids: dict[int, list[float]], literal: bool
+) -> str:
+    """THE tie-break contract, spelled once: an ``array<struct<d2,
+    cell>>`` expression whose lexicographic struct ordering gives
+    nearest-centroid with smallest-cell tie-break — the same total
+    order as ``ORDER BY d2, cell`` in the oracles.  ``literal=True``
+    inlines the centroid values as expression literals (the small-K
+    regime); ``literal=False`` reads them from the broadcast ``carr``
+    data column (``_centroid_array_row``).  Every assignment/probe
+    regime consumes this one builder (via ``array_min`` for
+    assignment, ``array_sort`` for probe ranking), so the cross-path
+    identity the tests assert cannot drift between copies."""
+    if literal:
+        parts = ", ".join(
+            f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
+            f"'cell', CAST({k} AS BIGINT))"
+            for k, c in sorted(centroids.items())
+        )
+        return f"array({parts})"
+    return (
+        "transform(carr, c -> struct("
+        + _dist2_spark("embedding", "c.centroid")
+        + " AS d2, c.cell AS cell))"
     )
-    return f"array_min(array({parts}))"
+
+
+def _argmin_struct(centroids: dict[int, list[float]]) -> str:
+    """``array_min`` over the literal struct array: nearest-centroid
+    with smallest-cell tie-break as ONE projection expression — no
+    join, no window, no shuffle."""
+    return f"array_min({_centroid_struct_array(centroids, literal=True)})"
 
 
 # Above this K, centroids stop being inlined as literal expressions.
@@ -583,13 +604,14 @@ def _assign_cells(
       ``array<struct<cell, centroid>>`` cross-joined in (a 1-row
       BroadcastNestedLoopJoin, no exchange of ``vecs``), with the
       argmin computed per row by an ``array_min(transform(...))`` HOF
-      over that array.  Same (d2, cell) lexicographic tie-break, so
-      the two paths assign identically (cross-path-tested).  A
-      broadcast-join + min(struct)-groupBy formulation was measured
-      1.15-1.3× FASTER in local mode (tools/probe_ivf_scale.py) but
-      re-shuffles the full corpus on vec_id — a cost local[32] cannot
-      price and a 100 TB cluster pays in full; the HOF form keeps the
-      corpus in place at any K."""
+      over that array.  Same (d2, cell) lexicographic tie-break (one
+      shared builder, ``_centroid_struct_array``), so the two paths
+      assign identically (cross-path-tested).  An earlier
+      broadcast-join + min(struct)-groupBy formulation measured
+      comparably fast in local mode but re-shuffles the full corpus on
+      vec_id — a cost local[32] cannot price and a 100 TB cluster pays
+      in full; the HOF form keeps the corpus in place at any K
+      (regime timings: tools/probe_ivf_scale.py)."""
     if literal_max is None:
         literal_max = KMEANS_LITERAL_MAX  # resolved at call time
     if len(centroids) <= literal_max:
@@ -603,9 +625,9 @@ def _assign_cells(
         .withColumn(
             "cell",
             F.expr(
-                "array_min(transform(carr, c -> struct("
-                + _dist2_spark("embedding", "c.centroid")
-                + " AS d2, c.cell AS cell))).cell"
+                "array_min("
+                + _centroid_struct_array(centroids, literal=False)
+                + ").cell"
             ),
         )
         .drop("carr")
@@ -885,22 +907,12 @@ def _ivf_literal_search(
     BroadcastNestedLoopJoin) above it.  No window, no per-query
     shuffle in either regime."""
     qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    if len(centroids) <= KMEANS_LITERAL_MAX:
-        probe_structs = ", ".join(
-            f"named_struct('d2', {_dist2_spark('embedding', _centroid_literal(c))}, "
-            f"'cell', CAST({k} AS BIGINT))"
-            for k, c in sorted(centroids.items())
-        )
-        arr = f"array({probe_structs})"
-    else:
+    literal = len(centroids) <= KMEANS_LITERAL_MAX
+    if not literal:
         qbase = qbase.crossJoin(F.broadcast(_centroid_array_row(
             vecs.sparkSession, centroids
         )))
-        arr = (
-            "transform(carr, c -> struct("
-            + _dist2_spark("embedding", "c.centroid")
-            + " AS d2, c.cell AS cell))"
-        )
+    arr = _centroid_struct_array(centroids, literal=literal)
     queries = qbase.selectExpr(
         "vec_id AS query_id",
         "embedding AS q_emb",

@@ -67,7 +67,7 @@ def main() -> int:
         }
         expr_bytes = len(sim._argmin_struct(centroids))
 
-        def run(literal_max: int) -> tuple[float, int]:
+        def run(literal_max: int) -> "tuple[float, tuple[int, int]]":
             t0 = time.time()
             df = sim._assign_cells(vecs, centroids, literal_max=literal_max)
             h = df.selectExpr(
@@ -78,11 +78,13 @@ def main() -> int:
         lit_s, lit_h = run(literal_max=1 << 30)
         join_s, join_h = run(literal_max=0)
         same = lit_h == join_h
-        assert same, f"paths diverged at K={k}"
+        # print BEFORE asserting: a divergence must still emit the
+        # row's timings/expr-size diagnostics
         print(
             f"| {k} | {expr_bytes} | {lit_s:.2f} | {join_s:.2f} |"
             f" {'yes' if same else 'NO'} |"
         )
+        assert same, f"paths diverged at K={k}"
     print(f"(n={n}, dim={args.dim}, local[*])")
     return 0
 
