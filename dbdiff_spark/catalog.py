@@ -213,7 +213,7 @@ class FileCatalog:
         bare lake DIRECTORY of part files (``t/part-*.parquet``,
         possibly hive-partitioned).  Hidden/metadata entries (``_``/
         ``.`` prefixes) never surface; parquet wins name collisions."""
-        from dbdiff_spark.io import infer_format
+        from dbdiff_spark.io import infer_format, table_stem
 
         found: dict[str, tuple[Path, str]] = {}
         entries = (
@@ -239,11 +239,11 @@ class FileCatalog:
                 if inner is None:
                     continue  # no data files below: not a table
                 fmt = ext_fmt or inner
-                name = p.stem if ext_fmt else p.name
+                name = table_stem(p.name) if ext_fmt else p.name
             else:
                 if ext_fmt is None:
                     continue
-                fmt, name = ext_fmt, p.stem
+                fmt, name = ext_fmt, table_stem(p.name)
             if name not in found or (
                 fmt == "parquet" and found[name][1] != "parquet"
             ):

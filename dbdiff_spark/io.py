@@ -107,8 +107,29 @@ _EXT_FORMAT = {
 _OPTIONAL_FORMATS = {"delta": "delta-spark", "iceberg": "iceberg-spark-runtime", "avro": "spark-avro"}
 
 
+# Transparent-compression suffixes Spark's text-based sources decode by
+# extension (HadoopCodecStreams): a lake file named data.csv.gz is a
+# gzip'd CSV, not a ".gz"-format table — strip before format lookup.
+_COMPRESSION_EXTS = {
+    ".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate", ".xz",
+}
+
+
 def infer_format(path: str) -> str | None:
-    return _EXT_FORMAT.get(Path(path).suffix.lower())
+    p = Path(path)
+    if p.suffix.lower() in _COMPRESSION_EXTS:
+        p = p.with_suffix("")
+    return _EXT_FORMAT.get(p.suffix.lower())
+
+
+def table_stem(path: str) -> str:
+    """Table name for a data file: the filename with the format
+    extension AND any transparent-compression extension stripped —
+    ``people.csv.gz`` is table ``people``, not ``people.csv``."""
+    p = Path(path)
+    if p.suffix.lower() in _COMPRESSION_EXTS:
+        p = p.with_suffix("")
+    return p.stem
 
 
 def read_source(

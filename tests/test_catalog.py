@@ -455,3 +455,49 @@ def test_jdbc_table_predicates_sets_fetchsize(monkeypatch, spark):
     )
     assert out == "df"
     assert seen["properties"]["fetchsize"] == "10000"
+
+
+def test_read_source_infers_format_through_compression_suffix(spark, tmp_path):
+    """Lake files routinely arrive as data.csv.gz / events.jsonl.gz —
+    Spark's text sources decompress them transparently by extension,
+    but format inference must look THROUGH the compression suffix: a
+    bare suffix lookup saw '.gz', fell back to parquet, and the read
+    exploded (r7 gap).  Exercised with REAL gzip bytes, not mocks."""
+    import gzip
+
+    from dbdiff_spark.io import infer_format, read_source
+
+    csv_gz = tmp_path / "people.csv.gz"
+    with gzip.open(csv_gz, "wt") as f:
+        f.write("id,name\n1,ada\n2,grace\n")
+    jsonl_gz = tmp_path / "events.jsonl.gz"
+    with gzip.open(jsonl_gz, "wt") as f:
+        f.write('{"id": 1, "kind": "x"}\n{"id": 2, "kind": "y"}\n')
+
+    assert infer_format(str(csv_gz)) == "csv"
+    assert infer_format(str(jsonl_gz)) == "json"
+    assert infer_format("a/b/t.parquet") == "parquet"
+    assert infer_format("a/b/t.unknownext") is None
+
+    got = read_source(spark, str(csv_gz))
+    assert sorted(r["name"] for r in got.collect()) == ["ada", "grace"]
+    ev = read_source(spark, str(jsonl_gz))
+    assert ev.count() == 2 and set(ev.columns) == {"id", "kind"}
+
+
+def test_file_catalog_lists_compressed_tables_by_bare_stem(spark, tmp_path):
+    """A gzip'd CSV in the catalog directory is table 'people', not
+    'people.csv' — both the format and the compression extension strip
+    from the table name, and the load round-trips the real bytes."""
+    import gzip
+
+    from dbdiff_spark.catalog import FileCatalog
+
+    with gzip.open(tmp_path / "people.csv.gz", "wt") as f:
+        f.write("id,name\n1,ada\n2,grace\n")
+    cat = FileCatalog(spark, str(tmp_path), {"people": ["id"]})
+    assert cat.list_tables() == ["people"]
+    assert sorted(r["name"] for r in cat.load("people").collect()) == [
+        "ada", "grace",
+    ]
+    assert cat.primary_keys(["people"]) == {"people": ["id"]}
