@@ -244,6 +244,21 @@ class FileCatalog:
                 if ext_fmt is None:
                     continue
                 fmt, name = ext_fmt, table_stem(p.name)
+            if name in found and fmt == found[name][1]:
+                # same name, same format — e.g. people.csv next to
+                # people.csv.gz mid-recompression.  The parquet-wins
+                # rule cannot break this tie; keep the first in sorted
+                # order (the uncompressed file) and say so, because
+                # silently diffing the shadowed copy would be wrong.
+                import warnings
+
+                warnings.warn(
+                    f"table {name!r}: {p.name} shadowed by "
+                    f"{found[name][0].name} (same format); rename or "
+                    "remove one of the files",
+                    stacklevel=2,
+                )
+                continue
             if name not in found or (
                 fmt == "parquet" and found[name][1] != "parquet"
             ):

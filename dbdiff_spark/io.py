@@ -107,18 +107,37 @@ _EXT_FORMAT = {
 _OPTIONAL_FORMATS = {"delta": "delta-spark", "iceberg": "iceberg-spark-runtime", "avro": "spark-avro"}
 
 
-# Transparent-compression suffixes Spark's text-based sources decode by
-# extension (HadoopCodecStreams): a lake file named data.csv.gz is a
-# gzip'd CSV, not a ".gz"-format table — strip before format lookup.
-_COMPRESSION_EXTS = {
-    ".gz", ".bz2", ".zst", ".lz4", ".snappy", ".deflate", ".xz",
-}
+# Transparent-compression suffixes Spark's TEXT sources (csv/json)
+# decode by extension via Hadoop's codec factory: a lake file named
+# data.csv.gz is a gzip'd CSV, not a ".gz"-format table.  Only codecs a
+# vanilla (pip) PySpark can actually decode are listed — gzip/bzip2/
+# deflate are pure-JVM, and snappy/lz4 went pure-Java in Hadoop 3.3
+# (HADOOP-17125/17292).  Deliberately ABSENT: ``.zst`` (ZStandardCodec
+# needs native libhadoop+libzstd — listing it would surface tables that
+# fail or, worse, read as raw bytes) and ``.xz`` (no Hadoop codec at
+# all: the file would be parsed as uncompressed text, yielding silent
+# garbage rows).
+_TEXT_COMPRESSION_EXTS = {".gz", ".bz2", ".deflate", ".snappy", ".lz4"}
+# formats whose readers route through the text-source codec machinery;
+# binary formats (parquet/orc) carry compression INSIDE the file — a
+# whole-file-gzipped parquet is NOT transparently readable, so its
+# suffix must not be stripped (backup.parquet.gz stays a non-table).
+_TEXT_FORMATS = {"csv", "json"}
+
+
+def _strip_compression(p: Path) -> Path:
+    """``p`` without its transparent-compression suffix — but only when
+    the inner extension names a TEXT format (see the notes above)."""
+    if (
+        p.suffix.lower() in _TEXT_COMPRESSION_EXTS
+        and _EXT_FORMAT.get(p.with_suffix("").suffix.lower()) in _TEXT_FORMATS
+    ):
+        return p.with_suffix("")
+    return p
 
 
 def infer_format(path: str) -> str | None:
-    p = Path(path)
-    if p.suffix.lower() in _COMPRESSION_EXTS:
-        p = p.with_suffix("")
+    p = _strip_compression(Path(path))
     return _EXT_FORMAT.get(p.suffix.lower())
 
 
@@ -126,10 +145,7 @@ def table_stem(path: str) -> str:
     """Table name for a data file: the filename with the format
     extension AND any transparent-compression extension stripped —
     ``people.csv.gz`` is table ``people``, not ``people.csv``."""
-    p = Path(path)
-    if p.suffix.lower() in _COMPRESSION_EXTS:
-        p = p.with_suffix("")
-    return p.stem
+    return _strip_compression(Path(path)).stem
 
 
 def read_source(

@@ -501,3 +501,55 @@ def test_file_catalog_lists_compressed_tables_by_bare_stem(spark, tmp_path):
         "ada", "grace",
     ]
     assert cat.primary_keys(["people"]) == {"people": ["id"]}
+
+
+def test_compression_strip_is_text_only_and_codec_gated(spark, tmp_path):
+    """Binary formats carry compression INSIDE the file — a whole-file
+    gzip of a parquet (backup.parquet.gz) is NOT transparently readable
+    and must stay a non-table; .xz has no Hadoop codec at all (it would
+    parse as garbage text) and .zst needs native libhadoop, so neither
+    surfaces as a table.  bzip2 — the other pure-JVM codec — round
+    trips like gzip."""
+    import bz2
+    import gzip
+
+    from dbdiff_spark.catalog import FileCatalog
+    from dbdiff_spark.io import infer_format, table_stem
+
+    assert infer_format("backup.parquet.gz") is None
+    assert infer_format("t.orc.gz") is None
+    assert infer_format("people.csv.xz") is None
+    assert infer_format("people.csv.zst") is None
+    assert infer_format("people.csv.bz2") == "csv"
+    assert table_stem("backup.parquet.gz") == "backup.parquet"
+
+    with bz2.open(tmp_path / "b.csv.bz2", "wt") as f:
+        f.write("id,v\n1,aa\n")
+    # a gzipped parquet next to it must not become a table
+    with gzip.open(tmp_path / "backup.parquet.gz", "wb") as f:
+        f.write(b"PAR1 not really a parquet stream")
+    cat = FileCatalog(spark, str(tmp_path), {})
+    assert cat.list_tables() == ["b"]
+    assert cat.load("b").count() == 1
+
+
+def test_file_catalog_warns_on_same_format_shadowing(spark, tmp_path):
+    """people.csv next to people.csv.gz (mid-recompression lake state):
+    the catalog keeps the uncompressed file and WARNS about the
+    shadowed copy — silently diffing the wrong snapshot is the failure
+    mode this guards."""
+    import gzip
+    import warnings
+
+    from dbdiff_spark.catalog import FileCatalog
+
+    (tmp_path / "people.csv").write_text("id,name\n1,ada\n")
+    with gzip.open(tmp_path / "people.csv.gz", "wt") as f:
+        f.write("id,name\n1,ada\n2,grace\n")
+    cat = FileCatalog(spark, str(tmp_path), {})
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tables = cat.list_tables()
+    assert tables == ["people"]
+    assert any("shadowed" in str(w.message) for w in caught)
+    assert cat.load("people").count() == 1  # the uncompressed copy wins
