@@ -65,7 +65,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_recall_report",
     "ann_ivf_trained",
-    "ann_ivf_sample_trained",
+    "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_cells_scaled",
     "kmeans_lloyd",
@@ -304,6 +304,14 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     inflation_segments: dict[str, float | None] = {}
+    # one UNTIMED sf0.1 pass of the controls first: the start segment
+    # otherwise measures cold sf0.1 state (only sf0.001 warmup has run)
+    # while mid/end run on a warm suite, conflating cache warmth with
+    # ambient load (ADVICE r7) — warm all three, then sample
+    if sf == "0.1":
+        for _name in CONTROL_REF:
+            if _name in qs:
+                run_query(qs[_name](spark, SF_DIR))
     inflation_segments["start"] = measure_controls(spark, qs, sf)
     print(f"# host_inflation[start]: {inflation_segments['start']}", file=sys.stderr)
     times: dict[str, float] = {}

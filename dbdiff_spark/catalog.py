@@ -259,6 +259,27 @@ class FileCatalog:
                     stacklevel=2,
                 )
                 continue
+            if (
+                name in found
+                and fmt != found[name][1]
+                and "parquet" not in (fmt, found[name][1])
+            ):
+                # same name, different NON-parquet formats — e.g.
+                # people.csv next to people.json.  The parquet-wins rule
+                # does not adjudicate this pair either (ADVICE r7): the
+                # sorted-first file wins by arrival order, which is just
+                # as silent a wrong-snapshot hazard as the same-format
+                # tie — say so.
+                import warnings
+
+                warnings.warn(
+                    f"table {name!r}: {p.name} ({fmt}) shadowed by "
+                    f"{found[name][0].name} ({found[name][1]}) — "
+                    "cross-format collision the parquet-wins rule does "
+                    "not adjudicate; rename or remove one of the files",
+                    stacklevel=2,
+                )
+                continue
             if name not in found or (
                 fmt == "parquet" and found[name][1] != "parquet"
             ):
@@ -482,9 +503,11 @@ def jdbc_table_predicates(
     exhaustive or rows duplicate/vanish.
 
     ``fetchsize`` mirrors :func:`jdbc_read_options`: without it pgjdbc
-    (default 0) and MySQL Connector/J buffer the entire per-partition
-    result set in executor memory — exactly the large tables this path
-    exists to parallelize."""
+    (default 0) buffers the entire per-partition result set in executor
+    memory — exactly the large tables this path exists to parallelize.
+    MySQL Connector/J ignores a positive fetchsize on its own; it
+    streams only with the ``useCursorFetch=true`` connection property,
+    which ``DbConfig.jdbc_properties`` sets for mysql (ADVICE r7)."""
     return spark.read.jdbc(
         url=db.jdbc_url(),
         table=f"{db.schema}{quote_ident(db.type, table)}",

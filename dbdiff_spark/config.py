@@ -67,6 +67,14 @@ class DbConfig:
         props = {"user": self.user, "password": self.password}
         if driver:
             props["driver"] = driver
+        if self.type == "mysql":
+            # Connector/J IGNORES a positive setFetchSize unless
+            # useCursorFetch=true (server-side cursors; the only other
+            # streaming mode is the magic fetchsize=Integer.MIN_VALUE
+            # row-streaming hack) — without it every partition buffers
+            # its whole result set in executor memory regardless of the
+            # fetchsize option the readers pass (ADVICE r7)
+            props["useCursorFetch"] = "true"
         return props
 
 

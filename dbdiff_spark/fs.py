@@ -107,9 +107,15 @@ def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
       sf_dirs never clobber each other's artifacts in one process.
 
     Production deployments pass an explicit durable ``path`` — this
-    default exists for self-contained runs, and accumulated per-pid
-    directories live under the warehouse where they are easy to find
-    and vacuum."""
+    default exists for self-contained runs.  Because every new process
+    salts a fresh ``u<uid>_p<pid>`` tree, creation also best-effort
+    VACUUMS stale sibling trees left by this user's dead processes
+    (ADVICE r7: nothing else ever reclaimed them, so repeated
+    bench/demo runs accumulated parquet under the warehouse
+    indefinitely).  The liveness probe (``os.kill(pid, 0)``) is only
+    meaningful for pids on THIS host — which is exactly the population
+    that writes these default roots; other uids' trees are left
+    alone."""
     import hashlib
     import os
 
@@ -117,5 +123,42 @@ def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).rstrip("/")
     uid = os.getuid() if hasattr(os, "getuid") else 0
+    _vacuum_dead_artifact_roots(spark, f"{base}/_dbdiff_artifacts", uid)
     key = hashlib.md5(corpus_key.encode()).hexdigest()[:12]
     return f"{base}/_dbdiff_artifacts/u{uid}_p{os.getpid()}/{kind}_{key}"
+
+
+def _vacuum_dead_artifact_roots(
+    spark: SparkSession, artifacts_root: str, uid: int
+) -> list[str]:
+    """Delete ``u<uid>_p<pid>`` sibling trees whose pid no longer runs
+    on this host (same uid only — other users' pids can't be probed
+    reliably, and their trees aren't ours to reap).  Best-effort by
+    contract: any filesystem or probe error leaves the tree in place.
+    Returns the deleted child names (for the test)."""
+    import os
+
+    reaped: list[str] = []
+    me = os.getpid()
+    try:
+        for name in list_dirs(spark, artifacts_root):
+            if not name.startswith(f"u{uid}_p"):
+                continue
+            try:
+                pid = int(name.rsplit("_p", 1)[1])
+            except ValueError:
+                continue
+            if pid == me:
+                continue
+            try:
+                os.kill(pid, 0)  # raises if no such pid
+                continue  # alive: leave it
+            except ProcessLookupError:
+                pass  # dead: reap below
+            except Exception:
+                continue  # permission/odd state: do not touch
+            if delete(spark, f"{artifacts_root}/{name}"):
+                reaped.append(name)
+    except Exception:
+        pass  # vacuum must never sink the artifact write itself
+    return reaped

@@ -553,3 +553,39 @@ def test_file_catalog_warns_on_same_format_shadowing(spark, tmp_path):
     assert tables == ["people"]
     assert any("shadowed" in str(w.message) for w in caught)
     assert cat.load("people").count() == 1  # the uncompressed copy wins
+
+
+def test_file_catalog_warns_on_cross_format_shadowing(spark, tmp_path):
+    """people.csv next to people.json (ADVICE r7): neither is parquet,
+    so the parquet-wins rule does not adjudicate — the sorted-first file
+    wins and the catalog must WARN, same hazard as the same-format tie.
+    A parquet-vs-other collision stays silent: that one the documented
+    rule DOES adjudicate."""
+    import warnings
+
+    from dbdiff_spark.catalog import FileCatalog
+
+    (tmp_path / "people.csv").write_text("id,name\n1,ada\n")
+    (tmp_path / "people.json").write_text('{"id": 1, "name": "ada"}\n{"id": 2, "name": "grace"}\n')
+    cat = FileCatalog(spark, str(tmp_path), {})
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        tables = cat.list_tables()
+    assert tables == ["people"]
+    assert any(
+        "cross-format" in str(w.message) and "people.json" in str(w.message)
+        for w in caught
+    )
+    assert cat.load("people").count() == 1  # sorted-first (csv) wins
+
+    # parquet-wins collisions are adjudicated — no warning
+    spark.createDataFrame([(1, "ada"), (2, "grace")], "id int, name string").write.parquet(
+        str(tmp_path / "staff.parquet")
+    )
+    (tmp_path / "staff.csv").write_text("id,name\n1,ada\n")
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        cat2 = FileCatalog(spark, str(tmp_path), {})
+        cat2.list_tables()
+    assert not any("staff" in str(w.message) for w in caught2)
+    assert cat2.load("staff").count() == 2  # parquet wins

@@ -244,3 +244,38 @@ def test_artifact_root_is_scheme_qualified_and_process_private(spark):
     # underscore prefix keeps the artifact tree Spark-invisible to any
     # reader scanning the warehouse root
     assert "/_dbdiff_artifacts/" in root
+
+
+def test_artifact_root_vacuums_dead_pid_siblings(spark):
+    """ADVICE r7: pid-salted roots leak a fresh u<uid>_p<pid> tree per
+    process with nothing reclaiming them.  Creation must best-effort
+    reap same-uid sibling trees whose pid is dead on this host, leave
+    live-pid and foreign-uid trees alone, and never touch the caller's
+    own tree."""
+    import os
+
+    from dbdiff_spark import fs
+
+    root = fs.artifact_root(spark, "ivf_index", "/some/corpus")
+    artifacts = root.rsplit("/_dbdiff_artifacts/", 1)[0] + "/_dbdiff_artifacts"
+    uid = os.getuid()
+    # a definitely-dead pid: spawn-and-reap gives a pid the kernel has
+    # already recycled out of the process table
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    dead_dir = f"{artifacts}/u{uid}_p{dead}"
+    live_dir = f"{artifacts}/u{uid}_p{os.getpid()}"
+    foreign_dir = f"{artifacts}/u{uid + 1}_p{dead}"
+    junk_dir = f"{artifacts}/u{uid}_pnotanumber"
+    for d in (dead_dir, live_dir, foreign_dir, junk_dir):
+        fs.mkdirs(spark, d)
+    reaped = fs._vacuum_dead_artifact_roots(spark, artifacts, uid)
+    assert f"u{uid}_p{dead}" in reaped
+    assert not fs.exists(spark, dead_dir)
+    assert fs.exists(spark, live_dir)  # own/live pid untouched
+    assert fs.exists(spark, foreign_dir)  # other uid untouched
+    assert fs.exists(spark, junk_dir)  # unparseable name untouched
+    fs.delete(spark, foreign_dir)
+    fs.delete(spark, junk_dir)

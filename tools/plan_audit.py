@@ -68,7 +68,7 @@ AUDITED = [
     "ann_pq",
     "ann_ivf_recall_report",
     "ann_ivf_trained",
-    "ann_ivf_sample_trained",
+    "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_cells_scaled",
     "join_skew_report",
