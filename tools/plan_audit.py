@@ -139,6 +139,8 @@ AUDITED = [
     "bpe_apply_from_artifact",
     "bpe_apply_cross_corpus",
     "bpe_train_greedy",
+    "bpe_train_bytes",
+    "bpe_apply_bytes",
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",

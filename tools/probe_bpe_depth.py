@@ -58,6 +58,14 @@ def main() -> int:
     ap.add_argument("--max-rounds", type=int, default=80)
     ap.add_argument("--n-docs", type=int, default=3000)
     ap.add_argument("--lexicon", type=int, default=6000)
+    ap.add_argument(
+        "--skip-artifact",
+        action="store_true",
+        help="skip the artifact-roundtrip leg (it RE-TRAINS from "
+        "scratch, doubling probe cost; the 32k posture only needs "
+        "train depth + round-trip proof — artifact equality is "
+        "covered at the 4k default)",
+    )
     args = ap.parse_args()
 
     spark = get_spark()
@@ -106,6 +114,11 @@ def main() -> int:
     assert agg["fails"] == 0, f"{agg['fails']} round-trip failures"
 
     # artifact path: train -> persist -> reload -> apply must agree
+    artifact_s = None
+    if args.skip_artifact:
+        out = _summary(args, per_round, n_merges, agg, train_s, apply_s, None)
+        print(json.dumps(out))
+        return 0
     t2 = time.time()
     art = f"{corpus}/_bpe_merges"
     bpe_merge_artifact(
@@ -126,7 +139,15 @@ def main() -> int:
     assert via_art == in_mem, "artifact apply != in-memory apply"
     artifact_s = time.time() - t2
 
-    out = {
+    out = _summary(
+        args, per_round, n_merges, agg, train_s, apply_s, artifact_s
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def _summary(args, per_round, n_merges, agg, train_s, apply_s, artifact_s):
+    return {
         "probe": "bpe_depth",
         "n_docs": args.n_docs,
         "lexicon": args.lexicon,
@@ -144,10 +165,10 @@ def main() -> int:
         ),
         "train_s": round(train_s, 1),
         "apply_s": round(apply_s, 1),
-        "artifact_roundtrip_s": round(artifact_s, 1),
+        "artifact_roundtrip_s": (
+            None if artifact_s is None else round(artifact_s, 1)
+        ),
     }
-    print(json.dumps(out))
-    return 0
 
 
 if __name__ == "__main__":

@@ -17,6 +17,16 @@ Usage: python tools/probe_ivf_scale.py [--n 50000] [--dim 64]
 (run with 2>/dev/null — Spark progress bars interleave stdout).
 Writes nothing to the repo; prints a markdown table for
 ARCHITECTURE.md.
+
+``--build-cost`` probes the r8 production-build claim instead: at
+derived K ≈ √n, Lloyd over the FULL corpus costs n·K·iters distance
+evals (n^1.5) while the ``_derived_sample_mod`` subsample bounds
+training to ~SAMPLE_PER_CENTROID·K rows — train time should FLATTEN
+with n while the one full-corpus assignment pass (which genuinely
+needs all n rows) comes to dominate.  Also reports the broadcast
+``carr`` row payload (K×dim doubles) and the Lloyd mean-update collect
+row count (== live cells — the r7 K-row fix), which ``--dim 1024``
+pins at production embedding dims.
 """
 
 from __future__ import annotations
@@ -37,6 +47,13 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=50_000)
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--ks", default="64,256,1024,2048")
+    ap.add_argument(
+        "--build-cost",
+        action="store_true",
+        help="probe full-corpus vs sample-trained Lloyd + assignment "
+        "at derived K over growing n (the r8 production-build row)",
+    )
+    ap.add_argument("--ns", default="20000,50000,100000")
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
 
@@ -45,6 +62,9 @@ def main() -> int:
 
     from dbdiff_spark import testkit
     from dbdiff_spark.ops import similarity as sim
+
+    if args.build_cost:
+        return build_cost(spark, args)
 
     out_dir = tempfile.mkdtemp(prefix="ivf_scale_")
     testkit.write_clustered_embeddings(
@@ -75,17 +95,83 @@ def main() -> int:
             ).collect()[0]
             return time.time() - t0, (int(h["h"]), int(h["c"]))
 
-        lit_s, lit_h = run(literal_max=1 << 30)
         join_s, join_h = run(literal_max=0)
-        same = lit_h == join_h
-        # print BEFORE asserting: a divergence must still emit the
-        # row's timings/expr-size diagnostics
+        if expr_bytes > 16 << 20:
+            # a >16 MB literal expression is exactly what the
+            # data-driven regime exists to avoid — running it would
+            # probe the analyzer's pathology, not the plan space
+            print(
+                f"| {k} | {expr_bytes} | (skipped: expr too large) |"
+                f" {join_s:.2f} | n/a |"
+            )
+        else:
+            lit_s, lit_h = run(literal_max=1 << 30)
+            same = lit_h == join_h
+            # print BEFORE asserting: a divergence must still emit the
+            # row's timings/expr-size diagnostics
+            print(
+                f"| {k} | {expr_bytes} | {lit_s:.2f} | {join_s:.2f} |"
+                f" {'yes' if same else 'NO'} |"
+            )
+            assert same, f"paths diverged at K={k}"
         print(
-            f"| {k} | {expr_bytes} | {lit_s:.2f} | {join_s:.2f} |"
-            f" {'yes' if same else 'NO'} |"
+            f"  (carr payload at this K: {k * args.dim * 8 / 1e6:.1f} MB)",
+            flush=True,
         )
-        assert same, f"paths diverged at K={k}"
     print(f"(n={n}, dim={args.dim}, local[*])")
+    return 0
+
+
+def build_cost(spark, args) -> int:
+    """Full-corpus vs sample-trained Lloyd at derived K over growing n,
+    plus the assignment pass that dominates the sampled build."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.ops import similarity as sim
+
+    ns = [int(x) for x in args.ns.split(",")]
+    print(
+        "| n | K | mod | train rows | full-Lloyd s | sampled-Lloyd s |"
+        " assign s | mean-collect rows | carr MB |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|")
+    for n_target in ns:
+        out_dir = tempfile.mkdtemp(prefix="ivf_build_")
+        k = sim.semdedup_cells(n_target)
+        testkit.write_clustered_embeddings(
+            spark, out_dir, n=n_target, dim=args.dim, k=k, seed=13, sigma=0.3
+        )
+        vecs = (
+            sim._vectors(spark, out_dir).select("vec_id", "embedding").persist()
+        )
+        n = vecs.count()
+        mod = sim._derived_sample_mod(n, k)
+        train = sim._lloyd_train_frame(vecs, mod)
+        train_rows = train.count()
+
+        t0 = time.time()
+        cents_full = sim._kmeans_centroids(vecs, k)
+        full_s = time.time() - t0
+        t0 = time.time()
+        cents = sim._kmeans_centroids(train, k)
+        samp_s = time.time() - t0
+        t0 = time.time()
+        assigned = sim._assign_cells(vecs, cents).select("embedding", "cell")
+        assigned.selectExpr("count(*)").collect()
+        assign_s = time.time() - t0
+        mean_rows = len(sim._cell_mean_frame(assigned).collect())
+        assert mean_rows <= k, f"mean collect {mean_rows} > K={k}"
+        carr_mb = k * args.dim * 8 / 1e6
+        print(
+            f"| {n} | {k} | {mod} | {train_rows} | {full_s:.1f} |"
+            f" {samp_s:.1f} | {assign_s:.1f} | {mean_rows} |"
+            f" {carr_mb:.1f} |",
+            flush=True,
+        )
+        assert len(cents_full) <= k and len(cents) <= k
+        vecs.unpersist()
+    print(f"(dim={args.dim}, iters={sim.KMEANS_ITERS}, local[*])")
     return 0
 
 
