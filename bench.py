@@ -113,6 +113,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "ohlc_bars",
     "prepare_corpus_funnel",
+    "mixture_temperature",
     "gopher_repetition",
     "multimodal_decode",
     "hybrid_retrieval_rrf",

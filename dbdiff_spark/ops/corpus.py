@@ -552,6 +552,105 @@ WHERE n_copies >= 1
 
 
 
+# --- temperature-derived dataset mixing --------------------------------------
+#
+# ``mixture_epochs`` pins per-source epochs by hand; production mixes
+# DERIVE them: sample source i proportionally to w_i^α (the
+# multilingual-sampling convention, α=1/2 here — mBERT/XLM/PaLM use
+# α ∈ [0.2, 0.7]), which up-samples scarce sources and down-samples
+# bulk ones while preserving total volume.  Every rate is a pure
+# function of the corpus' own per-source sizes — nothing to tune per
+# corpus, the r8 derivation posture.
+#
+# Cross-engine exactness: α=1/2 makes w^α = sqrt(w) — correctly
+# rounded IEEE for exact integers in both engines — and the sqrt is
+# immediately quantized to the micro grid (CAST(ROUND(sqrt(w)·10⁶) AS
+# BIGINT)) so the normalizing sum is an ORDER-FREE integer sum, never
+# a float reduction.  The final epochs-per-64Ki rate is one fixed
+# left-associative double chain over those exact integers, ROUNDed to
+# the 1/65536 grid that ``mixture_epochs`` established; per-doc copy
+# counts then reuse its deterministic md5-fraction replication.
+#
+# Scale shape: per-source sizes are one map-side-combined groupBy
+# (#sources rows), the totals row is a broadcast cross join, and the
+# replication is per-row arithmetic — no corpus shuffle anywhere.
+
+MIX_GRID = 65_536  # epochs quantized to 1/64Ki — shared with mixture_epochs
+
+_MIX_RATE = (
+    f"CAST(ROUND({MIX_GRID} * CAST(sq AS DOUBLE) * CAST(t AS DOUBLE)"
+    " / CAST(s AS DOUBLE) / CAST(w AS DOUBLE)) AS BIGINT)"
+)
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing report at temperature α=1/2: source size
+    (chars), the derived epochs rate (1/64Ki units), document count,
+    and the total replica count the deterministic md5-fraction
+    replication produces — volume-preserving by construction (Σ rates
+    ≈ #sources·64Ki re-weighted by size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("w"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    ).withColumn(
+        "sq", F.expr("CAST(ROUND(sqrt(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)")
+    )
+    totals = per_source.groupBy().agg(
+        F.sum("w").cast("bigint").alias("t"),
+        F.sum("sq").cast("bigint").alias("s"),
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).withColumn(
+        "epochs_64k", F.expr(_MIX_RATE)
+    )
+    copies = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates.select("source", "epochs_64k")), "source")
+        .selectExpr(
+            "source",
+            f"epochs_64k div {MIX_GRID}"
+            " + CASE WHEN CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+            f" < epochs_64k % {MIX_GRID} THEN 1 ELSE 0 END AS n_copies",
+        )
+        .groupBy("source")
+        .agg(F.sum("n_copies").cast("bigint").alias("n_copies"))
+    )
+    return rates.join(copies, "source").select(
+        "source", "w", "n_docs", "epochs_64k", "n_copies"
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = f"""
+WITH per_source AS MATERIALIZED (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(ROUND(sqrt(CAST(SUM(n_chars) AS BIGINT)::DOUBLE) * 1000000) AS BIGINT) AS sq
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT CAST(SUM(w) AS BIGINT) AS t, CAST(SUM(sq) AS BIGINT) AS s
+  FROM per_source
+),
+rates AS (
+  SELECT source, w, n_docs,
+         CAST(ROUND({MIX_GRID} * CAST(sq AS DOUBLE) * CAST(t AS DOUBLE)
+              / CAST(s AS DOUBLE) / CAST(w AS DOUBLE)) AS BIGINT) AS epochs_64k
+  FROM per_source, totals
+),
+copies AS (
+  SELECT d.source,
+         CAST(SUM(r.epochs_64k // {MIX_GRID}
+              + CASE WHEN (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)))::BIGINT
+                     < r.epochs_64k % {MIX_GRID} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_copies
+  FROM documents d JOIN rates r USING (source)
+  GROUP BY d.source
+)
+SELECT source, w, n_docs, epochs_64k, n_copies
+FROM rates JOIN copies USING (source)
+"""
+
+
 # --- token-budget selection (quality-ranked corpus cut) ----------------------
 #
 # "Take the best documents until the token budget is spent" — the final
@@ -951,6 +1050,7 @@ QUERIES = {
     "importance_resample": (importance_resample, IMPORTANCE_RESAMPLE_SQL),
     "decontam_ngram_overlap": (decontam_ngram_overlap, DECONTAM_SQL),
     "mixture_epochs": (mixture_epochs, MIXTURE_EPOCHS_SQL),
+    "mixture_temperature": (mixture_temperature, MIXTURE_TEMPERATURE_SQL),
     "pack_sequences": (pack_sequences, PACK_SQL),
     "pack_utilization": (pack_utilization, PACK_UTILIZATION_SQL),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),

@@ -620,7 +620,30 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
 # they assign identically — asserted cross-path in
 # tests/test_similarity.py; probe-measured 1.5× faster than the
 # literal form at K=1024-2048 as well (tools/probe_ivf_scale.py).
+#
+# The r8 dim-1024 probe showed the K bound alone is wrong at
+# production embedding dims: expression size is ~25·K·DIM bytes, so
+# dim=1024 blows past analyzer-safe territory at K=256 (10 MB) where
+# dim=64 was fine to K=1024.  The default regime choice therefore
+# bounds TERMS (K·dim ≤ KMEANS_LITERAL_TERMS = the probe-validated
+# 1024×64 region ≈ 1.7 MB of SQL) alongside K; an explicit
+# ``literal_max`` still forces a regime (tests, probes).
 KMEANS_LITERAL_MAX = 1024
+KMEANS_LITERAL_TERMS = 65_536
+
+
+def _literal_regime(
+    centroids: dict[int, list[float]], literal_max: int | None
+) -> bool:
+    if literal_max is not None:
+        return len(centroids) <= literal_max
+    if not centroids:
+        return True
+    dim = len(next(iter(centroids.values())))
+    return (
+        len(centroids) <= KMEANS_LITERAL_MAX
+        and len(centroids) * max(dim, 1) <= KMEANS_LITERAL_TERMS
+    )
 
 
 def _centroid_frame(spark: SparkSession, centroids: dict[int, list[float]]):
@@ -676,10 +699,12 @@ def _assign_cells(
       comparably fast in local mode but re-shuffles the full corpus on
       vec_id — a cost local[32] cannot price and a 100 TB cluster pays
       in full; the HOF form keeps the corpus in place at any K
-      (regime timings: tools/probe_ivf_scale.py)."""
-    if literal_max is None:
-        literal_max = KMEANS_LITERAL_MAX  # resolved at call time
-    if len(centroids) <= literal_max:
+      (regime timings: tools/probe_ivf_scale.py).
+
+    The default choice bounds K AND K·dim (``_literal_regime`` —
+    expression size scales with both); an explicit ``literal_max``
+    forces a regime."""
+    if _literal_regime(centroids, literal_max):
         return vecs.withColumn(
             "cell", F.expr(_argmin_struct(centroids) + ".cell")
         )
@@ -1026,7 +1051,7 @@ def _ivf_literal_search(
     BroadcastNestedLoopJoin) above it.  No window, no per-query
     shuffle in either regime."""
     qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
-    literal = len(centroids) <= KMEANS_LITERAL_MAX
+    literal = _literal_regime(centroids, None)
     if not literal:
         qbase = qbase.crossJoin(F.broadcast(_centroid_array_row(
             vecs.sparkSession, centroids

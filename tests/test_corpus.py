@@ -181,3 +181,43 @@ def test_importance_resample_replicates_heavy_docs(spark, tmp_path):
     assert all(r.weight == 1_000_000 for r in out)
     assert {r.n_copies for r in out} <= {3, 4}
     assert any(r.n_copies >= 3 for r in out)
+
+
+def test_mixture_temperature_upsamples_scarce_sources(spark, tmp_path):
+    """α=1/2 temperature mixing: sources smaller than the mix's
+    effective mean get epochs > 1 (up-sampled), larger get < 1, and the
+    expected replica volume (Σ w_i·rate_i) telescopes back to the total
+    corpus volume — the volume-preservation law of p_i ∝ w_i^α
+    normalization.  Built on a skewed fixture (the driver corpus is
+    near-uniform across sources)."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.corpus import MIX_GRID, mixture_temperature
+
+    rows = []
+    did = 0
+    for src, n_docs, chars in (("bulk", 200, 500), ("mid", 40, 500), ("rare", 5, 500)):
+        for _ in range(n_docs):
+            rows.append((did, "word " * 10, src, chars))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.source: r for r in mixture_temperature(spark, str(tmp_path)).collect()}
+    assert set(out) == {"bulk", "mid", "rare"}
+    # monotone: scarcer source → higher epochs
+    assert out["rare"].epochs_64k > out["mid"].epochs_64k > out["bulk"].epochs_64k
+    assert out["rare"].epochs_64k > MIX_GRID  # up-sampled past 1 epoch
+    assert out["bulk"].epochs_64k < MIX_GRID  # down-sampled below 1
+    # volume preservation: Σ w_i · rate_i == Σ w_i on the 1/64Ki grid
+    # (α-normalized rates are exactly volume-preserving by construction)
+    total_w = sum(r.w for r in out.values())
+    mixed_w = sum(r.w * r.epochs_64k for r in out.values()) / MIX_GRID
+    assert abs(mixed_w - total_w) / total_w < 0.001
+    # replica counts obey the exact per-doc law: every doc gets
+    # floor(epochs) or ceil(epochs) copies (md5 fraction decides)
+    for r in out.values():
+        lo = r.n_docs * (r.epochs_64k // MIX_GRID)
+        hi = r.n_docs * (r.epochs_64k // MIX_GRID + 1)
+        assert lo <= r.n_copies <= hi

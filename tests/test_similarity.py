@@ -402,3 +402,23 @@ def test_query_broadcast_guard_bounds_bytes_not_just_rows(spark):
     assert 20_000 <= MAX_BROADCAST_QUERIES
     assert 20_000 * 512 * 8 > MAX_BROADCAST_BYTES
     assert not _broadcastable(wide, MAX_BROADCAST_QUERIES)
+
+
+def test_literal_regime_bounds_terms_not_just_k(spark):
+    """r8 dim-1024 probe finding: literal-argmin SQL is ~25·K·dim
+    bytes, so the regime switch must bound K·dim — at dim 1024 the
+    old K-only bound admitted a 41 MB expression at K=1024."""
+    from dbdiff_spark.ops.similarity import (
+        KMEANS_LITERAL_MAX,
+        KMEANS_LITERAL_TERMS,
+        _literal_regime,
+    )
+
+    lowdim = {k: [float(k)] * 64 for k in range(KMEANS_LITERAL_MAX)}
+    assert _literal_regime(lowdim, None)  # 1024 × 64 — the probed-safe region
+    highdim = {k: [float(k)] * 1024 for k in range(256)}
+    assert 256 * 1024 > KMEANS_LITERAL_TERMS
+    assert not _literal_regime(highdim, None)  # 10 MB of SQL at dim 1024
+    # explicit literal_max still forces a regime (tests/probes)
+    assert _literal_regime(highdim, 1 << 30)
+    assert not _literal_regime(lowdim, 0)

@@ -45,6 +45,7 @@ AUDITED = [
     "decontam_ngram_overlap",
     "bloom_join_prune",
     "mixture_epochs",
+    "mixture_temperature",
     "customer_value_trend",
     "zorder_layout_stats",
     "corpus_clean_stats",
