@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_ivf_trained",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
+    "ann_ivf_ingest",
     "ann_ivf_cells_scaled",
     "kmeans_lloyd",
     "fuzzy_part_match",
@@ -90,6 +91,7 @@ HEADLINE = [
     "delete_cascade",
     "repeated_spans",
     "ann_pq",
+    "ann_ivf_pq",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",

@@ -1148,6 +1148,108 @@ def ann_ivf_index_persist(
     return out.localCheckpoint(eager=True)
 
 
+# --- incremental IVF ingest ---------------------------------------------------
+#
+# Production vector indexes GROW: you build once, then append batches
+# as the corpus arrives — rebuilding a 10⁹-vector index per batch is
+# not a plan.  Because IVF assignment is a per-row pure function of
+# the frozen centroids, ingest is exactly: load the persisted
+# quantizer, assign the BATCH only (O(batch·K), zero shuffle), and
+# append its rows into the cell-partitioned layout — base data never
+# rewritten, serving reads the union.  The oracle proves the merged
+# index ≡ assigning the union corpus with the same trained centroids —
+# i.e. ingest loses nothing vs a full rebuild at the same quantizer —
+# by re-deriving the whole flow (train on the base slice's bounded
+# sample, assign all, search) in SQL.
+
+IVF_BASE_SLICE = "vec_id % 2 = 0"
+IVF_BATCH_SLICE = "vec_id % 2 = 1"
+
+
+def ann_ivf_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Build the IVF index on the BASE slice (even vec_ids — sample-
+    trained quantizer at derived K/nprobe, persisted cell-partitioned),
+    then INGEST the batch slice (odd vec_ids) by assigning it with the
+    RELOADED centroids and appending into the same layout, and serve
+    the full query set from the merged artifacts.  Same output
+    contract as ``ann_ivf_trained``."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_ingest", sf_dir)
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        base = vecs.filter(IVF_BASE_SLICE)
+        n = base.count()
+        k = semdedup_cells(n)
+        mod = _derived_sample_mod(n, k)
+        nprobe = ivf_nprobe_for(k)
+        # dense-renumber the base slice so the vec_id < K seed rule and
+        # the % mod sample stride see 0..n-1, not the even ids
+        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
+        centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
+        _centroid_frame(spark, centroids).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        _assign_cells(base, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{root}/assignments"
+        )
+        # --- ingest: batch-only assignment with the RELOADED quantizer,
+        # appended into the live layout (base files untouched)
+        loaded_centroids = {
+            int(r["cell"]): [float(x) for x in r["centroid"]]
+            for r in spark.read.parquet(f"{root}/centroids").collect()
+        }
+        _assign_cells(vecs.filter(IVF_BATCH_SLICE), loaded_centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        ).write.mode("append").partitionBy("cell").parquet(
+            f"{root}/assignments"
+        )
+        # --- serve from the merged artifacts only
+        merged = spark.read.parquet(f"{root}/assignments").select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.col("cell").cast("bigint").alias("cell"),
+        )
+        out = _ivf_literal_search(
+            vecs, merged, loaded_centroids, nprobe, max_broadcast_queries
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_ingest_sql() -> str:
+    """Oracle twin: train on the base slice's bounded sample, assign
+    the UNION corpus, search — merged-after-ingest ≡ rebuild at the
+    same quantizer is the checked claim."""
+    pre = f"""tp AS MATERIALIZED (
+  SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
+         {_nprobe_scaled_duck()} AS np
+  FROM (SELECT count(*) AS n,
+        {_cells_scaled_duck(f'embeddings WHERE {IVF_BASE_SLICE}')})
+),
+tsample AS MATERIALIZED (
+  SELECT (vec_id // 2) // (SELECT smod FROM tp) AS vec_id, embedding
+  FROM embeddings
+  WHERE {IVF_BASE_SLICE} AND (vec_id // 2) % (SELECT smod FROM tp) = 0
+),
+"""
+    return _ann_ivf_trained_sql(
+        "(SELECT np FROM tp)",
+        k_sql="(SELECT cells FROM tp)",
+        train_src="tsample",
+        pre_ctes=pre,
+    )
+
+
 # Training-sample budget per centroid.  faiss defaults to 39 points
 # per centroid (min_points_per_centroid) and warns below that; the
 # MULTIPLIER here is pinned at 4 so the bench corpora (n=500/2000)
@@ -1302,6 +1404,7 @@ EXPLAIN_FRAMES = {
     "ann_ivf_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_full_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
+    "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
 }
 
 
@@ -1525,6 +1628,184 @@ adc AS (
   FROM codes JOIN dtable ON codes.m = dtable.m AND codes.code = dtable.code
   WHERE vec_id <> query_id
   GROUP BY query_id, vec_id
+)
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM adc
+)
+WHERE rank <= {PQ_K}
+"""
+
+
+# --- IVF-PQ: the faiss production composite -----------------------------------
+#
+# IVF bounds the CANDIDATE SPACE (each query scores ~nprobe·n/C
+# vectors, C and nprobe corpus-derived); PQ bounds the CANDIDATE
+# PAYLOAD (M codes per vector instead of the embedding — at M=4 codes
+# vs 64×float64, a 128× memory cut on the serving side).  Composed,
+# the scoring join moves only ``(vec_id, cell, m, code)`` rows for the
+# probed cells and ranks by exact-integer ADC — the shape every
+# production vector store (faiss IVFPQ, Milvus, ScaNN-coarse) serves
+# from.  The two stages reuse the registry's own pieces verbatim:
+# seed-IVF assignment (ann_ivf) and the PQ codebook/ADC table
+# (ann_pq), so the composite's oracle is the composition of their
+# proven CTEs.
+
+
+def ann_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """IVF-PQ ANN: derived-C seed-IVF restricts candidates to each
+    query's ⌈√C⌉ probed cells; PQ codes + one broadcast ADC table rank
+    them by exact BIGINT approximate distance.  Same output contract
+    as ``ann_pq`` (top-PQ_K by approx_l2sq), cell-pruned."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    cells = semdedup_cells(n)
+    nprobe = ivf_nprobe_for(cells)
+    vecs = _vectors(spark, sf_dir)
+    # --- coarse stage: seed-IVF assignment + query probes (ann_ivf) ---
+    seeds = vecs.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
+        .select("vec_id", F.col("__b.seed_id").alias("cell"))
+    )
+    wq_cells = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    probes = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("probe_rank", F.row_number().over(wq_cells))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("seed_id").alias("q_cell")
+        )
+    )
+    # --- fine stage: PQ codes + ADC table (ann_pq) ---
+    qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
+    sub = "slice(qvec, m * (size(qvec) div {M}) + 1, size(qvec) div {M})".format(
+        M=PQ_M
+    )
+    subs = qvecs.selectExpr(
+        "vec_id",
+        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
+    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+    )
+    pq_scored = subs.join(F.broadcast(codebook), "m").withColumn(
+        "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
+    )
+    codes = (
+        pq_scored.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
+        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
+    )
+    dtable = (
+        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub"))
+        .join(F.broadcast(codebook), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("seed_id").alias("code"),
+            F.expr(_qdist2_spark("q_sub", "seed_sub")).alias("qd2"),
+        )
+    )
+    # --- compose: cell-pruned candidates, ADC-ranked ---
+    cand = assigned.join(
+        _query_side(probes, max_broadcast_queries * nprobe, "merge"),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            _query_side(dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"),
+            ["query_id", "m", "code"],
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("bigint").alias("approx_l2sq"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2sq"), F.col("neighbor_id")
+    )
+    return adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= PQ_K
+    )
+
+
+def _ann_ivf_pq_sql() -> str:
+    cells_expr = f"(SELECT {_cells_scaled_duck('embeddings')})"
+    nprobe_expr = (
+        f"(SELECT {_nprobe_scaled_duck()} FROM"
+        f" (SELECT {_cells_scaled_duck('embeddings')}) t)"
+    )
+    return f"""
+WITH vecs AS ({_VECTORS_SQL}),
+iseeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs
+  WHERE vec_id < {cells_expr}
+),
+iscored AS (
+  SELECT v.vec_id, seed_id,
+         {_dist2_duck('v.embedding', 'seed_emb')} AS d2
+  FROM vecs v CROSS JOIN iseeds
+),
+iassigned AS (
+  SELECT vec_id, seed_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM iscored
+  ) WHERE rn = 1
+),
+iprobes AS (
+  SELECT vec_id AS query_id, seed_id AS q_cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
+    FROM iscored WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {nprobe_expr}
+),
+qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
+subs AS (
+  SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
+  FROM qvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+),
+codebook AS (
+  SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs WHERE vec_id < {PQ_SEEDS}
+),
+codes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_qdist2_duck('s.sub', 'c.seed_sub')}, c.seed_id) AS rn
+    FROM subs s JOIN codebook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+dtable AS (
+  SELECT q.vec_id AS query_id, q.m, c.seed_id AS code,
+         {_qdist2_duck('q.sub', 'c.seed_sub')} AS qd2
+  FROM subs q JOIN codebook c ON q.m = c.m
+  WHERE q.vec_id % {QUERY_MOD} = 0
+),
+icand AS (
+  SELECT query_id, a.vec_id
+  FROM iassigned a JOIN iprobes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT i.query_id, c.vec_id AS neighbor_id,
+         CAST(sum(t.qd2) AS BIGINT) AS approx_l2sq
+  FROM icand i
+  JOIN codes c ON c.vec_id = i.vec_id
+  JOIN dtable t ON t.query_id = i.query_id AND t.m = c.m AND t.code = c.code
+  GROUP BY i.query_id, c.vec_id
 )
 SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
   SELECT query_id, neighbor_id, approx_l2sq,
@@ -2211,6 +2492,7 @@ QUERIES = {
     "pca_power_iteration": (pca_power_iteration, PCA_SQL),
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
     "ann_pq": (ann_pq, ANN_PQ_SQL),
+    "ann_ivf_pq": (ann_ivf_pq, _ann_ivf_pq_sql()),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
@@ -2226,6 +2508,7 @@ QUERIES = {
         ann_ivf_index_persist,
         _ann_ivf_sample_trained_sql(),
     ),
+    "ann_ivf_ingest": (ann_ivf_ingest, _ann_ivf_ingest_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),
     # deterministic grid math end-to-end → the iterative loop has an

@@ -67,10 +67,12 @@ AUDITED = [
     "delete_cascade",
     "repeated_spans",
     "ann_pq",
+    "ann_ivf_pq",
     "ann_ivf_recall_report",
     "ann_ivf_trained",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
+    "ann_ivf_ingest",
     "ann_ivf_cells_scaled",
     "join_skew_report",
     "outlier_report_lineitem",
