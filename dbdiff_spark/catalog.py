@@ -215,12 +215,16 @@ class FileCatalog:
         ``.`` prefixes) never surface; parquet wins name collisions."""
         from dbdiff_spark.io import infer_format, table_stem
 
-        found: dict[str, tuple[Path, str]] = {}
         entries = (
             sorted(Path(self.directory).iterdir())
             if Path(self.directory).is_dir()
             else []
         )
+        # phase 1: gather every candidate per table name — collision
+        # adjudication needs the FULL slate (a later parquet sibling
+        # legitimately settles an earlier csv-vs-json pair, so warning
+        # mid-scan cried wolf — r8 review finding)
+        cands: dict[str, list[tuple[Path, str]]] = {}
         for p in entries:
             if p.name.startswith(("_", ".")):
                 continue
@@ -244,46 +248,44 @@ class FileCatalog:
                 if ext_fmt is None:
                     continue
                 fmt, name = ext_fmt, table_stem(p.name)
-            if name in found and fmt == found[name][1]:
-                # same name, same format — e.g. people.csv next to
-                # people.csv.gz mid-recompression.  The parquet-wins
-                # rule cannot break this tie; keep the first in sorted
-                # order (the uncompressed file) and say so, because
-                # silently diffing the shadowed copy would be wrong.
-                import warnings
+            cands.setdefault(name, []).append((p, fmt))
+        # phase 2: resolve each name (parquet wins; else sorted-first)
+        # and warn ONLY about collisions the winner rule leaves
+        # ambiguous — a same-format tie, or a cross-format pair with no
+        # parquet to adjudicate (ADVICE r7)
+        found: dict[str, tuple[Path, str]] = {}
+        for name, lst in cands.items():
+            winner = next((c for c in lst if c[1] == "parquet"), lst[0])
+            found[name] = winner
+            for p, fmt in lst:
+                if p is winner[0]:
+                    continue
+                if fmt == winner[1]:
+                    # e.g. people.csv next to people.csv.gz
+                    # (mid-recompression lake state), or two parquets
+                    import warnings
 
-                warnings.warn(
-                    f"table {name!r}: {p.name} shadowed by "
-                    f"{found[name][0].name} (same format); rename or "
-                    "remove one of the files",
-                    stacklevel=2,
-                )
-                continue
-            if (
-                name in found
-                and fmt != found[name][1]
-                and "parquet" not in (fmt, found[name][1])
-            ):
-                # same name, different NON-parquet formats — e.g.
-                # people.csv next to people.json.  The parquet-wins rule
-                # does not adjudicate this pair either (ADVICE r7): the
-                # sorted-first file wins by arrival order, which is just
-                # as silent a wrong-snapshot hazard as the same-format
-                # tie — say so.
-                import warnings
+                    warnings.warn(
+                        f"table {name!r}: {p.name} shadowed by "
+                        f"{winner[0].name} (same format); rename or "
+                        "remove one of the files",
+                        stacklevel=2,
+                    )
+                elif winner[1] != "parquet":
+                    # csv next to json with NO parquet sibling: the
+                    # sorted-first file wins by arrival order — as
+                    # silent a wrong-snapshot hazard as the same-format
+                    # tie.  (A parquet winner IS the documented rule,
+                    # so that case stays quiet.)
+                    import warnings
 
-                warnings.warn(
-                    f"table {name!r}: {p.name} ({fmt}) shadowed by "
-                    f"{found[name][0].name} ({found[name][1]}) — "
-                    "cross-format collision the parquet-wins rule does "
-                    "not adjudicate; rename or remove one of the files",
-                    stacklevel=2,
-                )
-                continue
-            if name not in found or (
-                fmt == "parquet" and found[name][1] != "parquet"
-            ):
-                found[name] = (p, fmt)
+                    warnings.warn(
+                        f"table {name!r}: {p.name} ({fmt}) shadowed by "
+                        f"{winner[0].name} ({winner[1]}) — cross-format "
+                        "collision the parquet-wins rule does not "
+                        "adjudicate; rename or remove one of the files",
+                        stacklevel=2,
+                    )
         return found
 
     def list_tables(self) -> list[str]:

@@ -112,10 +112,14 @@ def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
     VACUUMS stale sibling trees left by this user's dead processes
     (ADVICE r7: nothing else ever reclaimed them, so repeated
     bench/demo runs accumulated parquet under the warehouse
-    indefinitely).  The liveness probe (``os.kill(pid, 0)``) is only
-    meaningful for pids on THIS host — which is exactly the population
-    that writes these default roots; other uids' trees are left
-    alone."""
+    indefinitely).  The ``os.kill(pid, 0)`` liveness probe is only
+    meaningful for pids on THIS host, so the vacuum runs ONLY when the
+    warehouse resolves to a local ``file:`` scheme — on a shared
+    hdfs://s3a:// warehouse a pid from another gateway host (or pid
+    namespace) that happens to be dead locally may be a LIVE driver
+    elsewhere, and deleting its tree would yank a serving index out
+    from under it (r8 review finding).  Shared-warehouse trees are a
+    documented operator-cleanup path instead."""
     import hashlib
     import os
 
@@ -123,9 +127,18 @@ def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
         "spark.sql.warehouse.dir", "spark-warehouse"
     ).rstrip("/")
     uid = os.getuid() if hasattr(os, "getuid") else 0
-    _vacuum_dead_artifact_roots(spark, f"{base}/_dbdiff_artifacts", uid)
+    if _is_local_scheme(base):
+        _vacuum_dead_artifact_roots(spark, f"{base}/_dbdiff_artifacts", uid)
     key = hashlib.md5(corpus_key.encode()).hexdigest()[:12]
     return f"{base}/_dbdiff_artifacts/u{uid}_p{os.getpid()}/{kind}_{key}"
+
+
+def _is_local_scheme(path: str) -> bool:
+    """True when ``path`` resolves to this host's filesystem (bare path
+    or ``file:`` scheme) — the only place a local pid-liveness probe is
+    a valid ownership signal."""
+    head = path.split("/", 1)[0]
+    return ":" not in head or head.split(":", 1)[0] == "file"
 
 
 def _vacuum_dead_artifact_roots(

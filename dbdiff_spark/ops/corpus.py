@@ -590,11 +590,20 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     replication produces — volume-preserving by construction (Σ rates
     ≈ #sources·64Ki re-weighted by size)."""
     docs = load_table(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(
-        F.sum("n_chars").cast("bigint").alias("w"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    ).withColumn(
-        "sq", F.expr("CAST(ROUND(sqrt(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)")
+    # a zero-volume source has no defined rate (w^α/w is 0/0) and no
+    # volume to preserve — drop it BEFORE the rate arithmetic, or the
+    # NaN casts diverge between engines (Spark→0, DuckDB→error)
+    per_source = (
+        docs.groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("bigint").alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn(
+            "sq",
+            F.expr("CAST(ROUND(sqrt(CAST(w AS DOUBLE)) * 1000000) AS BIGINT)"),
+        )
     )
     totals = per_source.groupBy().agg(
         F.sum("w").cast("bigint").alias("t"),
@@ -626,6 +635,7 @@ WITH per_source AS MATERIALIZED (
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(ROUND(sqrt(CAST(SUM(n_chars) AS BIGINT)::DOUBLE) * 1000000) AS BIGINT) AS sq
   FROM documents GROUP BY source
+  HAVING CAST(SUM(n_chars) AS BIGINT) > 0
 ),
 totals AS (
   SELECT CAST(SUM(w) AS BIGINT) AS t, CAST(SUM(sq) AS BIGINT) AS s

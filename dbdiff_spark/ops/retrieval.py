@@ -628,14 +628,15 @@ def _bpe_code(k: int) -> str:
     # Codes must stay BELOW the UTF-16 surrogate range: chr(0xD800+) is
     # not a valid lone codepoint in UTF-8, so DuckDB would reject the
     # string and Spark's UTF-16 runtime would silently disagree with
-    # it.  0xD800 - 256 = 54 016 usable merges — loud, not silent, when
-    # a run outgrows the single-char code space.
+    # it.  Codepoints 257..0xD7FF are usable → max k = 0xD7FF - 256 =
+    # 55 039 merges — loud, not silent, when a run outgrows the
+    # single-char code space.
     cp = BPE_CODE_BASE + k
     if cp >= 0xD800:
         raise ValueError(
             f"BPE merge #{k} needs codepoint {cp}, inside/past the "
             "surrogate range (0xD800): the single-char placeholder "
-            "encoding caps at 54016 merges"
+            "encoding caps at 55039 merges"
         )
     return chr(cp)
 
@@ -1317,14 +1318,38 @@ def _bpe_batch_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_bytes_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-mode twin of ``_bpe_batch_explain_frame``: the identical
+    one-round shortlist shape over the BYTE symbol stream (the trainer
+    itself is an eager driver loop — without this frame plan_audit
+    records its createDataFrame result as a LocalTableScan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    syms = docs.selectExpr(f"explode_outer({_BYTE_TOKENS}) AS s").filter(
+        F.col("s").isNotNull() & (F.length("s") >= 2)
+    )
+    return (
+        syms.selectExpr(
+            "explode_outer(transform(sequence(1, length(s) - 1),"
+            " i -> substr(s, i, 2))) AS pair"
+        )
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_BATCH_SCAN)
+    )
+
+
+def _bpe_apply_explain_frame(
+    spark: SparkSession, sf_dir: str, tokens_expr: str = _TOKENS
+) -> DataFrame:
     """Lazy inspectable frame for the apply side: the DISTINCT-token
     replace chain + corpus join + per-doc aggregation with a FIXED
     literal merge table (the learned table only changes the literals
     and the checkpoint staging, never the plan shape)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     toked = docs.selectExpr(
-        "doc_id", f"explode_outer({_TOKENS}) AS tok"
+        "doc_id", f"explode_outer({tokens_expr}) AS tok"
     ).filter(F.col("tok").isNotNull())
     seg = F.col("tok")
     for code, pair in enumerate(("er", "in", "st"), start=1):
@@ -1344,4 +1369,8 @@ EXPLAIN_FRAMES = {
     "bpe_apply_tokens": _bpe_apply_explain_frame,
     "bpe_apply_from_artifact": _bpe_apply_explain_frame,
     "bpe_apply_cross_corpus": _bpe_apply_explain_frame,
+    "bpe_train_bytes": _bpe_bytes_train_explain_frame,
+    "bpe_apply_bytes": lambda spark, sf_dir: _bpe_apply_explain_frame(
+        spark, sf_dir, tokens_expr=_BYTE_TOKENS
+    ),
 }

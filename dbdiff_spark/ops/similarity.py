@@ -1530,24 +1530,20 @@ def _qdist2_duck(a: str, b: str) -> str:
     )
 
 
-def ann_pq(
-    spark: SparkSession,
-    sf_dir: str,
-    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
-) -> DataFrame:
-    """PQ-coded ANN: corpus stored as M codebook codes per vector,
-    queries ranked by ADC (sum of per-subspace table distances).
+def _pq_codes_and_table(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """THE PQ fine stage, built once for every PQ-family op: int8
+    sub-vector split, seed codebook, per-(vec, m) code assignment, and
+    the per-query ADC distance table.  Returns ``(codes, dtable)`` —
+    ``codes`` carries only (vec_id, m, code); ``dtable`` is
+    (query_id, m, code, qd2), Q×M×K rows, driver-tiny.
 
-    Scale shape: code assignment is a corpus scan against a BROADCAST
-    codebook (M×K subcentroids — bytes) with a per-(vec, m) argmin
-    window over K rows; the inverted representation carries only
-    ``(vec_id, m, code)``.  Queries build their distance table against
-    the same broadcast codebook (Q×M×K rows — driver-tiny), and the ADC
-    join is codes × broadcast(table) followed by ONE (query, vec)
-    aggregation — the corpus is never shuffled with its payload, only
-    its codes.  Recall is a function of M×K; swapping seed codebooks
-    for k-means-trained ones (kmeans_lloyd) changes no plumbing."""
-    qvecs = _vectors(spark, sf_dir).selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
+    Code argmin is min(struct(d2, seed_id)) — a map-side-combinable
+    two-level aggregation; the row_number window it replaces shuffled
+    AND sorted the full corpus×M×K candidate set (label_propagation
+    lesson, ARCHITECTURE.md).  Shared by ``ann_pq`` (flat ADC) and
+    ``ann_ivf_pq`` (cell-pruned ADC), so a tie-break or slice fix can
+    never drift between them."""
+    qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
     sub = "slice(qvec, m * (size(qvec) div {M}) + 1, size(qvec) div {M})".format(M=PQ_M)
     subs = qvecs.selectExpr(
         "vec_id",
@@ -1559,10 +1555,6 @@ def ann_pq(
     scored = subs.join(F.broadcast(codebook), "m").withColumn(
         "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
     )
-    # argmin by (d2, seed_id) as min(struct) — a map-side-combinable
-    # two-level aggregation; the row_number window it replaces shuffled
-    # AND sorted the full corpus×M×K candidate set (label_propagation
-    # lesson, ARCHITECTURE.md)
     codes = (
         scored.groupBy("vec_id", "m")
         .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
@@ -1577,6 +1569,27 @@ def ann_pq(
         F.col("seed_id").alias("code"),
         F.expr(_qdist2_spark("q_sub", "seed_sub")).alias("qd2"),
     )
+    return codes, dtable
+
+
+def ann_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """PQ-coded ANN: corpus stored as M codebook codes per vector,
+    queries ranked by ADC (sum of per-subspace table distances).
+
+    Scale shape: code assignment is a corpus scan against a BROADCAST
+    codebook (M×K subcentroids — bytes) with a per-(vec, m) argmin over
+    K rows; the inverted representation carries only
+    ``(vec_id, m, code)``.  Queries build their distance table against
+    the same broadcast codebook (Q×M×K rows — driver-tiny), and the ADC
+    join is codes × broadcast(table) followed by ONE (query, vec)
+    aggregation — the corpus is never shuffled with its payload, only
+    its codes.  Recall is a function of M×K; swapping seed codebooks
+    for k-means-trained ones (kmeans_lloyd) changes no plumbing."""
+    codes, dtable = _pq_codes_and_table(_vectors(spark, sf_dir))
     adc = (
         codes.join(
             _query_side(dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"),
@@ -1599,9 +1612,11 @@ _PQ_SUB_DUCK = "qvec[m * (len(qvec) // {M}) + 1 : (m + 1) * (len(qvec) // {M})]"
     M=PQ_M
 )
 
-ANN_PQ_SQL = f"""
-WITH vecs AS ({_VECTORS_SQL}),
-qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
+# The PQ fine stage as one shared CTE fragment (expects a ``vecs`` CTE
+# in scope) — the oracle twin of ``_pq_codes_and_table``, consumed by
+# BOTH the flat ANN_PQ_SQL and the IVF-PQ composite so the engines'
+# shared-builder guarantee holds on the SQL side too.
+_PQ_STAGE_CTES = f"""qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
 subs AS (
   SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
   FROM qvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
@@ -1622,7 +1637,11 @@ dtable AS (
          {_qdist2_duck('q.sub', 'c.seed_sub')} AS qd2
   FROM subs q JOIN codebook c ON q.m = c.m
   WHERE q.vec_id % {QUERY_MOD} = 0
-),
+)"""
+
+ANN_PQ_SQL = f"""
+WITH vecs AS ({_VECTORS_SQL}),
+{_PQ_STAGE_CTES},
 adc AS (
   SELECT query_id, vec_id AS neighbor_id, CAST(sum(qd2) AS BIGINT) AS approx_l2sq
   FROM codes JOIN dtable ON codes.m = dtable.m AND codes.code = dtable.code
@@ -1690,37 +1709,8 @@ def ann_ivf_pq(
             F.col("vec_id").alias("query_id"), F.col("seed_id").alias("q_cell")
         )
     )
-    # --- fine stage: PQ codes + ADC table (ann_pq) ---
-    qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
-    sub = "slice(qvec, m * (size(qvec) div {M}) + 1, size(qvec) div {M})".format(
-        M=PQ_M
-    )
-    subs = qvecs.selectExpr(
-        "vec_id",
-        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
-    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
-    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
-        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
-    )
-    pq_scored = subs.join(F.broadcast(codebook), "m").withColumn(
-        "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
-    )
-    codes = (
-        pq_scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
-        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
-    )
-    dtable = (
-        subs.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub"))
-        .join(F.broadcast(codebook), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("seed_id").alias("code"),
-            F.expr(_qdist2_spark("q_sub", "seed_sub")).alias("qd2"),
-        )
-    )
+    # --- fine stage: the SHARED PQ builder (ann_pq's, verbatim) ---
+    codes, dtable = _pq_codes_and_table(vecs)
     # --- compose: cell-pruned candidates, ADC-ranked ---
     cand = assigned.join(
         _query_side(probes, max_broadcast_queries * nprobe, "merge"),
@@ -1773,28 +1763,7 @@ iprobes AS (
     FROM iscored WHERE vec_id % {QUERY_MOD} = 0
   ) WHERE prn <= {nprobe_expr}
 ),
-qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
-subs AS (
-  SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
-  FROM qvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
-),
-codebook AS (
-  SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs WHERE vec_id < {PQ_SEEDS}
-),
-codes AS (
-  SELECT vec_id, m, seed_id AS code FROM (
-    SELECT s.vec_id, s.m, c.seed_id,
-           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY {_qdist2_duck('s.sub', 'c.seed_sub')}, c.seed_id) AS rn
-    FROM subs s JOIN codebook c ON s.m = c.m
-  ) WHERE rn = 1
-),
-dtable AS (
-  SELECT q.vec_id AS query_id, q.m, c.seed_id AS code,
-         {_qdist2_duck('q.sub', 'c.seed_sub')} AS qd2
-  FROM subs q JOIN codebook c ON q.m = c.m
-  WHERE q.vec_id % {QUERY_MOD} = 0
-),
+{_PQ_STAGE_CTES},
 icand AS (
   SELECT query_id, a.vec_id
   FROM iassigned a JOIN iprobes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id

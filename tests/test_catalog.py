@@ -578,11 +578,14 @@ def test_file_catalog_warns_on_cross_format_shadowing(spark, tmp_path):
     )
     assert cat.load("people").count() == 1  # sorted-first (csv) wins
 
-    # parquet-wins collisions are adjudicated — no warning
+    # parquet-wins collisions are adjudicated — no warning, even when
+    # the parquet sibling sorts AFTER a csv-vs-json pair (the r8 review
+    # caught a mid-scan warning firing before the winner was known)
     spark.createDataFrame([(1, "ada"), (2, "grace")], "id int, name string").write.parquet(
         str(tmp_path / "staff.parquet")
     )
     (tmp_path / "staff.csv").write_text("id,name\n1,ada\n")
+    (tmp_path / "staff.json").write_text('{"id": 1, "name": "ada"}\n')
     with warnings.catch_warnings(record=True) as caught2:
         warnings.simplefilter("always")
         cat2 = FileCatalog(spark, str(tmp_path), {})

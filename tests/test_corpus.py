@@ -196,7 +196,12 @@ def test_mixture_temperature_upsamples_scarce_sources(spark, tmp_path):
 
     rows = []
     did = 0
-    for src, n_docs, chars in (("bulk", 200, 500), ("mid", 40, 500), ("rare", 5, 500)):
+    for src, n_docs, chars in (
+        ("bulk", 200, 500),
+        ("mid", 40, 500),
+        ("rare", 5, 500),
+        ("void", 3, 0),  # zero-volume source: 0/0 rate — must be dropped
+    ):
         for _ in range(n_docs):
             rows.append((did, "word " * 10, src, chars))
             did += 1

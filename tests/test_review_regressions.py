@@ -279,3 +279,10 @@ def test_artifact_root_vacuums_dead_pid_siblings(spark):
     assert fs.exists(spark, junk_dir)  # unparseable name untouched
     fs.delete(spark, foreign_dir)
     fs.delete(spark, junk_dir)
+    # the vacuum gate: local pid probes are meaningless on shared
+    # warehouses — another gateway host's live driver may own the tree
+    # (r8 review finding)
+    assert fs._is_local_scheme("/abs/spark-warehouse")
+    assert fs._is_local_scheme("file:/abs/spark-warehouse")
+    assert not fs._is_local_scheme("hdfs://nn:8020/warehouse")
+    assert not fs._is_local_scheme("s3a://bucket/warehouse")
