@@ -688,7 +688,21 @@ def _bpe_batch_learn(
     per-round adopted raw pairs, dense expansion list)`` where
     merge_rows are ``(round, slot, merge_text, n_occurrences)``.
 
-    Each round materializes the re-segmented corpus once
+    Training runs over the WEIGHTED DISTINCT-token frame (the same
+    Zipf trade the r7 apply rewrite made): segmentation is a pure
+    function of the token and the replace→placeholder encoding is
+    injective (the round-trip proof IS the injectivity witness), so
+    distinct tokens stay distinct across rounds and the per-round
+    pair count is exactly ``sum(w)`` over the vocabulary — the
+    corpus token stream is touched ONCE, by the initial
+    groupBy-count, and every later round (pair counting, replace,
+    checkpoint) is vocabulary-sized, not corpus-sized.  Counts are
+    bit-identical to stream counting, so the DuckDB oracle twins
+    (which recount over the stream) are unchanged.  This is the
+    standard tokenizer-trainer shape (word-frequency table), and at
+    100 TB it is the difference between R corpus passes and one.
+
+    Each round materializes the re-segmented vocabulary once
     (``localCheckpoint``) and applies only ITS OWN ≤m replaces on top of
     the previous round's segments, so total replace passes are R·m —
     not the R²·m/2 a cumulative expression chain from the raw tokens
@@ -727,6 +741,8 @@ def _bpe_batch_learn(
     cur = (
         docs.selectExpr(f"explode_outer({tokens_expr}) AS s")
         .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .localCheckpoint(eager=True)
     )
     expansions: list = []
@@ -734,12 +750,13 @@ def _bpe_batch_learn(
     out_rows: list = []
     for rnd in range(1, rounds + 1):
         pairs = cur.selectExpr(
+            "w",
             "explode_outer(transform(sequence(1, length(s) - 1),"
-            " i -> substr(s, i, 2))) AS pair"
+            " i -> substr(s, i, 2))) AS pair",
         ).filter(F.col("pair").isNotNull())
         shortlist = (
             pairs.groupBy("pair")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .agg(F.sum("w").cast("bigint").alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair"))
             .limit(scan)
             .collect()
@@ -779,10 +796,12 @@ def _bpe_batch_learn(
             # the re-segmentation only feeds the NEXT round's counting
             # job — skipping it on the final round saves a full corpus
             # pass whose result nothing reads
+            # lazy: the NEXT round's shortlist job materializes the
+            # checkpoint — one vocabulary-sized job per round, not two
             cur = (
-                cur.select(seg.alias("s"))
+                cur.select(seg.alias("s"), "w")
                 .filter(F.length("s") >= 2)
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
     return out_rows, rounds_adopted, expansions
 
@@ -1306,38 +1325,47 @@ QUERIES = {
     "rag_index_funnel": (rag_index_funnel, RAG_FUNNEL_SQL),
 }
 
-def _bpe_batch_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train_shortlist_frame(
+    spark: SparkSession, sf_dir: str, tokens_expr: str = _TOKENS
+) -> DataFrame:
     """Lazy inspectable frame for the batch trainer: one round's
-    distributed shortlist (pair count + TakeOrdered top-C); the
-    dominance filter runs on the collected ≤C rows and later rounds
-    repeat this shape over replace chains."""
+    distributed shortlist over the WEIGHTED DISTINCT-token frame —
+    corpus groupBy-count into the vocabulary, pair explode carrying
+    the weight, sum(w) + TakeOrdered top-C.  The dominance/greedy
+    filter runs on the collected ≤C rows and later rounds repeat
+    this shape over vocabulary-sized replace chains."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    vocab = (
+        docs.selectExpr(f"explode_outer({tokens_expr}) AS s")
+        .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
     return (
-        _symbol_pair_counts(spark, sf_dir)
+        vocab.selectExpr(
+            "w",
+            "explode_outer(transform(sequence(1, length(s) - 1),"
+            " i -> substr(s, i, 2))) AS pair",
+        )
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.sum("w").cast("bigint").alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
         .limit(BPE_BATCH_SCAN)
     )
+
+
+def _bpe_batch_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bpe_train_shortlist_frame(spark, sf_dir)
 
 
 def _bpe_bytes_train_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-mode twin of ``_bpe_batch_explain_frame``: the identical
-    one-round shortlist shape over the BYTE symbol stream (the trainer
-    itself is an eager driver loop — without this frame plan_audit
-    records its createDataFrame result as a LocalTableScan)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    syms = docs.selectExpr(f"explode_outer({_BYTE_TOKENS}) AS s").filter(
-        F.col("s").isNotNull() & (F.length("s") >= 2)
-    )
-    return (
-        syms.selectExpr(
-            "explode_outer(transform(sequence(1, length(s) - 1),"
-            " i -> substr(s, i, 2))) AS pair"
-        )
-        .filter(F.col("pair").isNotNull())
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
-        .limit(BPE_BATCH_SCAN)
-    )
+    one-round weighted shortlist shape over the BYTE symbol stream
+    (the trainer itself is an eager driver loop — without this frame
+    plan_audit records its createDataFrame result as a
+    LocalTableScan)."""
+    return _bpe_train_shortlist_frame(spark, sf_dir, tokens_expr=_BYTE_TOKENS)
 
 
 def _bpe_apply_explain_frame(
