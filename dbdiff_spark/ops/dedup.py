@@ -1132,8 +1132,10 @@ GROUP BY cluster_id, p.p_name
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per near-dup cluster: the representative to keep (longest member,
     then lowest doc_id) and the member count — the decision table a
-    dedup pipeline applies as an anti-join against the corpus."""
-    clusters = neardup_clusters(spark, sf_dir)
+    dedup pipeline applies as an anti-join against the corpus.
+    Consumes the big-star labeling (same fixpoint, O(log²) rounds —
+    see ``_split_assignments``)."""
+    clusters = neardup_clusters_bigstar(spark, sf_dir)
     sizes = _neardup_corpus(spark, sf_dir).select(
         "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
     )
@@ -1403,13 +1405,20 @@ def dedup_ingest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"doc_id + {INTRA_COPY_OFFSET} AS doc_id", "tokens"
         )
     )
-    clusters = _min_label_components(_lsh_pairs(batch))
+    # big-star contraction for the intra-batch CC (same component-min
+    # fixpoint as min-label, O(log²) rounds — see _split_assignments)
+    intra_pairs = _lsh_pairs(batch)
+    clusters = bigstar_components(
+        intra_pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
+            intra_pairs.selectExpr("id_b AS src", "id_a AS dst")
+        )
+    )
     assign = (
         batch.select("doc_id")
         .join(clusters, "doc_id", "left")
         .select(
             F.col("doc_id").alias("new_doc_id"),
-            F.coalesce(F.col("label"), F.col("doc_id")).alias("rep_id"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
         )
     )
     reps = batch.join(
@@ -1563,6 +1572,117 @@ FROM scored GROUP BY n_equal_slots
 """
 
 
+# --- b-bit minhash ------------------------------------------------------------
+#
+# Li & König, "b-Bit Minwise Hashing" (WWW 2010): store only the lowest
+# b bits of each minhash value.  At b=1 the per-doc signature is
+# N_HASHES BITS (one byte here) instead of N_HASHES 8-hex-char slices —
+# a 64× storage cut, which at 100 TB is the difference between a
+# signature matrix that fits executor memory / broadcast budgets and
+# one that doesn't.  The price is estimator variance: for 1-bit hashes
+# P[bit_a = bit_b] = (1 + J) / 2, so Ĵ = 2·(agree/N) − 1, and a
+# disagreeing-by-chance half of unrelated pairs compresses the usable
+# range.  The report quantifies exactly that trade on this corpus:
+# per agreeing-bit count, the estimator's value next to the measured
+# mean exact Jaccard of the candidate pairs (candidates still come
+# from full-slice LSH bands — b-bit compresses the STORED signatures,
+# not the band keys).
+
+
+def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit minhash calibration over LSH candidate pairs:
+    ``(n_agreeing_bits, est_jaccard_ppm, n_pairs,
+    mean_exact_jaccard_ppm)``.
+
+    The packed signature is a pure projection of the existing slice
+    signatures (parity of each slice's last hex char), the pair
+    agreement is one ``bit_count`` over an int XOR — the whole
+    estimator runs in codegen with no extra shuffle beyond the joins
+    the calibration already pays."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    sigs = _signatures_spark(corpus)
+    bbit = " + ".join(
+        f"(CASE WHEN instr('13579bdf', substr(h{s}, {_SLICE_W}, 1)) > 0"
+        f" THEN {1 << s} ELSE 0 END)"
+        for s in range(N_HASHES)
+    )
+    packed = sigs.selectExpr("doc_id", f"CAST(({bbit}) AS INT) AS bsig")
+    dsets = corpus.selectExpr(
+        "doc_id",
+        f"array_distinct({shingles_expr_spark('tokens')}) AS shd",
+    )
+    pairs = _lsh_pairs(corpus)
+    scored = (
+        pairs.join(packed.selectExpr("doc_id AS id_a", "bsig AS ba"), "id_a")
+        .join(packed.selectExpr("doc_id AS id_b", "bsig AS bb"), "id_b")
+        .join(dsets.selectExpr("doc_id AS id_a", "shd AS sha"), "id_a")
+        .join(dsets.selectExpr("doc_id AS id_b", "shd AS shb"), "id_b")
+        .selectExpr(
+            f"CAST({N_HASHES} - bit_count(ba ^ bb) AS INT) AS n_agreeing_bits",
+            "CAST(size(array_intersect(sha, shb)) * 1000000"
+            " div size(array_union(sha, shb)) AS BIGINT) AS jac_ppm",
+        )
+    )
+    return (
+        scored.selectExpr(
+            "n_agreeing_bits",
+            f"CAST(greatest(0, 2 * n_agreeing_bits - {N_HASHES}) * 1000000"
+            f" div {N_HASHES} AS BIGINT) AS est_jaccard_ppm",
+            "jac_ppm",
+        )
+        .groupBy("n_agreeing_bits", "est_jaccard_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr("CAST(sum(jac_ppm) div count(*) AS BIGINT)").alias(
+                "mean_exact_jaccard_ppm"
+            ),
+        )
+    )
+
+
+def _bbit_calibration_sql() -> str:
+    banded = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
+        for b, expr in enumerate(_band_exprs())
+    )
+    bbit = " + ".join(
+        f"(CASE WHEN strpos('13579bdf', substr(h{s}, {_SLICE_W}, 1)) > 0"
+        f" THEN {1 << s} ELSE 0 END)"
+        for s in range(N_HASHES)
+    )
+    return f"""
+WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
+banded AS (
+  {banded}
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+packed AS (SELECT doc_id, CAST(({bbit}) AS INT) AS bsig FROM sigs),
+dsets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
+scored AS (
+  SELECT CAST({N_HASHES} - bit_count(xor(pa.bsig, pb.bsig)) AS INT)
+           AS n_agreeing_bits,
+         CAST(len(list_intersect(da.shd, db.shd)) * 1000000
+              // len(list_distinct(da.shd || db.shd)) AS BIGINT) AS jac_ppm
+  FROM cpairs p
+  JOIN packed pa ON p.id_a = pa.doc_id
+  JOIN packed pb ON p.id_b = pb.doc_id
+  JOIN dsets da ON p.id_a = da.doc_id
+  JOIN dsets db ON p.id_b = db.doc_id
+)
+SELECT n_agreeing_bits,
+       CAST(greatest(0, 2 * n_agreeing_bits - {N_HASHES}) * 1000000
+            // {N_HASHES} AS BIGINT) AS est_jaccard_ppm,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(jac_ppm) // count(*) AS BIGINT) AS mean_exact_jaccard_ppm
+FROM scored GROUP BY n_agreeing_bits, est_jaccard_ppm
+"""
+
+
 # --- leakage-safe train/val/test split ---------------------------------------
 #
 # Per-document hash splits (text.train_val_split) leak: a near-dup pair
@@ -1581,9 +1701,14 @@ def _split_assignments(
     spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
 ) -> DataFrame:
     """Per-doc (doc_id, group_id, split) over the near-dup corpus —
-    the testable inner frame (no cluster may span two splits)."""
+    the testable inner frame (no cluster may span two splits).
+
+    Consumes the big-star CC labeling: the component-minimum fixpoint
+    is algorithm-independent (min-label stays in the registry as the
+    measured A/B), and a CONSUMER should ride the O(log²)-round
+    contraction, not diameter-round propagation."""
     if clusters is None:
-        clusters = neardup_clusters(spark, sf_dir)
+        clusters = neardup_clusters_bigstar(spark, sf_dir)
     ids = load_table(spark, sf_dir, "documents").select("doc_id")
     corpus_ids = ids.unionByName(
         ids.selectExpr(f"doc_id + {NEARDUP_OFFSET} AS doc_id")
@@ -1862,6 +1987,7 @@ QUERIES = {
     "dedup_ingest_incremental": (dedup_ingest_incremental, DEDUP_INGEST_SQL),
     "dedup_ingest_full": (dedup_ingest_full, _ingest_full_sql()),
     "lsh_pair_calibration": (lsh_pair_calibration, _pair_calibration_sql()),
+    "dedup_minhash_bbit": (dedup_minhash_bbit, _bbit_calibration_sql()),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),

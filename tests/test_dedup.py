@@ -355,6 +355,38 @@ def test_lsh_calibration_is_monotone_and_starts_at_one_band(spark, sf_dir):
     assert full and full[0].mean_exact_jaccard_ppm > 500_000
 
 
+def test_bbit_estimator_matches_bit_agreement(spark, sf_dir):
+    """b-bit law (Li & König): est_jaccard_ppm is the clamped unbiased
+    1-bit estimator 2·(agree/N) − 1 of its bucket, buckets partition
+    the same candidate pairs lsh_pair_calibration sees (pair totals
+    agree), and exact Jaccard still rises with bit agreement at the
+    extremes (8-agreeing-bit pairs beat the minimum-agreement bucket —
+    1-bit buckets are noisy in the middle by design)."""
+    from dbdiff_spark.ops.dedup import (
+        N_HASHES,
+        dedup_minhash_bbit,
+        lsh_pair_calibration,
+    )
+
+    rows = sorted(
+        dedup_minhash_bbit(spark, sf_dir).collect(),
+        key=lambda r: r.n_agreeing_bits,
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_agreeing_bits <= N_HASHES
+        expected = max(0, 2 * r.n_agreeing_bits - N_HASHES) * 1_000_000 // N_HASHES
+        assert r.est_jaccard_ppm == expected
+    n_total = sum(r.n_pairs for r in rows)
+    n_cal = sum(r.n_pairs for r in lsh_pair_calibration(spark, sf_dir).collect())
+    assert n_total == n_cal
+    if len(rows) > 1:
+        assert rows[-1].n_agreeing_bits == N_HASHES
+        assert (
+            rows[-1].mean_exact_jaccard_ppm > rows[0].mean_exact_jaccard_ppm
+        )
+
+
 def test_simhash_neardup_contains_exact_groups(spark, sf_dir):
     """Radius law: every exact-fingerprint group (distance 0) must land
     inside one radius-5 cluster, and every emitted pair really is
