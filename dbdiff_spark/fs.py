@@ -141,18 +141,48 @@ def _is_local_scheme(path: str) -> bool:
     return ":" not in head or head.split(":", 1)[0] == "file"
 
 
+# minimum idle time before a dead-pid artifact tree is reaped: long
+# enough that a live remote owner on a shared mount would have written
+# again (bench/demo runs write every few seconds), short enough that
+# leaked trees still reclaim within a working session
+_VACUUM_MIN_IDLE_S = 3600
+
+
 def _vacuum_dead_artifact_roots(
     spark: SparkSession, artifacts_root: str, uid: int
 ) -> list[str]:
     """Delete ``u<uid>_p<pid>`` sibling trees whose pid no longer runs
     on this host (same uid only — other users' pids can't be probed
-    reliably, and their trees aren't ours to reap).  Best-effort by
+    reliably, and their trees aren't ours to reap) AND whose tree has
+    been idle past ``_VACUUM_MIN_IDLE_S``.  The age guard covers the
+    case the scheme gate cannot see: a local ``file:`` path that is
+    actually a SHARED POSIX mount (NFS, bind mount across pid
+    namespaces), where a foreign host's pid can look dead here while
+    its driver is live there — a live writer's tree has a recent
+    mtime, so requiring both signals keeps the reap safe without
+    giving up reclamation (r8 review finding).  Best-effort by
     contract: any filesystem or probe error leaves the tree in place.
     Returns the deleted child names (for the test)."""
     import os
+    import time
+
+    def _tree_mtime(path: str) -> float:
+        # newest of the dir and its immediate children: POSIX dir
+        # mtime only moves on direct entry changes, so a live owner
+        # writing inside <kind>_<key>/ would not refresh the top dir
+        mt = os.path.getmtime(path)
+        try:
+            for child in os.listdir(path):
+                mt = max(mt, os.path.getmtime(f"{path}/{child}"))
+        except OSError:
+            pass
+        return mt
 
     reaped: list[str] = []
     me = os.getpid()
+    local_root = artifacts_root.split(":", 1)[1] if artifacts_root.startswith(
+        "file:"
+    ) else artifacts_root
     try:
         for name in list_dirs(spark, artifacts_root):
             if not name.startswith(f"u{uid}_p"):
@@ -170,6 +200,12 @@ def _vacuum_dead_artifact_roots(
                 pass  # dead: reap below
             except Exception:
                 continue  # permission/odd state: do not touch
+            try:
+                idle = time.time() - _tree_mtime(f"{local_root}/{name}")
+            except OSError:
+                continue
+            if idle < _VACUUM_MIN_IDLE_S:
+                continue  # recently written: possibly a live remote owner
             if delete(spark, f"{artifacts_root}/{name}"):
                 reaped.append(name)
     except Exception:

@@ -242,21 +242,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs(_neardup_corpus(spark, sf_dir))
 
 
-def _lsh_pairs_sql() -> str:
+def _candidate_pair_ctes() -> str:
+    """The banded/cpairs CTE block over an in-scope ``sigs`` relation —
+    the ONE spelling of LSH candidate generation, shared by the pair
+    op and both calibration oracles (a banding change must reach all
+    three or the calibrations silently measure a different candidate
+    set than the engine op they are compared against)."""
     banded = "\nUNION ALL\n".join(
         f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
         for b, expr in enumerate(_band_exprs())
     )
+    return f"""banded AS (
+  {banded}
+),
+cpairs AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+)"""
+
+
+def _lsh_pairs_sql() -> str:
     return f"""
 WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
-banded AS (
-  {banded}
-)
-SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-FROM banded x
-JOIN banded y
-  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
- AND x.doc_id < y.doc_id
+{_candidate_pair_ctes()}
+SELECT id_a, id_b FROM cpairs
 """
 
 
@@ -1536,25 +1547,13 @@ def lsh_pair_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pair_calibration_sql() -> str:
-    banded = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
-        for b, expr in enumerate(_band_exprs())
-    )
     n_eq = " + ".join(
         f"(CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END)"
         for s in range(N_HASHES)
     )
     return f"""
 WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
-banded AS (
-  {banded}
-),
-cpairs AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM banded x JOIN banded y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-),
+{_candidate_pair_ctes()},
 dsets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
 scored AS (
   SELECT CAST(({n_eq}) AS INT) AS n_equal_slots,
@@ -1641,10 +1640,6 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bbit_calibration_sql() -> str:
-    banded = "\nUNION ALL\n".join(
-        f"SELECT doc_id, {b} AS band_idx, {expr} AS band_key FROM sigs"
-        for b, expr in enumerate(_band_exprs())
-    )
     bbit = " + ".join(
         f"(CASE WHEN strpos('13579bdf', substr(h{s}, {_SLICE_W}, 1)) > 0"
         f" THEN {1 << s} ELSE 0 END)"
@@ -1652,15 +1647,7 @@ def _bbit_calibration_sql() -> str:
     )
     return f"""
 WITH {_signatures_sql(_NEARDUP_CORPUS_SQL)},
-banded AS (
-  {banded}
-),
-cpairs AS (
-  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-  FROM banded x JOIN banded y
-    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-   AND x.doc_id < y.doc_id
-),
+{_candidate_pair_ctes()},
 packed AS (SELECT doc_id, CAST(({bbit}) AS INT) AS bsig FROM sigs),
 dsets AS (SELECT doc_id, list_distinct(shingles) AS shd FROM sh),
 scored AS (

@@ -207,8 +207,11 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     )
     n_nodes = deg.selectExpr("count(*) AS n").withColumn("k", F.lit(1))
     n_edges = edges.selectExpr("count(*) div 2 AS n").withColumn("k", F.lit(1))
+    # BIGINT before the multiply: size() is INT, and at 100 TB graph
+    # scale an oriented out-degree ≥ 46341 would wrap d*(d-1) in int32
     n_wedges = adj.selectExpr(
-        "coalesce(CAST(sum(size(nbrs) * (size(nbrs) - 1) div 2) AS BIGINT), 0) AS n"
+        "coalesce(sum(CAST(size(nbrs) AS BIGINT)"
+        " * (CAST(size(nbrs) AS BIGINT) - 1) div 2), CAST(0 AS BIGINT)) AS n"
     ).withColumn("k", F.lit(1))
     n_tri = tri.selectExpr(
         "coalesce(CAST(sum(c) AS BIGINT), 0) AS n"

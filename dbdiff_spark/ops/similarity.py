@@ -422,9 +422,13 @@ def ann_ivf(
         )
     )
     # a corpus vector lives in exactly one cell and a query's probed
-    # cells are distinct, so candidate pairs need no dedup
+    # cells are distinct, so candidate pairs need no dedup.  The row
+    # bound scales by nprobe — the probe explosion puts nprobe rows
+    # per query in this frame, and an unscaled bound would demote
+    # honest megabyte-sized query sets to the sort-merge fallback at
+    # derived nprobe (the byte bound still caps true payload).
     cand = assigned.join(
-        _query_side(queries, max_broadcast_queries, "merge"),
+        _query_side(queries, max_broadcast_queries * nprobe, "merge"),
         (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
     ).select(
         "query_id",
@@ -1065,8 +1069,10 @@ def _ivf_literal_search(
     ).select(
         "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
     )
+    # row bound scaled by nprobe: the explode above emits nprobe rows
+    # per query (see ann_ivf's multi-probe note)
     cand = assigned.join(
-        _query_side(queries, max_broadcast_queries, "merge"),
+        _query_side(queries, max_broadcast_queries * nprobe, "merge"),
         (F.col("cell") == F.col("q_cell"))
         & (F.col("vec_id") != F.col("query_id")),
     ).select(
@@ -1405,6 +1411,9 @@ EXPLAIN_FRAMES = {
     "ann_ivf_full_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
+    "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
+        spark, sf_dir
+    ),
 }
 
 
@@ -1673,19 +1682,12 @@ WHERE rank <= {PQ_K}
 # proven CTEs.
 
 
-def ann_ivf_pq(
-    spark: SparkSession,
-    sf_dir: str,
-    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+def _ann_ivf_pq_frame(
+    vecs: DataFrame, cells: int, nprobe: int, max_broadcast_queries: int
 ) -> DataFrame:
-    """IVF-PQ ANN: derived-C seed-IVF restricts candidates to each
-    query's ⌈√C⌉ probed cells; PQ codes + one broadcast ADC table rank
-    them by exact BIGINT approximate distance.  Same output contract
-    as ``ann_pq`` (top-PQ_K by approx_l2sq), cell-pruned."""
-    n = load_table(spark, sf_dir, "embeddings").count()
-    cells = semdedup_cells(n)
-    nprobe = ivf_nprobe_for(cells)
-    vecs = _vectors(spark, sf_dir)
+    """The LAZY IVF-PQ composition over a ``(vec_id, embedding, norm)``
+    frame — shared by the eager registry op (which persists ``vecs``
+    and checkpoints the result) and its plan-audit explain frame."""
     # --- coarse stage: seed-IVF assignment + query probes (ann_ivf) ---
     seeds = vecs.filter(F.col("vec_id") < cells).select(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
@@ -1706,7 +1708,8 @@ def ann_ivf_pq(
         .withColumn("probe_rank", F.row_number().over(wq_cells))
         .filter(F.col("probe_rank") <= nprobe)
         .select(
-            F.col("vec_id").alias("query_id"), F.col("seed_id").alias("q_cell")
+            F.col("vec_id").alias("query_id"),
+            F.col("seed_id").alias("q_cell"),
         )
     )
     # --- fine stage: the SHARED PQ builder (ann_pq's, verbatim) ---
@@ -1720,7 +1723,9 @@ def ann_ivf_pq(
     adc = (
         cand.join(codes, "vec_id")
         .join(
-            _query_side(dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"),
+            _query_side(
+                dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"
+            ),
             ["query_id", "m", "code"],
         )
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -1731,6 +1736,45 @@ def ann_ivf_pq(
     )
     return adc.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= PQ_K
+    )
+
+
+def ann_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """IVF-PQ ANN: derived-C seed-IVF restricts candidates to each
+    query's ⌈√C⌉ probed cells; PQ codes + one broadcast ADC table rank
+    them by exact BIGINT approximate distance.  Same output contract
+    as ``ann_pq`` (top-PQ_K by approx_l2sq), cell-pruned.
+
+    The corpus frame is persisted for the op's lifetime — the
+    ``_broadcastable`` guard jobs (probes, dtable) plus the final
+    action would otherwise each re-run the corpus scan AND the
+    corpus×seeds coarse scoring from scratch — and the result is
+    eagerly checkpointed so the cache can be released before
+    returning (the sibling trained ops' pattern)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    cells = semdedup_cells(n)
+    nprobe = ivf_nprobe_for(cells)
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        out = _ann_ivf_pq_frame(vecs, cells, nprobe, max_broadcast_queries)
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_pq_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy plan twin of ``ann_ivf_pq`` (the registry op checkpoints
+    eagerly to release its corpus cache, so its returned plan is a
+    checkpoint scan)."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    cells = semdedup_cells(n)
+    return _ann_ivf_pq_frame(
+        _vectors(spark, sf_dir), cells, ivf_nprobe_for(cells),
+        MAX_BROADCAST_QUERIES,
     )
 
 

@@ -271,6 +271,15 @@ def test_artifact_root_vacuums_dead_pid_siblings(spark):
     junk_dir = f"{artifacts}/u{uid}_pnotanumber"
     for d in (dead_dir, live_dir, foreign_dir, junk_dir):
         fs.mkdirs(spark, d)
+    local = artifacts.split(":", 1)[1] if artifacts.startswith("file:") else artifacts
+    # freshly-written dead-pid tree: NOT reaped (the age guard — on a
+    # shared POSIX mount a foreign host's live driver looks pid-dead
+    # here, but a live owner has a recent mtime)
+    assert fs._vacuum_dead_artifact_roots(spark, artifacts, uid) == []
+    assert fs.exists(spark, dead_dir)
+    # backdate past the idle threshold: now it reaps
+    stale = 1.0  # epoch seconds — far past any idle threshold
+    os.utime(f"{local}/u{uid}_p{dead}", (stale, stale))
     reaped = fs._vacuum_dead_artifact_roots(spark, artifacts, uid)
     assert f"u{uid}_p{dead}" in reaped
     assert not fs.exists(spark, dead_dir)

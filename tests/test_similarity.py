@@ -470,8 +470,37 @@ def test_ivf_ingest_appends_batch_without_rewriting_base(spark, sf_dir, tmp_path
         .groupBy("h").count().withColumnRenamed("count", "n").collect()
     }
     assert set(halves) == {0, 1} and min(halves.values()) > 0
-    # ingest again into the same root via a fresh call on a new root is
-    # covered by the op itself; here assert the base write survived the
-    # append untouched: every cell dir still holds its original file
-    sizes_before = {f: os.path.getsize(f) for f in files}
-    assert all(v > 0 for v in sizes_before.values())
+    # The physical append proof (r8 review: a post-op size snapshot
+    # asserts nothing).  Every parquet part file carries its WRITE
+    # JOB's uuid in its name; base rows are even vec_ids, batch rows
+    # odd.  If the append leg had rewritten the base slice, base rows
+    # would sit in files of the SAME job uuid as batch rows — so
+    # assert (a) no file mixes the two slices and (b) the job-uuid
+    # sets behind base files and batch files are disjoint.
+    import re
+
+    from pyspark.sql import functions as F
+
+    per_file = (
+        spark.read.parquet(f"{root}/assignments")
+        .select(
+            F.input_file_name().alias("f"),
+            (F.col("vec_id") % 2).alias("h"),
+        )
+        .groupBy("f")
+        .agg(F.count_distinct("h").alias("nh"), F.min("h").alias("h"))
+        .collect()
+    )
+    assert per_file and all(r["nh"] == 1 for r in per_file)
+
+    def job_uuid(path):
+        m = re.search(r"part-\d+-([0-9a-f-]{36})", path)
+        assert m, path
+        return m.group(1)
+
+    base_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 0}
+    batch_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 1}
+    assert base_jobs and batch_jobs
+    assert base_jobs.isdisjoint(batch_jobs)
+    sizes = {f: os.path.getsize(f) for f in files}
+    assert all(v > 0 for v in sizes.values())

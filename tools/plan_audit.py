@@ -73,7 +73,6 @@ AUDITED = [
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_ingest",
-    "ann_ivf_sample_trained",
     "ann_ivf_cells_scaled",
     "dedup_minhash_bbit",
     "join_skew_report",
