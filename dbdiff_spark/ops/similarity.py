@@ -358,6 +358,66 @@ def _dist2_duck(a: str, b: str) -> str:
     )
 
 
+def _ivf_coarse(
+    vecs: DataFrame, cells: int, nprobe: int, payload: bool
+) -> tuple[DataFrame, DataFrame]:
+    """The seed-IVF coarse stage over a ``(vec_id, embedding, norm)``
+    frame → ``(assigned, queries)`` — the ONE Spark spelling of the
+    ``(d2, seed_id)`` tie-break and the probe rank, shared by
+    ``ann_ivf`` and the IVF-PQ composite (the SQL twin is
+    ``_ivf_coarse_sql_ctes``; a tie-break change must reach both
+    engines' single copies or cell assignments silently diverge).
+
+    * assignment: argmin as min(struct) — (d2, seed_id) is unique per
+      candidate, so the lexicographic min never compares the trailing
+      payload fields; map-side combinable, no per-vec sort.
+    * queries: rank ALL cells per query by distance and keep the
+      nprobe nearest — the window runs over the Q×C query frame (1%
+      of corpus × cells), never the corpus.
+    * ``payload=False`` drops the embedding/norm carry for consumers
+      that re-rank by PQ codes instead of exact cosine."""
+    seeds = vecs.filter(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
+    )
+    pay = ["embedding", "norm"] if payload else []
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id",
+        *pay,
+        "seed_id",
+        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("d2"), F.col("seed_id"), *[F.col(c) for c in pay])
+            ).alias("__b")
+        )
+        .select(
+            "vec_id",
+            *[F.col(f"__b.{c}").alias(c) for c in pay],
+            F.col("__b.seed_id").alias("cell"),
+        )
+    )
+    wq_cells = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
+    qpay = (
+        [F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")]
+        if payload
+        else []
+    )
+    queries = (
+        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .withColumn("probe_rank", F.row_number().over(wq_cells))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *qpay,
+            F.col("seed_id").alias("q_cell"),
+        )
+    )
+    return assigned, queries
+
+
 def ann_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -377,50 +437,7 @@ def ann_ivf(
     Swapping seeds for trained centroids (label_centroids / k-means)
     changes no plumbing."""
     vecs = _vectors(spark, sf_dir)
-    seeds = vecs.filter(F.col("vec_id") < cells).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
-    )
-    scored = vecs.join(F.broadcast(seeds)).select(
-        "vec_id",
-        "embedding",
-        "norm",
-        "seed_id",
-        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
-    )
-    # argmin as min(struct): (d2, seed_id) is unique per candidate, so
-    # the lexicographic min never compares the trailing payload fields —
-    # map-side combinable, no per-vec sort (see ann_pq / ARCHITECTURE.md)
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("d2"), F.col("seed_id"), F.col("embedding"), F.col("norm")
-                )
-            ).alias("__b")
-        )
-        .select(
-            "vec_id",
-            F.col("__b.embedding").alias("embedding"),
-            F.col("__b.norm").alias("norm"),
-            F.col("__b.seed_id").alias("cell"),
-        )
-    )
-    # multi-probe query side: rank ALL cells per query by distance and
-    # keep the nprobe nearest — the window runs over the Q×C query
-    # frame (1% of corpus × cells), not the corpus
-    wq_cells = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
-    queries = (
-        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .withColumn("probe_rank", F.row_number().over(wq_cells))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-            F.col("seed_id").alias("q_cell"),
-        )
-    )
+    assigned, queries = _ivf_coarse(vecs, cells, nprobe, payload=True)
     # a corpus vector lives in exactly one cell and a query's probed
     # cells are distinct, so candidate pairs need no dedup.  The row
     # bound scales by nprobe — the probe explosion puts nprobe rows
@@ -520,33 +537,51 @@ def _ann_ivf_cells_scaled_sql() -> str:
     return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe_expr)
 
 
+def _ivf_coarse_sql_ctes(
+    cells, nprobe, prefix: str = "", payload: bool = True
+) -> str:
+    """The seed-IVF coarse stage (seeds → scored → assigned →
+    queries) over an in-scope ``vecs`` relation — the ONE SQL spelling
+    of the ``(d2, seed_id)`` tie-break and the probe rank, shared by
+    the IVF oracle and the IVF-PQ composite oracle (a tie-break or
+    slice change must reach both or their cell assignments silently
+    diverge).  ``cells``/``nprobe`` may be ints or scalar-subquery
+    strings; ``prefix`` namespaces the CTEs when the composition
+    defines its own ``scored``-like names; ``payload=False`` drops the
+    embedding/norm carry for consumers that re-rank by PQ codes."""
+    p = prefix
+    pay_scored = "v.embedding, v.norm, " if payload else ""
+    pay_assigned = "embedding, norm, " if payload else ""
+    pay_query = "embedding AS q_emb, norm AS q_norm, " if payload else ""
+    return f"""{p}seeds AS (
+  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs WHERE vec_id < {cells}
+),
+{p}scored AS (
+  SELECT v.vec_id, {pay_scored}seed_id,
+         {_dist2_duck('v.embedding', 'seed_emb')} AS d2
+  FROM vecs v CROSS JOIN {p}seeds
+),
+{p}assigned AS (
+  SELECT vec_id, {pay_assigned}seed_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
+    FROM {p}scored
+  ) WHERE rn = 1
+),
+{p}queries AS (
+  SELECT vec_id AS query_id, {pay_query}seed_id AS q_cell
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
+    FROM {p}scored WHERE vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= {nprobe}
+)"""
+
+
 def _ann_ivf_sql(cells=IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
     # ``cells`` may be an int or a scalar-subquery string (the
     # derived-cells oracle) — it lands in one WHERE comparison
     return f"""
 WITH vecs AS ({_VECTORS_SQL}),
-seeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs WHERE vec_id < {cells}
-),
-scored AS (
-  SELECT v.vec_id, v.embedding, v.norm, seed_id,
-         {_dist2_duck('v.embedding', 'seed_emb')} AS d2
-  FROM vecs v CROSS JOIN seeds
-),
-assigned AS (
-  SELECT vec_id, embedding, norm, seed_id AS cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
-    FROM scored
-  ) WHERE rn = 1
-),
-queries AS (
-  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
-         seed_id AS q_cell
-  FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
-    FROM scored WHERE vec_id % {QUERY_MOD} = 0
-  ) WHERE prn <= {nprobe}
-),
+{_ivf_coarse_sql_ctes(cells, nprobe)},
 cand AS (
   SELECT query_id, a.vec_id AS neighbor_id,
          {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
@@ -1688,30 +1723,8 @@ def _ann_ivf_pq_frame(
     """The LAZY IVF-PQ composition over a ``(vec_id, embedding, norm)``
     frame — shared by the eager registry op (which persists ``vecs``
     and checkpoints the result) and its plan-audit explain frame."""
-    # --- coarse stage: seed-IVF assignment + query probes (ann_ivf) ---
-    seeds = vecs.filter(F.col("vec_id") < cells).select(
-        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
-    )
-    scored = vecs.join(F.broadcast(seeds)).select(
-        "vec_id",
-        "seed_id",
-        F.expr(_dist2_spark("embedding", "seed_emb")).alias("d2"),
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
-        .select("vec_id", F.col("__b.seed_id").alias("cell"))
-    )
-    wq_cells = Window.partitionBy("vec_id").orderBy("d2", "seed_id")
-    probes = (
-        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
-        .withColumn("probe_rank", F.row_number().over(wq_cells))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("seed_id").alias("q_cell"),
-        )
-    )
+    # --- coarse stage: THE shared seed-IVF builder (ann_ivf's) ---
+    assigned, probes = _ivf_coarse(vecs, cells, nprobe, payload=False)
     # --- fine stage: the SHARED PQ builder (ann_pq's, verbatim) ---
     codes, dtable = _pq_codes_and_table(vecs)
     # --- compose: cell-pruned candidates, ADC-ranked ---
@@ -1786,31 +1799,11 @@ def _ann_ivf_pq_sql() -> str:
     )
     return f"""
 WITH vecs AS ({_VECTORS_SQL}),
-iseeds AS (
-  SELECT vec_id AS seed_id, embedding AS seed_emb FROM vecs
-  WHERE vec_id < {cells_expr}
-),
-iscored AS (
-  SELECT v.vec_id, seed_id,
-         {_dist2_duck('v.embedding', 'seed_emb')} AS d2
-  FROM vecs v CROSS JOIN iseeds
-),
-iassigned AS (
-  SELECT vec_id, seed_id AS cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS rn
-    FROM iscored
-  ) WHERE rn = 1
-),
-iprobes AS (
-  SELECT vec_id AS query_id, seed_id AS q_cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
-    FROM iscored WHERE vec_id % {QUERY_MOD} = 0
-  ) WHERE prn <= {nprobe_expr}
-),
+{_ivf_coarse_sql_ctes(cells_expr, nprobe_expr, prefix="i", payload=False)},
 {_PQ_STAGE_CTES},
 icand AS (
   SELECT query_id, a.vec_id
-  FROM iassigned a JOIN iprobes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+  FROM iassigned a JOIN iqueries p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
 ),
 adc AS (
   SELECT i.query_id, c.vec_id AS neighbor_id,
