@@ -148,7 +148,13 @@ def knn_bruteforce(
     brute-force viable as a scale baseline.  Larger query sets fall
     back to a partition-wise replicated-NL plan (see
     ``_query_side``)."""
-    vecs = _vectors(spark, sf_dir)
+    return _knn_over(_vectors(spark, sf_dir), max_broadcast_queries)
+
+
+def _knn_over(vecs: DataFrame, max_broadcast_queries: int) -> DataFrame:
+    """Exact cosine top-``KNN_K`` over any ``(vec_id, embedding,
+    norm)`` frame — the brute-force body, shared by the full-dim
+    baseline and the truncated-prefix evaluation."""
     queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1879,6 +1885,139 @@ FROM q, h
 """
 
 
+# --- truncated-embedding (matryoshka-style) recall ---------------------------
+#
+# The memory lever every embedding-serving deployment weighs: keep only
+# a PREFIX of each vector's dimensions (MRL-trained models order
+# information front-to-first; Kusupati et al., "Matryoshka
+# Representation Learning", NeurIPS 2022) and serve ANN from the
+# truncated space — dim/8 cuts index memory 8× IF recall holds.  The
+# report measures exactly that on this corpus: recall@k of exact
+# search in the d/2, d/4, d/8 prefix spaces against the full-dim exact
+# top-k.  Prefix widths derive from the corpus' own max dimension in
+# BOTH engines; everything downstream is the proven knn arithmetic
+# over a sliced array, so no new numeric surface is introduced.
+
+TRUNC_FRACS = (2, 4, 8)
+
+
+def embedding_truncation_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Recall@k per prefix width: ``(prefix_dims, n_queries, k,
+    n_hits, recall_ppm)``, one row per d/2ⁱ truncation with ≥2 dims.
+    Scale shape: each variant is the brute-force baseline over a
+    NARROWER projection (the slice prunes bytes before the scoring
+    join), and the evaluation join runs over Q×k rows per variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full_d = int(emb.selectExpr("max(size(embedding)) AS d").collect()[0]["d"])
+    exact = knn_bruteforce(spark, sf_dir).filter(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = None
+    for frac in TRUNC_FRACS:
+        p = full_d // frac
+        if p < 2:
+            continue
+        tv = emb.selectExpr(
+            "vec_id", f"slice(embedding, 1, {p}) AS embedding"
+        ).selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        )
+        part = (
+            _knn_over(tv, max_broadcast_queries)
+            .filter(F.col("rank") <= ANN_K)
+            .select(
+                F.lit(p).cast("bigint").alias("prefix_dims"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "prefix_dims"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    nq = exact.select("query_id").distinct().groupBy().agg(
+        F.count(F.lit(1)).alias("n_queries")
+    )
+    # left join from the prefix set: a prefix whose top-k misses
+    # everything still reports, with n_hits = 0
+    return (
+        approx.select("prefix_dims")
+        .distinct()
+        .crossJoin(nq)
+        .join(hits, "prefix_dims", "left")
+        .select(
+            "prefix_dims",
+            F.col("n_queries").cast("bigint"),
+            F.lit(ANN_K).cast("bigint").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"CAST((coalesce(n_hits, 0) * 1000000)"
+                f" div (n_queries * {ANN_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _truncation_recall_sql() -> str:
+    variants = "\nUNION ALL\n".join(
+        f"""SELECT (SELECT d // {frac} FROM dd) AS prefix_dims,
+       query_id, neighbor_id
+FROM (
+  SELECT t.vec_id AS query_id, v.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.vec_id
+           ORDER BY {_dot_duck('v.embedding', 't.embedding')} / (v.norm * t.norm) DESC,
+                    v.vec_id
+         ) AS rank
+  FROM tv{frac} v CROSS JOIN tv{frac} t
+  WHERE t.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> t.vec_id
+) WHERE rank <= {ANN_K}"""
+        for frac in TRUNC_FRACS
+    )
+    trunc_ctes = ",\n".join(
+        f"""tv{frac} AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_duck('embedding', 'embedding')}) AS norm
+  FROM (
+    SELECT vec_id, embedding[1 : (SELECT d // {frac} FROM dd)] AS embedding
+    FROM embeddings WHERE (SELECT d // {frac} FROM dd) >= 2
+  )
+)"""
+        for frac in TRUNC_FRACS
+    )
+    return f"""
+WITH dd AS (SELECT max(len(embedding)) AS d FROM embeddings),
+{trunc_ctes},
+exact_k AS (
+  SELECT query_id, neighbor_id FROM ({KNN_BRUTEFORCE_SQL}) WHERE rank <= {ANN_K}
+),
+approx AS (
+{variants}
+),
+hits AS (
+  SELECT prefix_dims, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx JOIN exact_k USING (query_id, neighbor_id)
+  GROUP BY prefix_dims
+),
+q AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
+)
+SELECT p.prefix_dims, n_queries, CAST({ANN_K} AS BIGINT) AS k,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(n_hits, 0) * 1000000) // (n_queries * {ANN_K}) AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT prefix_dims FROM approx) p
+CROSS JOIN q
+LEFT JOIN hits ON p.prefix_dims = hits.prefix_dims
+"""
+
+
 # Three-way A/B: (8,1) vs (8,2) isolates what a second probe buys at
 # fixed cells — a per-query candidate SUPERSET, so with the shared
 # (cosine DESC, neighbor_id) tie-break recall is provably monotone
@@ -2500,6 +2639,10 @@ QUERIES = {
     "ann_pq": (ann_pq, ANN_PQ_SQL),
     "ann_ivf_pq": (ann_ivf_pq, _ann_ivf_pq_sql()),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
+    "embedding_truncation_recall": (
+        embedding_truncation_recall,
+        _truncation_recall_sql(),
+    ),
     "knn_bruteforce": (knn_bruteforce, KNN_BRUTEFORCE_SQL),
     "ann_lsh_bitsample": (ann_lsh_bitsample, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),

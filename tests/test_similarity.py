@@ -504,3 +504,33 @@ def test_ivf_ingest_appends_batch_without_rewriting_base(spark, sf_dir, tmp_path
     assert base_jobs.isdisjoint(batch_jobs)
     sizes = {f: os.path.getsize(f) for f in files}
     assert all(v > 0 for v in sizes.values())
+
+
+def test_truncation_recall_prefixes_and_endpoint_monotonicity(spark, sf_dir):
+    """Matryoshka-truncation report laws: prefix widths are exactly the
+    derived d/2, d/4, d/8 set (>=2 dims), every recall is a valid
+    fraction of the Q*k budget, and the widest prefix recalls at least
+    as well as the narrowest (a d/2 prefix is a strictly better
+    estimator of full-dim cosine than d/8 on any corpus where the
+    report is meaningful)."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import (
+        ANN_K,
+        TRUNC_FRACS,
+        embedding_truncation_recall,
+    )
+
+    full_d = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "max(size(embedding)) AS d"
+    ).collect()[0]["d"]
+    rows = {
+        r.prefix_dims: r
+        for r in embedding_truncation_recall(spark, sf_dir).collect()
+    }
+    expected = {full_d // f for f in TRUNC_FRACS if full_d // f >= 2}
+    assert set(rows) == expected
+    for r in rows.values():
+        assert 0 <= r.n_hits <= r.n_queries * ANN_K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // (r.n_queries * ANN_K)
+    widest, narrowest = max(rows), min(rows)
+    assert rows[widest].recall_ppm >= rows[narrowest].recall_ppm

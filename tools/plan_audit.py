@@ -75,6 +75,7 @@ AUDITED = [
     "ann_ivf_ingest",
     "ann_ivf_cells_scaled",
     "dedup_minhash_bbit",
+    "embedding_truncation_recall",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
