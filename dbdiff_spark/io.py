@@ -64,6 +64,23 @@ def spread(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
 
 
+def one_file(df: DataFrame) -> DataFrame:
+    """Squeeze a SMALL frame to one partition for a single-file write —
+    via ``repartition(1)``, deliberately not ``coalesce(1)``.
+
+    Measured (r8, pyspark 4.1.2, local[32]): writing a 50-row
+    createDataFrame frame costs **~4.8 s with coalesce(1)** and
+    **~0.6 s with repartition(1)** — format-independent (csv too), not
+    locality wait (persists at ``spark.locality.wait=0``).  coalesce
+    folds all N parent slices into the single task, and the per-slice
+    setup inside that one task (~150 ms × defaultParallelism) dwarfs
+    the work; the repartition shuffle of a tiny frame is effectively
+    free and leaves the parent stage fully parallel.  Only for frames
+    that are small by contract (artifact tables, ledgers, staged
+    batches) — a large frame through one reducer is its own problem."""
+    return df.repartition(1)
+
+
 def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     """Truncate a loop-carried DataFrame's lineage (iterative operators:
     connected components, PageRank, label propagation).
@@ -278,6 +295,6 @@ class IngestLedger:
         if missing:
             raise ValueError(f"cannot commit vanished inputs: {missing}")
         rows = [(u, sized[u]) for u in uris]
-        self.spark.createDataFrame(rows, "uri string, size bigint").coalesce(1).write.mode(
+        one_file(self.spark.createDataFrame(rows, "uri string, size bigint")).write.mode(
             "append"
         ).parquet(self.path)

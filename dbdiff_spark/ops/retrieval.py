@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table, spread
+from dbdiff_spark.io import load_table, one_file, spread
 from dbdiff_spark.ops.similarity import _dot_duck, _dot_spark, _vectors, _VECTORS_SQL
 from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS, bm25_rank, BM25_RANK_SQL
 
@@ -896,7 +896,7 @@ def bpe_merge_artifact(
         "round int, slot int, code int, pair string, merge_text string,"
         " n_occurrences bigint",
     )
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    one_file(df).write.mode("overwrite").parquet(path)
     return df
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, one_file
 
 QUERY_MOD = 100  # vec_id % 100 == 0 → the demo query set (1% of corpus)
 KNN_K = 5
@@ -1166,7 +1166,7 @@ def ann_ivf_index_persist(
     vecs = _vectors(spark, sf_dir).persist()
     try:
         centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        _centroid_frame(spark, centroids).coalesce(1).write.mode(
+        one_file(_centroid_frame(spark, centroids)).write.mode(
             "overwrite"
         ).parquet(f"{root}/centroids")
         _assign_cells(vecs, centroids).select(
@@ -1239,7 +1239,7 @@ def ann_ivf_ingest(
         # the % mod sample stride see 0..n-1, not the even ids
         base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
         centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
-        _centroid_frame(spark, centroids).coalesce(1).write.mode(
+        one_file(_centroid_frame(spark, centroids)).write.mode(
             "overwrite"
         ).parquet(f"{root}/centroids")
         _assign_cells(base, centroids).select(

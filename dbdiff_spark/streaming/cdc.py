@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, one_file
 
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
@@ -632,7 +632,7 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="dbdiff_stream_scd2_")
     snaps_dir = f"{root}/snaps"
     for i, df in ((1, s1), (2, s2)):
-        df.withColumn("_ord", F.lit(i)).coalesce(1).write.mode("append").parquet(
+        one_file(df.withColumn("_ord", F.lit(i))).write.mode("append").parquet(
             snaps_dir
         )
     scd2_history(spark, [s0], keys, attrs).write.parquet(f"{root}/state_00000")
@@ -1300,9 +1300,9 @@ def stream_dedup_ingest(
     # names agree lexicographically even on an mtime tie
     for b in range(STREAM_INGEST_BATCH_MOD):
         stage = f"{root}/stage_{b}"
-        new.filter(
-            F.col("doc_id") % STREAM_INGEST_BATCH_MOD == b
-        ).coalesce(1).write.parquet(stage)
+        one_file(
+            new.filter(F.col("doc_id") % STREAM_INGEST_BATCH_MOD == b)
+        ).write.parquet(stage)
         part = fs.glob(spark, f"{stage}/part-*.parquet")[0]
         fs.rename(spark, part, f"{incoming}/batch_{b:05d}.parquet")
 
