@@ -710,7 +710,7 @@ def write_clustered_embeddings(
     df = spark.createDataFrame(
         rows, "vec_id bigint, embedding array<float>, label int"
     )
-    df.coalesce(4).write.mode("overwrite").parquet(
+    df.repartition(4).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
     return df
@@ -760,7 +760,7 @@ def write_bpe_corpus(
         rows, "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint"
     )
-    df.coalesce(4).write.mode("overwrite").parquet(
+    df.repartition(4).write.mode("overwrite").parquet(
         f"{out_dir}/documents.parquet"
     )
     return df
