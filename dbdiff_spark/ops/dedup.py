@@ -1286,6 +1286,105 @@ GROUP BY doc_id, grp
 """
 
 
+def repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of ExactSubstr dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" — ``repeated_spans`` is
+    the detection half): per document, the token positions inside
+    cross-document repeated windows are CUT unless this document is
+    the window's KEEPER (minimum doc_id containing the window hash —
+    one canonical occurrence survives corpus-wide, deterministically).
+    Output: ``doc_id, n_tokens, n_cut, n_kept`` — the decision stats a
+    pipeline applies as per-doc slice lists.
+
+    Scale shape: identical to ``repeated_spans`` until the hit join
+    (window frame ~50 B/window, one shuffle on the hash carrying the
+    per-hash keeper, hash join back); the only new stage is the
+    hit-window → covered-position explode, a ≤SPAN_W-fold expansion of
+    the MARKED windows only (repeated content is the minority by
+    volume in a healthy corpus), followed by a per-doc distinct-count.
+    No stage holds document text."""
+    corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
+    spans = (
+        corpus.selectExpr(
+            "doc_id",
+            "tokens",
+            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
+            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
+            "ELSE array() END) AS pos",
+        )
+        .filter(F.col("pos").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
+        )
+    )
+    keepers = (
+        spans.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    cut_positions = (
+        spans.join(keepers, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .selectExpr(
+            "doc_id",
+            f"explode(sequence(pos, pos + {SPAN_W - 1})) AS tokpos",
+        )
+        .distinct()
+    )
+    sizes = corpus.select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
+    )
+    cuts = cut_positions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cut")
+    )
+    return (
+        sizes.join(cuts, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "coalesce(n_cut, CAST(0 AS BIGINT)) AS n_cut",
+            "n_tokens - coalesce(n_cut, CAST(0 AS BIGINT)) AS n_kept",
+        )
+    )
+
+
+REPEATED_SPAN_CUT_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_D_TOKENS} AS tokens FROM corpus),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tokens[i : i + {SPAN_W - 1}], ' ')) AS h
+  FROM toks, unnest(CASE WHEN len(tokens) >= {SPAN_W}
+                         THEN generate_series(1, len(tokens) - {SPAN_W - 1})
+                         ELSE [] END) AS u(i)
+),
+keepers AS (
+  SELECT h, min(doc_id) AS keeper FROM spans
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+cutpos AS (
+  SELECT DISTINCT s.doc_id, s.pos + off AS tokpos
+  FROM spans s JOIN keepers k USING (h),
+       unnest(generate_series(0, {SPAN_W - 1})) AS o(off)
+  WHERE s.doc_id <> k.keeper
+),
+cuts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cutpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       coalesce(c.n_cut, 0) AS n_cut,
+       CAST(len(tokens) AS BIGINT) - coalesce(c.n_cut, 0) AS n_kept
+FROM toks t LEFT JOIN cuts c ON t.doc_id = c.doc_id
+"""
+
+
 # --- incremental dedup ingestion ---------------------------------------------
 #
 # The batch LSH pass recomputes every signature each run; a production
@@ -1976,6 +2075,7 @@ QUERIES = {
     "lsh_pair_calibration": (lsh_pair_calibration, _pair_calibration_sql()),
     "dedup_minhash_bbit": (dedup_minhash_bbit, _bbit_calibration_sql()),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
+    "repeated_span_cut": (repeated_span_cut, REPEATED_SPAN_CUT_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
     "entity_resolution_parts": (entity_resolution_parts, ENTITY_RESOLUTION_SQL),

@@ -355,6 +355,35 @@ def test_lsh_calibration_is_monotone_and_starts_at_one_band(spark, sf_dir):
     assert full and full[0].mean_exact_jaccard_ppm > 500_000
 
 
+def test_repeated_span_cut_keeps_one_canonical_occurrence(spark, sf_dir):
+    """ExactSubstr-apply laws on the planted corpus: every truncated
+    variant (doc_id ≥ NEARDUP_OFFSET, ≥ SPAN_W tokens) is a prefix of
+    its lower-id original, so EVERY of its windows is repeated with a
+    lower keeper — the variant is cut completely; cut + kept always
+    conserves the token count; and no document is cut below zero or
+    past its length."""
+    from dbdiff_spark.ops.dedup import (
+        NEARDUP_OFFSET,
+        SPAN_W,
+        repeated_span_cut,
+    )
+
+    rows = repeated_span_cut(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_cut <= r.n_tokens
+        assert r.n_kept == r.n_tokens - r.n_cut
+    variants = [
+        r for r in rows if r.doc_id >= NEARDUP_OFFSET and r.n_tokens >= SPAN_W
+    ]
+    assert variants
+    assert all(r.n_cut == r.n_tokens for r in variants)
+    # at least one original keeps something (it is the keeper of its
+    # own windows unless an even lower doc shares them)
+    originals = [r for r in rows if r.doc_id < NEARDUP_OFFSET]
+    assert any(r.n_kept > 0 for r in originals)
+
+
 def test_bbit_estimator_matches_bit_agreement(spark, sf_dir):
     """b-bit law (Li & König): est_jaccard_ppm is the clamped unbiased
     1-bit estimator 2·(agree/N) − 1 of its bucket, buckets partition

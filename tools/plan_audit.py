@@ -76,6 +76,7 @@ AUDITED = [
     "ann_ivf_cells_scaled",
     "dedup_minhash_bbit",
     "embedding_truncation_recall",
+    "repeated_span_cut",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
