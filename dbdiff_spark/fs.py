@@ -166,14 +166,27 @@ def _vacuum_dead_artifact_roots(
     import os
     import time
 
-    def _tree_mtime(path: str) -> float:
-        # newest of the dir and its immediate children: POSIX dir
-        # mtime only moves on direct entry changes, so a live owner
-        # writing inside <kind>_<key>/ would not refresh the top dir
+    def _tree_mtime(path: str, max_depth: int = 6) -> float:
+        # newest mtime over a bounded recursive walk: artifact writes
+        # land 2+ levels deep (ivf_index_<key>/cells/cell=*/part-*),
+        # and POSIX dir mtime only moves on DIRECT entry changes — a
+        # live owner appending files under an existing subdirectory
+        # never refreshes a depth-1 entry, so a depth-1 scan could
+        # reap a live tree (r8 ADVICE finding).  Depth cap bounds the
+        # walk on pathological trees; artifact layouts are ≤4 deep.
         mt = os.path.getmtime(path)
+        base_depth = path.rstrip("/").count("/")
         try:
-            for child in os.listdir(path):
-                mt = max(mt, os.path.getmtime(f"{path}/{child}"))
+            for dirpath, dirnames, filenames in os.walk(path):
+                if dirpath.count("/") - base_depth >= max_depth:
+                    dirnames[:] = []
+                for entry in dirnames + filenames:
+                    try:
+                        mt = max(
+                            mt, os.path.getmtime(os.path.join(dirpath, entry))
+                        )
+                    except OSError:
+                        continue
         except OSError:
             pass
         return mt

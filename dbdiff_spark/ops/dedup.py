@@ -1292,7 +1292,13 @@ def repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     the detection half): per document, the token positions inside
     cross-document repeated windows are CUT unless this document is
     the window's KEEPER (minimum doc_id containing the window hash —
-    one canonical occurrence survives corpus-wide, deterministically).
+    one canonical DOCUMENT per repeated window, deterministically).
+    Deliberately coarser than Lee et al.'s per-occurrence rule on two
+    axes: every occurrence INSIDE the keeper document survives, and
+    windows repeated only WITHIN one document are never cut (the
+    detection half requires count_distinct(doc_id) >= 2) — i.e. this
+    is cross-document dedup at document-keeper granularity, the
+    variant whose keeper set stays groupBy-sized at corpus scale.
     Output: ``doc_id, n_tokens, n_cut, n_kept`` — the decision stats a
     pipeline applies as per-doc slice lists.
 
@@ -1633,7 +1639,10 @@ def lsh_pair_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(setb, "id_b")
         .selectExpr(
             f"CAST(({n_eq}) AS INT) AS n_equal_slots",
-            "CAST(size(array_intersect(sha, shb)) * 1000000"
+            # widen BEFORE the multiply: size() is INT32 and a pair
+            # sharing >2147 distinct shingles would silently wrap in
+            # non-ANSI Spark, while the DuckDB twin's len() is 64-bit
+            "CAST(CAST(size(array_intersect(sha, shb)) AS BIGINT) * 1000000"
             " div size(array_union(sha, shb)) AS BIGINT) AS jac_ppm",
         )
     )
@@ -1717,7 +1726,10 @@ def dedup_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dsets.selectExpr("doc_id AS id_b", "shd AS shb"), "id_b")
         .selectExpr(
             f"CAST({N_HASHES} - bit_count(ba ^ bb) AS INT) AS n_agreeing_bits",
-            "CAST(size(array_intersect(sha, shb)) * 1000000"
+            # widen BEFORE the multiply: size() is INT32 and a pair
+            # sharing >2147 distinct shingles would silently wrap in
+            # non-ANSI Spark, while the DuckDB twin's len() is 64-bit
+            "CAST(CAST(size(array_intersect(sha, shb)) AS BIGINT) * 1000000"
             " div size(array_union(sha, shb)) AS BIGINT) AS jac_ppm",
         )
     )

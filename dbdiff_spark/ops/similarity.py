@@ -1938,6 +1938,16 @@ def embedding_truncation_recall(
             )
         )
         approx = part if approx is None else approx.unionByName(part)
+    if approx is None:
+        # degenerate corpus (max dim < 4): no prefix width reaches 2
+        # dims.  The DuckDB twin's WHERE d//frac >= 2 yields an empty
+        # frame here, so return the same — empty, same schema — rather
+        # than crashing on approx.join (r8 ADVICE finding).
+        return spark.createDataFrame(
+            [],
+            "prefix_dims bigint, n_queries bigint, k bigint,"
+            " n_hits bigint, recall_ppm bigint",
+        )
     hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
         "prefix_dims"
     ).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -295,3 +295,97 @@ def test_artifact_root_vacuums_dead_pid_siblings(spark):
     assert fs._is_local_scheme("file:/abs/spark-warehouse")
     assert not fs._is_local_scheme("hdfs://nn:8020/warehouse")
     assert not fs._is_local_scheme("s3a://bucket/warehouse")
+
+
+def test_vacuum_age_guard_sees_deep_writes(spark):
+    """ADVICE r8: a live remote owner appends files 2+ levels deep
+    (ivf_index_<key>/cells/cell=*/part-*); POSIX dir mtime only moves on
+    direct entry changes, so a depth-1 mtime scan would reap a tree
+    whose only recent activity is deep — the exact scenario the age
+    guard exists for.  A backdated tree with one FRESH deep file must
+    survive the vacuum."""
+    import os
+    import time
+
+    from dbdiff_spark import fs
+
+    root = fs.artifact_root(spark, "ivf_index", "/deep/corpus")
+    artifacts = root.rsplit("/_dbdiff_artifacts/", 1)[0] + "/_dbdiff_artifacts"
+    uid = os.getuid()
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    local = artifacts.split(":", 1)[1] if artifacts.startswith("file:") else artifacts
+    deep = f"{local}/u{uid}_p{dead}/ivf_index_abc/cells/cell=7"
+    os.makedirs(deep)
+    stale = 1.0
+    # backdate EVERY directory level, then write one fresh deep file
+    for d in (
+        f"{local}/u{uid}_p{dead}",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc/cells",
+        deep,
+    ):
+        os.utime(d, (stale, stale))
+    with open(f"{deep}/part-00000.parquet", "w") as fh:
+        fh.write("x")
+    for d in (
+        f"{local}/u{uid}_p{dead}",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc/cells",
+        deep,
+    ):
+        os.utime(d, (stale, stale))
+    assert fs._vacuum_dead_artifact_roots(spark, artifacts, uid) == []
+    assert fs.exists(spark, f"{artifacts}/u{uid}_p{dead}")
+    # and with the deep file ALSO backdated, the tree reaps
+    os.utime(f"{deep}/part-00000.parquet", (stale, stale))
+    for d in (
+        f"{local}/u{uid}_p{dead}",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc",
+        f"{local}/u{uid}_p{dead}/ivf_index_abc/cells",
+        deep,
+    ):
+        os.utime(d, (stale, stale))
+    reaped = fs._vacuum_dead_artifact_roots(spark, artifacts, uid)
+    assert f"u{uid}_p{dead}" in reaped
+
+
+def test_truncation_recall_degenerate_dims_returns_empty(spark, tmp_path):
+    """ADVICE r8: when max embedding dim < 4 no prefix width reaches 2
+    dims; the DuckDB twin returns an empty frame, so the Spark side must
+    return empty-with-schema, not crash on a None frame."""
+    from dbdiff_spark.ops.similarity import embedding_truncation_recall
+
+    rows = [(i * 100, [float(i), float(i + 1)], 0) for i in range(4)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = embedding_truncation_recall(spark, str(tmp_path))
+    assert out.columns == ["prefix_dims", "n_queries", "k", "n_hits", "recall_ppm"]
+    assert out.count() == 0
+
+
+def test_jaccard_ppm_survives_wide_overlap(spark):
+    """ADVICE r8: jac_ppm multiplied an INT32 size() by 1,000,000 before
+    widening — a pair sharing >2147 distinct shingles silently wraps in
+    non-ANSI Spark while DuckDB's len() is 64-bit.  Assert the shipped
+    expression (size cast BIGINT before the multiply) stays exact at
+    3000 shared shingles, where the pre-fix expression wrapped."""
+    import re
+
+    src = open("dbdiff_spark/ops/dedup.py").read()
+    exprs = set(
+        re.findall(r'"(CAST\(CAST\(size\(array_intersect[^"]*)"\s*\n\s*"([^"]*)"', src)
+    )
+    assert exprs, "expected the widened jac_ppm expression in dedup.py"
+    for head, tail in exprs:
+        expr = head + tail
+        row = spark.sql(
+            "SELECT "
+            + expr.replace(
+                "sha", "sequence(1, 3000)"
+            ).replace("shb", "sequence(1, 3000)")
+        ).collect()[0]
+        assert row["jac_ppm"] == 1_000_000
