@@ -1076,25 +1076,20 @@ def _ann_ivf_trained_with_k(
         vecs.unpersist()
 
 
-def _ivf_literal_search(
-    vecs: DataFrame,
-    assigned: DataFrame,
-    centroids: dict[int, list[float]],
-    nprobe: int,
-    max_broadcast_queries: int,
+def _probe_frame(
+    vecs: DataFrame, centroids: dict[int, list[float]], nprobe: int
 ) -> DataFrame:
-    """The serving half of trained IVF: rank the K centroids per query,
-    probe ``nprobe`` cells against the assignment frame, exact-rank the
-    cell-restricted candidates.  ``assigned`` may be freshly computed or
-    reloaded from a persisted index — the search is agnostic.
-
-    Probe ranking mirrors the assignment's two regimes — BOTH
-    zero-shuffle, one shared shape: a per-query
+    """Per-query probe ranking over trained centroids →
+    ``(query_id, q_emb, q_norm, q_cell)``, ``nprobe`` rows per query.
+    Mirrors the assignment's two regimes — BOTH zero-shuffle, one
+    shared shape: a per-query
     ``explode(slice(array_sort(<struct array>), 1, nprobe))`` where
     the struct array is K inlined literals below ``KMEANS_LITERAL_MAX``
     and the broadcast ``carr`` data row (1-row
     BroadcastNestedLoopJoin) above it.  No window, no per-query
-    shuffle in either regime."""
+    shuffle in either regime.  Shared by the exact-cosine trained-IVF
+    serving path and the residual IVF-PQ tier (one spelling of the
+    probe tie-break)."""
     qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
     literal = _literal_regime(centroids, None)
     if not literal:
@@ -1102,7 +1097,7 @@ def _ivf_literal_search(
             vecs.sparkSession, centroids
         )))
     arr = _centroid_struct_array(centroids, literal=literal)
-    queries = qbase.selectExpr(
+    return qbase.selectExpr(
         "vec_id AS query_id",
         "embedding AS q_emb",
         "norm AS q_norm",
@@ -1110,6 +1105,21 @@ def _ivf_literal_search(
     ).select(
         "query_id", "q_emb", "q_norm", F.col("pr.cell").alias("q_cell")
     )
+
+
+def _ivf_literal_search(
+    vecs: DataFrame,
+    assigned: DataFrame,
+    centroids: dict[int, list[float]],
+    nprobe: int,
+    max_broadcast_queries: int,
+) -> DataFrame:
+    """The serving half of trained IVF: rank the K centroids per query
+    (``_probe_frame``), probe ``nprobe`` cells against the assignment
+    frame, exact-rank the cell-restricted candidates.  ``assigned`` may
+    be freshly computed or reloaded from a persisted index — the search
+    is agnostic."""
+    queries = _probe_frame(vecs, centroids, nprobe)
     # row bound scaled by nprobe: the explode above emits nprobe rows
     # per query (see ann_ivf's multi-probe note)
     cand = assigned.join(
@@ -1165,34 +1175,68 @@ def ann_ivf_index_persist(
         nprobe = ivf_nprobe_for(k)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
-        _assign_cells(vecs, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            f"{root}/assignments"
-        )
+        _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
     finally:
         vecs.unpersist()
     # --- serving path: everything below touches ONLY the artifacts
     # (plus the raw query vectors) — no retraining, no reassignment
-    loaded_centroids = {
+    out = _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _build_ivf_coarse_artifacts(
+    spark: SparkSession, vecs: DataFrame, k: int, mod: int, root: str
+) -> dict[int, list[float]]:
+    """Train the sample-trained quantizer and write THE coarse index
+    layout — ``<root>/centroids`` (one file) + ``<root>/assignments``
+    (``partitionBy(cell)``) — the artifact contract shared by
+    ``ann_ivf_index_persist``, ``ann_ivf_ingest``'s base build, and the
+    residual IVF-PQ tier (which adds fine-stage artifacts beside it, so
+    ONE root serves exact-IVF, IVF-PQ, and incremental ingest).
+    Returns the trained centroids."""
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _assign_cells(vecs, centroids).select(
+        "vec_id", "embedding", "norm", "cell"
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{root}/assignments"
+    )
+    return centroids
+
+
+def _load_index_centroids(
+    spark: SparkSession, root: str
+) -> dict[int, list[float]]:
+    return {
         int(r["cell"]): [float(x) for x in r["centroid"]]
         for r in spark.read.parquet(f"{root}/centroids").collect()
     }
+
+
+def _serve_ivf_from_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nprobe: int,
+    max_broadcast_queries: int,
+) -> DataFrame:
+    """Exact-cosine IVF serving off a persisted coarse index: reload
+    centroids + cell-partitioned assignments, probe, rank.  Lazy — the
+    caller pins/checkpoints."""
     loaded = spark.read.parquet(f"{root}/assignments").select(
         "vec_id", "embedding", "norm", F.col("cell").cast("bigint").alias("cell")
     )
-    out = _ivf_literal_search(
+    return _ivf_literal_search(
         _vectors(spark, sf_dir),
         loaded,
-        loaded_centroids,
+        _load_index_centroids(spark, root),
         nprobe,
         max_broadcast_queries,
     )
-    return out.localCheckpoint(eager=True)
 
 
 # --- incremental IVF ingest ---------------------------------------------------
@@ -1826,6 +1870,517 @@ SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
   FROM adc
 )
 WHERE rank <= {PQ_K}
+"""
+
+
+# --- residual-encoded IVF-PQ (faiss IVFPQ proper) ----------------------------
+#
+# ``ann_ivf_pq`` encodes RAW vectors; faiss-class IVFPQ encodes the
+# RESIDUAL x − centroid(cell): residuals from every cell concentrate
+# around 0, so one shared codebook of the same M×K budget covers a much
+# tighter distribution — the accuracy-per-byte reason production
+# indexes encode residuals (Jégou et al. §IV-A, faiss IndexIVFPQ).
+# ADC over residual codes approximates ||q − x||² exactly because the
+# probed cell's centroid cancels: (q − c) − (x − c) = q − x.
+#
+# Determinism: residuals are quantized to a FIXED integer grid
+# (ROUND((x − c) · RESQ_SCALE)) — centroid doubles are bit-identical in
+# both engines (the proven Lloyd machinery), the subtraction is exact
+# IEEE, and everything downstream is BIGINT — so codes, ADC sums, and
+# ranks are engine-independent, no float-tie ambiguity.  The raw-code
+# A/B variant uses the SAME grid, SAME codebook budget, SAME trained
+# quantizer, and the SAME candidate sets, so the recall report isolates
+# exactly the residual-vs-raw encoding choice.
+
+RESQ_SCALE = 1_000_000  # the repo's standard exactness grid
+
+
+def _res_grid_spark(vec: str, cen: str) -> str:
+    return (
+        f"zip_with({vec}, {cen}, (x, c) -> "
+        f"CAST(ROUND((CAST(x AS DOUBLE) - c) * {RESQ_SCALE}) AS BIGINT))"
+    )
+
+
+def _raw_grid_spark(vec: str) -> str:
+    return (
+        f"transform({vec}, x -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * {RESQ_SCALE}) AS BIGINT))"
+    )
+
+
+def _res_grid_duck(vec: str, cen: str) -> str:
+    return (
+        f"list_transform(generate_series(1, len({vec})), i -> "
+        f"CAST(ROUND(({vec}[i]::DOUBLE - {cen}[i]) * {RESQ_SCALE}) AS BIGINT))"
+    )
+
+
+def _raw_grid_duck(vec: str) -> str:
+    return (
+        f"list_transform({vec}, x -> "
+        f"CAST(ROUND(x::DOUBLE * {RESQ_SCALE}) AS BIGINT))"
+    )
+
+
+_GRID_SUB_SPARK = (
+    f"slice(gq, m * (size(gq) div {PQ_M}) + 1, size(gq) div {PQ_M})"
+)
+
+
+def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
+    """``(… keys …, gq)`` → one row per (keys, m) with the m-th grid
+    sub-vector — the single Spark spelling of the PQ subspace split for
+    the residual tier (mirrors ``_pq_codes_and_table``'s slice)."""
+    return base.selectExpr(
+        *keys,
+        f"explode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> struct(m AS m, {_GRID_SUB_SPARK} AS sub))) AS e",
+    ).select(*keys, F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
+
+
+def _pq_grid_codes(
+    assigned: DataFrame, cframe: DataFrame, residual: bool
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus fine-encoding over the fixed grid → ``(codes, codebook)``:
+    ``codes`` is (vec_id, m, code); ``codebook`` is (seed_id, m,
+    seed_sub), the residual (or raw) sub-vectors of the PQ_SEEDS seed
+    vectors.  ``assigned`` carries (vec_id, embedding, cell); the
+    residual path joins the BROADCAST centroid frame (K rows) to
+    subtract each vector's own cell centroid — the corpus never
+    shuffles.  Code argmin is min(struct(d2, seed_id)), map-side
+    combinable (the ``_pq_codes_and_table`` lesson)."""
+    if residual:
+        base = assigned.join(F.broadcast(cframe), "cell").selectExpr(
+            "vec_id", f"{_res_grid_spark('embedding', 'centroid')} AS gq"
+        )
+    else:
+        base = assigned.selectExpr(
+            "vec_id", f"{_raw_grid_spark('embedding')} AS gq"
+        )
+    subs = _grid_explode_m(base, ["vec_id"])
+    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+    )
+    codes = (
+        subs.join(F.broadcast(codebook), "m")
+        .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
+        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
+    )
+    return codes, codebook
+
+
+def _pq_grid_dtable(
+    probes: DataFrame, cframe: DataFrame, codebook: DataFrame, residual: bool
+) -> DataFrame:
+    """Per-(query, probed cell) ADC table → ``(query_id, q_cell, m,
+    code, qd2)``.  Residual encoding makes the query's code-space
+    CELL-DEPENDENT (q − centroid(q_cell)), so unlike flat PQ the table
+    carries q_cell — still Q×nprobe×M×K rows, driver-tiny.  The raw
+    variant keys the same way (its qd2 is cell-independent) so both
+    A/B arms share one ADC join shape."""
+    if residual:
+        qbase = probes.join(
+            F.broadcast(cframe), F.col("q_cell") == F.col("cell")
+        ).selectExpr(
+            "query_id", "q_cell", f"{_res_grid_spark('q_emb', 'centroid')} AS gq"
+        )
+    else:
+        qbase = probes.selectExpr(
+            "query_id", "q_cell", f"{_raw_grid_spark('q_emb')} AS gq"
+        )
+    qsubs = _grid_explode_m(qbase, ["query_id", "q_cell"])
+    return qsubs.join(F.broadcast(codebook), "m").select(
+        "query_id",
+        "q_cell",
+        "m",
+        F.col("seed_id").alias("code"),
+        F.expr(_qdist2_spark("sub", "seed_sub")).alias("qd2"),
+    )
+
+
+def _pq_adc_rank(
+    cand: DataFrame,
+    codes: DataFrame,
+    dtable: DataFrame,
+    max_broadcast_queries: int,
+    nprobe: int,
+) -> DataFrame:
+    """Rank cell-pruned candidates by ADC: join codes (the only
+    corpus-sized relation — 3 ints/row), look up the broadcast distance
+    table on (query, cell, m, code), sum, top-PQ_K per query."""
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            _query_side(
+                dtable,
+                max_broadcast_queries * nprobe * PQ_M * PQ_SEEDS,
+                "merge",
+            ),
+            ["query_id", "q_cell", "m", "code"],
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qd2").cast("bigint").alias("approx_l2sq"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("approx_l2sq"), F.col("neighbor_id")
+    )
+    return adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= PQ_K
+    )
+
+
+def _grid_cand(
+    assigned: DataFrame, probes: DataFrame, max_broadcast_queries: int,
+    nprobe: int,
+) -> DataFrame:
+    """Cell-pruned candidate pairs carrying the probed cell —
+    ``(query_id, q_cell, vec_id)`` (the residual ADC join needs q_cell;
+    a vector lives in exactly one cell, so pairs are unique)."""
+    return assigned.join(
+        _query_side(
+            probes.select("query_id", "q_cell"),
+            max_broadcast_queries * nprobe,
+            "merge",
+        ),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "q_cell", "vec_id")
+
+
+def ann_ivf_pq_residual(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ served from the persisted index layout:
+    train the production quantizer (sample-trained Lloyd, derived K),
+    write the coarse artifacts (``_build_ivf_coarse_artifacts`` — the
+    SAME ``centroids``/``assignments`` layout ``ann_ivf_index_persist``
+    serves exact-IVF from and ``ann_ivf_ingest`` appends into), encode
+    each vector's RESIDUAL against its own cell centroid into PQ codes,
+    persist the fine artifacts (``pq_codebook``, ``pq_codes``) beside
+    them, then answer the query set entirely from the reloaded
+    artifacts — one index root serves exact-IVF, IVF-PQ, and
+    incremental ingest.
+
+    Scale shape: the build adds one broadcast-join + grouped argmin
+    over the assignment scan (no new shuffle class); serving moves only
+    ``(vec_id, cell)`` + 3-int code rows for the probed cells — the
+    embedding payload never enters the ADC join.  Output contract
+    matches ``ann_pq`` (top-PQ_K by BIGINT approx_l2sq); here the ADC
+    approximates ||q − x||²·RESQ_SCALE² because the probed cell's
+    centroid cancels in the residual difference."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_index", sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
+    mod = _derived_sample_mod(n, k)
+    nprobe = ivf_nprobe_for(k)
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        centroids = _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+        # fine stage: encode residuals of the PERSISTED assignments (the
+        # codes artifact derives from the index layout it serves with)
+        cframe = _centroid_frame(spark, centroids)
+        assigned = spark.read.parquet(f"{root}/assignments").select(
+            "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+        )
+        codes, codebook = _pq_grid_codes(assigned, cframe, residual=True)
+        one_file(codebook).write.mode("overwrite").parquet(
+            f"{root}/pq_codebook"
+        )
+        codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
+    finally:
+        vecs.unpersist()
+    # --- serving path: artifacts only (plus the raw query vectors)
+    loaded_centroids = _load_index_centroids(spark, root)
+    cframe = _centroid_frame(spark, loaded_centroids)
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    codebook = spark.read.parquet(f"{root}/pq_codebook")
+    assigned_slim = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell")
+    )
+    probes = _probe_frame(
+        _vectors(spark, sf_dir), loaded_centroids, nprobe
+    ).select("query_id", "q_emb", "q_cell")
+    cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
+    dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
+    out = _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
+    return out.localCheckpoint(eager=True)
+
+
+def _trained_coarse_sql_ctes() -> str:
+    """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
+    (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,
+    ``tassigned`` (full-corpus assignment) and ``tprobes`` (per-query
+    top-nprobe cells).  The oracle-side twin of
+    ``_build_ivf_coarse_artifacts`` + ``_probe_frame`` for composition
+    into the residual-PQ oracles (the standalone trained-IVF oracles
+    keep their self-contained ``_ann_ivf_trained_sql`` spelling)."""
+    n = KMEANS_ITERS
+    return f"""tp AS MATERIALIZED (
+  SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
+         {_nprobe_scaled_duck()} AS np
+  FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
+),
+tsample AS MATERIALIZED (
+  SELECT vec_id // (SELECT smod FROM tp) AS vec_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT smod FROM tp) = 0
+),
+{_kmeans_layers_sql("(SELECT cells FROM tp)", "tsample")},
+vecs AS ({_VECTORS_SQL}),
+tassigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS rn
+    FROM vecs v CROSS JOIN c{n} c
+  ) WHERE rn = 1
+),
+tprobes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell
+  FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS prn
+    FROM vecs v CROSS JOIN c{n} c
+    WHERE v.vec_id % {QUERY_MOD} = 0
+  ) WHERE prn <= (SELECT np FROM tp)
+),
+tcand AS (
+  SELECT query_id, q_cell, a.vec_id
+  FROM tassigned a JOIN tprobes p
+    ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+)"""
+
+
+_GRID_SUB_DUCK = (
+    "gq[m * (len(gq) // {M}) + 1 : (m + 1) * (len(gq) // {M})]".format(M=PQ_M)
+)
+
+
+def _ivfpq_grid_sql_ctes(residual: bool, prefix: str) -> str:
+    """The fine stage over the trained coarse CTEs — codes, codebook,
+    per-(query, cell) ADC table, and the summed ADC relation
+    ``{prefix}adc`` — the oracle twin of ``_pq_grid_codes`` +
+    ``_pq_grid_dtable`` + ``_pq_adc_rank``'s aggregation.  ``residual``
+    picks the grid encoding; ``prefix`` namespaces so the recall
+    report composes both arms in one query."""
+    p = prefix
+    n = KMEANS_ITERS
+    if residual:
+        corpus_grid = (
+            f"SELECT a.vec_id, {_res_grid_duck('a.embedding', 'c.centroid')} AS gq"
+            f" FROM tassigned a JOIN c{n} c ON a.cell = c.cell"
+        )
+        query_grid = (
+            f"SELECT query_id, q_cell, {_res_grid_duck('p.q_emb', 'c.centroid')} AS gq"
+            f" FROM tprobes p JOIN c{n} c ON p.q_cell = c.cell"
+        )
+    else:
+        corpus_grid = (
+            f"SELECT vec_id, {_raw_grid_duck('embedding')} AS gq FROM tassigned"
+        )
+        query_grid = (
+            f"SELECT query_id, q_cell, {_raw_grid_duck('q_emb')} AS gq FROM tprobes"
+        )
+    return f"""{p}gvecs AS ({corpus_grid}),
+{p}gsubs AS (
+  SELECT vec_id, m, {_GRID_SUB_DUCK} AS sub
+  FROM {p}gvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+),
+{p}gcodebook AS (
+  SELECT vec_id AS seed_id, m, sub AS seed_sub
+  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
+),
+{p}gcodes AS (
+  SELECT vec_id, m, seed_id AS code FROM (
+    SELECT s.vec_id, s.m, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_qdist2_duck('s.sub', 'c.seed_sub')},
+                                       c.seed_id) AS rn
+    FROM {p}gsubs s JOIN {p}gcodebook c ON s.m = c.m
+  ) WHERE rn = 1
+),
+{p}qg AS ({query_grid}),
+{p}qgsubs AS (
+  SELECT query_id, q_cell, m, {_GRID_SUB_DUCK} AS sub
+  FROM {p}qg, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+),
+{p}gdtable AS (
+  SELECT query_id, q_cell, q.m, c.seed_id AS code,
+         {_qdist2_duck('q.sub', 'c.seed_sub')} AS qd2
+  FROM {p}qgsubs q JOIN {p}gcodebook c ON q.m = c.m
+),
+{p}gadc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+         CAST(sum(d.qd2) AS BIGINT) AS approx_l2sq
+  FROM tcand x
+  JOIN {p}gcodes k ON k.vec_id = x.vec_id
+  JOIN {p}gdtable d ON d.query_id = x.query_id AND d.q_cell = x.q_cell
+                    AND d.m = k.m AND d.code = k.code
+  GROUP BY d.query_id, k.vec_id
+)"""
+
+
+def _ann_ivf_pq_residual_sql() -> str:
+    return f"""
+WITH {_trained_coarse_sql_ctes()},
+{_ivfpq_grid_sql_ctes(residual=True, prefix="r")}
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM rgadc
+)
+WHERE rank <= {PQ_K}
+"""
+
+
+IVFPQ_RECALL_VARIANTS = (("ivfpq_raw", False), ("ivfpq_residual", True))
+
+
+def ann_ivfpq_recall_report(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Residual vs raw PQ codes at EQUAL code budget — faiss's reason
+    for residual encoding, made measurable.  Both arms share the
+    sample-trained quantizer, the derived nprobe probes, the identical
+    candidate sets, the same M×K codebook budget, and the same fixed
+    grid; only "encode x" vs "encode x − centroid(cell)" differs, so
+    the recall gap is attributable to the encoding choice alone.
+    Ground truth is exact squared-L2 top-PQ_K (what IVFPQ's ADC
+    approximates).  One row per variant: ``(variant, n_queries, k,
+    n_hits, recall_ppm)``."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
+    mod = _derived_sample_mod(n, k)
+    nprobe = ivf_nprobe_for(k)
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        cframe = _centroid_frame(spark, centroids)
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "cell"
+        )
+        probes = _probe_frame(vecs, centroids, nprobe).select(
+            "query_id", "q_emb", "q_cell"
+        )
+        cand = _grid_cand(assigned, probes, max_broadcast_queries, nprobe)
+        # exact squared-L2 ground truth over the raw doubles
+        queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = (
+            vecs.select("vec_id", "embedding")
+            .join(
+                _query_side(queries, max_broadcast_queries, "shuffle_replicate_nl"),
+                F.col("vec_id") != F.col("query_id"),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(_dist2_spark("embedding", "q_emb")).alias("d2"),
+            )
+        )
+        we = Window.partitionBy("query_id").orderBy(
+            F.col("d2"), F.col("neighbor_id")
+        )
+        exact_k = (
+            exact.withColumn("rank", F.row_number().over(we))
+            .filter(F.col("rank") <= PQ_K)
+            .select("query_id", "neighbor_id")
+        )
+        approx = None
+        for name, residual in IVFPQ_RECALL_VARIANTS:
+            codes, codebook = _pq_grid_codes(assigned, cframe, residual)
+            dtable = _pq_grid_dtable(probes, cframe, codebook, residual)
+            part = _pq_adc_rank(
+                cand, codes, dtable, max_broadcast_queries, nprobe
+            ).select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
+            approx = part if approx is None else approx.unionByName(part)
+        hits = approx.join(exact_k, ["query_id", "neighbor_id"]).groupBy(
+            "variant"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        nq = exact_k.select("query_id").distinct().groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries")
+        )
+        variants = spark.createDataFrame(
+            [(name,) for name, _ in IVFPQ_RECALL_VARIANTS], "variant string"
+        )
+        # left join from the variant list: a 0-hit arm still reports
+        out = (
+            variants.crossJoin(nq)
+            .join(hits, "variant", "left")
+            .select(
+                "variant",
+                F.col("n_queries").cast("bigint"),
+                F.lit(PQ_K).cast("bigint").alias("k"),
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.expr(
+                    f"CAST((coalesce(n_hits, 0) * 1000000)"
+                    f" div (n_queries * {PQ_K}) AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivfpq_recall_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS variant, query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM {p}gadc
+) WHERE rank <= {PQ_K}"""
+        for (name, _res), p in zip(IVFPQ_RECALL_VARIANTS, ("w", "r"))
+    )
+    return f"""
+WITH {_trained_coarse_sql_ctes()},
+{_ivfpq_grid_sql_ctes(residual=False, prefix="w")},
+{_ivfpq_grid_sql_ctes(residual=True, prefix="r")},
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT t.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dist2_duck('v.embedding', 't.embedding')}, v.vec_id
+           ) AS rank
+    FROM vecs v CROSS JOIN vecs t
+    WHERE t.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> t.vec_id
+  ) WHERE rank <= {PQ_K}
+),
+approx_k AS (
+{arms}
+),
+h AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx_k JOIN exact_k USING (query_id, neighbor_id)
+  GROUP BY variant
+),
+q AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
+),
+vlist AS ({' UNION ALL '.join(f"SELECT '{name}' AS variant" for name, _r in IVFPQ_RECALL_VARIANTS)})
+SELECT vlist.variant, n_queries, CAST({PQ_K} AS BIGINT) AS k,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(n_hits, 0) * 1000000) // (n_queries * {PQ_K}) AS BIGINT)
+         AS recall_ppm
+FROM vlist CROSS JOIN q LEFT JOIN h ON vlist.variant = h.variant
 """
 
 
@@ -2648,6 +3203,13 @@ QUERIES = {
     "ann_int8_quantized": (ann_int8_quantized, ANN_INT8_SQL),
     "ann_pq": (ann_pq, ANN_PQ_SQL),
     "ann_ivf_pq": (ann_ivf_pq, _ann_ivf_pq_sql()),
+    # faiss IVFPQ proper: residual codes on the sample-trained
+    # quantizer, served from the persisted index layout
+    "ann_ivf_pq_residual": (ann_ivf_pq_residual, _ann_ivf_pq_residual_sql()),
+    "ann_ivfpq_recall_report": (
+        ann_ivfpq_recall_report,
+        _ann_ivfpq_recall_sql(),
+    ),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "embedding_truncation_recall": (
         embedding_truncation_recall,

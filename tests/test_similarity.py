@@ -534,3 +534,79 @@ def test_truncation_recall_prefixes_and_endpoint_monotonicity(spark, sf_dir):
         assert r.recall_ppm == r.n_hits * 1_000_000 // (r.n_queries * ANN_K)
     widest, narrowest = max(rows), min(rows)
     assert rows[widest].recall_ppm >= rows[narrowest].recall_ppm
+
+
+def test_ivfpq_residual_one_root_serves_exact_ivf_and_pq(spark, sf_dir, tmp_path):
+    """The residual IVF-PQ build writes the SAME coarse layout the
+    exact-IVF persist/ingest tier serves from, plus the fine artifacts
+    beside it — one index root must answer BOTH search modes: the PQ
+    result from its own serving path, and exact-IVF via
+    ``_serve_ivf_from_artifacts`` reproducing ``ann_ivf_trained``
+    bit-for-bit off the codes' root."""
+    import glob
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import (
+        PQ_M,
+        PQ_SEEDS,
+        _serve_ivf_from_artifacts,
+        ann_ivf_pq_residual,
+        ann_ivf_trained,
+        ivf_nprobe_for,
+        semdedup_cells,
+    )
+
+    root = str(tmp_path / "ivfpq_index")
+    res = ann_ivf_pq_residual(spark, sf_dir, index_root=root).collect()
+    assert len(res) > 0
+    assert {r.rank for r in res} <= {1, 2, 3}
+    # artifact layout: coarse (shared with the exact-IVF tier) + fine
+    assert glob.glob(f"{root}/centroids/part-*.parquet")
+    assert len(glob.glob(f"{root}/assignments/cell=*")) > 1
+    assert glob.glob(f"{root}/pq_codebook/part-*.parquet")
+    assert glob.glob(f"{root}/pq_codes/part-*")
+    # codes artifact: one code per (vec, m), every code a codebook entry
+    n = load_table(spark, sf_dir, "embeddings").count()
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    assert codes.count() == n * PQ_M
+    assert codes.select("vec_id", "m").distinct().count() == n * PQ_M
+    mn, mx = codes.selectExpr("min(code)", "max(code)").first()
+    assert 0 <= mn and mx < PQ_SEEDS
+    # the SAME root answers exact-IVF, identically to the in-memory build
+    k = semdedup_cells(n)
+    served = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in _serve_ivf_from_artifacts(
+            spark, sf_dir, root, ivf_nprobe_for(k), 65_536
+        ).collect()
+    }
+    trained = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_trained(spark, sf_dir).collect()
+    }
+    assert served == trained and len(served) > 0
+
+
+def test_residual_codes_beat_raw_at_equal_budget(spark, sf_dir):
+    """The faiss argument for residual encoding, asserted: at the SAME
+    trained quantizer, probes, candidates, grid, and M×K codebook
+    budget, residual codes recall at least as much of the exact-L2
+    top-k as raw codes on the driver fixture (strictly more measured:
+    2/15 hits vs 0 at sf0.001, 3 vs 2 at sf0.01, 4 vs 3 at sf0.1), and
+    the report's arithmetic is internally consistent."""
+    from dbdiff_spark.ops.similarity import (
+        PQ_K,
+        ann_ivfpq_recall_report,
+    )
+
+    rows = {
+        r.variant: r for r in ann_ivfpq_recall_report(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"ivfpq_raw", "ivfpq_residual"}
+    for r in rows.values():
+        assert r.k == PQ_K
+        assert 0 <= r.n_hits <= r.n_queries * PQ_K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // (r.n_queries * PQ_K)
+    assert (
+        rows["ivfpq_residual"].recall_ppm > rows["ivfpq_raw"].recall_ppm
+    ), "residual codes should beat raw codes at equal budget here"
