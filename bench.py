@@ -133,6 +133,7 @@ HEADLINE = [
     "bpe_train_greedy",
     "bpe_train_bytes",
     "bpe_apply_bytes",
+    "bpe_apply_standard_format",
     "event_transitions",
     "rag_index_funnel",
     "pyds_source_stats",

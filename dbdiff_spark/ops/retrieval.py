@@ -1002,6 +1002,168 @@ def bpe_apply_from_artifact(
     return _bpe_apply_report(spark, sf_dir, pair_codes, expansions)
 
 
+# --- standard-format tokenizer artifact interop (VERDICT r8 #4) ---------------
+#
+# The parquet merge artifact is engine-private.  Real tokenizer
+# artifacts travel as the PUBLIC byte-level BPE format the GPT-2 family
+# established (Radford et al. 2019 ``encoder.py``; the same files
+# HuggingFace ``tokenizers``' BPE loads): ``merges.txt`` (one merge per
+# line, "<left> <right>" in rank order, ``#version`` header) +
+# ``vocab.json`` (token string → id; 256 byte symbols then one id per
+# merge).  Tokens are rendered in the public bytes↔unicode alphabet —
+# every byte maps to a PRINTABLE codepoint (printable latin to itself,
+# the rest to 256+n), so lines never contain raw whitespace/control
+# bytes and the mapping is a bijection.  The export walks the trained
+# merge list (vocab-sized, driver-tiny); the loader inverts it back to
+# the engine's internal byte-symbol/placeholder encoding, so an
+# artifact written by THIS engine or any standard-format trainer drives
+# the distributed apply unchanged.
+
+_BPE_MERGES_HEADER = "#version: 0.2"
+
+
+def _gpt2_byte_to_unicode() -> dict[int, str]:
+    """The public GPT-2 byte→unicode table: identity on printable
+    latin-1 bytes, 256+n for the rest — bijective over all 256 bytes."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def _bpe_local_dir(path: str) -> str:
+    """Standard-format files are POSIX text files written driver-side
+    (vocab-sized — KBs); reject non-local schemes loudly rather than
+    writing a parquet-shaped surprise."""
+    from .. import fs as _hfs
+
+    if not _hfs._is_local_scheme(path):
+        raise ValueError(
+            f"standard-format tokenizer export needs a local path, got {path!r}"
+        )
+    return path.split(":", 1)[1] if path.startswith("file:") else path
+
+
+def bpe_export_standard(
+    flat_pairs: list, expansions: list, path: str
+) -> tuple[str, str]:
+    """Write ``merges.txt`` + ``vocab.json`` for a trained byte-level
+    merge list (``flat_pairs``: internal 2-symbol surface pairs in
+    adoption order; ``expansions``: fully-expanded byte-rendered
+    tokens).  Returns the two file paths."""
+    import json
+    import os
+
+    b2u = _gpt2_byte_to_unicode()
+
+    def render(byte_str: str) -> str:
+        return "".join(b2u[ord(ch)] for ch in byte_str)
+
+    def sym_text(ch: str) -> str:
+        # internal symbol → its full byte string: bytes are chr(0..255),
+        # placeholder chr(BPE_CODE_BASE + code) expands to merge code-1
+        return (
+            expansions[ord(ch) - BPE_CODE_BASE - 1]
+            if ord(ch) > BPE_CODE_BASE
+            else ch
+        )
+
+    local = _bpe_local_dir(path)
+    os.makedirs(local, exist_ok=True)
+    merges_path = f"{local}/merges.txt"
+    vocab_path = f"{local}/vocab.json"
+    with open(merges_path, "w", encoding="utf-8") as fh:
+        fh.write(_BPE_MERGES_HEADER + "\n")
+        for pair in flat_pairs:
+            fh.write(f"{render(sym_text(pair[0]))} {render(sym_text(pair[1]))}\n")
+    vocab = {b2u[b]: b for b in range(256)}
+    for k, token in enumerate(expansions):
+        vocab[render(token)] = 256 + k
+    with open(vocab_path, "w", encoding="utf-8") as fh:
+        json.dump(vocab, fh, ensure_ascii=False)
+    return merges_path, vocab_path
+
+
+def bpe_load_standard(path: str) -> tuple[list, list]:
+    """Invert ``merges.txt`` back to the engine's internal encoding:
+    ``(pair_codes, expansions)`` exactly as ``_bpe_batch_learn``
+    produces them, so the distributed apply (and its round-trip proof)
+    runs unchanged off a standard-format artifact — written by this
+    engine or by any byte-level BPE trainer."""
+    u2b = {c: b for b, c in _gpt2_byte_to_unicode().items()}
+
+    def decode(tok: str) -> str:
+        try:
+            return "".join(chr(u2b[ch]) for ch in tok)
+        except KeyError as exc:
+            raise ValueError(
+                f"merges.txt token {tok!r} is not in the byte-level alphabet"
+            ) from exc
+
+    local = _bpe_local_dir(path)
+    pair_codes: list = []
+    expansions: list = []
+    token_sym: dict[str, str] = {}
+    with open(f"{local}/merges.txt", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            left, sep, right = line.partition(" ")
+            if not sep or not left or not right or " " in right:
+                raise ValueError(f"malformed merges.txt line: {line!r}")
+            lb, rb = decode(left), decode(right)
+
+            def sym(t: str) -> str:
+                if len(t) == 1:
+                    return t  # single byte: its own internal symbol
+                if t not in token_sym:
+                    raise ValueError(
+                        f"merge references token {t!r} before it is built"
+                    )
+                return token_sym[t]
+
+            code_char = _bpe_code(len(expansions) + 1)
+            pair_codes.append((sym(lb) + sym(rb), code_char))
+            expansions.append(lb + rb)
+            token_sym[lb + rb] = code_char
+    return pair_codes, expansions
+
+
+def bpe_apply_standard_format(
+    spark: SparkSession, sf_dir: str, path: str | None = None
+) -> DataFrame:
+    """The interop round trip, end to end: train byte-level greedy BPE,
+    EXPORT the merge list as public-format ``merges.txt`` +
+    ``vocab.json``, RELOAD from the text files alone, and drive the
+    distributed apply entirely from the reloaded state.  Oracle
+    equality against the retrain-and-apply SQL (the ``bpe_apply_bytes``
+    twin) proves the standard-format serialization is lossless — the
+    artifact a user hands to an external runtime reproduces this
+    engine's segmentation exactly."""
+    from .. import fs as _hfs
+
+    path = path or f"{_hfs.artifact_root(spark, 'bpe_std', sf_dir)}/standard"
+    _, rounds_adopted, expansions = _bpe_batch_learn(
+        spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
+    )
+    flat_pairs = [p for rnd_pairs in rounds_adopted for p in rnd_pairs]
+    bpe_export_standard(flat_pairs, expansions, path)
+    pair_codes, loaded_expansions = bpe_load_standard(path)
+    return _bpe_apply_report(
+        spark, sf_dir, pair_codes, loaded_expansions, tokens_expr=_BYTE_TOKENS
+    )
+
+
 BPE_TRAIN_SLICE = "doc_id % 2 = 0"
 BPE_APPLY_SLICE = "doc_id % 2 = 1"
 
@@ -1314,6 +1476,12 @@ QUERIES = {
     ),
     "bpe_apply_bytes": (
         bpe_apply_bytes,
+        _bpe_apply_sql(adoption="greedy", tokens_sql=_D_BYTE_TOKENS),
+    ),
+    # the public-format (merges.txt + vocab.json) round trip: export →
+    # reload-from-text → apply must equal retrain-and-apply
+    "bpe_apply_standard_format": (
+        bpe_apply_standard_format,
         _bpe_apply_sql(adoption="greedy", tokens_sql=_D_BYTE_TOKENS),
     ),
     "bpe_apply_tokens": (bpe_apply_tokens, _bpe_apply_sql()),
