@@ -20,10 +20,21 @@ Reference semantics being reproduced (SURVEY §2 ops #6-#8):
 Scale notes (100 TB posture):
 
 * The diff is ONE shuffle (exchange on the key columns) feeding a
-  sort-merge join; AQE splits skewed key ranges at runtime.  If the two
-  snapshots are written bucketed-by-key (see ``snapshot.py``), the
-  exchange disappears entirely and the diff is a zero-shuffle zip of
-  co-located buckets.
+  sort-merge join.  If the two snapshots are written bucketed-by-key
+  (see ``snapshot.py``), the exchange disappears entirely and the diff
+  is a zero-shuffle zip of co-located buckets.
+* Skew posture (measured, r9 — tools/probe_diff_scale.py --skew):
+  AQE's skew-join split does NOT apply to a FULL OUTER sort-merge join
+  (OptimizeSkewedJoin fires for inner/left/right only — splitting a
+  side of a FOJ would duplicate unmatched rows; pinned in
+  tests/test_diff_skew.py).  The diff tier is skew-safe anyway, by
+  construction rather than by runtime repair: the FOJ joins on a
+  UNIQUE key (per-key cardinality 1×1, hash partitioning is uniform in
+  the number of KEYS regardless of how pathological the key VALUE
+  distribution is), and every non-unique-key shape — all-columns
+  fallback, dedup_keys, multiset — routes through grouped aggregations
+  whose map-side partial combine collapses a planted hot key before
+  the exchange.
 * Classification, per-column comparison and the UPDATED pair expansion
   are narrow projections (``when``/``array``/``explode``) that stay
   inside whole-stage codegen — no Python in the hot path.
