@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from dbdiff_spark.io import load_table, one_file
 
 QUERY_MOD = 100  # vec_id % 100 == 0 → the demo query set (1% of corpus)
+# Result sizes (KNN_K/ANN_K/IVF_K/PQ_K) are USER-FACING k parameters —
+# how many neighbors the caller asked for — not scale knobs; they stay
+# pinned by design.  The query-set STRIDE is a scale knob and the
+# production tier derives it (query_mod_for below); the pinned
+# QUERY_MOD survives as the floor and as the A/B variants' config.
 KNN_K = 5
 ANN_K = 3
 SIGN_BITS = 8
@@ -365,7 +370,11 @@ def _dist2_duck(a: str, b: str) -> str:
 
 
 def _ivf_coarse(
-    vecs: DataFrame, cells: int, nprobe: int, payload: bool
+    vecs: DataFrame,
+    cells: int,
+    nprobe: int,
+    payload: bool,
+    query_mod: int = QUERY_MOD,
 ) -> tuple[DataFrame, DataFrame]:
     """The seed-IVF coarse stage over a ``(vec_id, embedding, norm)``
     frame → ``(assigned, queries)`` — the ONE Spark spelling of the
@@ -412,7 +421,7 @@ def _ivf_coarse(
         else []
     )
     queries = (
-        scored.filter(F.col("vec_id") % QUERY_MOD == 0)
+        scored.filter(F.col("vec_id") % query_mod == 0)
         .withColumn("probe_rank", F.row_number().over(wq_cells))
         .filter(F.col("probe_rank") <= nprobe)
         .select(
@@ -430,6 +439,7 @@ def ann_ivf(
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     cells: int = IVF_CELLS,
     nprobe: int = IVF_NPROBE,
+    query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest seed centroid (vec_id < ``cells`` as deterministic seeds),
@@ -443,7 +453,9 @@ def ann_ivf(
     Swapping seeds for trained centroids (label_centroids / k-means)
     changes no plumbing."""
     vecs = _vectors(spark, sf_dir)
-    assigned, queries = _ivf_coarse(vecs, cells, nprobe, payload=True)
+    assigned, queries = _ivf_coarse(
+        vecs, cells, nprobe, payload=True, query_mod=query_mod
+    )
     # a corpus vector lives in exactly one cell and a query's probed
     # cells are distinct, so candidate pairs need no dedup.  The row
     # bound scales by nprobe — the probe explosion puts nprobe rows
@@ -494,6 +506,7 @@ def ann_ivf_cells_scaled(
         max_broadcast_queries=max_broadcast_queries,
         cells=cells,
         nprobe=ivf_nprobe_for(cells) if nprobe is None else nprobe,
+        query_mod=query_mod_for(n),
     )
 
 
@@ -506,6 +519,39 @@ def _cells_scaled_duck(count_src: str) -> str:
         f"GREATEST({SEMDEDUP_CELL_GRID}, {SEMDEDUP_CELL_GRID}"
         f" * CAST(ceil(sqrt(count(*)) / {SEMDEDUP_CELL_GRID}) AS BIGINT))"
         f" AS cells FROM {count_src}"
+    )
+
+
+def query_mod_for(n: int) -> int:
+    """Derived query stride for the PRODUCTION serving tier (VERDICT
+    r7 #6 / r8 #6): the demo/evaluation query set is every mod-th
+    vector with ``mod = max(QUERY_MOD, n div ⌈√n⌉)`` — ~1% of the
+    corpus up to 10k vectors (bit-identical to the pinned era, so every
+    sf-scale oracle value is unchanged), then a ~⌈√n⌉-sized set.  Why
+    √n: the evaluation joins cost Q × (candidates/query); a constant
+    FRACTION grows the evaluation superlinearly with the corpus (10⁷
+    queries at 10⁹ vectors), while √n keeps the query side broadcastable
+    (~32k rows at 10⁹) and the total evaluation ~n — the same
+    single-level balance argument as ``semdedup_cells``.  Pure integer
+    arithmetic (sqrt of an exact integer is correctly-rounded IEEE in
+    both engines), so the DuckDB twin (``_query_mod_duck``) re-derives
+    the identical stride from its own count(*).  Pinned-QUERY_MOD
+    variants remain for A/Bs (comparisons only hold at pinned
+    configs)."""
+    import math
+
+    if n <= 0:
+        return QUERY_MOD
+    return max(QUERY_MOD, n // math.ceil(math.sqrt(n)))
+
+
+def _query_mod_duck(n_expr: str = "count(*)") -> str:
+    """DuckDB twin of :func:`query_mod_for` over an ``n`` expression —
+    one shared spelling so the derived-stride oracles cannot drift from
+    the engine."""
+    return (
+        f"GREATEST({QUERY_MOD}, {n_expr} //"
+        f" CAST(ceil(sqrt({n_expr})) AS BIGINT))"
     )
 
 
@@ -540,21 +586,27 @@ def _ann_ivf_cells_scaled_sql() -> str:
         f"(SELECT {_nprobe_scaled_duck()} FROM"
         f" (SELECT {_cells_scaled_duck('embeddings')}) t)"
     )
-    return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe_expr)
+    qmod_expr = f"(SELECT {_query_mod_duck()} FROM embeddings)"
+    return _ann_ivf_sql(cells=cells_expr, nprobe=nprobe_expr, qmod=qmod_expr)
 
 
 def _ivf_coarse_sql_ctes(
-    cells, nprobe, prefix: str = "", payload: bool = True
+    cells, nprobe, prefix: str = "", payload: bool = True,
+    qmod="__default__",
 ) -> str:
     """The seed-IVF coarse stage (seeds → scored → assigned →
     queries) over an in-scope ``vecs`` relation — the ONE SQL spelling
     of the ``(d2, seed_id)`` tie-break and the probe rank, shared by
     the IVF oracle and the IVF-PQ composite oracle (a tie-break or
     slice change must reach both or their cell assignments silently
-    diverge).  ``cells``/``nprobe`` may be ints or scalar-subquery
-    strings; ``prefix`` namespaces the CTEs when the composition
-    defines its own ``scored``-like names; ``payload=False`` drops the
-    embedding/norm carry for consumers that re-rank by PQ codes."""
+    diverge).  ``cells``/``nprobe``/``qmod`` may be ints or
+    scalar-subquery strings (``qmod`` defaults to the pinned QUERY_MOD
+    stride; the derived-stride oracle passes a subquery); ``prefix``
+    namespaces the CTEs when the composition defines its own
+    ``scored``-like names; ``payload=False`` drops the embedding/norm
+    carry for consumers that re-rank by PQ codes."""
+    if qmod == "__default__":
+        qmod = QUERY_MOD
     p = prefix
     pay_scored = "v.embedding, v.norm, " if payload else ""
     pay_assigned = "embedding, norm, " if payload else ""
@@ -577,17 +629,19 @@ def _ivf_coarse_sql_ctes(
   SELECT vec_id AS query_id, {pay_query}seed_id AS q_cell
   FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, seed_id) AS prn
-    FROM {p}scored WHERE vec_id % {QUERY_MOD} = 0
+    FROM {p}scored WHERE vec_id % {qmod} = 0
   ) WHERE prn <= {nprobe}
 )"""
 
 
-def _ann_ivf_sql(cells=IVF_CELLS, nprobe: int = IVF_NPROBE) -> str:
+def _ann_ivf_sql(
+    cells=IVF_CELLS, nprobe: int = IVF_NPROBE, qmod="__default__"
+) -> str:
     # ``cells`` may be an int or a scalar-subquery string (the
     # derived-cells oracle) — it lands in one WHERE comparison
     return f"""
 WITH vecs AS ({_VECTORS_SQL}),
-{_ivf_coarse_sql_ctes(cells, nprobe)},
+{_ivf_coarse_sql_ctes(cells, nprobe, qmod=qmod)},
 cand AS (
   SELECT query_id, a.vec_id AS neighbor_id,
          {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
@@ -1008,6 +1062,7 @@ def ann_ivf_trained(
         ivf_nprobe_for(k) if nprobe is None else nprobe,
         max_broadcast_queries,
         sample_mod=_derived_sample_mod(n, k),
+        query_mod=query_mod_for(n),
     )
 
 
@@ -1022,14 +1077,18 @@ def ann_ivf_full_trained(
     rows buys over the bounded ~SAMPLE_PER_CENTROID·K subsample
     (answer on every corpus probed so far: nothing measurable — which
     is exactly why the sampled build is the default; this variant is
-    the evidence, not the plan you'd run at 10⁹ vectors)."""
-    k = _derived_kmeans_k(spark, sf_dir)
+    the evidence, not the plan you'd run at 10⁹ vectors).  Mirrors the
+    production config on every OTHER knob — derived K, nprobe, and
+    query stride — so the A/B isolates the Lloyd sample alone."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
     return _ann_ivf_trained_with_k(
         spark,
         sf_dir,
         k,
         ivf_nprobe_for(k) if nprobe is None else nprobe,
         max_broadcast_queries,
+        query_mod=query_mod_for(n),
     )
 
 
@@ -1052,6 +1111,7 @@ def _ann_ivf_trained_with_k(
     nprobe: int,
     max_broadcast_queries: int,
     sample_mod: int = 1,
+    query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """Train-then-search at an explicit K — the shared body behind
     ``ann_ivf_trained`` (derived K, ``sample_mod`` > 1: Lloyd sees
@@ -1067,7 +1127,8 @@ def _ann_ivf_trained_with_k(
             "vec_id", "embedding", "norm", "cell"
         )
         out = _ivf_literal_search(
-            vecs, assigned, centroids, nprobe, max_broadcast_queries
+            vecs, assigned, centroids, nprobe, max_broadcast_queries,
+            query_mod,
         )
         # the training loop already materialized vecs; pin the bounded
         # result so the cache can be released before returning
@@ -1077,7 +1138,10 @@ def _ann_ivf_trained_with_k(
 
 
 def _probe_frame(
-    vecs: DataFrame, centroids: dict[int, list[float]], nprobe: int
+    vecs: DataFrame,
+    centroids: dict[int, list[float]],
+    nprobe: int,
+    query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """Per-query probe ranking over trained centroids →
     ``(query_id, q_emb, q_norm, q_cell)``, ``nprobe`` rows per query.
@@ -1090,7 +1154,7 @@ def _probe_frame(
     shuffle in either regime.  Shared by the exact-cosine trained-IVF
     serving path and the residual IVF-PQ tier (one spelling of the
     probe tie-break)."""
-    qbase = vecs.filter(F.col("vec_id") % QUERY_MOD == 0)
+    qbase = vecs.filter(F.col("vec_id") % query_mod == 0)
     literal = _literal_regime(centroids, None)
     if not literal:
         qbase = qbase.crossJoin(F.broadcast(_centroid_array_row(
@@ -1113,13 +1177,14 @@ def _ivf_literal_search(
     centroids: dict[int, list[float]],
     nprobe: int,
     max_broadcast_queries: int,
+    query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """The serving half of trained IVF: rank the K centroids per query
     (``_probe_frame``), probe ``nprobe`` cells against the assignment
     frame, exact-rank the cell-restricted candidates.  ``assigned`` may
     be freshly computed or reloaded from a persisted index — the search
     is agnostic."""
-    queries = _probe_frame(vecs, centroids, nprobe)
+    queries = _probe_frame(vecs, centroids, nprobe, query_mod)
     # row bound scaled by nprobe: the explode above emits nprobe rows
     # per query (see ann_ivf's multi-probe note)
     cand = assigned.join(
@@ -1181,7 +1246,8 @@ def ann_ivf_index_persist(
     # --- serving path: everything below touches ONLY the artifacts
     # (plus the raw query vectors) — no retraining, no reassignment
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries
+        spark, sf_dir, root, nprobe, max_broadcast_queries,
+        query_mod_for(n),
     )
     return out.localCheckpoint(eager=True)
 
@@ -1223,6 +1289,7 @@ def _serve_ivf_from_artifacts(
     root: str,
     nprobe: int,
     max_broadcast_queries: int,
+    query_mod: int = QUERY_MOD,
 ) -> DataFrame:
     """Exact-cosine IVF serving off a persisted coarse index: reload
     centroids + cell-partitioned assignments, probe, rank.  Lazy — the
@@ -1236,6 +1303,7 @@ def _serve_ivf_from_artifacts(
         _load_index_centroids(spark, root),
         nprobe,
         max_broadcast_queries,
+        query_mod,
     )
 
 
@@ -1302,7 +1370,9 @@ def ann_ivf_ingest(
         ).write.mode("append").partitionBy("cell").parquet(
             f"{root}/assignments"
         )
-        # --- serve from the merged artifacts only
+        # --- serve from the merged artifacts only; the query stride
+        # derives from the SERVED corpus (base + batch), not the slice
+        # the quantizer trained on
         merged = spark.read.parquet(f"{root}/assignments").select(
             "vec_id",
             "embedding",
@@ -1310,7 +1380,8 @@ def ann_ivf_ingest(
             F.col("cell").cast("bigint").alias("cell"),
         )
         out = _ivf_literal_search(
-            vecs, merged, loaded_centroids, nprobe, max_broadcast_queries
+            vecs, merged, loaded_centroids, nprobe, max_broadcast_queries,
+            query_mod_for(vecs.count()),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1327,6 +1398,9 @@ def _ann_ivf_ingest_sql() -> str:
   FROM (SELECT count(*) AS n,
         {_cells_scaled_duck(f'embeddings WHERE {IVF_BASE_SLICE}')})
 ),
+tq AS MATERIALIZED (
+  SELECT {_query_mod_duck()} AS qmod FROM embeddings
+),
 tsample AS MATERIALIZED (
   SELECT (vec_id // 2) // (SELECT smod FROM tp) AS vec_id, embedding
   FROM embeddings
@@ -1338,6 +1412,9 @@ tsample AS MATERIALIZED (
         k_sql="(SELECT cells FROM tp)",
         train_src="tsample",
         pre_ctes=pre,
+        # the query stride derives from the SERVED corpus (base +
+        # batch), matching the engine's vecs.count() derivation
+        qmod_sql="(SELECT qmod FROM tq)",
     )
 
 
@@ -1370,7 +1447,7 @@ def _ann_ivf_sample_trained_sql(nprobe_sql: "int | str | None" = None) -> str:
     oracle's own count(*)."""
     pre = f"""tp AS MATERIALIZED (
   SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
-         {_nprobe_scaled_duck()} AS np
+         {_nprobe_scaled_duck()} AS np, {_query_mod_duck('n')} AS qmod
   FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
 ),
 tsample AS MATERIALIZED (
@@ -1383,6 +1460,7 @@ tsample AS MATERIALIZED (
         k_sql="(SELECT cells FROM tp)",
         train_src="tsample",
         pre_ctes=pre,
+        qmod_sql="(SELECT qmod FROM tp)",
     )
 
 
@@ -1391,8 +1469,14 @@ def _ann_ivf_trained_sql(
     k_sql: "int | str | None" = None,
     train_src: str = "embeddings",
     pre_ctes: str = "",
+    qmod_sql: "int | str | None" = None,
 ) -> str:
     n = KMEANS_ITERS
+    if qmod_sql is None:
+        # derived query stride, twin of query_mod_for — the default
+        # because every derived-config trained op now derives it;
+        # pinned A/Bs pass qmod_sql=QUERY_MOD explicitly
+        qmod_sql = f"(SELECT {_query_mod_duck()} FROM embeddings)"
     if k_sql is None:
         # K re-derived from the oracle's own count(*) — the twin of
         # _derived_kmeans_k, via the shared _cells_scaled_duck spelling
@@ -1424,7 +1508,7 @@ tqueries AS (
                               ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
                                        c.cell) AS prn
     FROM vecs v CROSS JOIN c{n} c
-    WHERE v.vec_id % {QUERY_MOD} = 0
+    WHERE v.vec_id % {qmod_sql} = 0
   ) WHERE prn <= {nprobe}
 ),
 tcand AS (
@@ -2106,7 +2190,7 @@ def ann_ivf_pq_residual(
         "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
     probes = _probe_frame(
-        _vectors(spark, sf_dir), loaded_centroids, nprobe
+        _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod_for(n)
     ).select("query_id", "q_emb", "q_cell")
     cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
@@ -2125,7 +2209,7 @@ def _trained_coarse_sql_ctes() -> str:
     n = KMEANS_ITERS
     return f"""tp AS MATERIALIZED (
   SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
-         {_nprobe_scaled_duck()} AS np
+         {_nprobe_scaled_duck()} AS np, {_query_mod_duck('n')} AS qmod
   FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
 ),
 tsample AS MATERIALIZED (
@@ -2151,7 +2235,7 @@ tprobes AS (
                               ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
                                        c.cell) AS prn
     FROM vecs v CROSS JOIN c{n} c
-    WHERE v.vec_id % {QUERY_MOD} = 0
+    WHERE v.vec_id % (SELECT qmod FROM tp) = 0
   ) WHERE prn <= (SELECT np FROM tp)
 ),
 tcand AS (
@@ -2272,12 +2356,14 @@ def ann_ivfpq_recall_report(
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "cell"
         )
-        probes = _probe_frame(vecs, centroids, nprobe).select(
+        qmod = query_mod_for(n)
+        probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
             "query_id", "q_emb", "q_cell"
         )
         cand = _grid_cand(assigned, probes, max_broadcast_queries, nprobe)
-        # exact squared-L2 ground truth over the raw doubles
-        queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        # exact squared-L2 ground truth over the raw doubles — the SAME
+        # derived stride as the arms, so recall denominators line up
+        queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )
         exact = (
@@ -2361,7 +2447,7 @@ exact_k AS (
              ORDER BY {_dist2_duck('v.embedding', 't.embedding')}, v.vec_id
            ) AS rank
     FROM vecs v CROSS JOIN vecs t
-    WHERE t.vec_id % {QUERY_MOD} = 0 AND v.vec_id <> t.vec_id
+    WHERE t.vec_id % (SELECT qmod FROM tp) = 0 AND v.vec_id <> t.vec_id
   ) WHERE rank <= {PQ_K}
 ),
 approx_k AS (
@@ -2668,7 +2754,8 @@ def _ann_ivf_recall_sql() -> str:
     )
     approx += (
         f"\nUNION ALL\nSELECT 'ivf_trained_c8_p2' AS variant, query_id,"
-        f" neighbor_id FROM ({_ann_ivf_trained_sql(IVF_NPROBE, k_sql=KMEANS_K)})"
+        f" neighbor_id FROM "
+        f"({_ann_ivf_trained_sql(IVF_NPROBE, k_sql=KMEANS_K, qmod_sql=QUERY_MOD)})"
         f" WHERE rank <= {ANN_K}"
         f"\nUNION ALL\nSELECT 'ivf_trained_prod' AS variant, query_id,"
         f" neighbor_id FROM ({_ann_ivf_sample_trained_sql()})"

@@ -610,3 +610,68 @@ def test_residual_codes_beat_raw_at_equal_budget(spark, sf_dir):
     assert (
         rows["ivfpq_residual"].recall_ppm > rows["ivfpq_raw"].recall_ppm
     ), "residual codes should beat raw codes at equal budget here"
+
+
+def test_query_mod_derivation_law():
+    """query_mod_for: pinned floor through 10k vectors (every sf-scale
+    oracle value unchanged), ~sqrt(n) stride beyond, exact integer
+    arithmetic (VERDICT r8 #6)."""
+    import math
+
+    from dbdiff_spark.ops.similarity import QUERY_MOD, query_mod_for
+
+    assert query_mod_for(0) == QUERY_MOD
+    assert query_mod_for(500) == QUERY_MOD
+    assert query_mod_for(10_000) == QUERY_MOD
+    assert query_mod_for(10_201) == 101  # sqrt exact: 101*101
+    assert query_mod_for(20_000) == 140
+    assert query_mod_for(10**9) == 31_622
+    for n in (10_001, 123_457, 10**7 + 3):
+        assert query_mod_for(n) == max(
+            QUERY_MOD, n // math.ceil(math.sqrt(n))
+        )
+
+
+def test_derived_query_stride_binds_and_matches_duckdb(spark, tmp_path):
+    """On a 20k-vector corpus the derived stride BINDS (qmod=140, no
+    longer the pinned 100): the production trained-IVF search must use
+    it (query count drops to the %140 set) and still hash-match the
+    DuckDB oracle, which re-derives the same stride from its own
+    count(*) — the derivation is verified where it changes behavior,
+    not only where it coincides with the pin."""
+    import duckdb
+
+    from dbdiff_spark.ops.similarity import (
+        _ann_ivf_sample_trained_sql,
+        ann_ivf_trained,
+        query_mod_for,
+    )
+
+    n, dim = 20_000, 4
+    rows = [
+        (i, [float((i * 7 + d * 13) % 23) / 23 + 0.1 for d in range(dim)], i % 3)
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = ann_ivf_trained(spark, str(tmp_path)).collect()
+    qmod = query_mod_for(n)
+    assert qmod == 140
+    got_queries = {r.query_id for r in out}
+    assert got_queries and all(q % qmod == 0 for q in got_queries)
+    # pinned-era stride would have included e.g. 100 and 300 (non-140
+    # multiples); their absence shows the derivation actually bound
+    assert not any(q % 100 == 0 and q % qmod != 0 for q in got_queries)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = con.execute(_ann_ivf_sample_trained_sql()).fetchall()
+    spark_set = {
+        (r.query_id, r.rank, r.neighbor_id, round(r.cosine, 9)) for r in out
+    }
+    duck_set = {(q, rk, nb, round(c, 9)) for q, nb, c, rk in oracle}
+    assert spark_set == duck_set and len(spark_set) > 0
