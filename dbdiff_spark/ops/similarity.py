@@ -2023,17 +2023,90 @@ def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
     ).select(*keys, F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
 
 
+# Lloyd rounds for the TRAINED PQ codebook.  The seeded codebook
+# (sub-vectors of the first PQ_SEEDS vectors) is what bounds recall in
+# the composite — 8 arbitrary corpus slices quantize the residual
+# distribution badly; faiss trains per-subspace k-means over the
+# residuals instead.  Grid-exact machinery mirrors the coarse Lloyd:
+# BIGINT sub-vectors in, per-(m, code, pos) integer-mean update
+# (ROUND(SUM/COUNT) — sums stay below 2^53, the division is IEEE-
+# deterministic), so the fixpoint is bit-identical in both engines.
+PQ_CB_ITERS = 2
+
+
+def _train_pq_codebook(subs: DataFrame) -> DataFrame:
+    """Per-subspace Lloyd over grid sub-vectors → a trained
+    ``(seed_id, m, seed_sub)`` codebook frame (driver-local: M×K rows
+    of subdim ints).  Seeds are the same first-PQ_SEEDS sub-vectors the
+    seeded codebook uses (round 0 = seeded, so the A/B isolates the
+    training).  Each round is one broadcast-join argmin carrying the
+    sub payload in the min-struct (never compared — (d2, seed_id) is
+    unique per (vec, m)) plus one ≤ M×K×subdim-row grouped mean; an
+    entry that captures no members drops out, in both engines."""
+    spark = subs.sparkSession
+    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+    )
+    for _ in range(PQ_CB_ITERS):
+        assigned = (
+            subs.join(F.broadcast(cb), "m")
+            .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
+            .groupBy("vec_id", "m")
+            .agg(
+                F.min(
+                    F.struct(F.col("d2"), F.col("seed_id"), F.col("sub"))
+                ).alias("__b")
+            )
+            .select(
+                "m",
+                F.col("__b.seed_id").alias("seed_id"),
+                F.col("__b.sub").alias("sub"),
+            )
+        )
+        rows = (
+            assigned.select(
+                "m", "seed_id", F.posexplode("sub").alias("pos", "comp")
+            )
+            .groupBy("m", "seed_id", "pos")
+            .agg(
+                F.expr(
+                    "CAST(ROUND(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+                ).alias("mu")
+            )
+            .groupBy("m", "seed_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mu))),"
+                    " s -> s.mu)"
+                ).alias("seed_sub")
+            )
+            .collect()
+        )
+        cb = spark.createDataFrame(
+            [
+                (int(r["seed_id"]), int(r["m"]), [int(x) for x in r["seed_sub"]])
+                for r in rows
+            ],
+            "seed_id bigint, m int, seed_sub array<bigint>",
+        )
+    return cb
+
+
 def _pq_grid_codes(
-    assigned: DataFrame, cframe: DataFrame, residual: bool
+    assigned: DataFrame,
+    cframe: DataFrame,
+    residual: bool,
+    train_codebook: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus fine-encoding over the fixed grid → ``(codes, codebook)``:
     ``codes`` is (vec_id, m, code); ``codebook`` is (seed_id, m,
-    seed_sub), the residual (or raw) sub-vectors of the PQ_SEEDS seed
-    vectors.  ``assigned`` carries (vec_id, embedding, cell); the
-    residual path joins the BROADCAST centroid frame (K rows) to
-    subtract each vector's own cell centroid — the corpus never
-    shuffles.  Code argmin is min(struct(d2, seed_id)), map-side
-    combinable (the ``_pq_codes_and_table`` lesson)."""
+    seed_sub) — the residual (or raw) sub-vectors of the PQ_SEEDS seed
+    vectors, Lloyd-trained per subspace when ``train_codebook``.
+    ``assigned`` carries (vec_id, embedding, cell); the residual path
+    joins the BROADCAST centroid frame (K rows) to subtract each
+    vector's own cell centroid — the corpus never shuffles.  Code
+    argmin is min(struct(d2, seed_id)), map-side combinable (the
+    ``_pq_codes_and_table`` lesson)."""
     if residual:
         base = assigned.join(F.broadcast(cframe), "cell").selectExpr(
             "vec_id", f"{_res_grid_spark('embedding', 'centroid')} AS gq"
@@ -2043,9 +2116,12 @@ def _pq_grid_codes(
             "vec_id", f"{_raw_grid_spark('embedding')} AS gq"
         )
     subs = _grid_explode_m(base, ["vec_id"])
-    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
-        F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
-    )
+    if train_codebook:
+        codebook = _train_pq_codebook(subs)
+    else:
+        codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+            F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+        )
     codes = (
         subs.join(F.broadcast(codebook), "m")
         .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
@@ -2139,6 +2215,7 @@ def ann_ivf_pq_residual(
     sf_dir: str,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     index_root: str | None = None,
+    train_codebook: bool = False,
 ) -> DataFrame:
     """Residual-encoded IVF-PQ served from the persisted index layout:
     train the production quantizer (sample-trained Lloyd, derived K),
@@ -2160,7 +2237,9 @@ def ann_ivf_pq_residual(
     centroid cancels in the residual difference."""
     from .. import fs as _hfs
 
-    root = index_root or _hfs.artifact_root(spark, "ivfpq_index", sf_dir)
+    root = index_root or _hfs.artifact_root(
+        spark, "ivfpq_tcb" if train_codebook else "ivfpq_index", sf_dir
+    )
     n = load_table(spark, sf_dir, "embeddings").count()
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
@@ -2174,7 +2253,9 @@ def ann_ivf_pq_residual(
         assigned = spark.read.parquet(f"{root}/assignments").select(
             "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
         )
-        codes, codebook = _pq_grid_codes(assigned, cframe, residual=True)
+        codes, codebook = _pq_grid_codes(
+            assigned, cframe, residual=True, train_codebook=train_codebook
+        )
         one_file(codebook).write.mode("overwrite").parquet(
             f"{root}/pq_codebook"
         )
@@ -2196,6 +2277,27 @@ def ann_ivf_pq_residual(
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
     out = _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
     return out.localCheckpoint(eager=True)
+
+
+def ann_ivfpq_trained_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """The full faiss-IVFPQ production shape: residual encoding AND a
+    per-subspace Lloyd-trained codebook (``_train_pq_codebook``) on the
+    sample-trained coarse quantizer, built into and served from its own
+    persisted index root.  Same output contract as
+    ``ann_ivf_pq_residual``; the recall report's third arm measures
+    what codebook training buys at the identical M×K budget."""
+    return ann_ivf_pq_residual(
+        spark,
+        sf_dir,
+        max_broadcast_queries=max_broadcast_queries,
+        index_root=index_root,
+        train_codebook=True,
+    )
 
 
 def _trained_coarse_sql_ctes() -> str:
@@ -2250,13 +2352,54 @@ _GRID_SUB_DUCK = (
 )
 
 
-def _ivfpq_grid_sql_ctes(residual: bool, prefix: str) -> str:
+def _pq_codebook_train_sql_ctes(p: str) -> str:
+    """Per-subspace Lloyd layers over ``{p}gsubs`` →
+    ``{p}cb{PQ_CB_ITERS}`` — the oracle twin of
+    ``_train_pq_codebook``: same seeds, same (d2, seed_id) tie-break,
+    same ROUND(SUM/COUNT) grid mean, one CTE pair per round."""
+    layers = [
+        f"""{p}cb0 AS (
+  SELECT vec_id AS seed_id, m, sub AS seed_sub
+  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
+)"""
+    ]
+    for i in range(1, PQ_CB_ITERS + 1):
+        layers.append(
+            f"""{p}ca{i} AS (
+  SELECT m, seed_id, sub FROM (
+    SELECT s.vec_id, s.m, s.sub, c.seed_id,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_qdist2_duck('s.sub', 'c.seed_sub')},
+                                       c.seed_id) AS rn
+    FROM {p}gsubs s JOIN {p}cb{i - 1} c ON s.m = c.m
+  ) WHERE rn = 1
+),
+{p}cb{i} AS MATERIALIZED (
+  SELECT m, seed_id, array_agg(mu ORDER BY pos) AS seed_sub FROM (
+    SELECT m, seed_id, pos,
+           CAST(ROUND(CAST(SUM(comp) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu
+    FROM (
+      SELECT m, seed_id,
+             unnest(generate_series(1, len(sub))) AS pos,
+             unnest(sub) AS comp
+      FROM {p}ca{i}
+    ) GROUP BY m, seed_id, pos
+  ) GROUP BY m, seed_id
+)"""
+        )
+    return ",\n".join(layers)
+
+
+def _ivfpq_grid_sql_ctes(
+    residual: bool, prefix: str, trained_codebook: bool = False
+) -> str:
     """The fine stage over the trained coarse CTEs — codes, codebook,
     per-(query, cell) ADC table, and the summed ADC relation
     ``{prefix}adc`` — the oracle twin of ``_pq_grid_codes`` +
     ``_pq_grid_dtable`` + ``_pq_adc_rank``'s aggregation.  ``residual``
-    picks the grid encoding; ``prefix`` namespaces so the recall
-    report composes both arms in one query."""
+    picks the grid encoding, ``trained_codebook`` swaps the seeded
+    codebook for the per-subspace Lloyd fixpoint; ``prefix``
+    namespaces so the recall report composes the arms in one query."""
     p = prefix
     n = KMEANS_ITERS
     if residual:
@@ -2275,15 +2418,25 @@ def _ivfpq_grid_sql_ctes(residual: bool, prefix: str) -> str:
         query_grid = (
             f"SELECT query_id, q_cell, {_raw_grid_duck('q_emb')} AS gq FROM tprobes"
         )
+    if trained_codebook:
+        codebook_ctes = (
+            _pq_codebook_train_sql_ctes(p)
+            + f""",
+{p}gcodebook AS (
+  SELECT seed_id, m, seed_sub FROM {p}cb{PQ_CB_ITERS}
+)"""
+        )
+    else:
+        codebook_ctes = f"""{p}gcodebook AS (
+  SELECT vec_id AS seed_id, m, sub AS seed_sub
+  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
+)"""
     return f"""{p}gvecs AS ({corpus_grid}),
 {p}gsubs AS (
   SELECT vec_id, m, {_GRID_SUB_DUCK} AS sub
   FROM {p}gvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
 ),
-{p}gcodebook AS (
-  SELECT vec_id AS seed_id, m, sub AS seed_sub
-  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
-),
+{codebook_ctes},
 {p}gcodes AS (
   SELECT vec_id, m, seed_id AS code FROM (
     SELECT s.vec_id, s.m, c.seed_id,
@@ -2314,10 +2467,10 @@ def _ivfpq_grid_sql_ctes(residual: bool, prefix: str) -> str:
 )"""
 
 
-def _ann_ivf_pq_residual_sql() -> str:
+def _ann_ivf_pq_residual_sql(trained_codebook: bool = False) -> str:
     return f"""
 WITH {_trained_coarse_sql_ctes()},
-{_ivfpq_grid_sql_ctes(residual=True, prefix="r")}
+{_ivfpq_grid_sql_ctes(residual=True, prefix="r", trained_codebook=trained_codebook)}
 SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
   SELECT query_id, neighbor_id, approx_l2sq,
          ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2328,7 +2481,13 @@ WHERE rank <= {PQ_K}
 """
 
 
-IVFPQ_RECALL_VARIANTS = (("ivfpq_raw", False), ("ivfpq_residual", True))
+IVFPQ_RECALL_VARIANTS = (
+    # (name, residual, trained_codebook) — the three-step ladder to the
+    # faiss production shape, every rung at the identical M×K budget
+    ("ivfpq_raw", False, False),
+    ("ivfpq_residual", True, False),
+    ("ivfpq_residual_tcb", True, True),
+)
 
 
 def ann_ivfpq_recall_report(
@@ -2387,8 +2546,10 @@ def ann_ivfpq_recall_report(
             .select("query_id", "neighbor_id")
         )
         approx = None
-        for name, residual in IVFPQ_RECALL_VARIANTS:
-            codes, codebook = _pq_grid_codes(assigned, cframe, residual)
+        for name, residual, trained in IVFPQ_RECALL_VARIANTS:
+            codes, codebook = _pq_grid_codes(
+                assigned, cframe, residual, train_codebook=trained
+            )
             dtable = _pq_grid_dtable(probes, cframe, codebook, residual)
             part = _pq_adc_rank(
                 cand, codes, dtable, max_broadcast_queries, nprobe
@@ -2401,7 +2562,8 @@ def ann_ivfpq_recall_report(
             F.count(F.lit(1)).alias("n_queries")
         )
         variants = spark.createDataFrame(
-            [(name,) for name, _ in IVFPQ_RECALL_VARIANTS], "variant string"
+            [(name,) for name, _r, _t in IVFPQ_RECALL_VARIANTS],
+            "variant string",
         )
         # left join from the variant list: a 0-hit arm still reports
         out = (
@@ -2426,6 +2588,7 @@ def ann_ivfpq_recall_report(
 
 
 def _ann_ivfpq_recall_sql() -> str:
+    prefixes = ("w", "r", "t")
     arms = "\nUNION ALL\n".join(
         f"""SELECT '{name}' AS variant, query_id, neighbor_id FROM (
   SELECT query_id, neighbor_id,
@@ -2433,12 +2596,15 @@ def _ann_ivfpq_recall_sql() -> str:
                             ORDER BY approx_l2sq, neighbor_id) AS rank
   FROM {p}gadc
 ) WHERE rank <= {PQ_K}"""
-        for (name, _res), p in zip(IVFPQ_RECALL_VARIANTS, ("w", "r"))
+        for (name, _res, _tcb), p in zip(IVFPQ_RECALL_VARIANTS, prefixes)
+    )
+    grid_ctes = ",\n".join(
+        _ivfpq_grid_sql_ctes(residual=res, prefix=p, trained_codebook=tcb)
+        for (_name, res, tcb), p in zip(IVFPQ_RECALL_VARIANTS, prefixes)
     )
     return f"""
 WITH {_trained_coarse_sql_ctes()},
-{_ivfpq_grid_sql_ctes(residual=False, prefix="w")},
-{_ivfpq_grid_sql_ctes(residual=True, prefix="r")},
+{grid_ctes},
 exact_k AS (
   SELECT query_id, neighbor_id FROM (
     SELECT t.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -2461,7 +2627,7 @@ h AS (
 q AS (
   SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
 ),
-vlist AS ({' UNION ALL '.join(f"SELECT '{name}' AS variant" for name, _r in IVFPQ_RECALL_VARIANTS)})
+vlist AS ({' UNION ALL '.join(f"SELECT '{name}' AS variant" for name, _r, _t in IVFPQ_RECALL_VARIANTS)})
 SELECT vlist.variant, n_queries, CAST({PQ_K} AS BIGINT) AS k,
        CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        CAST((coalesce(n_hits, 0) * 1000000) // (n_queries * {PQ_K}) AS BIGINT)
@@ -3293,6 +3459,11 @@ QUERIES = {
     # faiss IVFPQ proper: residual codes on the sample-trained
     # quantizer, served from the persisted index layout
     "ann_ivf_pq_residual": (ann_ivf_pq_residual, _ann_ivf_pq_residual_sql()),
+    # the full faiss shape: residual codes + per-subspace Lloyd codebook
+    "ann_ivfpq_trained_codebook": (
+        ann_ivfpq_trained_codebook,
+        _ann_ivf_pq_residual_sql(trained_codebook=True),
+    ),
     "ann_ivfpq_recall_report": (
         ann_ivfpq_recall_report,
         _ann_ivfpq_recall_sql(),
