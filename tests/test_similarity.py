@@ -572,6 +572,21 @@ def test_ivfpq_residual_one_root_serves_exact_ivf_and_pq(spark, sf_dir, tmp_path
     assert codes.select("vec_id", "m").distinct().count() == n * PQ_M
     mn, mx = codes.selectExpr("min(code)", "max(code)").first()
     assert 0 <= mn and mx < PQ_SEEDS
+    # the memory story, measured on disk: the PQ serving payload
+    # (codes) must be a small fraction of the embedding payload
+    # (assignments) — that byte ratio IS the reason IVFPQ exists
+    import os
+
+    def tree_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dirs, files in os.walk(path)
+            for f in files
+        )
+
+    code_b = tree_bytes(f"{root}/pq_codes")
+    emb_b = tree_bytes(f"{root}/assignments")
+    assert code_b * 2 < emb_b, (code_b, emb_b)
     # the SAME root answers exact-IVF, identically to the in-memory build
     k = semdedup_cells(n)
     served = {
