@@ -2300,6 +2300,38 @@ def ann_ivfpq_trained_codebook(
     )
 
 
+def _ann_ivf_pq_residual_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lazy serving-shape plan of the residual IVF-PQ tier with
+    round-0 seed centroids (training changes values, never the plan
+    shape; the public op serves from checkpoint-pinned artifact reads,
+    which audit as parquet scans — this frame exposes the join/agg
+    skeleton instead)."""
+    vecs = _vectors(spark, sf_dir)
+    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    centroids = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+    }
+    cframe = _centroid_frame(spark, centroids)
+    assigned = _assign_cells(vecs, centroids).select(
+        "vec_id", "embedding", "cell"
+    )
+    probes = _probe_frame(vecs, centroids, IVF_NPROBE).select(
+        "query_id", "q_emb", "q_cell"
+    )
+    cand = _grid_cand(assigned, probes, MAX_BROADCAST_QUERIES, IVF_NPROBE)
+    codes, codebook = _pq_grid_codes(assigned, cframe, residual=True)
+    dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
+    return _pq_adc_rank(cand, codes, dtable, MAX_BROADCAST_QUERIES, IVF_NPROBE)
+
+
+EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
+EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
+    _ann_ivf_pq_residual_explain_frame
+)
+
+
 def _trained_coarse_sql_ctes() -> str:
     """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
     (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,

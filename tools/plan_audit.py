@@ -74,6 +74,8 @@ AUDITED = [
     "ann_ivf_index_persist",
     "ann_ivf_ingest",
     "ann_ivf_cells_scaled",
+    "ann_ivf_pq_residual",
+    "ann_ivfpq_trained_codebook",
     "dedup_minhash_bbit",
     "embedding_truncation_recall",
     "repeated_span_cut",
