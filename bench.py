@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_ivf_index_persist",
     "ann_ivf_pq_residual",
     "ann_ivfpq_trained_codebook",
+    "ann_ivfpq_ingest",
     "ann_ivfpq_recall_report",
     "ann_ivf_ingest",
     "ann_ivf_cells_scaled",

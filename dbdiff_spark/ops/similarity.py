@@ -2107,6 +2107,21 @@ def _pq_grid_codes(
     vector's own cell centroid — the corpus never shuffles.  Code
     argmin is min(struct(d2, seed_id)), map-side combinable (the
     ``_pq_codes_and_table`` lesson)."""
+    subs = _pq_subs(assigned, cframe, residual)
+    if train_codebook:
+        codebook = _train_pq_codebook(subs)
+    else:
+        codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+            F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
+        )
+    return _pq_codes_for(subs, codebook), codebook
+
+
+def _pq_subs(
+    assigned: DataFrame, cframe: DataFrame, residual: bool
+) -> DataFrame:
+    """Grid sub-vectors per (vec_id, m) for a ``(vec_id, embedding,
+    cell)`` frame — the fine stage's input relation."""
     if residual:
         base = assigned.join(F.broadcast(cframe), "cell").selectExpr(
             "vec_id", f"{_res_grid_spark('embedding', 'centroid')} AS gq"
@@ -2115,21 +2130,21 @@ def _pq_grid_codes(
         base = assigned.selectExpr(
             "vec_id", f"{_raw_grid_spark('embedding')} AS gq"
         )
-    subs = _grid_explode_m(base, ["vec_id"])
-    if train_codebook:
-        codebook = _train_pq_codebook(subs)
-    else:
-        codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
-            F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
-        )
-    codes = (
+    return _grid_explode_m(base, ["vec_id"])
+
+
+def _pq_codes_for(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Encode sub-vectors against a (possibly reloaded/frozen)
+    broadcast codebook → (vec_id, m, code); min-struct argmin,
+    map-side combinable — the encode half of ``_pq_grid_codes``,
+    callable on an ingest batch without rebuilding the codebook."""
+    return (
         subs.join(F.broadcast(codebook), "m")
         .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
         .groupBy("vec_id", "m")
         .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
         .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
     )
-    return codes, codebook
 
 
 def _pq_grid_dtable(
@@ -2300,6 +2315,128 @@ def ann_ivfpq_trained_codebook(
     )
 
 
+def ann_ivfpq_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Incremental ingest for the FINE stage too: build the residual-PQ
+    index on the BASE slice (even vec_ids — sample-trained quantizer,
+    residual codebook seeded from the slice's first PQ_SEEDS dense
+    ids), then ingest the batch slice by assigning AND residual-
+    encoding it with the RELOADED frozen quantizer + codebook —
+    O(batch·(K + M·K)), zero shuffle, base files untouched — and serve
+    the full query set by ADC from the merged artifacts.  Completes
+    ``ann_ivf_ingest``'s story for the production composite: one
+    growing index root serves exact-IVF and IVF-PQ.  The oracle proves
+    merged-after-ingest ≡ encoding the UNION corpus at the same frozen
+    quantizer and codebook."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_ing", sf_dir)
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        base = vecs.filter(IVF_BASE_SLICE)
+        n_base = base.count()
+        k = semdedup_cells(n_base)
+        mod = _derived_sample_mod(n_base, k)
+        nprobe = ivf_nprobe_for(k)
+        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
+        centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
+        one_file(_centroid_frame(spark, centroids)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        cframe = _centroid_frame(spark, centroids)
+        assigned_base = _assign_cells(base, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        )
+        assigned_base.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{root}/assignments"
+        )
+        # fine build: codebook from the base slice's first PQ_SEEDS
+        # DENSE ids (the ingest dense-renumber convention), codes for
+        # the base
+        subs_base = _pq_subs(
+            assigned_base.select("vec_id", "embedding", "cell"),
+            cframe,
+            residual=True,
+        )
+        codebook = subs_base.filter(
+            F.expr(f"vec_id div 2 < {PQ_SEEDS}")
+        ).select(
+            F.expr("vec_id div 2").alias("seed_id"),
+            "m",
+            F.col("sub").alias("seed_sub"),
+        )
+        one_file(codebook).write.mode("overwrite").parquet(
+            f"{root}/pq_codebook"
+        )
+        _pq_codes_for(subs_base, codebook).write.mode("overwrite").parquet(
+            f"{root}/pq_codes"
+        )
+        # --- ingest: batch-only assignment AND encoding with the
+        # RELOADED frozen quantizer + codebook, appended in place
+        loaded_centroids = _load_index_centroids(spark, root)
+        loaded_cframe = _centroid_frame(spark, loaded_centroids)
+        loaded_codebook = spark.read.parquet(f"{root}/pq_codebook")
+        assigned_batch = _assign_cells(
+            vecs.filter(IVF_BATCH_SLICE), loaded_centroids
+        ).select("vec_id", "embedding", "norm", "cell")
+        assigned_batch.write.mode("append").partitionBy("cell").parquet(
+            f"{root}/assignments"
+        )
+        _pq_codes_for(
+            _pq_subs(
+                assigned_batch.select("vec_id", "embedding", "cell"),
+                loaded_cframe,
+                residual=True,
+            ),
+            loaded_codebook,
+        ).write.mode("append").parquet(f"{root}/pq_codes")
+        # --- serve by ADC from the merged artifacts only; query stride
+        # derives from the SERVED corpus
+        qmod = query_mod_for(vecs.count())
+        codes = spark.read.parquet(f"{root}/pq_codes")
+        assigned_slim = spark.read.parquet(f"{root}/assignments").select(
+            "vec_id", F.col("cell").cast("bigint").alias("cell")
+        )
+        probes = _probe_frame(vecs, loaded_centroids, nprobe, qmod).select(
+            "query_id", "q_emb", "q_cell"
+        )
+        cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
+        dtable = _pq_grid_dtable(
+            probes, loaded_cframe, loaded_codebook, residual=True
+        )
+        out = _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivfpq_ingest_sql() -> str:
+    """Oracle twin: train + seed the codebook on the base slice,
+    residual-encode the UNION corpus at that frozen quantizer/codebook,
+    serve — merged-after-ingest ≡ union-rebuild is the checked claim
+    (the coarse half reuses ``ann_ivf_ingest``'s argument)."""
+    return f"""
+WITH {_trained_coarse_sql_ctes(base_where=IVF_BASE_SLICE)},
+{_ivfpq_grid_sql_ctes(
+    residual=True,
+    prefix="g",
+    seed_pred=f"vec_id % 2 = 0 AND vec_id // 2 < {PQ_SEEDS}",
+    seed_id_expr="vec_id // 2",
+)}
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM ggadc
+)
+WHERE rank <= {PQ_K}
+"""
+
+
 def _ann_ivf_pq_residual_explain_frame(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2332,16 +2469,23 @@ EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
 )
 
 
-def _trained_coarse_sql_ctes() -> str:
+def _trained_coarse_sql_ctes(base_where: str | None = None) -> str:
     """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
     (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,
     ``tassigned`` (full-corpus assignment) and ``tprobes`` (per-query
     top-nprobe cells).  The oracle-side twin of
     ``_build_ivf_coarse_artifacts`` + ``_probe_frame`` for composition
     into the residual-PQ oracles (the standalone trained-IVF oracles
-    keep their self-contained ``_ann_ivf_trained_sql`` spelling)."""
+    keep their self-contained ``_ann_ivf_trained_sql`` spelling).
+
+    ``base_where`` switches to the INGEST posture: the quantizer's n,
+    K, stride, and training sample derive from the base slice
+    (dense-renumbered ``vec_id // 2`` so the seed rule sees 0..n-1 —
+    the ``ann_ivf_ingest`` convention) while assignment, probes, and
+    the query stride cover the FULL served corpus."""
     n = KMEANS_ITERS
-    return f"""tp AS MATERIALIZED (
+    if base_where is None:
+        pre = f"""tp AS MATERIALIZED (
   SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
          {_nprobe_scaled_duck()} AS np, {_query_mod_duck('n')} AS qmod
   FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
@@ -2349,7 +2493,21 @@ def _trained_coarse_sql_ctes() -> str:
 tsample AS MATERIALIZED (
   SELECT vec_id // (SELECT smod FROM tp) AS vec_id, embedding
   FROM embeddings WHERE vec_id % (SELECT smod FROM tp) = 0
+),"""
+    else:
+        pre = f"""tp AS MATERIALIZED (
+  SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
+         {_nprobe_scaled_duck()} AS np,
+         (SELECT {_query_mod_duck()} FROM embeddings) AS qmod
+  FROM (SELECT count(*) AS n,
+        {_cells_scaled_duck(f'embeddings WHERE {base_where}')})
 ),
+tsample AS MATERIALIZED (
+  SELECT (vec_id // 2) // (SELECT smod FROM tp) AS vec_id, embedding
+  FROM embeddings
+  WHERE {base_where} AND (vec_id // 2) % (SELECT smod FROM tp) = 0
+),"""
+    return f"""{pre}
 {_kmeans_layers_sql("(SELECT cells FROM tp)", "tsample")},
 vecs AS ({_VECTORS_SQL}),
 tassigned AS (
@@ -2423,7 +2581,11 @@ def _pq_codebook_train_sql_ctes(p: str) -> str:
 
 
 def _ivfpq_grid_sql_ctes(
-    residual: bool, prefix: str, trained_codebook: bool = False
+    residual: bool,
+    prefix: str,
+    trained_codebook: bool = False,
+    seed_pred: str | None = None,
+    seed_id_expr: str = "vec_id",
 ) -> str:
     """The fine stage over the trained coarse CTEs — codes, codebook,
     per-(query, cell) ADC table, and the summed ADC relation
@@ -2459,9 +2621,10 @@ def _ivfpq_grid_sql_ctes(
 )"""
         )
     else:
+        pred = seed_pred or f"vec_id < {PQ_SEEDS}"
         codebook_ctes = f"""{p}gcodebook AS (
-  SELECT vec_id AS seed_id, m, sub AS seed_sub
-  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
+  SELECT {seed_id_expr} AS seed_id, m, sub AS seed_sub
+  FROM {p}gsubs WHERE {pred}
 )"""
     return f"""{p}gvecs AS ({corpus_grid}),
 {p}gsubs AS (
@@ -3500,6 +3663,9 @@ QUERIES = {
         ann_ivfpq_recall_report,
         _ann_ivfpq_recall_sql(),
     ),
+    # fine-stage incremental ingest: batch assigned AND residual-encoded
+    # at the frozen quantizer/codebook, served merged
+    "ann_ivfpq_ingest": (ann_ivfpq_ingest, _ann_ivfpq_ingest_sql()),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "embedding_truncation_recall": (
         embedding_truncation_recall,

@@ -759,3 +759,45 @@ def test_derived_query_stride_binds_and_matches_duckdb(spark, tmp_path):
     }
     duck_set = {(q, rk, nb, round(c, 9)) for q, nb, c, rk in oracle}
     assert spark_set == duck_set and len(spark_set) > 0
+
+
+def test_ivfpq_ingest_appends_codes_without_rewriting_base(spark, sf_dir, tmp_path):
+    """Fine-stage incremental ingest: the batch must be assigned AND
+    residual-encoded at the frozen quantizer/codebook and APPENDED —
+    base code files untouched (disjoint write-job uuids, no file mixes
+    the slices) — and the merged codes must cover the union corpus at
+    one code per (vec, m)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import PQ_M, PQ_SEEDS, ann_ivfpq_ingest
+
+    root = str(tmp_path / "ivfpq_ing")
+    rows = ann_ivfpq_ingest(spark, sf_dir, index_root=root).collect()
+    assert rows and {r.rank for r in rows} <= {1, 2, 3}
+    n = load_table(spark, sf_dir, "embeddings").count()
+    codes = spark.read.parquet(f"{root}/pq_codes")
+    assert codes.count() == n * PQ_M
+    assert codes.select("vec_id", "m").distinct().count() == n * PQ_M
+    mn, mx = codes.selectExpr("min(code)", "max(code)").first()
+    assert 0 <= mn and mx < PQ_SEEDS
+    per_file = (
+        codes.select(
+            F.input_file_name().alias("f"), (F.col("vec_id") % 2).alias("h")
+        )
+        .groupBy("f")
+        .agg(F.count_distinct("h").alias("nh"), F.min("h").alias("h"))
+        .collect()
+    )
+    assert per_file and all(r["nh"] == 1 for r in per_file)
+
+    def job_uuid(path):
+        m = re.search(r"part-\d+-([0-9a-f-]{36})", path)
+        assert m, path
+        return m.group(1)
+
+    base_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 0}
+    batch_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 1}
+    assert base_jobs and batch_jobs and base_jobs.isdisjoint(batch_jobs)
