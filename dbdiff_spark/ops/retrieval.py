@@ -1088,6 +1088,16 @@ def bpe_export_standard(
     vocab = {b2u[b]: b for b in range(256)}
     for k, token in enumerate(expansions):
         vocab[render(token)] = 256 + k
+    if len(vocab) != 256 + len(expansions):
+        # two merges expanded to the same surface token (e.g. ab+c and
+        # a+bc both yielding "abc") — the trainer's internal symbols
+        # stay distinct, but token→id vocab files cannot represent
+        # that, so refuse loudly rather than emit an artifact whose
+        # reload would silently re-bind pairs to the later id
+        raise ValueError(
+            "duplicate expanded tokens: merge list is not representable"
+            " in the standard token->id vocab format"
+        )
     with open(vocab_path, "w", encoding="utf-8") as fh:
         json.dump(vocab, fh, ensure_ascii=False)
     return merges_path, vocab_path
@@ -1132,6 +1142,11 @@ def bpe_load_standard(path: str) -> tuple[list, list]:
                     )
                 return token_sym[t]
 
+            if lb + rb in token_sym:
+                raise ValueError(
+                    f"merges.txt builds token {lb + rb!r} twice — ambiguous"
+                    " artifact (see the duplicate-expansion export guard)"
+                )
             code_char = _bpe_code(len(expansions) + 1)
             pair_codes.append((sym(lb) + sym(rb), code_char))
             expansions.append(lb + rb)

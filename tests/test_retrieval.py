@@ -457,3 +457,31 @@ def test_bpe_standard_format_rejects_malformed_artifacts(tmp_path):
         fh.write("#version: 0.2\nonlyonefield\n")
     with pytest.raises(ValueError, match="malformed"):
         bpe_load_standard(root)
+
+
+def test_bpe_standard_format_guards_duplicate_expansions(tmp_path):
+    """Two merges expanding to the same surface token (ab+c vs a+bc)
+    are representable internally but NOT in a token->id vocab file:
+    export must refuse loudly, and a merges.txt that builds one token
+    twice must fail on load instead of silently re-binding pairs."""
+    import pytest
+
+    from dbdiff_spark.ops.retrieval import (
+        _bpe_code,
+        bpe_export_standard,
+        bpe_load_standard,
+    )
+
+    # internal state: merge1 = 'a'+'b' -> code1; merge2 = 'b'+'c' ->
+    # code2; merge3 = code1+'c' ("abc"); merge4 = 'a'+code2 ("abc")
+    c1, c2 = _bpe_code(1), _bpe_code(2)
+    flat_pairs = ["ab", "bc", c1 + "c", "a" + c2]
+    expansions = ["ab", "bc", "abc", "abc"]
+    with pytest.raises(ValueError, match="duplicate expanded tokens"):
+        bpe_export_standard(flat_pairs, expansions, str(tmp_path / "dup"))
+
+    root = str(tmp_path)
+    with open(f"{root}/merges.txt", "w", encoding="utf-8") as fh:
+        fh.write("#version: 0.2\na b\nb c\nab c\na bc\n")
+    with pytest.raises(ValueError, match="twice"):
+        bpe_load_standard(root)
