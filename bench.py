@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_ivfpq_trained_codebook",
     "ann_ivfpq_ingest",
     "ann_ivfpq_recall_report",
+    "ann_ivf_nprobe_curve",
     "ann_ivf_ingest",
     "ann_ivf_cells_scaled",
     "kmeans_lloyd",
@@ -162,6 +163,7 @@ REPORT_TIER = {
     "ann_ivf_recall_report",
     "ann_ivf_full_trained",
     "ann_ivfpq_recall_report",
+    "ann_ivf_nprobe_curve",
 }
 
 

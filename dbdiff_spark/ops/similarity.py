@@ -1252,6 +1252,19 @@ def ann_ivf_index_persist(
     return out.localCheckpoint(eager=True)
 
 
+def _write_cell_partitioned(df: DataFrame, path: str, mode: str) -> None:
+    """Write a cell-assigned frame ``partitionBy(cell)`` with one file
+    per cell.  WITHOUT the repartition the file count is
+    (map tasks that touch the cell) × cells: invisible at bench SF
+    (the embedding scan is a single input split, so both forms write
+    K files — A/B'd at 5.9s either way), but on a real corpus every
+    one of thousands of scan tasks holds vectors from ~every cell, so
+    the layout degrades to tasks × K small files — a metadata storm
+    every serving read pays.  The added exchange moves each row once,
+    keyed by the column the layout prunes on — the standard trade."""
+    df.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+
+
 def _build_ivf_coarse_artifacts(
     spark: SparkSession, vecs: DataFrame, k: int, mod: int, root: str
 ) -> dict[int, list[float]]:
@@ -1266,10 +1279,12 @@ def _build_ivf_coarse_artifacts(
     one_file(_centroid_frame(spark, centroids)).write.mode(
         "overwrite"
     ).parquet(f"{root}/centroids")
-    _assign_cells(vecs, centroids).select(
-        "vec_id", "embedding", "norm", "cell"
-    ).write.mode("overwrite").partitionBy("cell").parquet(
-        f"{root}/assignments"
+    _write_cell_partitioned(
+        _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        ),
+        f"{root}/assignments",
+        "overwrite",
     )
     return centroids
 
@@ -1354,10 +1369,12 @@ def ann_ivf_ingest(
         one_file(_centroid_frame(spark, centroids)).write.mode(
             "overwrite"
         ).parquet(f"{root}/centroids")
-        _assign_cells(base, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        ).write.mode("overwrite").partitionBy("cell").parquet(
-            f"{root}/assignments"
+        _write_cell_partitioned(
+            _assign_cells(base, centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "overwrite",
         )
         # --- ingest: batch-only assignment with the RELOADED quantizer,
         # appended into the live layout (base files untouched)
@@ -1365,10 +1382,12 @@ def ann_ivf_ingest(
             int(r["cell"]): [float(x) for x in r["centroid"]]
             for r in spark.read.parquet(f"{root}/centroids").collect()
         }
-        _assign_cells(vecs.filter(IVF_BATCH_SLICE), loaded_centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        ).write.mode("append").partitionBy("cell").parquet(
-            f"{root}/assignments"
+        _write_cell_partitioned(
+            _assign_cells(vecs.filter(IVF_BATCH_SLICE), loaded_centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "append",
         )
         # --- serve from the merged artifacts only; the query stride
         # derives from the SERVED corpus (base + batch), not the slice
@@ -2351,8 +2370,8 @@ def ann_ivfpq_ingest(
         assigned_base = _assign_cells(base, centroids).select(
             "vec_id", "embedding", "norm", "cell"
         )
-        assigned_base.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{root}/assignments"
+        _write_cell_partitioned(
+            assigned_base, f"{root}/assignments", "overwrite"
         )
         # fine build: codebook from the base slice's first PQ_SEEDS
         # DENSE ids (the ingest dense-renumber convention), codes for
@@ -2383,8 +2402,8 @@ def ann_ivfpq_ingest(
         assigned_batch = _assign_cells(
             vecs.filter(IVF_BATCH_SLICE), loaded_centroids
         ).select("vec_id", "embedding", "norm", "cell")
-        assigned_batch.write.mode("append").partitionBy("cell").parquet(
-            f"{root}/assignments"
+        _write_cell_partitioned(
+            assigned_batch, f"{root}/assignments", "append"
         )
         _pq_codes_for(
             _pq_subs(
@@ -2673,6 +2692,182 @@ SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
   FROM rgadc
 )
 WHERE rank <= {PQ_K}
+"""
+
+
+# nprobe multipliers for the operating-curve report: the ladder every
+# production IVF deployment walks when trading recall for candidate
+# cost.  Spelled as expressions over the DERIVED nprobe/cells so both
+# engines re-derive the identical rung values at any corpus size.
+NPROBE_CURVE_RUNGS = (
+    ("1", lambda np0, k: 1),
+    ("np/2", lambda np0, k: max(1, np0 // 2)),
+    ("np", lambda np0, k: np0),
+    ("2np", lambda np0, k: min(k, 2 * np0)),
+)
+
+
+def ann_ivf_nprobe_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """The IVF operating curve: recall@IVF_K of the production trained
+    index at nprobe ∈ {1, ⌈np/2⌉, np, min(K, 2np)} (np = the derived
+    ⌈√K⌉ default), against the exact-cosine top-IVF_K baseline over
+    the SAME derived query stride.  One row per distinct rung:
+    ``(nprobe, n_queries, k, n_hits, recall_ppm)`` — the number an
+    operator reads to pick nprobe for a latency budget.  Train once,
+    search per rung (the searches share the persisted-style assignment
+    frame); candidate cost per rung scales as nprobe·n/K by
+    construction, so the report prices the recall each extra probe
+    buys."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
+    mod = _derived_sample_mod(n, k)
+    np0 = ivf_nprobe_for(k)
+    qmod = query_mod_for(n)
+    rungs = sorted({fn(np0, k) for _label, fn in NPROBE_CURVE_RUNGS})
+    vecs = _vectors(spark, sf_dir).persist()
+    try:
+        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        )
+        queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+        exact = (
+            vecs.join(
+                _query_side(
+                    queries, max_broadcast_queries, "shuffle_replicate_nl"
+                ),
+                F.col("vec_id") != F.col("query_id"),
+            )
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.expr(
+                    f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)"
+                ).alias("cosine"),
+            )
+        )
+        we = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        exact_k = (
+            exact.withColumn("rank", F.row_number().over(we))
+            .filter(F.col("rank") <= IVF_K)
+            .select("query_id", "neighbor_id")
+        )
+        approx = None
+        for rung in rungs:
+            part = _ivf_literal_search(
+                vecs, assigned, centroids, rung, max_broadcast_queries, qmod
+            ).select(
+                F.lit(rung).cast("bigint").alias("nprobe"),
+                "query_id",
+                "neighbor_id",
+            )
+            approx = part if approx is None else approx.unionByName(part)
+        hits = approx.join(exact_k, ["query_id", "neighbor_id"]).groupBy(
+            "nprobe"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        nq = exact_k.select("query_id").distinct().groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries")
+        )
+        out = (
+            approx.select("nprobe")
+            .distinct()
+            .crossJoin(nq)
+            .join(hits, "nprobe", "left")
+            .select(
+                "nprobe",
+                F.col("n_queries").cast("bigint"),
+                F.lit(IVF_K).cast("bigint").alias("k"),
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+                F.expr(
+                    f"CAST((coalesce(n_hits, 0) * 1000000)"
+                    f" div (n_queries * {IVF_K}) AS BIGINT)"
+                ).alias("recall_ppm"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_nprobe_curve_sql() -> str:
+    rung_exprs = {
+        "1": "1",
+        "np/2": "GREATEST(1, np // 2)",
+        "np": "np",
+        "2np": "LEAST(cells, 2 * np)",
+    }
+    arms = "\nUNION\n".join(
+        f"""SELECT CAST((SELECT {rung_exprs[label]} FROM tp) AS BIGINT) AS nprobe,
+       query_id, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT query_id, a.vec_id AS neighbor_id,
+           {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
+    FROM tassigned2 a JOIN (
+      SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm,
+             cell AS q_cell
+      FROM (
+        SELECT v.vec_id, v.embedding, v.norm, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                           c.cell) AS prn
+        FROM vecs v CROSS JOIN c{KMEANS_ITERS} c
+        WHERE v.vec_id % (SELECT qmod FROM tp) = 0
+      ) WHERE prn <= (SELECT {rung_exprs[label]} FROM tp)
+    ) q ON a.cell = q.q_cell AND a.vec_id <> q.query_id
+  )
+) WHERE rank <= {IVF_K}"""
+        for label in rung_exprs
+    )
+    return f"""
+WITH {_trained_coarse_sql_ctes()},
+tassigned2 AS (
+  SELECT a.vec_id, a.cell, v.embedding, v.norm
+  FROM tassigned a JOIN vecs v ON a.vec_id = v.vec_id
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT t.vec_id AS query_id, v.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY t.vec_id
+             ORDER BY {_dot_duck('v.embedding', 't.embedding')} / (v.norm * t.norm) DESC,
+                      v.vec_id
+           ) AS rank
+    FROM vecs v CROSS JOIN vecs t
+    WHERE t.vec_id % (SELECT qmod FROM tp) = 0 AND v.vec_id <> t.vec_id
+  ) WHERE rank <= {IVF_K}
+),
+approx_k AS (
+{arms}
+),
+h AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx_k JOIN exact_k USING (query_id, neighbor_id)
+  GROUP BY nprobe
+),
+q AS (
+  SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
+),
+plist AS (SELECT DISTINCT nprobe FROM approx_k)
+SELECT plist.nprobe, n_queries, CAST({IVF_K} AS BIGINT) AS k,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((coalesce(n_hits, 0) * 1000000) // (n_queries * {IVF_K}) AS BIGINT)
+         AS recall_ppm
+FROM plist CROSS JOIN q LEFT JOIN h ON plist.nprobe = h.nprobe
 """
 
 
@@ -3666,6 +3861,8 @@ QUERIES = {
     # fine-stage incremental ingest: batch assigned AND residual-encoded
     # at the frozen quantizer/codebook, served merged
     "ann_ivfpq_ingest": (ann_ivfpq_ingest, _ann_ivfpq_ingest_sql()),
+    # the operating curve: recall vs nprobe at the derived config
+    "ann_ivf_nprobe_curve": (ann_ivf_nprobe_curve, _ann_ivf_nprobe_curve_sql()),
     "ann_recall_report": (ann_recall_report, ANN_RECALL_SQL),
     "embedding_truncation_recall": (
         embedding_truncation_recall,

@@ -801,3 +801,33 @@ def test_ivfpq_ingest_appends_codes_without_rewriting_base(spark, sf_dir, tmp_pa
     base_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 0}
     batch_jobs = {job_uuid(r["f"]) for r in per_file if r["h"] == 1}
     assert base_jobs and batch_jobs and base_jobs.isdisjoint(batch_jobs)
+
+
+def test_nprobe_curve_is_monotone_and_derived(spark, sf_dir):
+    """Operating-curve laws: rung set is exactly the derived ladder
+    {1, ceil(np/2), np, min(K, 2np)}, recall is monotone non-decreasing
+    in nprobe (candidate sets are supersets under the shared
+    tie-break), and the arithmetic is internally consistent."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import (
+        IVF_K,
+        ann_ivf_nprobe_curve,
+        ivf_nprobe_for,
+        semdedup_cells,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = semdedup_cells(n)
+    np0 = ivf_nprobe_for(k)
+    rows = sorted(
+        ann_ivf_nprobe_curve(spark, sf_dir).collect(), key=lambda r: r.nprobe
+    )
+    assert [r.nprobe for r in rows] == sorted(
+        {1, max(1, np0 // 2), np0, min(k, 2 * np0)}
+    )
+    for r in rows:
+        assert r.k == IVF_K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // (r.n_queries * IVF_K)
+    recalls = [r.recall_ppm for r in rows]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > recalls[0]  # extra probes must buy something here
