@@ -1376,9 +1376,107 @@ LEFT JOIN hits h ON nd.new_doc_id = h.new_doc_id
 """
 
 
+def stream_ivf_ingest(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
+    """Streaming vector-index ingest — the ANN tier's arrival story:
+    the BASE slice (even vec_ids) builds the persisted IVF index up
+    front (sample-trained quantizer, cell-partitioned layout), then
+    the batch slice ARRIVES as a file stream (one staged file per
+    micro-batch); each micro-batch is assigned with the RELOADED
+    frozen quantizer and appended into the live layout, and after the
+    stream drains the full query set is served from the merged
+    artifacts.  Because assignment is a per-row pure function of the
+    frozen centroids, micro-batch boundaries CANNOT change the final
+    index — the op converges to ``ann_ivf_ingest``'s batch result
+    exactly, which is what its oracle checks."""
+    import tempfile
+
+    from dbdiff_spark import fs as _hfs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivf_")
+    vecs = sim._vectors(spark, sf_dir).persist()
+    try:
+        base = vecs.filter(sim.IVF_BASE_SLICE)
+        n_base = base.count()
+        k = sim.semdedup_cells(n_base)
+        mod = sim._derived_sample_mod(n_base, k)
+        nprobe = sim.ivf_nprobe_for(k)
+        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
+        centroids = sim._kmeans_centroids(
+            sim._lloyd_train_frame(base_renum, mod), k
+        )
+        one_file(sim._centroid_frame(spark, centroids)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/index/centroids")
+        sim._write_cell_partitioned(
+            sim._assign_cells(base, centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/index/assignments",
+            "overwrite",
+        )
+        # stage the batch slice (odd vec_ids) as three ordered files —
+        # the arrival order is irrelevant by the pure-function argument
+        batch = vecs.filter(sim.IVF_BATCH_SLICE).select(
+            "vec_id", "embedding", "norm"
+        )
+        incoming = f"{root}/incoming"
+        _hfs.mkdirs(spark, incoming)
+        for b, residue in enumerate((1, 3, 5)):  # vec_id % 6 over odd ids
+            stage = f"{root}/stage_{b}"
+            one_file(
+                batch.filter(F.col("vec_id") % 6 == residue)
+            ).write.parquet(stage)
+            part = _hfs.glob(spark, f"{stage}/part-*.parquet")[0]
+            _hfs.rename(spark, part, f"{incoming}/batch_{b:05d}.parquet")
+        loaded = sim._load_index_centroids(spark, f"{root}/index")
+
+        def _ingest_batch(bdf: DataFrame, _bid: int) -> None:
+            sim._write_cell_partitioned(
+                sim._assign_cells(bdf, loaded).select(
+                    "vec_id", "embedding", "norm", "cell"
+                ),
+                f"{root}/index/assignments",
+                "append",
+            )
+
+        query = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(incoming))
+            .writeStream.foreachBatch(_ingest_batch)
+            .option("checkpointLocation", f"{root}/checkpoint")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        out = sim._serve_ivf_from_artifacts(
+            spark,
+            sf_dir,
+            f"{root}/index",
+            nprobe,
+            sim.MAX_BROADCAST_QUERIES,
+            sim.query_mod_for(vecs.count()),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _stream_ivf_ingest_oracle_sql() -> str:
+    from dbdiff_spark.ops.similarity import _ann_ivf_ingest_sql
+
+    return _ann_ivf_ingest_sql()
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_dedup_ingest": (stream_dedup_ingest, _stream_ingest_oracle_sql()),
+    "stream_ivf_ingest": (stream_ivf_ingest, _stream_ivf_ingest_oracle_sql()),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),

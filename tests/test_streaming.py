@@ -459,3 +459,26 @@ def test_dedup_ingest_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(r2 / "assigned" / "*")).collect()
     }
     assert got1 == got2 and len(got1) > 0
+
+
+def test_stream_ivf_ingest_converges_to_batch_ingest(spark, sf_dir, tmp_path):
+    """Micro-batch boundaries cannot change the final index: the
+    streamed ingest (3 arrival files, foreachBatch appends at the
+    frozen quantizer) must serve EXACTLY what the batch ingest op
+    serves — same queries, same neighbors, same cosines."""
+    from dbdiff_spark.ops.similarity import ann_ivf_ingest
+    from dbdiff_spark.streaming.cdc import stream_ivf_ingest
+
+    streamed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in stream_ivf_ingest(
+            spark, sf_dir, root=str(tmp_path / "sivf")
+        ).collect()
+    }
+    batch = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ann_ivf_ingest(
+            spark, sf_dir, index_root=str(tmp_path / "bivf")
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
