@@ -1077,14 +1077,8 @@ def bpe_export_standard(
             else ch
         )
 
-    local = _bpe_local_dir(path)
-    os.makedirs(local, exist_ok=True)
-    merges_path = f"{local}/merges.txt"
-    vocab_path = f"{local}/vocab.json"
-    with open(merges_path, "w", encoding="utf-8") as fh:
-        fh.write(_BPE_MERGES_HEADER + "\n")
-        for pair in flat_pairs:
-            fh.write(f"{render(sym_text(pair[0]))} {render(sym_text(pair[1]))}\n")
+    # validate BEFORE any write: a guard that fires after merges.txt is
+    # on disk would leave a partial artifact for consumers to trip on
     vocab = {b2u[b]: b for b in range(256)}
     for k, token in enumerate(expansions):
         vocab[render(token)] = 256 + k
@@ -1098,6 +1092,14 @@ def bpe_export_standard(
             "duplicate expanded tokens: merge list is not representable"
             " in the standard token->id vocab format"
         )
+    local = _bpe_local_dir(path)
+    os.makedirs(local, exist_ok=True)
+    merges_path = f"{local}/merges.txt"
+    vocab_path = f"{local}/vocab.json"
+    with open(merges_path, "w", encoding="utf-8") as fh:
+        fh.write(_BPE_MERGES_HEADER + "\n")
+        for pair in flat_pairs:
+            fh.write(f"{render(sym_text(pair[0]))} {render(sym_text(pair[1]))}\n")
     with open(vocab_path, "w", encoding="utf-8") as fh:
         json.dump(vocab, fh, ensure_ascii=False)
     return merges_path, vocab_path
@@ -1124,9 +1126,14 @@ def bpe_load_standard(path: str) -> tuple[list, list]:
     expansions: list = []
     token_sym: dict[str, str] = {}
     with open(f"{local}/merges.txt", encoding="utf-8") as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh):
             line = line.rstrip("\n")
-            if not line or line.startswith("#"):
+            # ONLY the first line may be the '#version' header: byte
+            # 0x23 renders as '#' in the byte-level alphabet, so a
+            # blanket '#'-comment skip would silently drop any merge
+            # whose left token starts with '#' (real GPT-2 merges.txt
+            # files contain such lines — r9 review finding, reproduced)
+            if not line or (lineno == 0 and line.startswith("#")):
                 continue
             left, sep, right = line.partition(" ")
             if not sep or not left or not right or " " in right:
@@ -1165,9 +1172,14 @@ def bpe_apply_standard_format(
     twin) proves the standard-format serialization is lossless — the
     artifact a user hands to an external runtime reproduces this
     engine's segmentation exactly."""
-    from .. import fs as _hfs
+    import tempfile
 
-    path = path or f"{_hfs.artifact_root(spark, 'bpe_std', sf_dir)}/standard"
+    # driver-local temp dir by default: the standard-format files are
+    # POSIX text files written/read on the driver, and the warehouse-
+    # scheme-qualified artifact_root would make _bpe_local_dir refuse
+    # on an hdfs://-class warehouse (r9 review finding) — exactly the
+    # cluster posture where every sibling op still works
+    path = path or tempfile.mkdtemp(prefix="dbdiff_bpe_std_")
     _, rounds_adopted, expansions = _bpe_batch_learn(
         spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
     )

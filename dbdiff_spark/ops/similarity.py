@@ -1041,6 +1041,7 @@ def ann_ivf_trained(
     sf_dir: str,
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     nprobe: int | None = None,
+    query_mod: int | None = None,
 ) -> DataFrame:
     """THE production trained-IVF build: K derived from the corpus size
     (``_derived_kmeans_k``), Lloyd trained on a bounded DETERMINISTIC
@@ -1062,7 +1063,7 @@ def ann_ivf_trained(
         ivf_nprobe_for(k) if nprobe is None else nprobe,
         max_broadcast_queries,
         sample_mod=_derived_sample_mod(n, k),
-        query_mod=query_mod_for(n),
+        query_mod=query_mod_for(n) if query_mod is None else query_mod,
     )
 
 
@@ -1340,6 +1341,34 @@ IVF_BASE_SLICE = "vec_id % 2 = 0"
 IVF_BATCH_SLICE = "vec_id % 2 = 1"
 
 
+def _build_ingest_base(
+    spark: SparkSession, vecs: DataFrame, root: str
+) -> tuple[dict[int, list[float]], int, int]:
+    """The shared base-slice build behind every ingest op (batch IVF,
+    batch IVF-PQ, streaming — r9 review: previously spelled three
+    times): derive n/K/stride from the BASE slice, dense-renumber it
+    (``vec_id div 2`` so the seed rule and sample stride see 0..n-1),
+    train the quantizer on the bounded sample, and write the coarse
+    index layout.  Returns ``(centroids, k, nprobe)``."""
+    base = vecs.filter(IVF_BASE_SLICE)
+    n_base = base.count()
+    k = semdedup_cells(n_base)
+    mod = _derived_sample_mod(n_base, k)
+    base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
+    centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _write_cell_partitioned(
+        _assign_cells(base, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        ),
+        f"{root}/assignments",
+        "overwrite",
+    )
+    return centroids, k, ivf_nprobe_for(k)
+
+
 def ann_ivf_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -1357,31 +1386,10 @@ def ann_ivf_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivf_ingest", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        base = vecs.filter(IVF_BASE_SLICE)
-        n = base.count()
-        k = semdedup_cells(n)
-        mod = _derived_sample_mod(n, k)
-        nprobe = ivf_nprobe_for(k)
-        # dense-renumber the base slice so the vec_id < K seed rule and
-        # the % mod sample stride see 0..n-1, not the even ids
-        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
-        centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
-        _write_cell_partitioned(
-            _assign_cells(base, centroids).select(
-                "vec_id", "embedding", "norm", "cell"
-            ),
-            f"{root}/assignments",
-            "overwrite",
-        )
+        _centroids, _k, nprobe = _build_ingest_base(spark, vecs, root)
         # --- ingest: batch-only assignment with the RELOADED quantizer,
         # appended into the live layout (base files untouched)
-        loaded_centroids = {
-            int(r["cell"]): [float(x) for x in r["centroid"]]
-            for r in spark.read.parquet(f"{root}/centroids").collect()
-        }
+        loaded_centroids = _load_index_centroids(spark, root)
         _write_cell_partitioned(
             _assign_cells(vecs.filter(IVF_BATCH_SLICE), loaded_centroids).select(
                 "vec_id", "embedding", "norm", "cell"
@@ -1460,7 +1468,10 @@ def _derived_sample_mod(n: int, k: int) -> int:
     return max(1, n // (SAMPLE_PER_CENTROID * k))
 
 
-def _ann_ivf_sample_trained_sql(nprobe_sql: "int | str | None" = None) -> str:
+def _ann_ivf_sample_trained_sql(
+    nprobe_sql: "int | str | None" = None,
+    qmod_sql: "int | str | None" = None,
+) -> str:
     """Oracle twin of the production ``ann_ivf_trained``: n, K, the
     sample stride, and (by default) nprobe all re-derived from the
     oracle's own count(*)."""
@@ -1479,7 +1490,7 @@ tsample AS MATERIALIZED (
         k_sql="(SELECT cells FROM tp)",
         train_src="tsample",
         pre_ctes=pre,
-        qmod_sql="(SELECT qmod FROM tp)",
+        qmod_sql="(SELECT qmod FROM tp)" if qmod_sql is None else qmod_sql,
     )
 
 
@@ -2356,31 +2367,16 @@ def ann_ivfpq_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivfpq_ing", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        base = vecs.filter(IVF_BASE_SLICE)
-        n_base = base.count()
-        k = semdedup_cells(n_base)
-        mod = _derived_sample_mod(n_base, k)
-        nprobe = ivf_nprobe_for(k)
-        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
-        centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
+        centroids, _k, nprobe = _build_ingest_base(spark, vecs, root)
         cframe = _centroid_frame(spark, centroids)
-        assigned_base = _assign_cells(base, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        )
-        _write_cell_partitioned(
-            assigned_base, f"{root}/assignments", "overwrite"
-        )
         # fine build: codebook from the base slice's first PQ_SEEDS
         # DENSE ids (the ingest dense-renumber convention), codes for
-        # the base
-        subs_base = _pq_subs(
-            assigned_base.select("vec_id", "embedding", "cell"),
-            cframe,
-            residual=True,
+        # the base — encoded off the PERSISTED assignments so the codes
+        # artifact derives from the layout it serves with
+        assigned_base = spark.read.parquet(f"{root}/assignments").select(
+            "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
         )
+        subs_base = _pq_subs(assigned_base, cframe, residual=True)
         codebook = subs_base.filter(
             F.expr(f"vec_id div 2 < {PQ_SEEDS}")
         ).select(
@@ -2713,9 +2709,10 @@ def ann_ivf_nprobe_curve(
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
 ) -> DataFrame:
     """The IVF operating curve: recall@IVF_K of the production trained
-    index at nprobe ∈ {1, ⌈np/2⌉, np, min(K, 2np)} (np = the derived
-    ⌈√K⌉ default), against the exact-cosine top-IVF_K baseline over
-    the SAME derived query stride.  One row per distinct rung:
+    index at nprobe ∈ {1, max(1, ⌊np/2⌋), np, min(K, 2np)} (np = the
+    derived ⌈√K⌉ default; floor-halving in BOTH engines), against the
+    exact-cosine top-IVF_K baseline over the SAME derived query
+    stride.  One row per distinct rung:
     ``(nprobe, n_queries, k, n_hits, recall_ppm)`` — the number an
     operator reads to pick nprobe for a latency budget.  Train once,
     search per rung (the searches share the persisted-style assignment
@@ -2778,9 +2775,14 @@ def ann_ivf_nprobe_curve(
         nq = exact_k.select("query_id").distinct().groupBy().agg(
             F.count(F.lit(1)).alias("n_queries")
         )
+        # rung frame from the driver-side list, NOT a distinct over the
+        # unioned searches — that branch would re-run all four corpus
+        # searches a second time absent exchange reuse (r9 review)
+        rung_frame = spark.createDataFrame(
+            [(int(r),) for r in rungs], "nprobe bigint"
+        )
         out = (
-            approx.select("nprobe")
-            .distinct()
+            rung_frame
             .crossJoin(nq)
             .join(hits, "nprobe", "left")
             .select(
@@ -3277,7 +3279,13 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what ann_ivf_trained ships, so the report states the recall of
     # the config users actually run, not only the pinned A/Bs
     approx = approx.unionByName(
-        ann_ivf_trained(spark, sf_dir)
+        # the prod CONFIG (derived K, sampled Lloyd, derived nprobe)
+        # evaluated on the report's PINNED query stride: the exact
+        # baseline (knn_bruteforce) queries at QUERY_MOD, and letting
+        # this arm derive its stride would make the query sets diverge
+        # at n > 10k — hits only on the lcm intersection, recall
+        # silently understated ~7× at 20k vectors (r9 review finding)
+        ann_ivf_trained(spark, sf_dir, query_mod=QUERY_MOD)
         .filter(F.col("rank") <= ANN_K)
         .select(
             F.lit("ivf_trained_prod").alias("variant"),
@@ -3314,7 +3322,7 @@ def _ann_ivf_recall_sql() -> str:
         f"({_ann_ivf_trained_sql(IVF_NPROBE, k_sql=KMEANS_K, qmod_sql=QUERY_MOD)})"
         f" WHERE rank <= {ANN_K}"
         f"\nUNION ALL\nSELECT 'ivf_trained_prod' AS variant, query_id,"
-        f" neighbor_id FROM ({_ann_ivf_sample_trained_sql()})"
+        f" neighbor_id FROM ({_ann_ivf_sample_trained_sql(qmod_sql=QUERY_MOD)})"
         f" WHERE rank <= {ANN_K}"
     )
     return f"""

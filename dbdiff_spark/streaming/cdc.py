@@ -1398,24 +1398,8 @@ def stream_ivf_ingest(
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivf_")
     vecs = sim._vectors(spark, sf_dir).persist()
     try:
-        base = vecs.filter(sim.IVF_BASE_SLICE)
-        n_base = base.count()
-        k = sim.semdedup_cells(n_base)
-        mod = sim._derived_sample_mod(n_base, k)
-        nprobe = sim.ivf_nprobe_for(k)
-        base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
-        centroids = sim._kmeans_centroids(
-            sim._lloyd_train_frame(base_renum, mod), k
-        )
-        one_file(sim._centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/index/centroids")
-        sim._write_cell_partitioned(
-            sim._assign_cells(base, centroids).select(
-                "vec_id", "embedding", "norm", "cell"
-            ),
-            f"{root}/index/assignments",
-            "overwrite",
+        _centroids, _k, nprobe = sim._build_ingest_base(
+            spark, vecs, f"{root}/index"
         )
         # stage the batch slice (odd vec_ids) as three ordered files —
         # the arrival order is irrelevant by the pure-function argument

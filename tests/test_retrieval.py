@@ -485,3 +485,25 @@ def test_bpe_standard_format_guards_duplicate_expansions(tmp_path):
         fh.write("#version: 0.2\na b\nb c\nab c\na bc\n")
     with pytest.raises(ValueError, match="twice"):
         bpe_load_standard(root)
+
+
+def test_bpe_standard_format_keeps_hash_prefixed_merges(tmp_path):
+    """r9 review (reproduced pre-fix): only the FIRST line may be the
+    '#version' header — byte 0x23 renders as '#', so real merges whose
+    left token starts with '#' (e.g. building '##') must survive the
+    reload instead of being skipped as comments."""
+    from dbdiff_spark.ops.retrieval import (
+        _bpe_code,
+        bpe_export_standard,
+        bpe_load_standard,
+    )
+
+    flat_pairs = ["##", "#a"]
+    expansions = ["##", "#a"]
+    root = str(tmp_path / "hash")
+    bpe_export_standard(flat_pairs, expansions, root)
+    lines = open(f"{root}/merges.txt", encoding="utf-8").read().splitlines()
+    assert lines[1] == "# #" and lines[2] == "# a"
+    pair_codes, loaded = bpe_load_standard(root)
+    assert loaded == expansions
+    assert pair_codes == [("##", _bpe_code(1)), ("#a", _bpe_code(2))]
