@@ -2308,6 +2308,24 @@ def ann_ivf_pq_residual(
     finally:
         vecs.unpersist()
     # --- serving path: artifacts only (plus the raw query vectors)
+    out = _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, query_mod_for(n)
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _serve_ivfpq_from_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nprobe: int,
+    max_broadcast_queries: int,
+    query_mod: int = QUERY_MOD,
+) -> DataFrame:
+    """Residual-PQ ADC serving off a persisted index root (centroids +
+    cell-partitioned assignments + pq_codebook + pq_codes) — the
+    build-once/serve-many half of the composite, the sibling of
+    ``_serve_ivf_from_artifacts``.  Lazy — the caller pins."""
     loaded_centroids = _load_index_centroids(spark, root)
     cframe = _centroid_frame(spark, loaded_centroids)
     codes = spark.read.parquet(f"{root}/pq_codes")
@@ -2316,12 +2334,11 @@ def ann_ivf_pq_residual(
         "vec_id", F.col("cell").cast("bigint").alias("cell")
     )
     probes = _probe_frame(
-        _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod_for(n)
+        _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod
     ).select("query_id", "q_emb", "q_cell")
     cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
-    out = _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
-    return out.localCheckpoint(eager=True)
+    return _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
 
 
 def ann_ivfpq_trained_codebook(

@@ -54,6 +54,12 @@ def main() -> int:
         "at derived K over growing n (the r8 production-build row)",
     )
     ap.add_argument("--ns", default="20000,50000,100000")
+    ap.add_argument(
+        "--pq-cost",
+        action="store_true",
+        help="probe residual IVF-PQ build vs serve-only + on-disk "
+        "codes/embedding payload ratio over growing n (r9)",
+    )
     args = ap.parse_args()
     ks = [int(k) for k in args.ks.split(",")]
 
@@ -65,6 +71,8 @@ def main() -> int:
 
     if args.build_cost:
         return build_cost(spark, args)
+    if args.pq_cost:
+        return pq_cost(spark, args)
 
     out_dir = tempfile.mkdtemp(prefix="ivf_scale_")
     testkit.write_clustered_embeddings(
@@ -172,6 +180,58 @@ def build_cost(spark, args) -> int:
         assert len(cents_full) <= k and len(cents) <= k
         vecs.unpersist()
     print(f"(dim={args.dim}, iters={sim.KMEANS_ITERS}, local[*])")
+    return 0
+
+
+def pq_cost(spark, args) -> int:
+    """Residual IVF-PQ build vs serve over growing n: one full build
+    (coarse train + assignment layout + residual codes) timed against
+    the SERVE-ONLY path off the persisted artifacts, plus the measured
+    on-disk payload ratio codes/assignments — the IVFPQ memory story
+    and the build-once/serve-many argument, both as numbers."""
+    import os
+
+    from dbdiff_spark import testkit
+    from dbdiff_spark.ops import similarity as sim
+
+    def tree_bytes(path):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _d, fs in os.walk(path)
+            for f in fs
+        )
+
+    ns = [int(x) for x in args.ns.split(",")]
+    print("| n | K | nprobe | build+serve s | serve-only s | codes MB | emb MB | ratio |")
+    print("|---|---|---|---|---|---|---|---|")
+    for n_target in ns:
+        out_dir = tempfile.mkdtemp(prefix="ivfpq_cost_")
+        k = sim.semdedup_cells(n_target)
+        testkit.write_clustered_embeddings(
+            spark, out_dir, n=n_target, dim=args.dim, k=k, seed=13, sigma=0.3
+        )
+        root = f"{out_dir}/idx"
+        n = sim.load_table(spark, out_dir, "embeddings").count()
+        nprobe = sim.ivf_nprobe_for(k)
+        t0 = time.time()
+        sim.ann_ivf_pq_residual(spark, out_dir, index_root=root).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        build_s = time.time() - t0
+        t0 = time.time()
+        sim._serve_ivfpq_from_artifacts(
+            spark, out_dir, root, nprobe, sim.MAX_BROADCAST_QUERIES,
+            sim.query_mod_for(n),
+        ).write.format("noop").mode("overwrite").save()
+        serve_s = time.time() - t0
+        code_b = tree_bytes(f"{root}/pq_codes")
+        emb_b = tree_bytes(f"{root}/assignments")
+        print(
+            f"| {n} | {k} | {nprobe} | {build_s:.1f} | {serve_s:.1f} |"
+            f" {code_b/1e6:.2f} | {emb_b/1e6:.2f} | {emb_b/max(code_b,1):.1f}x |",
+            flush=True,
+        )
+    print(f"(dim={args.dim}, PQ_M={4}, local[*])")
     return 0
 
 
