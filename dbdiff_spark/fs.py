@@ -166,20 +166,24 @@ def _vacuum_dead_artifact_roots(
     import os
     import time
 
-    def _tree_mtime(path: str, max_depth: int = 6) -> float:
+    def _tree_mtime(path: str, max_depth: int = 12) -> float:
         # newest mtime over a bounded recursive walk: artifact writes
         # land 2+ levels deep (ivf_index_<key>/cells/cell=*/part-*),
         # and POSIX dir mtime only moves on DIRECT entry changes — a
         # live owner appending files under an existing subdirectory
         # never refreshes a depth-1 entry, so a depth-1 scan could
-        # reap a live tree (r8 ADVICE finding).  Depth cap bounds the
-        # walk on pathological trees; artifact layouts are ≤4 deep.
+        # reap a live tree (r8 ADVICE finding).  The cap must clear
+        # Spark's commit-staging nesting — an in-flight partitioned
+        # write lands at relative depth 7-8
+        # (kind/assignments/_temporary/0/_temporary/attempt_*/cell=*/
+        # part-*), so 6 would miss a live deep write (r9 ADVICE);
+        # 12 bounds pathological trees while covering staging.  Stat
+        # dirnames BEFORE pruning at the cap, so the deepest level
+        # still contributes its own mtime.
         mt = os.path.getmtime(path)
         base_depth = path.rstrip("/").count("/")
         try:
             for dirpath, dirnames, filenames in os.walk(path):
-                if dirpath.count("/") - base_depth >= max_depth:
-                    dirnames[:] = []
                 for entry in dirnames + filenames:
                     try:
                         mt = max(
@@ -187,6 +191,8 @@ def _vacuum_dead_artifact_roots(
                         )
                     except OSError:
                         continue
+                if dirpath.count("/") - base_depth >= max_depth:
+                    dirnames[:] = []
         except OSError:
             pass
         return mt

@@ -1132,8 +1132,13 @@ def bpe_load_standard(path: str) -> tuple[list, list]:
             # 0x23 renders as '#' in the byte-level alphabet, so a
             # blanket '#'-comment skip would silently drop any merge
             # whose left token starts with '#' (real GPT-2 merges.txt
-            # files contain such lines — r9 review finding, reproduced)
-            if not line or (lineno == 0 and line.startswith("#")):
+            # files contain such lines — r9 review finding, reproduced).
+            # The header skip matches the HEADER SHAPE, not the '#'
+            # byte: a headerless file whose first merge's left token
+            # renders as '#' must still parse as a merge (r9 ADVICE) —
+            # any other '#'-leading first line falls through to the
+            # merge parser and raises malformed rather than vanishing.
+            if not line or (lineno == 0 and line.startswith("#version")):
                 continue
             left, sep, right = line.partition(" ")
             if not sep or not left or not right or " " in right:
@@ -1172,20 +1177,29 @@ def bpe_apply_standard_format(
     twin) proves the standard-format serialization is lossless — the
     artifact a user hands to an external runtime reproduces this
     engine's segmentation exactly."""
+    import shutil
     import tempfile
 
     # driver-local temp dir by default: the standard-format files are
     # POSIX text files written/read on the driver, and the warehouse-
     # scheme-qualified artifact_root would make _bpe_local_dir refuse
     # on an hdfs://-class warehouse (r9 review finding) — exactly the
-    # cluster posture where every sibling op still works
+    # cluster posture where every sibling op still works.  The default
+    # dir is removed once loaded (r9 ADVICE: one leaked
+    # dbdiff_bpe_std_* per invocation otherwise); a caller-supplied
+    # path is the caller's artifact and is left in place.
+    owned = path is None
     path = path or tempfile.mkdtemp(prefix="dbdiff_bpe_std_")
-    _, rounds_adopted, expansions = _bpe_batch_learn(
-        spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
-    )
-    flat_pairs = [p for rnd_pairs in rounds_adopted for p in rnd_pairs]
-    bpe_export_standard(flat_pairs, expansions, path)
-    pair_codes, loaded_expansions = bpe_load_standard(path)
+    try:
+        _, rounds_adopted, expansions = _bpe_batch_learn(
+            spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
+        )
+        flat_pairs = [p for rnd_pairs in rounds_adopted for p in rnd_pairs]
+        bpe_export_standard(flat_pairs, expansions, path)
+        pair_codes, loaded_expansions = bpe_load_standard(path)
+    finally:
+        if owned:
+            shutil.rmtree(path, ignore_errors=True)
     return _bpe_apply_report(
         spark, sf_dir, pair_codes, loaded_expansions, tokens_expr=_BYTE_TOKENS
     )

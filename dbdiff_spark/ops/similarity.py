@@ -1323,6 +1323,74 @@ def _serve_ivf_from_artifacts(
     )
 
 
+def _ensure_index_params(
+    spark: SparkSession, sf_dir: str, root: str, build
+) -> tuple[int, int]:
+    """Build-once guard for the serve-only entries: ``<root>/params``
+    (1-row parquet: n, cells, nprobe, qmod) is written LAST, so its
+    ``_SUCCESS`` marker doubles as the build-complete flag — a crashed
+    half-build never serves.  When present the build is skipped
+    entirely and serving re-reads the derived config from the artifact
+    instead of re-counting the corpus (at 100 TB the serve path must
+    not pay a corpus scan to rediscover K/nprobe every query batch).
+    ``build(vecs, k, mod)`` runs only on a cold root.  Returns
+    ``(nprobe, qmod)``."""
+    from .. import fs as _hfs
+
+    ppath = f"{root}/params"
+    if not _hfs.exists(spark, f"{ppath}/_SUCCESS"):
+        n = load_table(spark, sf_dir, "embeddings").count()
+        k = semdedup_cells(n)
+        mod = _derived_sample_mod(n, k)
+        vecs = _vectors(spark, sf_dir).persist()
+        try:
+            build(vecs, k, mod)
+        finally:
+            vecs.unpersist()
+        one_file(
+            spark.createDataFrame(
+                [(n, k, ivf_nprobe_for(k), query_mod_for(n))],
+                "n bigint, cells bigint, nprobe bigint, qmod bigint",
+            )
+        ).write.mode("overwrite").parquet(ppath)
+    row = spark.read.parquet(ppath).collect()[0]
+    return int(row["nprobe"]), int(row["qmod"])
+
+
+def ann_ivf_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """The STEADY-STATE half of ``ann_ivf_index_persist``, registered
+    separately so the bench prices what production actually pays per
+    query batch: the first call per (process, corpus) builds the coarse
+    index into a content-keyed root exactly as ``ann_ivf_index_persist``
+    does; every subsequent call finds the ``params`` completion marker
+    and serves straight from the reloaded artifacts — no training, no
+    assignment, no corpus count.  Same output contract and oracle as
+    ``ann_ivf_index_persist`` (the build is deterministic, so warm and
+    cold calls return identical rows — only the latency differs, which
+    is the point: min-of-3 bench timing reads the ~1 s serving number,
+    not the 8-12 s rebuild)."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_serve", sf_dir)
+    nprobe, qmod = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        lambda vecs, k, mod: _build_ivf_coarse_artifacts(
+            spark, vecs, k, mod, root
+        ),
+    )
+    out = _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+    )
+    return out.localCheckpoint(eager=True)
+
+
 # --- incremental IVF ingest ---------------------------------------------------
 #
 # Production vector indexes GROW: you build once, then append batches
@@ -2291,25 +2359,72 @@ def ann_ivf_pq_residual(
     nprobe = ivf_nprobe_for(k)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids = _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
-        # fine stage: encode residuals of the PERSISTED assignments (the
-        # codes artifact derives from the index layout it serves with)
-        cframe = _centroid_frame(spark, centroids)
-        assigned = spark.read.parquet(f"{root}/assignments").select(
-            "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
-        )
-        codes, codebook = _pq_grid_codes(
-            assigned, cframe, residual=True, train_codebook=train_codebook
-        )
-        one_file(codebook).write.mode("overwrite").parquet(
-            f"{root}/pq_codebook"
-        )
-        codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
+        _build_ivfpq_artifacts(spark, vecs, k, mod, root, train_codebook)
     finally:
         vecs.unpersist()
     # --- serving path: artifacts only (plus the raw query vectors)
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, query_mod_for(n)
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _build_ivfpq_artifacts(
+    spark: SparkSession,
+    vecs: DataFrame,
+    k: int,
+    mod: int,
+    root: str,
+    train_codebook: bool,
+) -> None:
+    """The build half of the residual IVF-PQ composite, shared by the
+    per-call-rebuild entry (``ann_ivf_pq_residual``, the oracle-parity
+    shape) and the build-once serve entry (``ann_ivfpq_serve``): coarse
+    artifacts via ``_build_ivf_coarse_artifacts``, then the fine stage
+    — residuals of the PERSISTED assignments encoded into PQ codes (the
+    codes artifact derives from the index layout it serves with) —
+    written beside them."""
+    centroids = _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+    cframe = _centroid_frame(spark, centroids)
+    assigned = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+    )
+    codes, codebook = _pq_grid_codes(
+        assigned, cframe, residual=True, train_codebook=train_codebook
+    )
+    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
+    codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
+
+
+def ann_ivfpq_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Steady-state residual IVF-PQ serving — ``ann_ivf_pq_residual``'s
+    build-once twin, the sibling of ``ann_ivf_serve``: first call per
+    (process, corpus) builds the full composite (coarse + pq_codebook +
+    pq_codes) into a content-keyed root; subsequent calls hit the
+    ``params`` completion marker and run ONLY the ADC serve path off
+    the reloaded artifacts.  Identical rows to ``ann_ivf_pq_residual``
+    (same deterministic build), so it shares that entry's oracle; what
+    it adds to the bench is the number that matters at 100×: the query
+    batch against a STANDING index, with the 8-12 s build amortized
+    away exactly as a serving fleet amortizes it."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_serve", sf_dir)
+    nprobe, qmod = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        lambda vecs, k, mod: _build_ivfpq_artifacts(
+            spark, vecs, k, mod, root, train_codebook=False
+        ),
+    )
+    out = _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
     )
     return out.localCheckpoint(eager=True)
 
@@ -2881,7 +2996,15 @@ h AS (
 q AS (
   SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM exact_k
 ),
-plist AS (SELECT DISTINCT nprobe FROM approx_k)
+-- plist from the RUNG EXPRESSIONS, mirroring the engine's driver-side
+-- rung_frame — deriving it from approx_k would drop a rung whose
+-- probed cells yield zero candidate rows (degenerate corpus), while
+-- the engine still emits that rung as a 0-hit row (r9 ADVICE)
+plist AS (
+{chr(10).join(f"  SELECT CAST(({rung_exprs[label]}) AS BIGINT) AS nprobe FROM tp"
+              + ("" if i == len(rung_exprs) - 1 else chr(10) + "  UNION")
+              for i, label in enumerate(rung_exprs))}
+)
 SELECT plist.nprobe, n_queries, CAST({IVF_K} AS BIGINT) AS k,
        CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
        CAST((coalesce(n_hits, 0) * 1000000) // (n_queries * {IVF_K}) AS BIGINT)
@@ -3907,6 +4030,11 @@ QUERIES = {
         ann_ivf_index_persist,
         _ann_ivf_sample_trained_sql(),
     ),
+    # the serve-only twins: build-once into a content-keyed root, then
+    # answer from the standing index — the bench rows that price the
+    # ~1 s steady-state query latency instead of the per-call rebuild
+    "ann_ivf_serve": (ann_ivf_serve, _ann_ivf_sample_trained_sql()),
+    "ann_ivfpq_serve": (ann_ivfpq_serve, _ann_ivf_pq_residual_sql()),
     "ann_ivf_ingest": (ann_ivf_ingest, _ann_ivf_ingest_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),

@@ -1390,11 +1390,17 @@ def stream_ivf_ingest(
     frozen centroids, micro-batch boundaries CANNOT change the final
     index — the op converges to ``ann_ivf_ingest``'s batch result
     exactly, which is what its oracle checks."""
+    import shutil
     import tempfile
 
     from dbdiff_spark import fs as _hfs
     from dbdiff_spark.ops import similarity as sim
 
+    # a default root is ours to clean: the result is eagerly
+    # localCheckpoint'd below, so nothing lazily reads the artifacts
+    # after return (r9 ADVICE: one leaked dbdiff_stream_ivf_* per
+    # invocation otherwise); a caller-supplied root is left in place
+    owned = root is None
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivf_")
     vecs = sim._vectors(spark, sf_dir).persist()
     try:
@@ -1449,6 +1455,8 @@ def stream_ivf_ingest(
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+        if owned:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def _stream_ivf_ingest_oracle_sql() -> str:

@@ -52,3 +52,34 @@ def test_comparator_flags_a_planted_query_divergence(spark, sf_dir):
     assert ok, rep
     ok, rep = _check_one("probe", qs, bad, sf_dir, spark, duckdb.connect)
     assert not ok and "values differ" in rep
+
+
+def test_driver_window_spans_every_extension_family():
+    """VERDICT r9 #2: the driver's correctness gate samples the FIRST
+    50 ``queries()`` entries — that window must contain at least one
+    oracle-backed entry from every extension family, or whole tiers
+    (dedup, ANN, streaming, …) never appear in a CORRECTNESS_r*.json.
+    Guards the SHOWCASE_QUERIES ordering against module/rename drift."""
+    import __spark_entry__ as entry
+    from dbdiff_spark.ops import (
+        analytics, corpus, dedup, functions, graph, history, incremental,
+        layout, multimodal, pysource, quality, retrieval, similarity,
+        sketch, skew, temporal, text, tpch,
+    )
+    from dbdiff_spark.streaming import cdc
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    window = list(q)[:50]
+    assert all(n in o for n in window), [n for n in window if n not in o]
+    for mod in (
+        analytics, tpch, text, dedup, similarity, multimodal, functions,
+        temporal, sketch, skew, corpus, incremental, layout, history,
+        graph, quality, retrieval, pysource, cdc,
+    ):
+        fam = set(mod.QUERIES)
+        hit = fam & set(window)
+        assert hit, f"no {mod.__name__} entry in the driver's 50-query window"
+    # the serve-only ANN entry is itself showcased: the gate exercises
+    # the standing-index path, not only the rebuild twins
+    assert "ann_ivf_serve" in window

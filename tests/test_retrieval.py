@@ -507,3 +507,25 @@ def test_bpe_standard_format_keeps_hash_prefixed_merges(tmp_path):
     pair_codes, loaded = bpe_load_standard(root)
     assert loaded == expansions
     assert pair_codes == [("##", _bpe_code(1)), ("#a", _bpe_code(2))]
+
+
+def test_bpe_load_standard_headerless_hash_first_merge(tmp_path):
+    """ADVICE r9: only a '#version'-shaped line 0 is a header.  A
+    headerless merges.txt whose FIRST merge's left token renders as '#'
+    (byte 0x23) must load that merge — the r9 fix removed this
+    silent-drop for non-first lines; line 0 had the same bug.  Any other
+    '#'-leading first line must raise as malformed, never vanish."""
+    import pytest
+
+    from dbdiff_spark.ops.retrieval import _bpe_code, bpe_load_standard
+
+    root = str(tmp_path)
+    with open(f"{root}/merges.txt", "w", encoding="utf-8") as fh:
+        fh.write("# x\n")  # byte '#' + byte 'x' — a legitimate merge
+    pair_codes, expansions = bpe_load_standard(root)
+    assert expansions == ["#x"]
+    assert pair_codes == [("#x", _bpe_code(1))]
+    with open(f"{root}/merges.txt", "w", encoding="utf-8") as fh:
+        fh.write("#comment not a merge line\n")
+    with pytest.raises(ValueError, match="malformed"):
+        bpe_load_standard(root)

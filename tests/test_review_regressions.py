@@ -389,3 +389,50 @@ def test_jaccard_ppm_survives_wide_overlap(spark):
             ).replace("shb", "sequence(1, 3000)")
         ).collect()[0]
         assert row["jac_ppm"] == 1_000_000
+
+
+def test_vacuum_age_guard_sees_in_flight_commit_staging(spark):
+    """ADVICE r9: an in-flight partitioned Spark write's freshest
+    mtimes land at relative depth 7-8 under commit staging
+    (kind/assignments/_temporary/0/_temporary/attempt_*/cell=*/part-*);
+    the old depth-6 cap pruned those levels before stat'ing them, so a
+    live remote owner whose only recent activity is a long deep write
+    could still be reaped.  A backdated tree with one fresh file at
+    staging depth must survive the vacuum."""
+    import os
+
+    from dbdiff_spark import fs
+
+    root = fs.artifact_root(spark, "ivf_index", "/staging/corpus")
+    artifacts = root.rsplit("/_dbdiff_artifacts/", 1)[0] + "/_dbdiff_artifacts"
+    uid = os.getuid()
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+    local = artifacts.split(":", 1)[1] if artifacts.startswith("file:") else artifacts
+    tree = f"{local}/u{uid}_p{dead}"
+    staging = (
+        f"{tree}/ivf_index_abc/assignments/_temporary/0/_temporary"
+        f"/attempt_20260816_0001_m_000000_0/cell=7"
+    )
+    os.makedirs(staging)
+    stale = 1.0
+
+    def _backdate_dirs() -> None:
+        for dirpath, _dirs, _files in os.walk(tree, topdown=False):
+            os.utime(dirpath, (stale, stale))
+        os.utime(tree, (stale, stale))
+
+    _backdate_dirs()
+    with open(f"{staging}/part-00000.parquet", "w") as fh:
+        fh.write("x")
+    _backdate_dirs()
+    # the fresh deep file is the ONLY recent mtime — tree must survive
+    assert fs._vacuum_dead_artifact_roots(spark, artifacts, uid) == []
+    assert fs.exists(spark, f"{artifacts}/u{uid}_p{dead}")
+    # with the staging file also backdated, the idle tree reaps
+    os.utime(f"{staging}/part-00000.parquet", (stale, stale))
+    _backdate_dirs()
+    reaped = fs._vacuum_dead_artifact_roots(spark, artifacts, uid)
+    assert f"u{uid}_p{dead}" in reaped

@@ -831,3 +831,58 @@ def test_nprobe_curve_is_monotone_and_derived(spark, sf_dir):
     recalls = [r.recall_ppm for r in rows]
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] > recalls[0]  # extra probes must buy something here
+
+
+def test_ann_ivf_serve_skips_rebuild_on_warm_root(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r9 #1: the serve-only entry builds ONCE per root — the
+    params completion marker gates the build, so a warm call must never
+    retrain/reassign (patched build raises) and must return rows
+    identical to the cold call (deterministic build ⇒ serving is pure)."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_serve")
+    cold = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    assert cold  # the sf0.001 corpus yields a non-trivial query set
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("warm serve call re-ran the index build")
+
+    monkeypatch.setattr(sim, "_build_ivf_coarse_artifacts", _no_rebuild)
+    warm = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    assert warm == cold
+
+
+def test_ann_ivfpq_serve_skips_rebuild_on_warm_root(spark, sf_dir, tmp_path, monkeypatch):
+    """The PQ sibling of the warm-serve guarantee, plus the artifact
+    contract: one serve root carries the full composite layout."""
+    from dbdiff_spark import fs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivfpq_serve")
+    cold = sorted(map(tuple, sim.ann_ivfpq_serve(spark, sf_dir, index_root=root).collect()))
+    assert cold
+    for part in ("centroids", "assignments", "pq_codebook", "pq_codes", "params"):
+        assert fs.exists(spark, f"{root}/{part}"), part
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("warm serve call re-ran the index build")
+
+    monkeypatch.setattr(sim, "_build_ivfpq_artifacts", _no_rebuild)
+    warm = sorted(map(tuple, sim.ann_ivfpq_serve(spark, sf_dir, index_root=root).collect()))
+    assert warm == cold
+
+
+def test_ann_serve_half_built_root_rebuilds(spark, sf_dir, tmp_path):
+    """A crashed half-build (coarse artifacts present, params marker
+    absent) must NOT be served — the guard keys on the params artifact
+    written last, so the next call rebuilds into a complete root."""
+    from dbdiff_spark import fs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_serve")
+    full = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    # simulate the crash: completion marker gone, coarse artifacts left
+    fs.delete(spark, f"{root}/params")
+    out = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    assert fs.exists(spark, f"{root}/params/_SUCCESS")
+    assert out == full
