@@ -1417,7 +1417,9 @@ def _build_ingest_base(
     times): derive n/K/stride from the BASE slice, dense-renumber it
     (``vec_id div 2`` so the seed rule and sample stride see 0..n-1),
     train the quantizer on the bounded sample, and write the coarse
-    index layout.  Returns ``(centroids, k, nprobe)``."""
+    index layout.  Returns ``(centroids, k, nprobe, n_base)`` —
+    ``n_base`` so fine-stage callers derive their PQ seed budget from
+    the slice the codebook trains on."""
     base = vecs.filter(IVF_BASE_SLICE)
     n_base = base.count()
     k = semdedup_cells(n_base)
@@ -1434,7 +1436,7 @@ def _build_ingest_base(
         f"{root}/assignments",
         "overwrite",
     )
-    return centroids, k, ivf_nprobe_for(k)
+    return centroids, k, ivf_nprobe_for(k), n_base
 
 
 def ann_ivf_ingest(
@@ -1454,7 +1456,9 @@ def ann_ivf_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivf_ingest", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        _centroids, _k, nprobe = _build_ingest_base(spark, vecs, root)
+        _centroids, _k, nprobe, _n_base = _build_ingest_base(
+            spark, vecs, root
+        )
         # --- ingest: batch-only assignment with the RELOADED quantizer,
         # appended into the live layout (base files untouched)
         loaded_centroids = _load_index_centroids(spark, root)
@@ -1787,9 +1791,98 @@ WHERE rank <= {KNN_K}
 # subvectors, BIGINT squared distances): the ranking is exact-compare,
 # so the oracle twin is bit-for-bit.
 
-PQ_M = 4  # subspaces
-PQ_SEEDS = 8  # codebook size per subspace (deterministic seeds, IVF-style)
+# PQ configuration is DERIVED, not pinned (r9 VERDICT #3, closing the
+# r8 #6 carryover), mirroring how the coarse tier derives K/nprobe:
+#
+# - M (subspace count) from the embedding dimension at a FIXED
+#   sub-vector width — the faiss convention (dim/M constant), so a
+#   wider embedding gets more subspaces at the same per-subspace
+#   geometry instead of stretching 4 subspaces over any dim.
+# - K (codebook entries per subspace) from the TRAINING BUDGET: the
+#   largest power of two with ≥ PQ_TRAIN_PER_CENTROID training rows
+#   per centroid (faiss's published k-means floor — it warns below 39
+#   points/centroid), capped at the one-byte faiss code budget
+#   (nbits=8 → 256).  More corpus → bigger codebook → better recall,
+#   until the byte budget; a toy corpus degrades gracefully to K=2.
+#
+# Both rules have DuckDB twins (``_pq_params_duck``) so every oracle
+# re-derives the identical values from the same tables.  PQ_K stays a
+# user-facing result-size parameter (like KNN_K/IVF_K, see module
+# docstring) — not data-derivable.
+PQ_SUBDIM = 16  # floats per subspace: M = max(1, dim div 16)
+PQ_TRAIN_PER_CENTROID = 39
+PQ_SEEDS_MAX = 256
 PQ_K = 3
+
+
+def pq_m_for(dim: int) -> int:
+    """Subspace count at the fixed sub-vector width."""
+    return max(1, dim // PQ_SUBDIM)
+
+
+def pq_seeds_for(n: int) -> int:
+    """Codebook size per subspace: the largest power of two the corpus
+    can train (n ≥ PQ_TRAIN_PER_CENTROID·K), capped at PQ_SEEDS_MAX;
+    floor 2 (a 1-entry codebook quantizes nothing)."""
+    cap = min(n // PQ_TRAIN_PER_CENTROID, PQ_SEEDS_MAX)
+    k = 2
+    while k * 2 <= cap:
+        k *= 2
+    return k
+
+
+def _pq_seeds_case_duck(n_expr: str) -> str:
+    """The ``pq_seeds_for`` ladder as one SQL expression over a corpus
+    count — a CASE over the 8 possible powers of two, trivially
+    bit-identical to the Python loop (no float log2)."""
+    ladder = " ".join(
+        f"WHEN x >= {k} THEN {k}" for k in (256, 128, 64, 32, 16, 8, 4)
+    )
+    return (
+        f"(SELECT CASE {ladder} ELSE 2 END FROM"
+        f" (SELECT LEAST(({n_expr}) // {PQ_TRAIN_PER_CENTROID},"
+        f" {PQ_SEEDS_MAX}) AS x))"
+    )
+
+
+def _pq_params_duck(
+    prefix: str = "", dim_src: str = "vecs", n_src: str = "vecs"
+) -> str:
+    """``{prefix}pqp`` (1 row: mm, seeds) + ``{prefix}pqm`` (one row
+    per subspace m, carrying mm for the slice arithmetic) — the oracle
+    twin of ``pq_m_for``/``pq_seeds_for``.  ``n_src`` lets the ingest
+    oracle derive seeds from the BASE slice while mm still derives
+    from the served corpus's dimension."""
+    p = prefix
+    return f"""{p}pqp AS MATERIALIZED (
+  SELECT GREATEST(1, (SELECT max(len(embedding)) FROM {dim_src}) // {PQ_SUBDIM}) AS mm,
+         {_pq_seeds_case_duck(f'SELECT count(*) FROM {n_src}')} AS seeds
+),
+{p}pqm AS (SELECT mm, u.m FROM {p}pqp, unnest(generate_series(0, mm - 1)) AS u(m))"""
+
+
+def _sub_split_spark(col: str) -> str:
+    """The PQ subspace split as ONE per-row expression — M derives
+    from the vector's own length at the fixed sub-vector width, so no
+    call site needs the dimension driver-side.  Emits ``e`` structs
+    ``(m, sub)``; the single Spark spelling shared by the int8 tier
+    (``_pq_codes_and_table``) and the grid tier (``_grid_explode_m``)."""
+    mt = f"greatest(1, size({col}) div {PQ_SUBDIM})"
+    sd = f"(size({col}) div {mt})"
+    return (
+        f"explode(transform(sequence(0, {mt} - 1), "
+        f"m -> struct(m AS m, slice({col}, m * {sd} + 1, {sd}) AS sub))) AS e"
+    )
+
+
+def _corpus_shape(vecs: DataFrame) -> tuple[int, int]:
+    """(n, dim) in one tiny agg job — the scalars the PQ derivations
+    need at build time (never on the serve path: serve entries read
+    them from the params artifact)."""
+    r = vecs.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("dim")
+    ).first()
+    return int(r["n"]), int(r["dim"] or 0)
 
 
 def _qdist2_spark(a: str, b: str) -> str:
@@ -1806,12 +1899,16 @@ def _qdist2_duck(a: str, b: str) -> str:
     )
 
 
-def _pq_codes_and_table(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _pq_codes_and_table(
+    vecs: DataFrame, seeds: int
+) -> tuple[DataFrame, DataFrame]:
     """THE PQ fine stage, built once for every PQ-family op: int8
-    sub-vector split, seed codebook, per-(vec, m) code assignment, and
-    the per-query ADC distance table.  Returns ``(codes, dtable)`` —
-    ``codes`` carries only (vec_id, m, code); ``dtable`` is
-    (query_id, m, code, qd2), Q×M×K rows, driver-tiny.
+    sub-vector split (M per-row-derived at the fixed sub-vector
+    width), seed codebook (``seeds`` = the derived ``pq_seeds_for``
+    budget), per-(vec, m) code assignment, and the per-query ADC
+    distance table.  Returns ``(codes, dtable)`` — ``codes`` carries
+    only (vec_id, m, code); ``dtable`` is (query_id, m, code, qd2),
+    Q×M×K rows, driver-tiny.
 
     Code argmin is min(struct(d2, seed_id)) — a map-side-combinable
     two-level aggregation; the row_number window it replaces shuffled
@@ -1820,12 +1917,10 @@ def _pq_codes_and_table(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``ann_ivf_pq`` (cell-pruned ADC), so a tie-break or slice fix can
     never drift between them."""
     qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
-    sub = "slice(qvec, m * (size(qvec) div {M}) + 1, size(qvec) div {M})".format(M=PQ_M)
     subs = qvecs.selectExpr(
-        "vec_id",
-        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
+        "vec_id", _sub_split_spark("qvec")
     ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
-    codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+    codebook = subs.filter(F.col("vec_id") < seeds).select(
         F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
     )
     scored = subs.join(F.broadcast(codebook), "m").withColumn(
@@ -1863,12 +1958,18 @@ def ann_pq(
     the same broadcast codebook (Q×M×K rows — driver-tiny), and the ADC
     join is codes × broadcast(table) followed by ONE (query, vec)
     aggregation — the corpus is never shuffled with its payload, only
-    its codes.  Recall is a function of M×K; swapping seed codebooks
+    its codes.  Recall is a function of M×K — both derived here (M
+    from dim, K from the training budget); swapping seed codebooks
     for k-means-trained ones (kmeans_lloyd) changes no plumbing."""
-    codes, dtable = _pq_codes_and_table(_vectors(spark, sf_dir))
+    vecs = _vectors(spark, sf_dir)
+    n, dim = _corpus_shape(vecs)
+    seeds = pq_seeds_for(n)
+    codes, dtable = _pq_codes_and_table(vecs, seeds)
     adc = (
         codes.join(
-            _query_side(dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"),
+            _query_side(
+                dtable, max_broadcast_queries * pq_m_for(dim) * seeds, "merge"
+            ),
             ["m", "code"],
         )
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1884,21 +1985,24 @@ def ann_pq(
     )
 
 
-_PQ_SUB_DUCK = "qvec[m * (len(qvec) // {M}) + 1 : (m + 1) * (len(qvec) // {M})]".format(
-    M=PQ_M
-)
+# the slice reads mm off the joined {p}pqm row — the oracle twin of
+# ``_sub_split_spark``'s per-row derivation
+_PQ_SUB_DUCK = "qvec[m * (len(qvec) // mm) + 1 : (m + 1) * (len(qvec) // mm)]"
 
 # The PQ fine stage as one shared CTE fragment (expects a ``vecs`` CTE
 # in scope) — the oracle twin of ``_pq_codes_and_table``, consumed by
 # BOTH the flat ANN_PQ_SQL and the IVF-PQ composite so the engines'
-# shared-builder guarantee holds on the SQL side too.
-_PQ_STAGE_CTES = f"""qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
+# shared-builder guarantee holds on the SQL side too.  ``pqp``/``pqm``
+# re-derive M and the codebook size exactly as the engine does.
+_PQ_STAGE_CTES = f"""{_pq_params_duck()},
+qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
 subs AS (
   SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
-  FROM qvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+  FROM qvecs CROSS JOIN pqm
 ),
 codebook AS (
-  SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs WHERE vec_id < {PQ_SEEDS}
+  SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs
+  WHERE vec_id < (SELECT seeds FROM pqp)
 ),
 codes AS (
   SELECT vec_id, m, seed_id AS code FROM (
@@ -1958,7 +2062,9 @@ def _ann_ivf_pq_frame(
     # --- coarse stage: THE shared seed-IVF builder (ann_ivf's) ---
     assigned, probes = _ivf_coarse(vecs, cells, nprobe, payload=False)
     # --- fine stage: the SHARED PQ builder (ann_pq's, verbatim) ---
-    codes, dtable = _pq_codes_and_table(vecs)
+    n, dim = _corpus_shape(vecs)
+    seeds = pq_seeds_for(n)
+    codes, dtable = _pq_codes_and_table(vecs, seeds)
     # --- compose: cell-pruned candidates, ADC-ranked ---
     cand = assigned.join(
         _query_side(probes, max_broadcast_queries * nprobe, "merge"),
@@ -1969,7 +2075,7 @@ def _ann_ivf_pq_frame(
         cand.join(codes, "vec_id")
         .join(
             _query_side(
-                dtable, max_broadcast_queries * PQ_M * PQ_SEEDS, "merge"
+                dtable, max_broadcast_queries * pq_m_for(dim) * seeds, "merge"
             ),
             ["query_id", "m", "code"],
         )
@@ -2105,19 +2211,13 @@ def _raw_grid_duck(vec: str) -> str:
     )
 
 
-_GRID_SUB_SPARK = (
-    f"slice(gq, m * (size(gq) div {PQ_M}) + 1, size(gq) div {PQ_M})"
-)
-
-
 def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
     """``(… keys …, gq)`` → one row per (keys, m) with the m-th grid
     sub-vector — the single Spark spelling of the PQ subspace split for
-    the residual tier (mirrors ``_pq_codes_and_table``'s slice)."""
+    the residual tier (``_sub_split_spark``: M per-row-derived, exactly
+    as ``_pq_codes_and_table``'s int8 tier)."""
     return base.selectExpr(
-        *keys,
-        f"explode(transform(sequence(0, {PQ_M - 1}), "
-        f"m -> struct(m AS m, {_GRID_SUB_SPARK} AS sub))) AS e",
+        *keys, _sub_split_spark("gq")
     ).select(*keys, F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
 
 
@@ -2132,17 +2232,18 @@ def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
 PQ_CB_ITERS = 2
 
 
-def _train_pq_codebook(subs: DataFrame) -> DataFrame:
+def _train_pq_codebook(subs: DataFrame, seeds: int) -> DataFrame:
     """Per-subspace Lloyd over grid sub-vectors → a trained
     ``(seed_id, m, seed_sub)`` codebook frame (driver-local: M×K rows
-    of subdim ints).  Seeds are the same first-PQ_SEEDS sub-vectors the
-    seeded codebook uses (round 0 = seeded, so the A/B isolates the
-    training).  Each round is one broadcast-join argmin carrying the
-    sub payload in the min-struct (never compared — (d2, seed_id) is
-    unique per (vec, m)) plus one ≤ M×K×subdim-row grouped mean; an
-    entry that captures no members drops out, in both engines."""
+    of subdim ints).  Seeds are the same first-``seeds`` sub-vectors
+    the seeded codebook uses (round 0 = seeded, so the A/B isolates the
+    training); ``seeds`` is the derived ``pq_seeds_for`` budget.  Each
+    round is one broadcast-join argmin carrying the sub payload in the
+    min-struct (never compared — (d2, seed_id) is unique per (vec, m))
+    plus one ≤ M×K×subdim-row grouped mean; an entry that captures no
+    members drops out, in both engines."""
     spark = subs.sparkSession
-    cb = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+    cb = subs.filter(F.col("vec_id") < seeds).select(
         F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
     )
     for _ in range(PQ_CB_ITERS):
@@ -2195,21 +2296,25 @@ def _pq_grid_codes(
     cframe: DataFrame,
     residual: bool,
     train_codebook: bool = False,
+    seeds: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Corpus fine-encoding over the fixed grid → ``(codes, codebook)``:
     ``codes`` is (vec_id, m, code); ``codebook`` is (seed_id, m,
-    seed_sub) — the residual (or raw) sub-vectors of the PQ_SEEDS seed
-    vectors, Lloyd-trained per subspace when ``train_codebook``.
-    ``assigned`` carries (vec_id, embedding, cell); the residual path
-    joins the BROADCAST centroid frame (K rows) to subtract each
-    vector's own cell centroid — the corpus never shuffles.  Code
-    argmin is min(struct(d2, seed_id)), map-side combinable (the
-    ``_pq_codes_and_table`` lesson)."""
+    seed_sub) — the residual (or raw) sub-vectors of the first
+    ``seeds`` vectors (the derived ``pq_seeds_for`` budget; derived
+    from ``assigned`` itself when not given), Lloyd-trained per
+    subspace when ``train_codebook``.  ``assigned`` carries (vec_id,
+    embedding, cell); the residual path joins the BROADCAST centroid
+    frame (K rows) to subtract each vector's own cell centroid — the
+    corpus never shuffles.  Code argmin is min(struct(d2, seed_id)),
+    map-side combinable (the ``_pq_codes_and_table`` lesson)."""
+    if seeds is None:
+        seeds = pq_seeds_for(_corpus_shape(assigned)[0])
     subs = _pq_subs(assigned, cframe, residual)
     if train_codebook:
-        codebook = _train_pq_codebook(subs)
+        codebook = _train_pq_codebook(subs, seeds)
     else:
-        codebook = subs.filter(F.col("vec_id") < PQ_SEEDS).select(
+        codebook = subs.filter(F.col("vec_id") < seeds).select(
             F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
         )
     return _pq_codes_for(subs, codebook), codebook
@@ -2280,16 +2385,20 @@ def _pq_adc_rank(
     dtable: DataFrame,
     max_broadcast_queries: int,
     nprobe: int,
+    fan: int,
 ) -> DataFrame:
     """Rank cell-pruned candidates by ADC: join codes (the only
     corpus-sized relation — 3 ints/row), look up the broadcast distance
-    table on (query, cell, m, code), sum, top-PQ_K per query."""
+    table on (query, cell, m, code), sum, top-PQ_K per query.  ``fan``
+    is the derived M×K (dtable rows per probed query cell), so the
+    broadcast-row guard scales with the table's true shape instead of
+    a pinned constant."""
     adc = (
         cand.join(codes, "vec_id")
         .join(
             _query_side(
                 dtable,
-                max_broadcast_queries * nprobe * PQ_M * PQ_SEEDS,
+                max_broadcast_queries * nprobe * fan,
                 "merge",
             ),
             ["query_id", "q_cell", "m", "code"],
@@ -2453,7 +2562,12 @@ def _serve_ivfpq_from_artifacts(
     ).select("query_id", "q_emb", "q_cell")
     cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
-    return _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
+    # the derived M×K is exactly the artifact codebook's row count —
+    # one tiny parquet read, no corpus scan on the serve path
+    fan = codebook.count()
+    return _pq_adc_rank(
+        cand, codes, dtable, max_broadcast_queries, nprobe, fan
+    )
 
 
 def ann_ivfpq_trained_codebook(
@@ -2499,18 +2613,20 @@ def ann_ivfpq_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivfpq_ing", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids, _k, nprobe = _build_ingest_base(spark, vecs, root)
+        centroids, _k, nprobe, n_base = _build_ingest_base(spark, vecs, root)
         cframe = _centroid_frame(spark, centroids)
-        # fine build: codebook from the base slice's first PQ_SEEDS
-        # DENSE ids (the ingest dense-renumber convention), codes for
-        # the base — encoded off the PERSISTED assignments so the codes
-        # artifact derives from the layout it serves with
+        # fine build: codebook from the base slice's first derived-
+        # budget DENSE ids (the ingest dense-renumber convention; the
+        # budget derives from the slice the codebook trains on), codes
+        # for the base — encoded off the PERSISTED assignments so the
+        # codes artifact derives from the layout it serves with
+        seeds = pq_seeds_for(n_base)
         assigned_base = spark.read.parquet(f"{root}/assignments").select(
             "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
         )
         subs_base = _pq_subs(assigned_base, cframe, residual=True)
         codebook = subs_base.filter(
-            F.expr(f"vec_id div 2 < {PQ_SEEDS}")
+            F.expr(f"vec_id div 2 < {seeds}")
         ).select(
             F.expr("vec_id div 2").alias("seed_id"),
             "m",
@@ -2555,7 +2671,10 @@ def ann_ivfpq_ingest(
         dtable = _pq_grid_dtable(
             probes, loaded_cframe, loaded_codebook, residual=True
         )
-        out = _pq_adc_rank(cand, codes, dtable, max_broadcast_queries, nprobe)
+        out = _pq_adc_rank(
+            cand, codes, dtable, max_broadcast_queries, nprobe,
+            loaded_codebook.count(),
+        )
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
@@ -2565,14 +2684,17 @@ def _ann_ivfpq_ingest_sql() -> str:
     """Oracle twin: train + seed the codebook on the base slice,
     residual-encode the UNION corpus at that frozen quantizer/codebook,
     serve — merged-after-ingest ≡ union-rebuild is the checked claim
-    (the coarse half reuses ``ann_ivf_ingest``'s argument)."""
+    (the coarse half reuses ``ann_ivf_ingest``'s argument).  The seed
+    budget derives from the BASE slice count (``n_src``), matching
+    ``pq_seeds_for(n_base)`` in the engine."""
     return f"""
 WITH {_trained_coarse_sql_ctes(base_where=IVF_BASE_SLICE)},
 {_ivfpq_grid_sql_ctes(
     residual=True,
     prefix="g",
-    seed_pred=f"vec_id % 2 = 0 AND vec_id // 2 < {PQ_SEEDS}",
+    seed_pred="vec_id % 2 = 0 AND vec_id // 2 < (SELECT seeds FROM gpqp)",
     seed_id_expr="vec_id // 2",
+    n_src=f"embeddings WHERE {IVF_BASE_SLICE}",
 )}
 SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
   SELECT query_id, neighbor_id, approx_l2sq,
@@ -2593,10 +2715,14 @@ def _ann_ivf_pq_residual_explain_frame(
     which audit as parquet scans — this frame exposes the join/agg
     skeleton instead)."""
     vecs = _vectors(spark, sf_dir)
-    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
+    seed_rows = vecs.filter(F.col("vec_id") < KMEANS_K).collect()
     centroids = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in seeds
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in seed_rows
     }
+    dim = len(seed_rows[0]["embedding"]) if seed_rows else PQ_SUBDIM
+    n, _ = _corpus_shape(vecs)
+    pq_seeds = pq_seeds_for(n)
     cframe = _centroid_frame(spark, centroids)
     assigned = _assign_cells(vecs, centroids).select(
         "vec_id", "embedding", "cell"
@@ -2605,9 +2731,14 @@ def _ann_ivf_pq_residual_explain_frame(
         "query_id", "q_emb", "q_cell"
     )
     cand = _grid_cand(assigned, probes, MAX_BROADCAST_QUERIES, IVF_NPROBE)
-    codes, codebook = _pq_grid_codes(assigned, cframe, residual=True)
+    codes, codebook = _pq_grid_codes(
+        assigned, cframe, residual=True, seeds=pq_seeds
+    )
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
-    return _pq_adc_rank(cand, codes, dtable, MAX_BROADCAST_QUERIES, IVF_NPROBE)
+    return _pq_adc_rank(
+        cand, codes, dtable, MAX_BROADCAST_QUERIES, IVF_NPROBE,
+        pq_m_for(dim) * pq_seeds,
+    )
 
 
 EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
@@ -2684,20 +2815,20 @@ tcand AS (
 )"""
 
 
-_GRID_SUB_DUCK = (
-    "gq[m * (len(gq) // {M}) + 1 : (m + 1) * (len(gq) // {M})]".format(M=PQ_M)
-)
+# mm rides the joined {p}pqm row, as in the int8 tier's _PQ_SUB_DUCK
+_GRID_SUB_DUCK = "gq[m * (len(gq) // mm) + 1 : (m + 1) * (len(gq) // mm)]"
 
 
 def _pq_codebook_train_sql_ctes(p: str) -> str:
     """Per-subspace Lloyd layers over ``{p}gsubs`` →
     ``{p}cb{PQ_CB_ITERS}`` — the oracle twin of
-    ``_train_pq_codebook``: same seeds, same (d2, seed_id) tie-break,
-    same ROUND(SUM/COUNT) grid mean, one CTE pair per round."""
+    ``_train_pq_codebook``: same derived seed budget, same
+    (d2, seed_id) tie-break, same ROUND(SUM/COUNT) grid mean, one CTE
+    pair per round."""
     layers = [
         f"""{p}cb0 AS (
   SELECT vec_id AS seed_id, m, sub AS seed_sub
-  FROM {p}gsubs WHERE vec_id < {PQ_SEEDS}
+  FROM {p}gsubs WHERE vec_id < (SELECT seeds FROM {p}pqp)
 )"""
     ]
     for i in range(1, PQ_CB_ITERS + 1):
@@ -2733,6 +2864,7 @@ def _ivfpq_grid_sql_ctes(
     trained_codebook: bool = False,
     seed_pred: str | None = None,
     seed_id_expr: str = "vec_id",
+    n_src: str = "vecs",
 ) -> str:
     """The fine stage over the trained coarse CTEs — codes, codebook,
     per-(query, cell) ADC table, and the summed ADC relation
@@ -2740,7 +2872,10 @@ def _ivfpq_grid_sql_ctes(
     ``_pq_grid_dtable`` + ``_pq_adc_rank``'s aggregation.  ``residual``
     picks the grid encoding, ``trained_codebook`` swaps the seeded
     codebook for the per-subspace Lloyd fixpoint; ``prefix``
-    namespaces so the recall report composes the arms in one query."""
+    namespaces so the recall report composes the arms in one query.
+    ``{p}pqp``/``{p}pqm`` re-derive M and the seed budget exactly as
+    the engine (``n_src`` = the corpus the budget derives from — the
+    base slice in the ingest posture)."""
     p = prefix
     n = KMEANS_ITERS
     if residual:
@@ -2768,15 +2903,16 @@ def _ivfpq_grid_sql_ctes(
 )"""
         )
     else:
-        pred = seed_pred or f"vec_id < {PQ_SEEDS}"
+        pred = seed_pred or f"vec_id < (SELECT seeds FROM {p}pqp)"
         codebook_ctes = f"""{p}gcodebook AS (
   SELECT {seed_id_expr} AS seed_id, m, sub AS seed_sub
   FROM {p}gsubs WHERE {pred}
 )"""
-    return f"""{p}gvecs AS ({corpus_grid}),
+    return f"""{_pq_params_duck(prefix=p, n_src=n_src)},
+{p}gvecs AS ({corpus_grid}),
 {p}gsubs AS (
   SELECT vec_id, m, {_GRID_SUB_DUCK} AS sub
-  FROM {p}gvecs, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+  FROM {p}gvecs CROSS JOIN {p}pqm
 ),
 {codebook_ctes},
 {p}gcodes AS (
@@ -2791,7 +2927,7 @@ def _ivfpq_grid_sql_ctes(
 {p}qg AS ({query_grid}),
 {p}qgsubs AS (
   SELECT query_id, q_cell, m, {_GRID_SUB_DUCK} AS sub
-  FROM {p}qg, unnest(generate_series(0, {PQ_M - 1})) AS u(m)
+  FROM {p}qg CROSS JOIN {p}pqm
 ),
 {p}gdtable AS (
   SELECT query_id, q_cell, q.m, c.seed_id AS code,
@@ -3036,11 +3172,14 @@ def ann_ivfpq_recall_report(
     Ground truth is exact squared-L2 top-PQ_K (what IVFPQ's ADC
     approximates).  One row per variant: ``(variant, n_queries, k,
     n_hits, recall_ppm)``."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    vecs0 = _vectors(spark, sf_dir)
+    n, dim = _corpus_shape(vecs0)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     nprobe = ivf_nprobe_for(k)
-    vecs = _vectors(spark, sf_dir).persist()
+    pq_seeds = pq_seeds_for(n)
+    fan = pq_m_for(dim) * pq_seeds
+    vecs = vecs0.persist()
     try:
         centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
         cframe = _centroid_frame(spark, centroids)
@@ -3080,11 +3219,12 @@ def ann_ivfpq_recall_report(
         approx = None
         for name, residual, trained in IVFPQ_RECALL_VARIANTS:
             codes, codebook = _pq_grid_codes(
-                assigned, cframe, residual, train_codebook=trained
+                assigned, cframe, residual, train_codebook=trained,
+                seeds=pq_seeds,
             )
             dtable = _pq_grid_dtable(probes, cframe, codebook, residual)
             part = _pq_adc_rank(
-                cand, codes, dtable, max_broadcast_queries, nprobe
+                cand, codes, dtable, max_broadcast_queries, nprobe, fan
             ).select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
             approx = part if approx is None else approx.unionByName(part)
         hits = approx.join(exact_k, ["query_id", "neighbor_id"]).groupBy(

@@ -1404,7 +1404,7 @@ def stream_ivf_ingest(
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivf_")
     vecs = sim._vectors(spark, sf_dir).persist()
     try:
-        _centroids, _k, nprobe = sim._build_ingest_base(
+        _centroids, _k, nprobe, _n_base = sim._build_ingest_base(
             spark, vecs, f"{root}/index"
         )
         # stage the batch slice (odd vec_ids) as three ordered files —

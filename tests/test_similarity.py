@@ -5,7 +5,7 @@ from pyspark.sql import functions as F
 
 def test_pq_codes_cover_corpus_and_stay_in_codebook(spark, sf_dir):
     from dbdiff_spark.io import load_table
-    from dbdiff_spark.ops.similarity import PQ_K, PQ_M, PQ_SEEDS, ann_pq
+    from dbdiff_spark.ops.similarity import PQ_K, ann_pq
 
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     res = ann_pq(spark, sf_dir).collect()
@@ -31,20 +31,19 @@ def test_pq_seed_vectors_have_zero_self_distance(spark, sf_dir):
     classic PQ sanity check, done relationally (no collect of vectors)."""
     from dbdiff_spark.io import load_table
     from dbdiff_spark.ops.similarity import (
-        PQ_M,
-        PQ_SEEDS,
         _qdist2_spark,
         _qvec_spark,
+        _sub_split_spark,
         _vectors,
+        pq_seeds_for,
     )
 
-    qvecs = _vectors(spark, sf_dir).selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
-    sub = f"slice(qvec, m * (size(qvec) div {PQ_M}) + 1, size(qvec) div {PQ_M})"
-    subs = qvecs.selectExpr(
-        "vec_id",
-        f"explode(transform(sequence(0, {PQ_M - 1}), m -> struct(m AS m, {sub} AS sub))) AS e",
-    ).select("vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub"))
-    seeds = subs.filter(F.col("vec_id") < PQ_SEEDS)
+    vecs = _vectors(spark, sf_dir)
+    qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
+    subs = qvecs.selectExpr("vec_id", _sub_split_spark("qvec")).select(
+        "vec_id", F.col("e.m").alias("m"), F.col("e.sub").alias("sub")
+    )
+    seeds = subs.filter(F.col("vec_id") < pq_seeds_for(vecs.count()))
     self_d = seeds.select(F.expr(_qdist2_spark("sub", "sub")).alias("d")).agg(
         F.max("d")
     ).first()[0]
@@ -547,12 +546,12 @@ def test_ivfpq_residual_one_root_serves_exact_ivf_and_pq(spark, sf_dir, tmp_path
 
     from dbdiff_spark.io import load_table
     from dbdiff_spark.ops.similarity import (
-        PQ_M,
-        PQ_SEEDS,
         _serve_ivf_from_artifacts,
         ann_ivf_pq_residual,
         ann_ivf_trained,
         ivf_nprobe_for,
+        pq_m_for,
+        pq_seeds_for,
         semdedup_cells,
     )
 
@@ -566,12 +565,14 @@ def test_ivfpq_residual_one_root_serves_exact_ivf_and_pq(spark, sf_dir, tmp_path
     assert glob.glob(f"{root}/pq_codebook/part-*.parquet")
     assert glob.glob(f"{root}/pq_codes/part-*")
     # codes artifact: one code per (vec, m), every code a codebook entry
-    n = load_table(spark, sf_dir, "embeddings").count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    m_total = pq_m_for(len(emb.select("embedding").first()["embedding"]))
     codes = spark.read.parquet(f"{root}/pq_codes")
-    assert codes.count() == n * PQ_M
-    assert codes.select("vec_id", "m").distinct().count() == n * PQ_M
+    assert codes.count() == n * m_total
+    assert codes.select("vec_id", "m").distinct().count() == n * m_total
     mn, mx = codes.selectExpr("min(code)", "max(code)").first()
-    assert 0 <= mn and mx < PQ_SEEDS
+    assert 0 <= mn and mx < pq_seeds_for(n)
     # the memory story, measured on disk: the PQ serving payload
     # (codes) must be a small fraction of the embedding payload
     # (assignments) — that byte ratio IS the reason IVFPQ exists
@@ -772,17 +773,26 @@ def test_ivfpq_ingest_appends_codes_without_rewriting_base(spark, sf_dir, tmp_pa
     from pyspark.sql import functions as F
 
     from dbdiff_spark.io import load_table
-    from dbdiff_spark.ops.similarity import PQ_M, PQ_SEEDS, ann_ivfpq_ingest
+    from dbdiff_spark.ops.similarity import (
+        ann_ivfpq_ingest,
+        pq_m_for,
+        pq_seeds_for,
+    )
 
     root = str(tmp_path / "ivfpq_ing")
     rows = ann_ivfpq_ingest(spark, sf_dir, index_root=root).collect()
     assert rows and {r.rank for r in rows} <= {1, 2, 3}
-    n = load_table(spark, sf_dir, "embeddings").count()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_base = emb.filter("vec_id % 2 = 0").count()
+    m_total = pq_m_for(len(emb.select("embedding").first()["embedding"]))
     codes = spark.read.parquet(f"{root}/pq_codes")
-    assert codes.count() == n * PQ_M
-    assert codes.select("vec_id", "m").distinct().count() == n * PQ_M
+    assert codes.count() == n * m_total
+    assert codes.select("vec_id", "m").distinct().count() == n * m_total
     mn, mx = codes.selectExpr("min(code)", "max(code)").first()
-    assert 0 <= mn and mx < PQ_SEEDS
+    # the codebook trains on the BASE slice, so its derived budget
+    # bounds the code alphabet
+    assert 0 <= mn and mx < pq_seeds_for(n_base)
     per_file = (
         codes.select(
             F.input_file_name().alias("f"), (F.col("vec_id") % 2).alias("h")
@@ -886,3 +896,46 @@ def test_ann_serve_half_built_root_rebuilds(spark, sf_dir, tmp_path):
     out = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
     assert fs.exists(spark, f"{root}/params/_SUCCESS")
     assert out == full
+
+
+def test_pq_derivation_laws_and_duckdb_parity():
+    """VERDICT r9 #3: the PQ configuration is DERIVED, not pinned —
+    M from dim at the fixed sub-vector width, the codebook size from
+    the training budget (largest power of two with ≥39 rows/centroid,
+    capped at the one-byte faiss budget) — and the DuckDB spelling
+    must re-derive bit-identical values at ANY corpus size, exactly
+    like the coarse tier's cells/nprobe/stride laws."""
+    import duckdb
+
+    from dbdiff_spark.ops.similarity import (
+        PQ_SEEDS_MAX,
+        PQ_SUBDIM,
+        PQ_TRAIN_PER_CENTROID,
+        _pq_seeds_case_duck,
+        pq_m_for,
+        pq_seeds_for,
+    )
+
+    # laws
+    assert pq_m_for(64) == 4 and pq_m_for(16) == 1 and pq_m_for(8) == 1
+    assert pq_m_for(1024) == 1024 // PQ_SUBDIM
+    assert pq_seeds_for(500) == 8          # the driver-gate scale
+    assert pq_seeds_for(2000) == 32        # the bench scale
+    assert pq_seeds_for(10) == 2           # degenerate floor
+    assert pq_seeds_for(10**9) == PQ_SEEDS_MAX  # one-byte budget cap
+    for n in range(1, 4000, 37):
+        k = pq_seeds_for(n)
+        assert k & (k - 1) == 0 and 2 <= k <= PQ_SEEDS_MAX
+        # trainability: the budget holds whenever the corpus allows it
+        if k > 2:
+            assert n >= PQ_TRAIN_PER_CENTROID * k
+        assert pq_seeds_for(n + 37) >= k  # monotone in n
+
+    # cross-engine parity over a dense n sweep
+    con = duckdb.connect()
+    ns = list(range(1, 1200, 13)) + [10**6, 10**9]
+    sql = "SELECT " + ", ".join(
+        _pq_seeds_case_duck(str(n)) for n in ns
+    )
+    got = con.execute(sql).fetchone()
+    assert list(got) == [pq_seeds_for(n) for n in ns]
