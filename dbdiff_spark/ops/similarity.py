@@ -2591,6 +2591,68 @@ def ann_ivfpq_trained_codebook(
     )
 
 
+def _build_ivfpq_ingest_base(
+    spark: SparkSession, vecs: DataFrame, root: str
+) -> int:
+    """The BASE-slice build of the growing IVF-PQ root, shared by the
+    batch (``ann_ivfpq_ingest``) and streaming
+    (``stream_ivfpq_ingest``) fine-stage ingest ops: coarse artifacts
+    via ``_build_ingest_base``, then the fine stage — codebook from
+    the base slice's first derived-budget DENSE ids (the ingest
+    dense-renumber convention; the budget derives from the slice the
+    codebook trains on, ``pq_seeds_for(n_base)``), codes for the base
+    encoded off the PERSISTED assignments so the codes artifact
+    derives from the layout it serves with.  Returns the derived
+    nprobe."""
+    centroids, _k, nprobe, n_base = _build_ingest_base(spark, vecs, root)
+    cframe = _centroid_frame(spark, centroids)
+    seeds = pq_seeds_for(n_base)
+    assigned_base = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+    )
+    subs_base = _pq_subs(assigned_base, cframe, residual=True)
+    codebook = subs_base.filter(
+        F.expr(f"vec_id div 2 < {seeds}")
+    ).select(
+        F.expr("vec_id div 2").alias("seed_id"),
+        "m",
+        F.col("sub").alias("seed_sub"),
+    )
+    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
+    _pq_codes_for(subs_base, codebook).write.mode("overwrite").parquet(
+        f"{root}/pq_codes"
+    )
+    return nprobe
+
+
+def _ingest_encode_batch(
+    batch: DataFrame,
+    root: str,
+    loaded_centroids: dict[int, list[float]],
+    loaded_cframe: DataFrame,
+    loaded_codebook: DataFrame,
+) -> None:
+    """Assign AND residual-encode one arriving batch with the RELOADED
+    frozen quantizer + codebook, appending into the live layout —
+    O(batch·(K + M·K)), zero shuffle, base files untouched.  Both the
+    batch op's single call and the streaming op's per-micro-batch call
+    run THIS function, so stream ≡ batch is structural: assignment and
+    encoding are per-row pure functions of the frozen artifacts, and
+    append order cannot change the served relation."""
+    assigned_batch = _assign_cells(batch, loaded_centroids).select(
+        "vec_id", "embedding", "norm", "cell"
+    )
+    _write_cell_partitioned(assigned_batch, f"{root}/assignments", "append")
+    _pq_codes_for(
+        _pq_subs(
+            assigned_batch.select("vec_id", "embedding", "cell"),
+            loaded_cframe,
+            residual=True,
+        ),
+        loaded_codebook,
+    ).write.mode("append").parquet(f"{root}/pq_codes")
+
+
 def ann_ivfpq_ingest(
     spark: SparkSession,
     sf_dir: str,
@@ -2599,81 +2661,38 @@ def ann_ivfpq_ingest(
 ) -> DataFrame:
     """Incremental ingest for the FINE stage too: build the residual-PQ
     index on the BASE slice (even vec_ids — sample-trained quantizer,
-    residual codebook seeded from the slice's first PQ_SEEDS dense
-    ids), then ingest the batch slice by assigning AND residual-
-    encoding it with the RELOADED frozen quantizer + codebook —
-    O(batch·(K + M·K)), zero shuffle, base files untouched — and serve
-    the full query set by ADC from the merged artifacts.  Completes
-    ``ann_ivf_ingest``'s story for the production composite: one
-    growing index root serves exact-IVF and IVF-PQ.  The oracle proves
-    merged-after-ingest ≡ encoding the UNION corpus at the same frozen
-    quantizer and codebook."""
+    residual codebook seeded from the slice's first derived-budget
+    dense ids), then ingest the batch slice by assigning AND residual-
+    encoding it with the RELOADED frozen quantizer + codebook
+    (``_ingest_encode_batch`` — the same function the streaming op
+    runs per micro-batch) — O(batch·(K + M·K)), zero shuffle, base
+    files untouched — and serve the full query set by ADC from the
+    merged artifacts.  Completes ``ann_ivf_ingest``'s story for the
+    production composite: one growing index root serves exact-IVF and
+    IVF-PQ.  The oracle proves merged-after-ingest ≡ encoding the
+    UNION corpus at the same frozen quantizer and codebook."""
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_ing", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        centroids, _k, nprobe, n_base = _build_ingest_base(spark, vecs, root)
-        cframe = _centroid_frame(spark, centroids)
-        # fine build: codebook from the base slice's first derived-
-        # budget DENSE ids (the ingest dense-renumber convention; the
-        # budget derives from the slice the codebook trains on), codes
-        # for the base — encoded off the PERSISTED assignments so the
-        # codes artifact derives from the layout it serves with
-        seeds = pq_seeds_for(n_base)
-        assigned_base = spark.read.parquet(f"{root}/assignments").select(
-            "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
-        )
-        subs_base = _pq_subs(assigned_base, cframe, residual=True)
-        codebook = subs_base.filter(
-            F.expr(f"vec_id div 2 < {seeds}")
-        ).select(
-            F.expr("vec_id div 2").alias("seed_id"),
-            "m",
-            F.col("sub").alias("seed_sub"),
-        )
-        one_file(codebook).write.mode("overwrite").parquet(
-            f"{root}/pq_codebook"
-        )
-        _pq_codes_for(subs_base, codebook).write.mode("overwrite").parquet(
-            f"{root}/pq_codes"
-        )
-        # --- ingest: batch-only assignment AND encoding with the
-        # RELOADED frozen quantizer + codebook, appended in place
+        nprobe = _build_ivfpq_ingest_base(spark, vecs, root)
+        # --- ingest: the shared frozen-artifact encode, one batch
         loaded_centroids = _load_index_centroids(spark, root)
         loaded_cframe = _centroid_frame(spark, loaded_centroids)
         loaded_codebook = spark.read.parquet(f"{root}/pq_codebook")
-        assigned_batch = _assign_cells(
-            vecs.filter(IVF_BATCH_SLICE), loaded_centroids
-        ).select("vec_id", "embedding", "norm", "cell")
-        _write_cell_partitioned(
-            assigned_batch, f"{root}/assignments", "append"
-        )
-        _pq_codes_for(
-            _pq_subs(
-                assigned_batch.select("vec_id", "embedding", "cell"),
-                loaded_cframe,
-                residual=True,
-            ),
+        _ingest_encode_batch(
+            vecs.filter(IVF_BATCH_SLICE).select("vec_id", "embedding", "norm"),
+            root,
+            loaded_centroids,
+            loaded_cframe,
             loaded_codebook,
-        ).write.mode("append").parquet(f"{root}/pq_codes")
+        )
         # --- serve by ADC from the merged artifacts only; query stride
         # derives from the SERVED corpus
-        qmod = query_mod_for(vecs.count())
-        codes = spark.read.parquet(f"{root}/pq_codes")
-        assigned_slim = spark.read.parquet(f"{root}/assignments").select(
-            "vec_id", F.col("cell").cast("bigint").alias("cell")
-        )
-        probes = _probe_frame(vecs, loaded_centroids, nprobe, qmod).select(
-            "query_id", "q_emb", "q_cell"
-        )
-        cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
-        dtable = _pq_grid_dtable(
-            probes, loaded_cframe, loaded_codebook, residual=True
-        )
-        out = _pq_adc_rank(
-            cand, codes, dtable, max_broadcast_queries, nprobe,
-            loaded_codebook.count(),
+        out = _serve_ivfpq_from_artifacts(
+            spark, sf_dir, root, nprobe, max_broadcast_queries,
+            query_mod_for(vecs.count()),
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -1393,7 +1393,6 @@ def stream_ivf_ingest(
     import shutil
     import tempfile
 
-    from dbdiff_spark import fs as _hfs
     from dbdiff_spark.ops import similarity as sim
 
     # a default root is ours to clean: the result is eagerly
@@ -1412,15 +1411,7 @@ def stream_ivf_ingest(
         batch = vecs.filter(sim.IVF_BATCH_SLICE).select(
             "vec_id", "embedding", "norm"
         )
-        incoming = f"{root}/incoming"
-        _hfs.mkdirs(spark, incoming)
-        for b, residue in enumerate((1, 3, 5)):  # vec_id % 6 over odd ids
-            stage = f"{root}/stage_{b}"
-            one_file(
-                batch.filter(F.col("vec_id") % 6 == residue)
-            ).write.parquet(stage)
-            part = _hfs.glob(spark, f"{stage}/part-*.parquet")[0]
-            _hfs.rename(spark, part, f"{incoming}/batch_{b:05d}.parquet")
+        incoming = _stage_vector_batches(spark, root, batch)
         loaded = sim._load_index_centroids(spark, f"{root}/index")
 
         def _ingest_batch(bdf: DataFrame, _bid: int) -> None:
@@ -1465,10 +1456,104 @@ def _stream_ivf_ingest_oracle_sql() -> str:
     return _ann_ivf_ingest_sql()
 
 
+def _stage_vector_batches(spark, root: str, batch: DataFrame) -> str:
+    """Stage the ingest slice as three ordered files under
+    ``<root>/incoming`` (one per micro-batch; the file source triggers
+    in (mtime, path) order and the zero-padded names agree
+    lexicographically on an mtime tie) — shared by both streaming
+    vector-ingest ops.  Returns the incoming directory."""
+    from dbdiff_spark import fs as _hfs
+
+    incoming = f"{root}/incoming"
+    _hfs.mkdirs(spark, incoming)
+    for b, residue in enumerate((1, 3, 5)):  # vec_id % 6 over odd ids
+        stage = f"{root}/stage_{b}"
+        one_file(
+            batch.filter(F.col("vec_id") % 6 == residue)
+        ).write.parquet(stage)
+        part = _hfs.glob(spark, f"{stage}/part-*.parquet")[0]
+        _hfs.rename(spark, part, f"{incoming}/batch_{b:05d}.parquet")
+    return incoming
+
+
+def stream_ivfpq_ingest(
+    spark: SparkSession, sf_dir: str, root: str | None = None
+) -> DataFrame:
+    """Streaming ingest for the FULL IVF-PQ composite — the fine stage
+    streams too (r9 VERDICT #5; ``stream_ivf_ingest`` streams only the
+    coarse half): the BASE slice builds the residual-PQ root up front
+    (sample-trained quantizer, derived-budget codebook, base codes),
+    then each arriving micro-batch runs ``_ingest_encode_batch`` — the
+    SAME function the batch op calls once — assigning AND residual-
+    encoding at the reloaded frozen quantizer + codebook.  Because both
+    steps are per-row pure functions of the frozen artifacts, micro-
+    batch boundaries cannot change the final index: the op converges
+    to ``ann_ivfpq_ingest``'s batch result exactly, which is what its
+    oracle (the same SQL) checks."""
+    import shutil
+    import tempfile
+
+    from dbdiff_spark.ops import similarity as sim
+
+    owned = root is None
+    root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivfpq_")
+    vecs = sim._vectors(spark, sf_dir).persist()
+    try:
+        index = f"{root}/index"
+        nprobe = sim._build_ivfpq_ingest_base(spark, vecs, index)
+        batch = vecs.filter(sim.IVF_BATCH_SLICE).select(
+            "vec_id", "embedding", "norm"
+        )
+        incoming = _stage_vector_batches(spark, root, batch)
+        loaded_centroids = sim._load_index_centroids(spark, index)
+        loaded_cframe = sim._centroid_frame(spark, loaded_centroids)
+        loaded_codebook = spark.read.parquet(f"{index}/pq_codebook")
+
+        def _ingest_batch(bdf: DataFrame, _bid: int) -> None:
+            sim._ingest_encode_batch(
+                bdf, index, loaded_centroids, loaded_cframe, loaded_codebook
+            )
+
+        query = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(incoming))
+            .writeStream.foreachBatch(_ingest_batch)
+            .option("checkpointLocation", f"{root}/checkpoint")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        out = sim._serve_ivfpq_from_artifacts(
+            spark,
+            sf_dir,
+            index,
+            nprobe,
+            sim.MAX_BROADCAST_QUERIES,
+            sim.query_mod_for(vecs.count()),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+        if owned:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_ivfpq_ingest_oracle_sql() -> str:
+    from dbdiff_spark.ops.similarity import _ann_ivfpq_ingest_sql
+
+    return _ann_ivfpq_ingest_sql()
+
+
 QUERIES = {
     "stream_windowed_counts": (windowed_event_counts, WINDOWED_EVENT_COUNTS_SQL),
     "stream_dedup_ingest": (stream_dedup_ingest, _stream_ingest_oracle_sql()),
     "stream_ivf_ingest": (stream_ivf_ingest, _stream_ivf_ingest_oracle_sql()),
+    # the full composite streams: fine-stage residual codes encoded
+    # inside each micro-batch at the frozen codebook (stream ≡ batch)
+    "stream_ivfpq_ingest": (stream_ivfpq_ingest, _stream_ivfpq_ingest_oracle_sql()),
     "stream_static_enrich": (stream_static_enrich, STREAM_STATIC_ENRICH_SQL),
     "stream_cusum": (stream_cusum, _stream_cusum_oracle_sql()),
     "stream_drift_monitor": (stream_drift_monitor, STREAM_DRIFT_SQL),

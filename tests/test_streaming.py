@@ -482,3 +482,40 @@ def test_stream_ivf_ingest_converges_to_batch_ingest(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_stream_ivfpq_ingest_converges_to_batch_and_streams_codes(spark, sf_dir, tmp_path):
+    """VERDICT r9 #5: the FINE stage streams too.  The streamed
+    composite (3 arrival files, each assigned AND residual-encoded in
+    its own micro-batch at the frozen quantizer + codebook) must serve
+    EXACTLY what the batch IVF-PQ ingest op serves, and the codes
+    artifact must have grown per micro-batch — one append per trigger
+    beyond the base build."""
+    from dbdiff_spark.ops.similarity import ann_ivfpq_ingest
+    from dbdiff_spark.streaming.cdc import stream_ivfpq_ingest
+
+    sroot = str(tmp_path / "sivfpq")
+    streamed = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_l2sq)
+        for r in stream_ivfpq_ingest(spark, sf_dir, root=sroot).collect()
+    }
+    batch = {
+        (r.query_id, r.rank): (r.neighbor_id, r.approx_l2sq)
+        for r in ann_ivfpq_ingest(
+            spark, sf_dir, index_root=str(tmp_path / "bivfpq")
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    # micro-batch growth is visible in the codes artifact: the base
+    # write plus one appended file set per trigger (3 staged files)
+    import re
+
+    files = [
+        r["f"]
+        for r in spark.read.parquet(f"{sroot}/index/pq_codes")
+        .selectExpr("input_file_name() AS f")
+        .distinct()
+        .collect()
+    ]
+    jobs = {re.search(r"part-\d+-([0-9a-f-]{36})", f).group(1) for f in files}
+    assert len(jobs) == 1 + 3  # base encode + one append per micro-batch
