@@ -1286,25 +1286,39 @@ GROUP BY doc_id, grp
 """
 
 
-def repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repeated_span_cut(
+    spark: SparkSession, sf_dir: str, per_occurrence: bool = False
+) -> DataFrame:
     """The APPLY half of ExactSubstr dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better" — ``repeated_spans`` is
     the detection half): per document, the token positions inside
-    cross-document repeated windows are CUT unless this document is
-    the window's KEEPER (minimum doc_id containing the window hash —
-    one canonical DOCUMENT per repeated window, deterministically).
-    Deliberately coarser than Lee et al.'s per-occurrence rule on two
-    axes: every occurrence INSIDE the keeper document survives, and
-    windows repeated only WITHIN one document are never cut (the
-    detection half requires count_distinct(doc_id) >= 2) — i.e. this
-    is cross-document dedup at document-keeper granularity, the
-    variant whose keeper set stays groupBy-sized at corpus scale.
+    repeated windows are CUT unless this occurrence is the window's
+    KEEPER.  Two keeper granularities:
+
+    - **Default (document-keeper)**: keeper = minimum doc_id
+      containing the window hash — one canonical DOCUMENT per
+      cross-document repeated window.  Deliberately coarser than Lee
+      et al.'s rule on two axes: every occurrence INSIDE the keeper
+      document survives, and windows repeated only WITHIN one document
+      are never cut (detection requires count_distinct(doc_id) >= 2).
+      The keeper set stays groupBy-sized at corpus scale.
+    - **``per_occurrence=True`` (Lee et al.'s rule, r9 VERDICT #6)**:
+      keeper key extends to ``(doc_id, pos)`` — exactly ONE occurrence
+      of each repeated window survives corpus-wide, intra-document
+      repeats included (detection becomes total occurrences >= 2).
+      Cuts are therefore a superset of the default mode's per doc:
+      non-keeper documents cut identically (the keeper occurrence
+      lives in the min doc_id), and the keeper document now cuts its
+      own 2nd..nth occurrences.
+
     Output: ``doc_id, n_tokens, n_cut, n_kept`` — the decision stats a
     pipeline applies as per-doc slice lists.
 
     Scale shape: identical to ``repeated_spans`` until the hit join
     (window frame ~50 B/window, one shuffle on the hash carrying the
-    per-hash keeper, hash join back); the only new stage is the
+    per-hash keeper, hash join back); the per-occurrence keeper is the
+    same single groupBy with a min(struct) instead of min(doc_id) —
+    no new shuffle class.  The only new stage in either mode is the
     hit-window → covered-position explode, a ≤SPAN_W-fold expansion of
     the MARKED windows only (repeated content is the minority by
     volume in a healthy corpus), followed by a per-doc distinct-count.
@@ -1325,18 +1339,40 @@ def repeated_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
         )
     )
-    keepers = (
-        spans.groupBy("h")
-        .agg(
-            F.count_distinct("doc_id").alias("nd"),
-            F.min("doc_id").alias("keeper"),
+    if per_occurrence:
+        # min(struct) ≡ the lexicographically first (doc_id, pos)
+        # occurrence — the DuckDB twin orders by doc_id, pos
+        keepers = (
+            spans.groupBy("h")
+            .agg(
+                F.count(F.lit(1)).alias("nocc"),
+                F.min(F.struct("doc_id", "pos")).alias("keep"),
+            )
+            .filter(F.col("nocc") >= 2)
+            .select(
+                "h",
+                F.col("keep.doc_id").alias("kdoc"),
+                F.col("keep.pos").alias("kpos"),
+            )
         )
-        .filter(F.col("nd") >= 2)
-        .select("h", "keeper")
-    )
+        hit_filter = ~(
+            (F.col("doc_id") == F.col("kdoc"))
+            & (F.col("pos") == F.col("kpos"))
+        )
+    else:
+        keepers = (
+            spans.groupBy("h")
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("keeper"),
+            )
+            .filter(F.col("nd") >= 2)
+            .select("h", "keeper")
+        )
+        hit_filter = F.col("doc_id") != F.col("keeper")
     cut_positions = (
         spans.join(keepers, "h")
-        .filter(F.col("doc_id") != F.col("keeper"))
+        .filter(hit_filter)
         .selectExpr(
             "doc_id",
             f"explode(sequence(pos, pos + {SPAN_W - 1})) AS tokpos",
@@ -1379,6 +1415,48 @@ cutpos AS (
   FROM spans s JOIN keepers k USING (h),
        unnest(generate_series(0, {SPAN_W - 1})) AS o(off)
   WHERE s.doc_id <> k.keeper
+),
+cuts AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cutpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(tokens) AS BIGINT) AS n_tokens,
+       coalesce(c.n_cut, 0) AS n_cut,
+       CAST(len(tokens) AS BIGINT) - coalesce(c.n_cut, 0) AS n_kept
+FROM toks t LEFT JOIN cuts c ON t.doc_id = c.doc_id
+"""
+
+
+def repeated_span_cut_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry spelling of the per-occurrence ExactSubstr mode (Lee
+    et al.'s keeper rule, keeper key ``(doc_id, pos)``) — see
+    ``repeated_span_cut``."""
+    return repeated_span_cut(spark, sf_dir, per_occurrence=True)
+
+
+# Lee et al.'s per-occurrence rule: rank every occurrence of a window
+# hash by (doc_id, pos); rank 1 is the single corpus-wide keeper, all
+# other occurrences (intra-document repeats included) are cut.
+REPEATED_SPAN_CUT_OCC_SQL = f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+toks AS (SELECT doc_id, {_D_TOKENS} AS tokens FROM corpus),
+spans AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(tokens[i : i + {SPAN_W - 1}], ' ')) AS h
+  FROM toks, unnest(CASE WHEN len(tokens) >= {SPAN_W}
+                         THEN generate_series(1, len(tokens) - {SPAN_W - 1})
+                         ELSE [] END) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, pos, h,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS nocc
+  FROM spans
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, pos + off AS tokpos
+  FROM ranked, unnest(generate_series(0, {SPAN_W - 1})) AS o(off)
+  WHERE nocc >= 2 AND rn > 1
 ),
 cuts AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut FROM cutpos GROUP BY doc_id
@@ -2088,6 +2166,8 @@ QUERIES = {
     "dedup_minhash_bbit": (dedup_minhash_bbit, _bbit_calibration_sql()),
     "repeated_spans": (repeated_spans, REPEATED_SPANS_SQL),
     "repeated_span_cut": (repeated_span_cut, REPEATED_SPAN_CUT_SQL),
+    # Lee et al.'s per-occurrence keeper rule — (doc_id, pos) key
+    "repeated_span_cut_occ": (repeated_span_cut_occ, REPEATED_SPAN_CUT_OCC_SQL),
     "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "fuzzy_part_match": (fuzzy_part_match, FUZZY_MATCH_SQL),
     "entity_resolution_parts": (entity_resolution_parts, ENTITY_RESOLUTION_SQL),

@@ -531,3 +531,63 @@ def test_band_load_seatbelt_trips_on_degenerate_corpus(spark):
         [(i, [i], 0, i) for i in range(n)], schema
     )
     assert assert_band_load(healthy, n, "test_op", cap_per_item=8) == 0
+
+
+def test_per_occurrence_span_cut_dominates_document_keeper(spark, sf_dir):
+    """VERDICT r9 #6: the per-occurrence mode (keeper key (doc_id,
+    pos), Lee et al.'s rule) must cut AT LEAST what document-keeper
+    mode cuts in every document — non-keeper docs cut identically (the
+    keeper occurrence lives in the min doc_id), and the keeper doc
+    additionally cuts its own 2nd..nth occurrences — with conservation
+    (n_cut + n_kept == n_tokens) holding in both modes."""
+    from pyspark.sql import functions as F
+
+    from dbdiff_spark.ops.dedup import (
+        SPAN_W,
+        _neardup_corpus,
+        repeated_span_cut,
+        repeated_span_cut_occ,
+    )
+
+    doc_mode = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["n_kept"])
+        for r in repeated_span_cut(spark, sf_dir).collect()
+    }
+    occ_mode = {
+        r["doc_id"]: (r["n_tokens"], r["n_cut"], r["n_kept"])
+        for r in repeated_span_cut_occ(spark, sf_dir).collect()
+    }
+    assert set(doc_mode) == set(occ_mode) and doc_mode
+    for d, (nt, nc, nk) in doc_mode.items():
+        assert nc + nk == nt
+        ont, onc, onk = occ_mode[d]
+        assert ont == nt and onc + onk == ont
+        assert onc >= nc, (d, onc, nc)
+    # strict dominance whenever any window repeats beyond the
+    # document-keeper reach (intra-doc repeats, or repeats inside the
+    # keeper document) — derived from the corpus, not assumed
+    spans = (
+        _neardup_corpus(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            f"explode(CASE WHEN size(tokens) >= {SPAN_W} THEN "
+            f"sequence(1, size(tokens) - {SPAN_W - 1}) ELSE array() END) AS pos",
+            "tokens",
+        )
+        .selectExpr(
+            "doc_id", f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h"
+        )
+    )
+    extra = (
+        spans.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("nocc"),
+            F.count_distinct("doc_id").alias("nd"),
+        )
+        .filter((F.col("nocc") >= 2) & (F.col("nocc") > F.col("nd")))
+        .count()
+    )
+    if extra:
+        assert sum(c for _t, c, _k in occ_mode.values()) > sum(
+            c for _t, c, _k in doc_mode.values()
+        )
