@@ -67,6 +67,8 @@ HEADLINE = [
     "ann_ivf_trained",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
+    "ann_ivf_serve",
+    "ann_ivfpq_serve",
     "ann_ivf_pq_residual",
     "ann_ivfpq_trained_codebook",
     "ann_ivfpq_ingest",
@@ -330,6 +332,17 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     inflation_segments: dict[str, float | None] = {}
+    # Fixed-STRIDE inflation sampling (VERDICT r9 #4): ambient load on
+    # this host drifts within a multi-minute suite, and the three
+    # boundary segments (start/mid/end) proved too sparse to adjudicate
+    # per-query deltas — both r9 closing runs showed segment spreads to
+    # 1.44 with nothing in between.  The control trio now ALSO runs at
+    # fixed strides through both tiers (every CONTROL_STRIDE timed
+    # entries), giving a time series whose spread (max/min) is reported
+    # so a round-over-round delta can be matched against the ambient
+    # state at the minute it was measured.
+    CONTROL_STRIDE = 25
+    inflation_strides: dict[str, float | None] = {}
     # one UNTIMED sf0.1 pass of the controls first: the start segment
     # otherwise measures cold sf0.1 state (only sf0.001 warmup has run)
     # while mid/end run on a warm suite, conflating cache warmth with
@@ -344,6 +357,15 @@ def main() -> None:
     total = 0.0
     report_total = 0.0
     n_report = 0
+    n_timed = 0
+
+    def stride_sample(label: str) -> None:
+        inflation_strides[label] = measure_controls(spark, qs, sf)
+        print(
+            f"# host_inflation[{label}]: {inflation_strides[label]}",
+            file=sys.stderr,
+        )
+
     for name in HEADLINE:
         if name not in qs:
             continue
@@ -363,6 +385,9 @@ def main() -> None:
             total += best
         print(f"# {name}: {best:.3f}s"
               + (" [report]" if name in REPORT_TIER else ""), file=sys.stderr)
+        n_timed += 1
+        if n_timed % CONTROL_STRIDE == 0:
+            stride_sample(f"h{n_timed}")
     times["diff_lineitem_bucketed"] = min(
         bench_bucketed_diff(spark), bench_bucketed_diff(spark)
     )
@@ -435,6 +460,8 @@ def main() -> None:
             times[name] = dt
             extended_names.append(name)
             print(f"# extended {name}: {dt:.3f}s", file=sys.stderr)
+            if len(extended_names) % CONTROL_STRIDE == 0:
+                stride_sample(f"x{len(extended_names)}")
         # The 10 most expensive extended entries get a second run (min
         # kept): their first run is cold (plan compile + ambient load),
         # and a one-shot number cannot distinguish regression from
@@ -458,6 +485,16 @@ def main() -> None:
             print(f"# extended tier skipped: {skipped}", file=sys.stderr)
     inflation_segments["end"] = measure_controls(spark, qs, sf)
     print(f"# host_inflation[end]: {inflation_segments['end']}", file=sys.stderr)
+    all_samples = [
+        v
+        for v in list(inflation_segments.values())
+        + list(inflation_strides.values())
+        if v
+    ]
+    stride_spread = (
+        round(max(all_samples) / min(all_samples), 2) if all_samples else None
+    )
+    print(f"# stride_spread: {stride_spread}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -474,6 +511,8 @@ def main() -> None:
                 "r2_subset_total": r2_total,
                 "host_inflation": host_inflation,
                 "host_inflation_segments": inflation_segments,
+                "host_inflation_strides": inflation_strides,
+                "stride_spread": stride_spread,
             }
         )
     )
