@@ -1188,7 +1188,7 @@ def bpe_apply_standard_format(
     # dir is removed once loaded (r9 ADVICE: one leaked
     # dbdiff_bpe_std_* per invocation otherwise); a caller-supplied
     # path is the caller's artifact and is left in place.
-    owned = path is None
+    owned = not path
     path = path or tempfile.mkdtemp(prefix="dbdiff_bpe_std_")
     try:
         _, rounds_adopted, expansions = _bpe_batch_learn(

@@ -1323,38 +1323,91 @@ def _serve_ivf_from_artifacts(
     )
 
 
+def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
+    """Driver-side fingerprint of the embeddings table's FILES —
+    (path, length, mtime) of every data file, hashed — so a standing
+    serve root can detect that the corpus at the same path was
+    replaced without paying a data scan.  Listing only; at 100 TB this
+    is a namenode/listing call, not I/O."""
+    import hashlib
+
+    from .. import fs as _hfs
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    fs, p = _hfs._fs(spark, path)
+    parts = []
+    try:
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            st = it.next()
+            parts.append(
+                f"{st.getPath().toString()}:{st.getLen()}:{st.getModificationTime()}"
+            )
+    except Exception:
+        # single plain file (no recursion available) or a source the
+        # listing API cannot walk: fall back to the root status
+        st = fs.getFileStatus(p)
+        parts.append(f"{path}:{st.getLen()}:{st.getModificationTime()}")
+    return hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()
+
+
 def _ensure_index_params(
-    spark: SparkSession, sf_dir: str, root: str, build
-) -> tuple[int, int]:
+    spark: SparkSession, sf_dir: str, root: str, family: str, build
+) -> tuple[int, int, int, int]:
     """Build-once guard for the serve-only entries: ``<root>/params``
-    (1-row parquet: n, cells, nprobe, qmod) is written LAST, so its
-    ``_SUCCESS`` marker doubles as the build-complete flag — a crashed
-    half-build never serves.  When present the build is skipped
-    entirely and serving re-reads the derived config from the artifact
-    instead of re-counting the corpus (at 100 TB the serve path must
-    not pay a corpus scan to rediscover K/nprobe every query batch).
-    ``build(vecs, k, mod)`` runs only on a cold root.  Returns
-    ``(nprobe, qmod)``."""
+    (1-row parquet: n, dim, cells, nprobe, qmod, family, fingerprint)
+    is written LAST, so its ``_SUCCESS`` marker doubles as the
+    build-complete flag — a crashed half-build never serves.  A warm
+    root is trusted only when BOTH recorded facts still hold
+    (r10 review findings):
+
+    - ``fingerprint`` — the embeddings table's file listing hash —
+      still matches, so replacing the corpus at the same path within
+      one process triggers a rebuild instead of serving stale
+      artifacts (the pid-salted root is path-keyed, not content-keyed);
+    - ``family`` covers the requested one: an ``ivfpq`` root carries
+      the coarse layout too, so it serves ``ivf`` requests, but a bare
+      ``ivf`` root must NOT satisfy an ``ivfpq`` request (its
+      ``pq_codes`` do not exist).
+
+    When trusted, the build is skipped entirely and serving re-reads
+    the derived config from the artifact instead of re-counting the
+    corpus (at 100 TB the serve path must not pay a corpus scan to
+    rediscover K/nprobe every query batch).  ``build(vecs, k, mod)``
+    runs only on a cold/invalidated root.  Returns ``(nprobe, qmod,
+    n, dim)``."""
     from .. import fs as _hfs
 
     ppath = f"{root}/params"
-    if not _hfs.exists(spark, f"{ppath}/_SUCCESS"):
-        n = load_table(spark, sf_dir, "embeddings").count()
+    fp = _corpus_fingerprint(spark, sf_dir)
+    fresh = False
+    if _hfs.exists(spark, f"{ppath}/_SUCCESS"):
+        row = spark.read.parquet(ppath).collect()[0]
+        covers = row["family"] == family or (
+            row["family"] == "ivfpq" and family == "ivf"
+        )
+        fresh = covers and row["fingerprint"] == fp
+    if not fresh:
+        vecs0 = _vectors(spark, sf_dir)
+        n, dim = _corpus_shape(vecs0)
         k = semdedup_cells(n)
         mod = _derived_sample_mod(n, k)
-        vecs = _vectors(spark, sf_dir).persist()
+        vecs = vecs0.persist()
         try:
             build(vecs, k, mod)
         finally:
             vecs.unpersist()
         one_file(
             spark.createDataFrame(
-                [(n, k, ivf_nprobe_for(k), query_mod_for(n))],
-                "n bigint, cells bigint, nprobe bigint, qmod bigint",
+                [(n, dim, k, ivf_nprobe_for(k), query_mod_for(n), family, fp)],
+                "n bigint, dim bigint, cells bigint, nprobe bigint,"
+                " qmod bigint, family string, fingerprint string",
             )
         ).write.mode("overwrite").parquet(ppath)
-    row = spark.read.parquet(ppath).collect()[0]
-    return int(row["nprobe"]), int(row["qmod"])
+        row = spark.read.parquet(ppath).collect()[0]
+    return (
+        int(row["nprobe"]), int(row["qmod"]), int(row["n"]), int(row["dim"])
+    )
 
 
 def ann_ivf_serve(
@@ -1366,21 +1419,23 @@ def ann_ivf_serve(
     """The STEADY-STATE half of ``ann_ivf_index_persist``, registered
     separately so the bench prices what production actually pays per
     query batch: the first call per (process, corpus) builds the coarse
-    index into a content-keyed root exactly as ``ann_ivf_index_persist``
-    does; every subsequent call finds the ``params`` completion marker
-    and serves straight from the reloaded artifacts — no training, no
-    assignment, no corpus count.  Same output contract and oracle as
-    ``ann_ivf_index_persist`` (the build is deterministic, so warm and
-    cold calls return identical rows — only the latency differs, which
-    is the point: min-of-3 bench timing reads the ~1 s serving number,
-    not the 8-12 s rebuild)."""
+    index into a fingerprint-guarded root exactly as
+    ``ann_ivf_index_persist`` does; every subsequent call finds the
+    ``params`` completion marker (family + corpus-file fingerprint
+    still valid) and serves straight from the reloaded artifacts — no
+    training, no assignment, no corpus count.  Same output contract
+    and oracle as ``ann_ivf_index_persist`` (the build is
+    deterministic, so warm and cold calls return identical rows — only
+    the latency differs, which is the point: min-of-3 bench timing
+    reads the ~1 s serving number, not the 8-12 s rebuild)."""
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_serve", sf_dir)
-    nprobe, qmod = _ensure_index_params(
+    nprobe, qmod, _n, _dim = _ensure_index_params(
         spark,
         sf_dir,
         root,
+        "ivf",
         lambda vecs, k, mod: _build_ivf_coarse_artifacts(
             spark, vecs, k, mod, root
         ),
@@ -1411,7 +1466,7 @@ IVF_BATCH_SLICE = "vec_id % 2 = 1"
 
 def _build_ingest_base(
     spark: SparkSession, vecs: DataFrame, root: str
-) -> tuple[dict[int, list[float]], int, int]:
+) -> tuple[dict[int, list[float]], int, int, int]:
     """The shared base-slice build behind every ingest op (batch IVF,
     batch IVF-PQ, streaming — r9 review: previously spelled three
     times): derive n/K/stride from the BASE slice, dense-renumber it
@@ -1845,20 +1900,36 @@ def _pq_seeds_case_duck(n_expr: str) -> str:
     )
 
 
-def _pq_params_duck(
-    prefix: str = "", dim_src: str = "vecs", n_src: str = "vecs"
-) -> str:
-    """``{prefix}pqp`` (1 row: mm, seeds) + ``{prefix}pqm`` (one row
-    per subspace m, carrying mm for the slice arithmetic) — the oracle
-    twin of ``pq_m_for``/``pq_seeds_for``.  ``n_src`` lets the ingest
-    oracle derive seeds from the BASE slice while mm still derives
-    from the served corpus's dimension."""
+def _pq_params_duck(prefix: str = "", n_src: str = "vecs") -> str:
+    """``{prefix}pqp`` (1 row: seeds) — the oracle twin of
+    ``pq_seeds_for``.  ``n_src`` lets the ingest oracle derive seeds
+    from the BASE slice.  M has no global twin: both engines derive it
+    PER ROW from the vector's own length (``_pq_m_series_duck`` /
+    ``_sub_split_spark``), so they agree even on a degenerate
+    mixed-length corpus (r10 review finding)."""
     p = prefix
     return f"""{p}pqp AS MATERIALIZED (
-  SELECT GREATEST(1, (SELECT max(len(embedding)) FROM {dim_src}) // {PQ_SUBDIM}) AS mm,
-         {_pq_seeds_case_duck(f'SELECT count(*) FROM {n_src}')} AS seeds
-),
-{p}pqm AS (SELECT mm, u.m FROM {p}pqp, unnest(generate_series(0, mm - 1)) AS u(m))"""
+  SELECT {_pq_seeds_case_duck(f'SELECT count(*) FROM {n_src}')} AS seeds
+)"""
+
+
+def _pq_m_series_duck(col: str) -> str:
+    """Lateral subspace index source: one row per m ∈ [0, M) with M
+    derived from the row's own vector length at the fixed sub-vector
+    width — the DuckDB twin of ``_sub_split_spark``'s sequence."""
+    return (
+        f"unnest(generate_series(0,"
+        f" GREATEST(1, len({col}) // {PQ_SUBDIM}) - 1)) AS u(m)"
+    )
+
+
+def _pq_sub_slice_duck(col: str) -> str:
+    """The m-th sub-vector of ``col`` at per-row-derived M."""
+    mm = f"GREATEST(1, len({col}) // {PQ_SUBDIM})"
+    return (
+        f"{col}[m * (len({col}) // {mm}) + 1 :"
+        f" (m + 1) * (len({col}) // {mm})]"
+    )
 
 
 def _sub_split_spark(col: str) -> str:
@@ -1985,20 +2056,17 @@ def ann_pq(
     )
 
 
-# the slice reads mm off the joined {p}pqm row — the oracle twin of
-# ``_sub_split_spark``'s per-row derivation
-_PQ_SUB_DUCK = "qvec[m * (len(qvec) // mm) + 1 : (m + 1) * (len(qvec) // mm)]"
-
 # The PQ fine stage as one shared CTE fragment (expects a ``vecs`` CTE
 # in scope) — the oracle twin of ``_pq_codes_and_table``, consumed by
 # BOTH the flat ANN_PQ_SQL and the IVF-PQ composite so the engines'
-# shared-builder guarantee holds on the SQL side too.  ``pqp``/``pqm``
-# re-derive M and the codebook size exactly as the engine does.
+# shared-builder guarantee holds on the SQL side too.  ``pqp``
+# re-derives the codebook size exactly as the engine does; M derives
+# per row, mirroring ``_sub_split_spark``.
 _PQ_STAGE_CTES = f"""{_pq_params_duck()},
 qvecs AS (SELECT vec_id, {_qvec_duck()} AS qvec FROM vecs),
 subs AS (
-  SELECT vec_id, m, {_PQ_SUB_DUCK} AS sub
-  FROM qvecs CROSS JOIN pqm
+  SELECT vec_id, m, {_pq_sub_slice_duck('qvec')} AS sub
+  FROM qvecs, {_pq_m_series_duck('qvec')}
 ),
 codebook AS (
   SELECT vec_id AS seed_id, m, sub AS seed_sub FROM subs
@@ -2042,8 +2110,9 @@ WHERE rank <= {PQ_K}
 #
 # IVF bounds the CANDIDATE SPACE (each query scores ~nprobe·n/C
 # vectors, C and nprobe corpus-derived); PQ bounds the CANDIDATE
-# PAYLOAD (M codes per vector instead of the embedding — at M=4 codes
-# vs 64×float64, a 128× memory cut on the serving side).  Composed,
+# PAYLOAD (M derived codes per vector instead of the embedding — at
+# dim = 16·M float64s per vector, a ~32× serving-side memory cut
+# before the code-width win).  Composed,
 # the scoring join moves only ``(vec_id, cell, m, code)`` rows for the
 # probed cells and ranks by exact-integer ADC — the shape every
 # production vector store (faiss IVFPQ, Milvus, ScaNN-coarse) serves
@@ -2054,15 +2123,22 @@ WHERE rank <= {PQ_K}
 
 
 def _ann_ivf_pq_frame(
-    vecs: DataFrame, cells: int, nprobe: int, max_broadcast_queries: int
+    vecs: DataFrame,
+    cells: int,
+    nprobe: int,
+    max_broadcast_queries: int,
+    n: int,
+    dim: int,
 ) -> DataFrame:
     """The LAZY IVF-PQ composition over a ``(vec_id, embedding, norm)``
     frame — shared by the eager registry op (which persists ``vecs``
-    and checkpoints the result) and its plan-audit explain frame."""
+    and checkpoints the result) and its plan-audit explain frame.
+    ``n``/``dim`` come from the caller's single ``_corpus_shape`` pass
+    (r10 review: this function re-deriving them was a second
+    full-corpus agg per call)."""
     # --- coarse stage: THE shared seed-IVF builder (ann_ivf's) ---
     assigned, probes = _ivf_coarse(vecs, cells, nprobe, payload=False)
     # --- fine stage: the SHARED PQ builder (ann_pq's, verbatim) ---
-    n, dim = _corpus_shape(vecs)
     seeds = pq_seeds_for(n)
     codes, dtable = _pq_codes_and_table(vecs, seeds)
     # --- compose: cell-pruned candidates, ADC-ranked ---
@@ -2106,12 +2182,15 @@ def ann_ivf_pq(
     corpus×seeds coarse scoring from scratch — and the result is
     eagerly checkpointed so the cache can be released before
     returning (the sibling trained ops' pattern)."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    vecs0 = _vectors(spark, sf_dir)
+    n, dim = _corpus_shape(vecs0)
     cells = semdedup_cells(n)
     nprobe = ivf_nprobe_for(cells)
-    vecs = _vectors(spark, sf_dir).persist()
+    vecs = vecs0.persist()
     try:
-        out = _ann_ivf_pq_frame(vecs, cells, nprobe, max_broadcast_queries)
+        out = _ann_ivf_pq_frame(
+            vecs, cells, nprobe, max_broadcast_queries, n, dim
+        )
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
@@ -2121,11 +2200,11 @@ def _ann_ivf_pq_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lazy plan twin of ``ann_ivf_pq`` (the registry op checkpoints
     eagerly to release its corpus cache, so its returned plan is a
     checkpoint scan)."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    vecs = _vectors(spark, sf_dir)
+    n, dim = _corpus_shape(vecs)
     cells = semdedup_cells(n)
     return _ann_ivf_pq_frame(
-        _vectors(spark, sf_dir), cells, ivf_nprobe_for(cells),
-        MAX_BROADCAST_QUERIES,
+        vecs, cells, ivf_nprobe_for(cells), MAX_BROADCAST_QUERIES, n, dim
     )
 
 
@@ -2222,10 +2301,10 @@ def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
 
 
 # Lloyd rounds for the TRAINED PQ codebook.  The seeded codebook
-# (sub-vectors of the first PQ_SEEDS vectors) is what bounds recall in
-# the composite — 8 arbitrary corpus slices quantize the residual
-# distribution badly; faiss trains per-subspace k-means over the
-# residuals instead.  Grid-exact machinery mirrors the coarse Lloyd:
+# (sub-vectors of the first pq_seeds_for(n) vectors) is what bounds
+# recall in the composite — that many arbitrary corpus slices quantize
+# the residual distribution badly; faiss trains per-subspace k-means
+# over the residuals instead.  Grid-exact machinery mirrors the coarse Lloyd:
 # BIGINT sub-vectors in, per-(m, code, pos) integer-mean update
 # (ROUND(SUM/COUNT) — sums stay below 2^53, the division is IEEE-
 # deterministic), so the fixpoint is bit-identical in both engines.
@@ -2524,16 +2603,19 @@ def ann_ivfpq_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_serve", sf_dir)
-    nprobe, qmod = _ensure_index_params(
+    nprobe, qmod, n, dim = _ensure_index_params(
         spark,
         sf_dir,
         root,
+        "ivfpq",
         lambda vecs, k, mod: _build_ivfpq_artifacts(
             spark, vecs, k, mod, root, train_codebook=False
         ),
     )
     out = _serve_ivfpq_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
+        # M×K straight from the params scalars — no artifact count job
+        fan=pq_m_for(dim) * pq_seeds_for(n),
     )
     return out.localCheckpoint(eager=True)
 
@@ -2545,11 +2627,16 @@ def _serve_ivfpq_from_artifacts(
     nprobe: int,
     max_broadcast_queries: int,
     query_mod: int = QUERY_MOD,
+    fan: int | None = None,
 ) -> DataFrame:
     """Residual-PQ ADC serving off a persisted index root (centroids +
     cell-partitioned assignments + pq_codebook + pq_codes) — the
     build-once/serve-many half of the composite, the sibling of
-    ``_serve_ivf_from_artifacts``.  Lazy — the caller pins."""
+    ``_serve_ivf_from_artifacts``.  The returned frame is lazy — the
+    caller pins — but sizing the ADC broadcast guard needs the M×K fan
+    as a scalar: pass ``fan`` when the caller already knows it (the
+    serve entry derives it from its params artifact), else one tiny
+    count over the codebook artifact runs here."""
     loaded_centroids = _load_index_centroids(spark, root)
     cframe = _centroid_frame(spark, loaded_centroids)
     codes = spark.read.parquet(f"{root}/pq_codes")
@@ -2562,9 +2649,10 @@ def _serve_ivfpq_from_artifacts(
     ).select("query_id", "q_emb", "q_cell")
     cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
-    # the derived M×K is exactly the artifact codebook's row count —
-    # one tiny parquet read, no corpus scan on the serve path
-    fan = codebook.count()
+    if fan is None:
+        # the derived M×K is exactly the artifact codebook's row count
+        # — one tiny parquet read, never a corpus scan
+        fan = codebook.count()
     return _pq_adc_rank(
         cand, codes, dtable, max_broadcast_queries, nprobe, fan
     )
@@ -2834,8 +2922,6 @@ tcand AS (
 )"""
 
 
-# mm rides the joined {p}pqm row, as in the int8 tier's _PQ_SUB_DUCK
-_GRID_SUB_DUCK = "gq[m * (len(gq) // mm) + 1 : (m + 1) * (len(gq) // mm)]"
 
 
 def _pq_codebook_train_sql_ctes(p: str) -> str:
@@ -2930,8 +3016,8 @@ def _ivfpq_grid_sql_ctes(
     return f"""{_pq_params_duck(prefix=p, n_src=n_src)},
 {p}gvecs AS ({corpus_grid}),
 {p}gsubs AS (
-  SELECT vec_id, m, {_GRID_SUB_DUCK} AS sub
-  FROM {p}gvecs CROSS JOIN {p}pqm
+  SELECT vec_id, m, {_pq_sub_slice_duck('gq')} AS sub
+  FROM {p}gvecs, {_pq_m_series_duck('gq')}
 ),
 {codebook_ctes},
 {p}gcodes AS (
@@ -2945,8 +3031,8 @@ def _ivfpq_grid_sql_ctes(
 ),
 {p}qg AS ({query_grid}),
 {p}qgsubs AS (
-  SELECT query_id, q_cell, m, {_GRID_SUB_DUCK} AS sub
-  FROM {p}qg CROSS JOIN {p}pqm
+  SELECT query_id, q_cell, m, {_pq_sub_slice_duck('gq')} AS sub
+  FROM {p}qg, {_pq_m_series_duck('gq')}
 ),
 {p}gdtable AS (
   SELECT query_id, q_cell, q.m, c.seed_id AS code,

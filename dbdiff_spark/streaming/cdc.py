@@ -1399,7 +1399,7 @@ def stream_ivf_ingest(
     # localCheckpoint'd below, so nothing lazily reads the artifacts
     # after return (r9 ADVICE: one leaked dbdiff_stream_ivf_* per
     # invocation otherwise); a caller-supplied root is left in place
-    owned = root is None
+    owned = not root
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivf_")
     vecs = sim._vectors(spark, sf_dir).persist()
     try:
@@ -1495,7 +1495,7 @@ def stream_ivfpq_ingest(
 
     from dbdiff_spark.ops import similarity as sim
 
-    owned = root is None
+    owned = not root
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ivfpq_")
     vecs = sim._vectors(spark, sf_dir).persist()
     try:

@@ -979,3 +979,60 @@ def test_ivf_serve_scan_partition_prunes_probed_cells(spark, sf_dir, tmp_path):
 
     pf = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
     assert any("cell" in f and "dynamicpruning" in f for f in pf), pf
+
+
+def test_ann_serve_rebuilds_when_corpus_replaced(spark, tmp_path):
+    """r10 review finding: the serve root is PATH-keyed, so the warm
+    guard must also check a corpus-file fingerprint — replacing the
+    corpus at the same path must invalidate the standing index and
+    rebuild, never serve corpus-A artifacts against corpus-B queries."""
+    import shutil
+
+    from dbdiff_spark.ops import similarity as sim
+
+    sf = str(tmp_path / "corpus")
+    root = str(tmp_path / "root")
+
+    def write_corpus(offset: float) -> None:
+        rows = [
+            (i, [float(i % 7) + offset, float(i % 5), 1.0, 2.0], i % 3)
+            for i in range(120)
+        ]
+        shutil.rmtree(f"{sf}/embeddings.parquet", ignore_errors=True)
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>, label int"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/embeddings.parquet"
+        )
+
+    write_corpus(0.0)
+    first = sorted(map(tuple, sim.ann_ivf_serve(spark, sf, index_root=root).collect()))
+    write_corpus(10.0)  # same path, different content
+    second = sorted(map(tuple, sim.ann_ivf_serve(spark, sf, index_root=root).collect()))
+    # the rebuilt index must reflect corpus B: cosines change
+    assert first != second
+    # and a THIRD call on the unchanged corpus is warm again (params
+    # fingerprint now records corpus B)
+    third = sorted(map(tuple, sim.ann_ivf_serve(spark, sf, index_root=root).collect()))
+    assert third == second
+
+
+def test_ann_serve_family_marker_prevents_cross_family_skip(spark, sf_dir, tmp_path):
+    """r10 review finding: the params marker records WHICH artifact
+    family finished.  A root built by ann_ivf_serve (coarse only) must
+    NOT satisfy ann_ivfpq_serve's guard — the PQ call rebuilds the full
+    composite instead of crashing on missing pq_codes — while an ivfpq
+    root (superset layout) serves both families warm."""
+    from dbdiff_spark import fs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "shared_root")
+    ivf_rows = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    assert not fs.exists(spark, f"{root}/pq_codes")
+    # PQ request on the coarse-only root: rebuilds (no crash), full layout
+    pq_rows = sorted(map(tuple, sim.ann_ivfpq_serve(spark, sf_dir, index_root=root).collect()))
+    assert pq_rows and fs.exists(spark, f"{root}/pq_codes")
+    # now the root is family=ivfpq — the coarse request serves warm
+    # from the superset layout and returns the same rows as before
+    ivf_again = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
+    assert ivf_again == ivf_rows
