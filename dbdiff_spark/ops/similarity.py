@@ -1737,6 +1737,9 @@ EXPLAIN_FRAMES = {
     "ann_ivf_full_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
+    # the serve entries' public frames are checkpoint-pinned artifact
+    # reads; their serving join/agg skeleton is the trained tier's
+    "ann_ivf_serve": _ann_ivf_trained_explain_frame,
     "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
         spark, sf_dir
     ),
@@ -2849,6 +2852,7 @@ def _ann_ivf_pq_residual_explain_frame(
 
 
 EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
+EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivf_pq_residual_explain_frame
 EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
     _ann_ivf_pq_residual_explain_frame
 )

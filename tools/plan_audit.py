@@ -76,9 +76,12 @@ AUDITED = [
     "ann_ivf_cells_scaled",
     "ann_ivf_pq_residual",
     "ann_ivfpq_trained_codebook",
+    "ann_ivf_serve",
+    "ann_ivfpq_serve",
     "dedup_minhash_bbit",
     "embedding_truncation_recall",
     "repeated_span_cut",
+    "repeated_span_cut_occ",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
