@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_recall_report",
     "ann_ivf_trained",
+    "ann_ivf_filtered",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_serve",

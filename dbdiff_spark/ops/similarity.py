@@ -1621,6 +1621,132 @@ tsample AS MATERIALIZED (
     )
 
 
+def ann_ivf_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Metadata-FILTERED ANN — the production vector-store shape
+    ("top-k similar WHERE <predicate>"; faiss IDSelector, Milvus/
+    Qdrant payload filters): each query's top-IVF_K among probed-cell
+    neighbors sharing the QUERY'S OWN label ("similar items in my
+    category" — a per-query predicate, not one global constant).
+
+    Strategy is PRE-FILTER: the label predicate rides the candidate
+    JOIN itself, so Catalyst evaluates it before ranking and — because
+    ``label`` is a plain column of the assignment relation — it
+    composes with everything the tier already has: column pruning,
+    cell partition pruning (DPP on a persisted layout), and the
+    windowed top-k only ever sees matching rows.  Post-filtering
+    (rank first, filter after) is the classic recall trap — top-k
+    then filter can return FEWER than k matches even when k matches
+    exist; pre-filter cannot.  Same trained coarse machinery and
+    output contract as ``ann_ivf_trained``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = semdedup_cells(n)
+    mod = _derived_sample_mod(n, k)
+    nprobe = ivf_nprobe_for(k)
+    qmod = query_mod_for(n)
+    # label carried through assignment (withColumn preserves columns)
+    vecs = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        "label",
+    ).persist()
+    try:
+        centroids = _kmeans_centroids(
+            _lloyd_train_frame(vecs.drop("label"), mod), k
+        )
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell", "label"
+        )
+        queries = _probe_frame(vecs, centroids, nprobe, qmod).join(
+            vecs.selectExpr("vec_id AS query_id", "label AS q_label"),
+            "query_id",
+        )
+        cand = assigned.join(
+            _query_side(queries, max_broadcast_queries * nprobe, "merge"),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)"
+            ).alias("cosine"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        out = (
+            cand.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= IVF_K)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        vecs.unpersist()
+
+
+def _ann_ivf_filtered_sql() -> str:
+    """Oracle twin of ``ann_ivf_filtered``: the sample-trained search
+    with ``a.label = q_label`` on the candidate join — pre-filter
+    semantics spelled identically."""
+    n = KMEANS_ITERS
+    return f"""
+WITH tp AS MATERIALIZED (
+  SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
+         {_nprobe_scaled_duck()} AS np, {_query_mod_duck('n')} AS qmod
+  FROM (SELECT count(*) AS n, {_cells_scaled_duck('embeddings')})
+),
+tsample AS MATERIALIZED (
+  SELECT vec_id // (SELECT smod FROM tp) AS vec_id, embedding
+  FROM embeddings WHERE vec_id % (SELECT smod FROM tp) = 0
+),
+{_kmeans_layers_sql("(SELECT cells FROM tp)", "tsample")},
+vecs AS ({_VECTORS_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+tassigned AS (
+  SELECT t.vec_id, t.embedding, t.norm, t.cell, lab.label FROM (
+    SELECT v.vec_id, v.embedding, v.norm, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS rn
+    FROM vecs v CROSS JOIN c{n} c
+  ) t JOIN lab ON t.vec_id = lab.vec_id
+  WHERE rn = 1
+),
+tqueries AS (
+  SELECT t.vec_id AS query_id, t.embedding AS q_emb, t.norm AS q_norm,
+         t.cell AS q_cell, lab.label AS q_label
+  FROM (
+    SELECT v.vec_id, v.embedding, v.norm, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS prn
+    FROM vecs v CROSS JOIN c{n} c
+    WHERE v.vec_id % (SELECT qmod FROM tp) = 0
+  ) t JOIN lab ON t.vec_id = lab.vec_id
+  WHERE prn <= (SELECT np FROM tp)
+),
+tcand AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         {_dot_duck('a.embedding', 'q_emb')} / (a.norm * q_norm) AS cosine
+  FROM tassigned a JOIN tqueries
+    ON a.cell = q_cell AND a.vec_id <> query_id AND a.label = q_label
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM tcand
+)
+WHERE rank <= {IVF_K}
+"""
+
+
 def _ann_ivf_trained_sql(
     nprobe: "int | str | None" = None,
     k_sql: "int | str | None" = None,
@@ -4273,6 +4399,9 @@ QUERIES = {
     # derived nprobe (the r7 weak item closed); the full-corpus Lloyd
     # survives only as the explicit A/B entry
     "ann_ivf_trained": (ann_ivf_trained, _ann_ivf_sample_trained_sql()),
+    # metadata-filtered ANN: per-query label predicate PRE-filtered on
+    # the candidate join (the vector-store "top-k WHERE ..." shape)
+    "ann_ivf_filtered": (ann_ivf_filtered, _ann_ivf_filtered_sql()),
     "ann_ivf_full_trained": (ann_ivf_full_trained, _ann_ivf_trained_sql()),
     "ann_ivf_cells_scaled": (ann_ivf_cells_scaled, _ann_ivf_cells_scaled_sql()),
     "ann_ivf_index_persist": (

@@ -1036,3 +1036,41 @@ def test_ann_serve_family_marker_prevents_cross_family_skip(spark, sf_dir, tmp_p
     # from the superset layout and returns the same rows as before
     ivf_again = sorted(map(tuple, sim.ann_ivf_serve(spark, sf_dir, index_root=root).collect()))
     assert ivf_again == ivf_rows
+
+
+def test_filtered_ann_prefilters_by_query_label(spark, sf_dir):
+    """ann_ivf_filtered returns only neighbors sharing the query's own
+    label, and — the pre-filter guarantee — never fewer matches per
+    query than post-filtering the unfiltered top-k would (the classic
+    post-filter recall trap: filter-after-rank can drop below k even
+    when k matches exist in the probed cells)."""
+    from collections import Counter
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops.similarity import ann_ivf_filtered, ann_ivf_trained
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    pre = ann_ivf_filtered(spark, sf_dir).collect()
+    assert pre
+    for r in pre:
+        assert labels[r.neighbor_id] == labels[r.query_id], (
+            r.query_id, r.neighbor_id,
+        )
+        assert r.neighbor_id != r.query_id
+    pre_counts = Counter(r.query_id for r in pre)
+    # post-filter the unfiltered trained top-k (same derived config)
+    unf = ann_ivf_trained(spark, sf_dir).collect()
+    post_counts = Counter(
+        r.query_id for r in unf if labels[r.neighbor_id] == labels[r.query_id]
+    )
+    assert set(post_counts) <= set(pre_counts)
+    for q, n_post in post_counts.items():
+        assert pre_counts[q] >= n_post, (q, pre_counts[q], n_post)
+    # and somewhere the trap is real on this corpus: pre-filter finds
+    # matches post-filter loses (or serves a query post-filter empties)
+    assert sum(pre_counts.values()) >= sum(post_counts.values())
