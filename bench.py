@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_ivf_recall_report",
     "ann_ivf_trained",
     "ann_ivf_filtered",
+    "ann_ivf_filtered_serve",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_serve",

@@ -1691,6 +1691,88 @@ def ann_ivf_filtered(
         vecs.unpersist()
 
 
+def ann_ivf_filtered_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Filtered ANN against a STANDING index — the shape a vector
+    store actually runs "top-k WHERE <predicate>" in: the label is a
+    PAYLOAD COLUMN of the persisted cell-partitioned layout (written
+    once at build, beside the vectors — Milvus/Qdrant store payloads
+    exactly here), so serving needs no corpus-scale label join: the
+    predicate rides the candidate join over the already-cell-pruned
+    scan, composing with DPP and parquet row-group stats.  Query-side
+    labels are a Q-row lookup (the stride filter pushes to the scan).
+    Build-once via the params guard (own family ``ivf_lab``: the
+    layout is a superset of the coarse one but serves only here);
+    warm calls run serve-only.  Identical rows to ``ann_ivf_filtered``
+    (same deterministic derived config), so it shares that oracle."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_lab", sf_dir)
+
+    def build(vecs: DataFrame, k: int, mod: int) -> None:
+        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        one_file(_centroid_frame(spark, centroids)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        labels = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label"
+        )
+        _write_cell_partitioned(
+            _assign_cells(vecs, centroids)
+            .join(labels, "vec_id")
+            .select("vec_id", "embedding", "norm", "label", "cell"),
+            f"{root}/assignments",
+            "overwrite",
+        )
+
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark, sf_dir, root, "ivf_lab", build
+    )
+    loaded_centroids = _load_index_centroids(spark, root)
+    assigned = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "label",
+        F.col("cell").cast("bigint").alias("cell"),
+    )
+    # Q-row label lookup for the query side: the stride predicate
+    # pushes into the scan, so this reads Q rows, not the corpus
+    qlab = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % qmod == 0)
+        .selectExpr("vec_id AS query_id", "label AS q_label")
+    )
+    queries = _probe_frame(
+        _vectors(spark, sf_dir), loaded_centroids, nprobe, qmod
+    ).join(qlab, "query_id")
+    cand = assigned.join(
+        _query_side(queries, max_broadcast_queries * nprobe, "merge"),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") == F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)"
+        ).alias("cosine"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    out = (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def _ann_ivf_filtered_sql() -> str:
     """Oracle twin of ``ann_ivf_filtered``: the sample-trained search
     with ``a.label = q_label`` on the candidate join — pre-filter
@@ -4402,6 +4484,8 @@ QUERIES = {
     # metadata-filtered ANN: per-query label predicate PRE-filtered on
     # the candidate join (the vector-store "top-k WHERE ..." shape)
     "ann_ivf_filtered": (ann_ivf_filtered, _ann_ivf_filtered_sql()),
+    # the standing-index spelling: label as a persisted payload column
+    "ann_ivf_filtered_serve": (ann_ivf_filtered_serve, _ann_ivf_filtered_sql()),
     "ann_ivf_full_trained": (ann_ivf_full_trained, _ann_ivf_trained_sql()),
     "ann_ivf_cells_scaled": (ann_ivf_cells_scaled, _ann_ivf_cells_scaled_sql()),
     "ann_ivf_index_persist": (

@@ -1074,3 +1074,26 @@ def test_filtered_ann_prefilters_by_query_label(spark, sf_dir):
     # and somewhere the trap is real on this corpus: pre-filter finds
     # matches post-filter loses (or serves a query post-filter empties)
     assert sum(pre_counts.values()) >= sum(post_counts.values())
+
+
+def test_filtered_serve_matches_rebuild_and_skips_rebuild(spark, sf_dir, tmp_path, monkeypatch):
+    """The standing-index filtered search must return EXACTLY the
+    rebuild entry's rows (same deterministic derived config), carry the
+    label as a persisted payload column of the cell layout, and never
+    rebuild on a warm root."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_lab")
+    served = sorted(map(tuple, sim.ann_ivf_filtered_serve(spark, sf_dir, index_root=root).collect()))
+    rebuilt = sorted(map(tuple, sim.ann_ivf_filtered(spark, sf_dir).collect()))
+    assert served == rebuilt and served
+    # label persisted beside the vectors in the layout
+    cols = spark.read.parquet(f"{root}/assignments").columns
+    assert "label" in cols and "cell" in cols
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("warm filtered serve re-ran the build")
+
+    monkeypatch.setattr(sim, "_kmeans_centroids", _no_rebuild)
+    warm = sorted(map(tuple, sim.ann_ivf_filtered_serve(spark, sf_dir, index_root=root).collect()))
+    assert warm == served
