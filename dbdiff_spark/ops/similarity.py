@@ -1179,19 +1179,30 @@ def _ivf_literal_search(
     nprobe: int,
     max_broadcast_queries: int,
     query_mod: int = QUERY_MOD,
+    queries: DataFrame | None = None,
+    extra_on=None,
 ) -> DataFrame:
     """The serving half of trained IVF: rank the K centroids per query
     (``_probe_frame``), probe ``nprobe`` cells against the assignment
     frame, exact-rank the cell-restricted candidates.  ``assigned`` may
     be freshly computed or reloaded from a persisted index — the search
-    is agnostic."""
-    queries = _probe_frame(vecs, centroids, nprobe, query_mod)
+    is agnostic.  ``queries`` overrides the probe frame (a caller that
+    enriched it, e.g. with per-query labels); ``extra_on`` ANDs an
+    extra predicate into the candidate join — the PRE-FILTER hook the
+    metadata-filtered entries ride (one spelling of the cand/rank
+    block, r10 review)."""
+    if queries is None:
+        queries = _probe_frame(vecs, centroids, nprobe, query_mod)
+    on = (F.col("cell") == F.col("q_cell")) & (
+        F.col("vec_id") != F.col("query_id")
+    )
+    if extra_on is not None:
+        on = on & extra_on
     # row bound scaled by nprobe: the explode above emits nprobe rows
     # per query (see ann_ivf's multi-probe note)
     cand = assigned.join(
         _query_side(queries, max_broadcast_queries * nprobe, "merge"),
-        (F.col("cell") == F.col("q_cell"))
-        & (F.col("vec_id") != F.col("query_id")),
+        on,
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -1345,7 +1356,11 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
             )
     except Exception:
         # single plain file (no recursion available) or a source the
-        # listing API cannot walk: fall back to the root status
+        # listing API cannot walk: fall back to the root status ALONE —
+        # a mid-iteration failure must not mix partial listing entries
+        # into the hash, or the poisoned fingerprint forces a spurious
+        # rebuild on every later healthy call (r10 review)
+        parts = []
         st = fs.getFileStatus(p)
         parts.append(f"{path}:{st.getLen()}:{st.getModificationTime()}")
     return hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()
@@ -1383,10 +1398,15 @@ def _ensure_index_params(
     fresh = False
     if _hfs.exists(spark, f"{ppath}/_SUCCESS"):
         row = spark.read.parquet(ppath).collect()[0]
-        covers = row["family"] == family or (
-            row["family"] == "ivfpq" and family == "ivf"
+        # asDict + .get: a durable root written by an OLDER params
+        # schema (pre-family/fingerprint) must read as stale and
+        # rebuild, not crash the guard on a missing field (r10 review)
+        rec = row.asDict()
+        covers = rec.get("family") == family or (
+            rec.get("family") == "ivfpq" and family == "ivf"
         )
-        fresh = covers and row["fingerprint"] == fp
+        fresh = covers and rec.get("fingerprint") == fp and "n" in rec \
+            and "dim" in rec
     if not fresh:
         vecs0 = _vectors(spark, sf_dir)
         n, dim = _corpus_shape(vecs0)
@@ -1666,25 +1686,15 @@ def ann_ivf_filtered(
             vecs.selectExpr("vec_id AS query_id", "label AS q_label"),
             "query_id",
         )
-        cand = assigned.join(
-            _query_side(queries, max_broadcast_queries * nprobe, "merge"),
-            (F.col("cell") == F.col("q_cell"))
-            & (F.col("vec_id") != F.col("query_id"))
-            & (F.col("label") == F.col("q_label")),
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.expr(
-                f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)"
-            ).alias("cosine"),
-        )
-        wq = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
-        )
-        out = (
-            cand.withColumn("rank", F.row_number().over(wq))
-            .filter(F.col("rank") <= IVF_K)
-            .select("query_id", "neighbor_id", "cosine", "rank")
+        out = _ivf_literal_search(
+            vecs,
+            assigned,
+            centroids,
+            nprobe,
+            max_broadcast_queries,
+            qmod,
+            queries=queries,
+            extra_on=F.col("label") == F.col("q_label"),
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1713,18 +1723,25 @@ def ann_ivf_filtered_serve(
 
     root = index_root or _hfs.artifact_root(spark, "ivf_lab", sf_dir)
 
-    def build(vecs: DataFrame, k: int, mod: int) -> None:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    def build(_vecs: DataFrame, k: int, mod: int) -> None:
+        # label carried THROUGH assignment (withColumn preserves
+        # columns) — joining a corpus-sized labels relation after
+        # assignment would add a full-payload shuffle pair the sibling
+        # entry proves unnecessary (r10 review)
+        labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+            "label",
+        )
+        centroids = _kmeans_centroids(_lloyd_train_frame(_vecs, mod), k)
         one_file(_centroid_frame(spark, centroids)).write.mode(
             "overwrite"
         ).parquet(f"{root}/centroids")
-        labels = load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "label"
-        )
         _write_cell_partitioned(
-            _assign_cells(vecs, centroids)
-            .join(labels, "vec_id")
-            .select("vec_id", "embedding", "norm", "label", "cell"),
+            _assign_cells(labeled, centroids).select(
+                "vec_id", "embedding", "norm", "label", "cell"
+            ),
             f"{root}/assignments",
             "overwrite",
         )
@@ -1750,25 +1767,15 @@ def ann_ivf_filtered_serve(
     queries = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, qmod
     ).join(qlab, "query_id")
-    cand = assigned.join(
-        _query_side(queries, max_broadcast_queries * nprobe, "merge"),
-        (F.col("cell") == F.col("q_cell"))
-        & (F.col("vec_id") != F.col("query_id"))
-        & (F.col("label") == F.col("q_label")),
-    ).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            f"{_dot_spark('embedding', 'q_emb')} / (norm * q_norm)"
-        ).alias("cosine"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    out = (
-        cand.withColumn("rank", F.row_number().over(wq))
-        .filter(F.col("rank") <= IVF_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    out = _ivf_literal_search(
+        _vectors(spark, sf_dir),
+        assigned,
+        loaded_centroids,
+        nprobe,
+        max_broadcast_queries,
+        qmod,
+        queries=queries,
+        extra_on=F.col("label") == F.col("q_label"),
     )
     return out.localCheckpoint(eager=True)
 
@@ -1940,14 +1947,34 @@ def _ann_ivf_trained_explain_frame(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _ann_ivf_serve_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE serve plan over a pre-ensured root (r10 review: the
+    trained-tier frame shows the training path, not the artifact scans
+    + cell DPP the serve entry exists to price) — lazy, so the audit
+    reads the real serving skeleton."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivf_serve", sf_dir)
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivf",
+        lambda vecs, k, mod: _build_ivf_coarse_artifacts(
+            spark, vecs, k, mod, root
+        ),
+    )
+    return _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+    )
+
+
 EXPLAIN_FRAMES = {
     "ann_ivf_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_full_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
-    # the serve entries' public frames are checkpoint-pinned artifact
-    # reads; their serving join/agg skeleton is the trained tier's
-    "ann_ivf_serve": _ann_ivf_trained_explain_frame,
+    "ann_ivf_serve": _ann_ivf_serve_explain_frame,
     "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
         spark, sf_dir
     ),
@@ -2825,7 +2852,10 @@ def ann_ivfpq_serve(
     )
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
-        # M×K straight from the params scalars — no artifact count job
+        # M×K straight from the params scalars — no artifact count job.
+        # An UPPER bound on the codebook rows (exact on dense vec_ids;
+        # a sparse-id corpus seeds fewer entries), which is the safe
+        # direction for a broadcast-guard threshold.
         fan=pq_m_for(dim) * pq_seeds_for(n),
     )
     return out.localCheckpoint(eager=True)
@@ -3059,8 +3089,31 @@ def _ann_ivf_pq_residual_explain_frame(
     )
 
 
+def _ann_ivfpq_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TRUE PQ serve plan over a pre-ensured root — the ADC join
+    against artifact scans, not the build path (r10 review)."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivfpq_serve", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq",
+        lambda vecs, k, mod: _build_ivfpq_artifacts(
+            spark, vecs, k, mod, root, train_codebook=False
+        ),
+    )
+    return _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+    )
+
+
 EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
-EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivf_pq_residual_explain_frame
+EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivfpq_serve_explain_frame
 EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
     _ann_ivf_pq_residual_explain_frame
 )
@@ -3190,9 +3243,10 @@ def _ivfpq_grid_sql_ctes(
     picks the grid encoding, ``trained_codebook`` swaps the seeded
     codebook for the per-subspace Lloyd fixpoint; ``prefix``
     namespaces so the recall report composes the arms in one query.
-    ``{p}pqp``/``{p}pqm`` re-derive M and the seed budget exactly as
-    the engine (``n_src`` = the corpus the budget derives from — the
-    base slice in the ingest posture)."""
+    ``{p}pqp`` re-derives the seed budget exactly as the engine
+    (``n_src`` = the corpus the budget derives from — the base slice
+    in the ingest posture); M derives PER ROW via
+    ``_pq_m_series_duck``, mirroring ``_sub_split_spark``."""
     p = prefix
     n = KMEANS_ITERS
     if residual:

@@ -1071,9 +1071,13 @@ def test_filtered_ann_prefilters_by_query_label(spark, sf_dir):
     assert set(post_counts) <= set(pre_counts)
     for q, n_post in post_counts.items():
         assert pre_counts[q] >= n_post, (q, pre_counts[q], n_post)
-    # and somewhere the trap is real on this corpus: pre-filter finds
-    # matches post-filter loses (or serves a query post-filter empties)
-    assert sum(pre_counts.values()) >= sum(post_counts.values())
+    # and the trap IS real on this corpus (verified: every sf0.001
+    # query's unfiltered top-k carries foreign-label rows): pre-filter
+    # strictly beats post-filter somewhere, or the guarantee above is
+    # vacuously untested (r10 review)
+    assert any(
+        pre_counts[q] > post_counts.get(q, 0) for q in pre_counts
+    )
 
 
 def test_filtered_serve_matches_rebuild_and_skips_rebuild(spark, sf_dir, tmp_path, monkeypatch):
