@@ -487,16 +487,31 @@ def main() -> None:
             print(f"# extended tier skipped: {skipped}", file=sys.stderr)
     inflation_segments["end"] = measure_controls(spark, qs, sf)
     print(f"# host_inflation[end]: {inflation_segments['end']}", file=sys.stderr)
+    # stride_spread reads the FIXED-STRIDE series alone — that series
+    # is the instrument r9 #4 asked for (evenly spaced, so an ambient
+    # oscillation shows up regardless of where the suite's phase
+    # boundaries fall); pooling in the start/mid/end segment samples
+    # muddied it (a segment-only spike read as stride noise — r10
+    # ADVICE).  The pooled number survives as control_spread.
+    stride_samples = [v for v in inflation_strides.values() if v]
+    stride_spread = (
+        round(max(stride_samples) / min(stride_samples), 2)
+        if stride_samples
+        else None
+    )
     all_samples = [
         v
         for v in list(inflation_segments.values())
         + list(inflation_strides.values())
         if v
     ]
-    stride_spread = (
+    control_spread = (
         round(max(all_samples) / min(all_samples), 2) if all_samples else None
     )
-    print(f"# stride_spread: {stride_spread}", file=sys.stderr)
+    print(
+        f"# stride_spread: {stride_spread} control_spread: {control_spread}",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -515,6 +530,7 @@ def main() -> None:
                 "host_inflation_segments": inflation_segments,
                 "host_inflation_strides": inflation_strides,
                 "stride_spread": stride_spread,
+                "control_spread": control_spread,
             }
         )
     )

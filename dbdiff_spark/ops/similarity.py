@@ -1339,7 +1339,16 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
     (path, length, mtime) of every data file, hashed — so a standing
     serve root can detect that the corpus at the same path was
     replaced without paying a data scan.  Listing only; at 100 TB this
-    is a namenode/listing call, not I/O."""
+    is a namenode/listing call, not I/O.
+
+    Granularity assumption: an in-place rewrite that preserves every
+    file's name, length, AND mtime (within the filesystem's mtime
+    resolution) is invisible to this fingerprint.  That cannot happen
+    with Spark/parquet writers (part files get fresh UUID names and
+    overwrite replaces the directory), which is why a listing-level
+    signal — free at 100 TB — is chosen over reading footers; a
+    deployment whose corpus can be rewritten same-name/same-mtime
+    should mix in a content signal here (r10 ADVICE)."""
     import hashlib
 
     from .. import fs as _hfs
@@ -1354,14 +1363,24 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
             parts.append(
                 f"{st.getPath().toString()}:{st.getLen()}:{st.getModificationTime()}"
             )
-    except Exception:
+    except Exception as listing_exc:
         # single plain file (no recursion available) or a source the
         # listing API cannot walk: fall back to the root status ALONE —
         # a mid-iteration failure must not mix partial listing entries
         # into the hash, or the poisoned fingerprint forces a spurious
         # rebuild on every later healthy call (r10 review)
         parts = []
-        st = fs.getFileStatus(p)
+        try:
+            st = fs.getFileStatus(p)
+        except Exception as status_exc:
+            # the fallback itself failing means the corpus path is
+            # truly unreadable — surface THAT, not the masked listing
+            # error (r10 ADVICE)
+            raise RuntimeError(
+                f"corpus fingerprint: {path} is unreadable "
+                f"(listing failed: {listing_exc}; status failed: "
+                f"{status_exc})"
+            ) from status_exc
         parts.append(f"{path}:{st.getLen()}:{st.getModificationTime()}")
     return hashlib.md5("\n".join(sorted(parts)).encode()).hexdigest()
 
@@ -1405,8 +1424,14 @@ def _ensure_index_params(
         covers = rec.get("family") == family or (
             rec.get("family") == "ivfpq" and family == "ivf"
         )
-        fresh = covers and rec.get("fingerprint") == fp and "n" in rec \
-            and "dim" in rec
+        # every field the return statement consumes must be present,
+        # or an old-schema row would pass the guard then crash the
+        # read it was supposed to turn into a rebuild (r10 ADVICE)
+        fresh = (
+            covers
+            and rec.get("fingerprint") == fp
+            and all(f in rec for f in ("n", "dim", "nprobe", "qmod"))
+        )
     if not fresh:
         vecs0 = _vectors(spark, sf_dir)
         n, dim = _corpus_shape(vecs0)

@@ -539,6 +539,7 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small) + append — the base is never shuffled, and state versions
     are atomic directory swaps.
     """
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -580,10 +581,18 @@ def stream_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.processAllAvailable()
+        final = sorted(Path(root).glob("state_*"))[-1]
+        # pin the result OFF the temp root before removing it — the
+        # lazy read would otherwise keep the root alive forever
+        # (r10 VERDICT hygiene #1; pattern from stream_ivf_ingest)
+        return (
+            spark.read.parquet(str(final))
+            .select(*spec.cols)
+            .localCheckpoint(eager=True)
+        )
     finally:
         query.stop()
-    final = sorted(Path(root).glob("state_*"))[-1]
-    return spark.read.parquet(str(final)).select(*spec.cols)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _stream_apply_oracle_sql() -> str:
@@ -612,6 +621,7 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     — on a real bus the snapshot ordinal rides the message envelope
     exactly as ``_ord`` rides the rows here.
     """
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -657,12 +667,16 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         query.processAllAvailable()
+        final = sorted(Path(root).glob("state_*"))[-1]
+        # pin off the temp root before removal (r10 VERDICT hygiene #1)
+        return (
+            spark.read.parquet(str(final))
+            .select(*keys, *attrs, "valid_from", "valid_to", "is_current")
+            .localCheckpoint(eager=True)
+        )
     finally:
         query.stop()
-    final = sorted(Path(root).glob("state_*"))[-1]
-    return spark.read.parquet(str(final)).select(
-        *keys, *attrs, "valid_from", "valid_to", "is_current"
-    )
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _stream_scd2_oracle_sql() -> str:
@@ -1271,6 +1285,7 @@ def stream_dedup_ingest(
     state: per new doc, the smallest visible doc sharing any band (NULL
     ⇒ fresh cluster seed) plus the shared-band count — converging to
     the batch visibility-ordered probe the oracle computes."""
+    import shutil
     import tempfile
 
     from dbdiff_spark import fs
@@ -1292,6 +1307,7 @@ def stream_dedup_ingest(
     )
     new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET).unionByName(planted)
 
+    owned = not root
     root = root or tempfile.mkdtemp(prefix="dbdiff_stream_ingest_")
     incoming = f"{root}/incoming"
     fs.mkdirs(spark, incoming)
@@ -1330,9 +1346,17 @@ def stream_dedup_ingest(
     )
     try:
         query.processAllAvailable()
+        out = spark.read.parquet(f"{root}/assigned/*")
+        if owned:
+            # pin off the temp root before removal (r10 VERDICT
+            # hygiene #1); a caller-supplied root stays lazy AND
+            # standing — the restart test re-reads it
+            out = out.localCheckpoint(eager=True)
+        return out
     finally:
         query.stop()
-    return spark.read.parquet(f"{root}/assigned/*")
+        if owned:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def _stream_ingest_oracle_sql() -> str:

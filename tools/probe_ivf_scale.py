@@ -231,7 +231,7 @@ def pq_cost(spark, args) -> int:
             f" {code_b/1e6:.2f} | {emb_b/1e6:.2f} | {emb_b/max(code_b,1):.1f}x |",
             flush=True,
         )
-    print(f"(dim={args.dim}, PQ_M={4}, local[*])")
+    print(f"(dim={args.dim}, PQ_M={sim.pq_m_for(args.dim)}, local[*])")
     return 0
 
 
