@@ -71,6 +71,9 @@ HEADLINE = [
     "ann_ivf_index_persist",
     "ann_ivf_serve",
     "ann_ivfpq_serve",
+    "ann_ivf_delete_serve",
+    "ann_ivf_upsert_serve",
+    "ann_ivf_compact_serve",
     "ann_ivf_pq_residual",
     "ann_ivfpq_trained_codebook",
     "ann_ivfpq_ingest",

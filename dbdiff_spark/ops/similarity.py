@@ -1320,8 +1320,14 @@ def _serve_ivf_from_artifacts(
 ) -> DataFrame:
     """Exact-cosine IVF serving off a persisted coarse index: reload
     centroids + cell-partitioned assignments, probe, rank.  Lazy — the
-    caller pins/checkpoints."""
-    loaded = spark.read.parquet(f"{root}/assignments").select(
+    caller pins/checkpoints.  Tombstones under the root (the
+    DELETE/UPSERT tier) are anti-applied here, so every IVF serve path
+    — plain, ingest-merged, filtered — honours retractions; roots
+    without a tombstone log take this branch for free (one driver-side
+    exists() probe, no plan change)."""
+    loaded = _tombstone_visibility(
+        spark, root, spark.read.parquet(f"{root}/assignments")
+    ).select(
         "vec_id", "embedding", "norm", F.col("cell").cast("bigint").alias("cell")
     )
     return _ivf_literal_search(
@@ -1643,10 +1649,15 @@ def _derived_sample_mod(n: int, k: int) -> int:
 def _ann_ivf_sample_trained_sql(
     nprobe_sql: "int | str | None" = None,
     qmod_sql: "int | str | None" = None,
+    extra_pre: str = "",
+    assign_src: str = "vecs",
+    assign_where: str | None = None,
 ) -> str:
     """Oracle twin of the production ``ann_ivf_trained``: n, K, the
     sample stride, and (by default) nprobe all re-derived from the
-    oracle's own count(*)."""
+    oracle's own count(*).  ``extra_pre``/``assign_src``/
+    ``assign_where`` thread the tombstone tier's corpus knobs through
+    (see ``_ann_ivf_trained_sql``)."""
     pre = f"""tp AS MATERIALIZED (
   SELECT n, cells, GREATEST(1, n // ({SAMPLE_PER_CENTROID} * cells)) AS smod,
          {_nprobe_scaled_duck()} AS np, {_query_mod_duck('n')} AS qmod
@@ -1656,13 +1667,15 @@ tsample AS MATERIALIZED (
   SELECT vec_id // (SELECT smod FROM tp) AS vec_id, embedding
   FROM embeddings WHERE vec_id % (SELECT smod FROM tp) = 0
 ),
-"""
+{extra_pre}"""
     return _ann_ivf_trained_sql(
         "(SELECT np FROM tp)" if nprobe_sql is None else nprobe_sql,
         k_sql="(SELECT cells FROM tp)",
         train_src="tsample",
         pre_ctes=pre,
         qmod_sql="(SELECT qmod FROM tp)" if qmod_sql is None else qmod_sql,
+        assign_src=assign_src,
+        assign_where=assign_where,
     )
 
 
@@ -1861,14 +1874,363 @@ WHERE rank <= {IVF_K}
 """
 
 
+# --- standing-index DELETE / UPSERT (tombstones) + compaction -----------------
+#
+# The last lifecycle operations a production vector store runs that the
+# tier lacked (r10 VERDICT #1/#2): corpora RETRACT — GDPR deletes, dedup
+# retractions, document updates — and an index that can only append
+# serves deleted vectors forever.  The standard design (Lucene/Milvus/
+# Qdrant/Delta all converge on it) is a TOMBSTONE LOG beside the data:
+#
+# - DELETE appends (vec_id, gen) rows to ``<root>/tombstones`` — O(ids),
+#   no data file touched, no shuffle.
+# - UPSERT = tombstone at gen g + assign-and-append the replacement rows
+#   carrying gen g (the same frozen-quantizer O(batch·K) path ingest
+#   runs).  Visibility: a row is live iff no tombstone for its vec_id
+#   has gen GREATER than the row's — so the upsert's own insert (gen ==
+#   tombstone gen) survives while every older version dies, re-deletes
+#   are idempotent, and repeated upserts resolve latest-wins with NO
+#   per-key window over the corpus.
+# - Serving anti-applies the log with one BROADCAST left join + filter
+#   (tombstones are small between compactions — they are the retraction
+#   stream, not the corpus); rows without a ``gen`` column (layouts
+#   written before the upsert tier) read as gen 0.
+# - COMPACT rewrites cells whose file count exceeds a bound into one
+#   file each, folding tombstone-dead rows out — the Delta OPTIMIZE
+#   analogue.  Ingest appends one file per touched cell per batch, so
+#   after 10⁴ batches a cell dir holds 10⁴ files and the DPP win drowns
+#   in open() calls; compaction restores the one-file-per-cell layout
+#   without changing the served relation (the parity law the oracle
+#   pins).  The log itself is retained: a tombstoned vec_id may still
+#   have live-looking rows in cells the compaction did not rewrite, and
+#   future gens still resolve against it.
+
+IVF_DELETE_SLICE = "vec_id % 5 = 3"  # the deterministic retracted slice
+IVF_UPSERT_SLICE = "vec_id % 10 = 7"  # the slice replaced by new vectors
+# the replacement vector: exact in both engines (sign flip), changes
+# every cosine rank the slice participates in
+IVF_UPSERT_SPARK = "transform(embedding, x -> -x)"
+IVF_UPSERT_DUCK = "list_transform(embedding, x -> -x)"
+
+
+def ivf_delete(
+    spark: SparkSession, root: str, ids: DataFrame, gen: int
+) -> None:
+    """Retract ``ids`` (a ``vec_id`` column) from the standing index at
+    generation ``gen``: append one small tombstone file — no data file
+    is touched, which is the point (a delete on a 10⁹-vector index must
+    not rewrite cells).  ``gen`` is the caller's monotone batch ordinal
+    (a streaming ``batchId``, an ingest sequence number); re-issuing a
+    delete at a later gen is a no-op on the served relation."""
+    one_file(
+        ids.select("vec_id").withColumn(
+            "gen", F.lit(int(gen)).cast("bigint")
+        )
+    ).write.mode("append").parquet(f"{root}/tombstones")
+
+
+def ivf_upsert(
+    spark: SparkSession, root: str, rows: DataFrame, gen: int
+) -> None:
+    """Replace ``rows``' vec_ids with their new vectors at generation
+    ``gen``: tombstone + the frozen-quantizer ingest append (the
+    Lucene update-is-delete-plus-insert identity).  ``rows`` carries
+    ``vec_id, embedding, norm``; assignment is O(batch·K) against the
+    RELOADED centroids — the base layout is never rewritten."""
+    ivf_delete(spark, root, rows, gen)
+    assigned = _assign_cells(rows, _load_index_centroids(spark, root)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.lit(int(gen)).cast("bigint").alias("gen"),
+        "cell",
+    )
+    _write_cell_partitioned(assigned, f"{root}/assignments", "append")
+
+
+def _tombstone_visibility(
+    spark: SparkSession, root: str, assigned: DataFrame
+) -> DataFrame:
+    """Apply the tombstone log to an assignments scan: live iff no
+    tombstone for the vec_id carries a gen greater than the row's.
+    One broadcast left join + filter — the corpus-side scan is never
+    shuffled; a root with no log returns the frame untouched (and the
+    existing zero-log serve plans unchanged)."""
+    from .. import fs as _hfs
+
+    if not _hfs.exists(spark, f"{root}/tombstones"):
+        return assigned
+    tomb = (
+        spark.read.parquet(f"{root}/tombstones")
+        .groupBy("vec_id")
+        .agg(F.max("gen").alias("_tomb_gen"))
+    )
+    gen_col = (
+        F.col("gen") if "gen" in assigned.columns
+        else F.lit(0).cast("bigint")
+    )
+    return (
+        assigned.join(F.broadcast(tomb), "vec_id", "left")
+        .filter(F.col("_tomb_gen").isNull() | (gen_col >= F.col("_tomb_gen")))
+        .drop("_tomb_gen")
+    )
+
+
+def ivf_compact(
+    spark: SparkSession, root: str, max_files_per_cell: int = 1
+) -> int:
+    """Compact the cell-partitioned assignments layout: every cell dir
+    holding more than ``max_files_per_cell`` data files is rewritten as
+    ONE file, with tombstone-dead rows folded out.  Returns the number
+    of cells rewritten.
+
+    Scale shape: the file census is a driver-side listing (namenode
+    metadata, no I/O); only the OVER-BOUND cells are read — the
+    ``cell IN (...)`` filter partition-prunes the scan — and a cell is
+    ~n/K ≈ √n rows by construction, so the eager pin that makes the
+    read-then-overwrite-same-path safe is bounded per cell, never
+    corpus-sized.  The write is a dynamic partition overwrite: only the
+    compacted cells' directories are replaced, untouched cells keep
+    their files byte-for-byte.  Changes bytes, never rows — serving
+    reads the identical relation before and after (the oracle-pinned
+    law), just through K open() calls instead of K×batches."""
+    from .. import fs as _hfs
+
+    apath = f"{root}/assignments"
+    over = []
+    for name in _hfs.list_dirs(spark, apath):
+        if not name.startswith("cell="):
+            continue
+        nfiles = len(_hfs.glob(spark, f"{apath}/{name}/part-*"))
+        if nfiles > max_files_per_cell:
+            over.append(int(name.split("=", 1)[1]))
+    if not over:
+        return 0
+    compacted = _tombstone_visibility(
+        spark,
+        root,
+        spark.read.parquet(apath).filter(F.col("cell").isin(over)),
+    ).localCheckpoint(eager=True)
+    (
+        compacted.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(apath)
+    )
+    return len(over)
+
+
+def ann_ivf_delete_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve-after-DELETE from the standing index: build the coarse
+    index once (``ann_ivf_serve``'s build, own family so a log-less
+    root can never satisfy this entry), retract the deterministic
+    ``IVF_DELETE_SLICE`` via the tombstone log, and serve.  The oracle
+    proves the law that makes tombstones trustworthy: serving the
+    standing index through the log ≡ rebuilding on the corpus MINUS the
+    deleted slice at the SAME frozen quantizer (the merged≡rebuild
+    argument ``ann_ivf_ingest`` pins, extended to retraction).  Warm
+    calls skip straight to the log-filtered serve — a delete never
+    costs a corpus scan."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_del", sf_dir)
+
+    def build(vecs: DataFrame, k: int, mod: int) -> None:
+        _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+        # a rebuilt root must not inherit a stale log (the params
+        # marker written after this guards the whole sequence)
+        _hfs.delete(spark, f"{root}/tombstones")
+        ivf_delete(
+            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+        )
+
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark, sf_dir, root, "ivf_del", build
+    )
+    out = _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def ann_ivf_upsert_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve-after-UPSERT: build the coarse index (gen-0 layout), then
+    replace the deterministic ``IVF_UPSERT_SLICE`` with new vectors
+    (sign-flipped — exact in both engines) via tombstone + frozen-
+    quantizer ingest at gen 1, and serve.  The oracle rebuilds on the
+    POST-UPSERT corpus at the same quantizer: one (vec_id, gen) log
+    resolving latest-wins must be indistinguishable from an index that
+    only ever saw the new vectors.  Queries stay the ORIGINAL corpus
+    stride — the query workload is external to the store, exactly as in
+    every other serve entry."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_ups", sf_dir)
+
+    def build(vecs: DataFrame, k: int, mod: int) -> None:
+        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        one_file(_centroid_frame(spark, centroids)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        _write_cell_partitioned(
+            _assign_cells(vecs, centroids).select(
+                "vec_id",
+                "embedding",
+                "norm",
+                F.lit(0).cast("bigint").alias("gen"),
+                "cell",
+            ),
+            f"{root}/assignments",
+            "overwrite",
+        )
+        _hfs.delete(spark, f"{root}/tombstones")
+        upd = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(IVF_UPSERT_SLICE)
+            .selectExpr("vec_id", f"{IVF_UPSERT_SPARK} AS embedding")
+            .selectExpr(
+                "vec_id",
+                "embedding",
+                f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+            )
+        )
+        ivf_upsert(spark, root, upd, 1)
+
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark, sf_dir, root, "ivf_ups", build
+    )
+    out = _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def ann_ivf_compact_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve-after-COMPACT: build the coarse index as TWO appended
+    halves (the multi-file-per-cell state 10⁴ ingest batches leave),
+    retract the delete slice, compact every cell back to one file
+    (folding the dead rows out), and serve.  Shares
+    ``ann_ivf_delete_serve``'s oracle — compaction changes bytes,
+    never rows — while the build path exercises the full
+    append→delete→rewrite lifecycle; the file-count collapse itself is
+    pinned by a direct test (tests/test_similarity.py)."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivf_cmp", sf_dir)
+
+    def build(vecs: DataFrame, k: int, mod: int) -> None:
+        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        one_file(_centroid_frame(spark, centroids)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/centroids")
+        _hfs.delete(spark, f"{root}/assignments")
+        # two appends == the same rows as one write, in >1 file per
+        # cell — the state compaction exists to repair
+        for half_pred in ("vec_id % 2 = 0", "vec_id % 2 = 1"):
+            _write_cell_partitioned(
+                _assign_cells(vecs.filter(half_pred), centroids).select(
+                    "vec_id", "embedding", "norm", "cell"
+                ),
+                f"{root}/assignments",
+                "append",
+            )
+        _hfs.delete(spark, f"{root}/tombstones")
+        ivf_delete(
+            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+        )
+        ivf_compact(spark, root, max_files_per_cell=1)
+
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark, sf_dir, root, "ivf_cmp", build
+    )
+    out = _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _ann_ivf_delete_sql() -> str:
+    """Oracle: rebuild on the corpus minus the deleted slice at the
+    SAME full-corpus-trained quantizer and query workload."""
+    return _ann_ivf_sample_trained_sql(
+        assign_where=f"NOT (v.{IVF_DELETE_SLICE})"
+    )
+
+
+def _ann_ivf_upsert_sql() -> str:
+    """Oracle: rebuild on the POST-UPSERT corpus (slice swapped for its
+    sign-flipped vectors) at the same quantizer; queries from the
+    original corpus stride."""
+    uvecs = f"""uvecs AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_duck('embedding', 'embedding')}) AS norm
+  FROM (
+    SELECT vec_id,
+           CASE WHEN {IVF_UPSERT_SLICE} THEN {IVF_UPSERT_DUCK}
+                ELSE embedding END AS embedding
+    FROM embeddings)
+),
+"""
+    return _ann_ivf_sample_trained_sql(extra_pre=uvecs, assign_src="uvecs")
+
+
+def _ann_ivf_delete_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true serve-through-log plan over a pre-ensured root: the
+    cell-pruned artifact scan anti-filtered by the broadcast tombstone
+    join — lazy, for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivf_del", sf_dir)
+
+    def build(vecs: DataFrame, k: int, mod: int) -> None:
+        _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+        _hfs.delete(spark, f"{root}/tombstones")
+        ivf_delete(
+            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+        )
+
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark, sf_dir, root, "ivf_del", build
+    )
+    return _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+    )
+
+
 def _ann_ivf_trained_sql(
     nprobe: "int | str | None" = None,
     k_sql: "int | str | None" = None,
     train_src: str = "embeddings",
     pre_ctes: str = "",
     qmod_sql: "int | str | None" = None,
+    assign_src: str = "vecs",
+    assign_where: str | None = None,
 ) -> str:
+    """``assign_src``/``assign_where`` parameterize the CORPUS the
+    index covers (the tombstone tier's oracles: a deleted slice
+    filtered out, an upserted slice swapped for its new vectors) while
+    training and the query workload stay on the original ``vecs`` —
+    exactly the engine's frozen-quantizer delete/upsert semantics."""
     n = KMEANS_ITERS
+    assign_pred = f"\n    WHERE {assign_where}" if assign_where else ""
     if qmod_sql is None:
         # derived query stride, twin of query_mod_for — the default
         # because every derived-config trained op now derives it;
@@ -1893,7 +2255,7 @@ tassigned AS (
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
                                        c.cell) AS rn
-    FROM vecs v CROSS JOIN c{n} c
+    FROM {assign_src} v CROSS JOIN c{n} c{assign_pred}
   ) WHERE rn = 1
 ),
 tqueries AS (
@@ -2000,6 +2362,7 @@ EXPLAIN_FRAMES = {
     "ann_ivf_index_persist": _ann_ivf_trained_explain_frame,
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
     "ann_ivf_serve": _ann_ivf_serve_explain_frame,
+    "ann_ivf_delete_serve": _ann_ivf_delete_serve_explain_frame,
     "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
         spark, sf_dir
     ),
@@ -2907,9 +3270,11 @@ def _serve_ivfpq_from_artifacts(
     cframe = _centroid_frame(spark, loaded_centroids)
     codes = spark.read.parquet(f"{root}/pq_codes")
     codebook = spark.read.parquet(f"{root}/pq_codebook")
-    assigned_slim = spark.read.parquet(f"{root}/assignments").select(
-        "vec_id", F.col("cell").cast("bigint").alias("cell")
-    )
+    # tombstone retractions filter the candidate source, so a deleted
+    # vector's (still-present) pq_codes rows can never rejoin
+    assigned_slim = _tombstone_visibility(
+        spark, root, spark.read.parquet(f"{root}/assignments")
+    ).select("vec_id", F.col("cell").cast("bigint").alias("cell"))
     probes = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod
     ).select("query_id", "q_emb", "q_cell")
@@ -4576,6 +4941,12 @@ QUERIES = {
     # ~1 s steady-state query latency instead of the per-call rebuild
     "ann_ivf_serve": (ann_ivf_serve, _ann_ivf_sample_trained_sql()),
     "ann_ivfpq_serve": (ann_ivfpq_serve, _ann_ivf_pq_residual_sql()),
+    # the tombstone lifecycle: serve-after-delete ≡ rebuild-minus-slice,
+    # serve-after-upsert ≡ rebuild-on-updated-corpus (latest-wins log),
+    # and compaction preserving the served relation byte-movements aside
+    "ann_ivf_delete_serve": (ann_ivf_delete_serve, _ann_ivf_delete_sql()),
+    "ann_ivf_upsert_serve": (ann_ivf_upsert_serve, _ann_ivf_upsert_sql()),
+    "ann_ivf_compact_serve": (ann_ivf_compact_serve, _ann_ivf_delete_sql()),
     "ann_ivf_ingest": (ann_ivf_ingest, _ann_ivf_ingest_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),
     "label_centroids": (label_centroids, LABEL_CENTROIDS_SQL),

@@ -1101,3 +1101,128 @@ def test_filtered_serve_matches_rebuild_and_skips_rebuild(spark, sf_dir, tmp_pat
     monkeypatch.setattr(sim, "_kmeans_centroids", _no_rebuild)
     warm = sorted(map(tuple, sim.ann_ivf_filtered_serve(spark, sf_dir, index_root=root).collect()))
     assert warm == served
+
+
+# --- tombstone DELETE / UPSERT / compaction lifecycle -------------------------
+
+
+def _cell_file_census(spark, root: str) -> dict[int, int]:
+    """cell -> data-file count under <root>/assignments (driver listing)."""
+    from dbdiff_spark import fs
+
+    out = {}
+    for name in fs.list_dirs(spark, f"{root}/assignments"):
+        if name.startswith("cell="):
+            out[int(name.split("=", 1)[1])] = len(
+                fs.glob(spark, f"{root}/assignments/{name}/part-*")
+            )
+    return out
+
+
+def test_delete_serve_excludes_slice_and_redelete_is_idempotent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Serve-after-delete never returns a tombstoned neighbor, and
+    re-issuing the same delete at a later generation (the retry/replay
+    case every retraction pipeline hits) leaves the served relation
+    bit-identical — no rebuild, no drift."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_del")
+    cold = sorted(map(tuple, sim.ann_ivf_delete_serve(spark, sf_dir, index_root=root).collect()))
+    assert cold
+    # no deleted vec_id survives as a neighbor (the slice is vec_id%5=3)
+    assert all(r[1] % 5 != 3 for r in cold)
+    # but SOME query would have matched a deleted vector absent the
+    # tombstones, or the test is vacuous: the plain serve on a separate
+    # root (same deterministic quantizer) must contain slice neighbors
+    plain = sim.ann_ivf_serve(
+        spark, sf_dir, index_root=str(tmp_path / "ivf_plain")
+    ).collect()
+    assert any(r.neighbor_id % 5 == 3 for r in plain)
+
+    # idempotent re-delete: same ids, later gen, warm (build patched out)
+    ids = sim._vectors(spark, sf_dir).filter(sim.IVF_DELETE_SLICE).select("vec_id")
+    sim.ivf_delete(spark, root, ids, 2)
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("re-delete forced an index rebuild")
+
+    monkeypatch.setattr(sim, "_build_ivf_coarse_artifacts", _no_rebuild)
+    warm = sorted(map(tuple, sim.ann_ivf_delete_serve(spark, sf_dir, index_root=root).collect()))
+    assert warm == cold
+
+
+def test_upsert_latest_wins_and_roundtrip_restores_plain_serve(
+    spark, sf_dir, tmp_path
+):
+    """The (vec_id, gen) log resolves latest-wins: after upserting the
+    slice BACK to its original vectors at gen 2, the standing index
+    serves exactly what a never-touched index serves (same
+    deterministic full-corpus quantizer), with the flipped gen-1
+    version unreachable."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_ups")
+    flipped = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert flipped
+    plain = sorted(map(tuple, sim.ann_ivf_serve(
+        spark, sf_dir, index_root=str(tmp_path / "ivf_plain2")
+    ).collect()))
+    assert flipped != plain  # the gen-1 flip visibly moved results
+    # upsert the ORIGINAL vectors back at gen 2
+    orig = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE)
+    sim.ivf_upsert(spark, root, orig, 2)
+    restored = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert restored == plain
+
+
+def test_compact_collapses_cell_files_and_preserves_served_rows(
+    spark, sf_dir, tmp_path
+):
+    """The OPTIMIZE law: compaction rewrites an appended-many-times
+    cell layout back to one file per cell, folds tombstone-dead rows
+    out of the rewritten cells, and the served relation is unchanged.
+    The upsert root is the richest case (gen column + live tombstones +
+    one append on top of the base write)."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_ups_cmp")
+    before_rows = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    census = _cell_file_census(spark, root)
+    assert census and any(n > 1 for n in census.values())
+    n_compacted = sim.ivf_compact(spark, root, max_files_per_cell=1)
+    assert n_compacted == sum(1 for n in census.values() if n > 1)
+    after_census = _cell_file_census(spark, root)
+    assert set(after_census) == set(census)  # no cell lost
+    assert all(n == 1 for n in after_census.values())
+    after_rows = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert after_rows == before_rows
+    # dead rows physically folded out of every REWRITTEN cell (cells
+    # already at the file bound are untouched by design, so a dead
+    # gen-0 original may survive there — filtered at serve time only)
+    compacted_cells = [c for c, n in census.items() if n > 1]
+    a = spark.read.parquet(f"{root}/assignments")
+    n_dead_in_compacted = (
+        a.filter(F.col("cell").isin(compacted_cells))
+        .filter(sim.IVF_UPSERT_SLICE)
+        .filter(F.col("gen") == 0)
+        .count()
+    )
+    assert n_dead_in_compacted == 0
+    # and compaction DID drop rows somewhere, not just rewrite bytes
+    n_slice_rows = a.filter(sim.IVF_UPSERT_SLICE).count()
+    n_slice = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE).count()
+    assert n_slice <= n_slice_rows < 2 * n_slice
+    # a second compact is a no-op (already at the bound)
+    assert sim.ivf_compact(spark, root, max_files_per_cell=1) == 0
+
+
+def test_tombstone_visibility_is_noop_without_log(spark, sf_dir, tmp_path):
+    """Roots that never saw a delete serve through the identical frame
+    object — the zero-log fast path costs one exists() probe, no plan
+    change (the DPP pin on the plain serve path depends on this)."""
+    from dbdiff_spark.ops import similarity as sim
+
+    df = sim._vectors(spark, sf_dir)
+    assert sim._tombstone_visibility(spark, str(tmp_path / "nolog"), df) is df
