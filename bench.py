@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_ivf_trained",
     "ann_ivf_filtered",
     "ann_ivf_filtered_serve",
+    "ann_ivfpq_filtered_serve",
     "ann_ivf_full_trained",
     "ann_ivf_index_persist",
     "ann_ivf_serve",
@@ -102,6 +103,7 @@ HEADLINE = [
     "profile_customer",
     "delete_cascade",
     "repeated_spans",
+    "repeated_span_runs",
     "ann_pq",
     "ann_ivf_pq",
     "join_skew_report",

@@ -3122,18 +3122,28 @@ def _pq_adc_rank(
 def _grid_cand(
     assigned: DataFrame, probes: DataFrame, max_broadcast_queries: int,
     nprobe: int,
+    extra_on=None,
+    probe_extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cell-pruned candidate pairs carrying the probed cell —
     ``(query_id, q_cell, vec_id)`` (the residual ADC join needs q_cell;
-    a vector lives in exactly one cell, so pairs are unique)."""
+    a vector lives in exactly one cell, so pairs are unique).
+    ``extra_on`` ANDs a predicate into the join — the PRE-FILTER hook
+    of the PQ tier, mirroring ``_ivf_literal_search``'s (one spelling
+    of the cand block); ``probe_extra_cols`` carries the query-side
+    columns that predicate reads (e.g. ``q_label``)."""
+    on = (F.col("cell") == F.col("q_cell")) & (
+        F.col("vec_id") != F.col("query_id")
+    )
+    if extra_on is not None:
+        on = on & extra_on
     return assigned.join(
         _query_side(
-            probes.select("query_id", "q_cell"),
+            probes.select("query_id", "q_cell", *probe_extra_cols),
             max_broadcast_queries * nprobe,
             "merge",
         ),
-        (F.col("cell") == F.col("q_cell"))
-        & (F.col("vec_id") != F.col("query_id")),
+        on,
     ).select("query_id", "q_cell", "vec_id")
 
 
@@ -3210,6 +3220,82 @@ def _build_ivfpq_artifacts(
     codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
 
 
+def _build_ivfpq_lab_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame,
+    k: int,
+    mod: int,
+    root: str,
+) -> None:
+    """The labeled-composite build: the coarse layout carries the
+    ``label`` payload column beside the vectors (the
+    ``ann_ivf_filtered_serve`` design, so filtered serving joins no
+    corpus-scale label relation), and the fine stage (pq_codebook +
+    pq_codes) encodes residuals off that same persisted layout exactly
+    as ``_build_ivfpq_artifacts`` does."""
+    labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        "label",
+    )
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _write_cell_partitioned(
+        _assign_cells(labeled, centroids).select(
+            "vec_id", "embedding", "norm", "label", "cell"
+        ),
+        f"{root}/assignments",
+        "overwrite",
+    )
+    cframe = _centroid_frame(spark, centroids)
+    assigned = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+    )
+    codes, codebook = _pq_grid_codes(
+        assigned, cframe, residual=True, train_codebook=False
+    )
+    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
+    codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
+
+
+def ann_ivfpq_filtered_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Filtered ANN on the compressed tier — the composition of the two
+    r10 features the verdict named: "top-k WHERE <predicate>" answered
+    by residual-PQ ADC against a STANDING index whose cell layout
+    carries the label payload.  The predicate PRE-filters the candidate
+    join (before the codes join, so it also cuts ADC volume — post-
+    filtering the ranked top-k is the under-fill trap the exact-tier
+    sibling pins); build-once via the params guard under its own family
+    ``ivfpq_lab``."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_lab", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_lab",
+        lambda vecs, k, mod: _build_ivfpq_lab_artifacts(
+            spark, sf_dir, vecs, k, mod, root
+        ),
+    )
+    out = _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+        label_filtered=True,
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def ann_ivfpq_serve(
     spark: SparkSession,
     sf_dir: str,
@@ -3257,6 +3343,7 @@ def _serve_ivfpq_from_artifacts(
     max_broadcast_queries: int,
     query_mod: int = QUERY_MOD,
     fan: int | None = None,
+    label_filtered: bool = False,
 ) -> DataFrame:
     """Residual-PQ ADC serving off a persisted index root (centroids +
     cell-partitioned assignments + pq_codebook + pq_codes) — the
@@ -3265,20 +3352,42 @@ def _serve_ivfpq_from_artifacts(
     caller pins — but sizing the ADC broadcast guard needs the M×K fan
     as a scalar: pass ``fan`` when the caller already knows it (the
     serve entry derives it from its params artifact), else one tiny
-    count over the codebook artifact runs here."""
+    count over the codebook artifact runs here.  ``label_filtered``
+    switches on the payload pre-filter: the persisted ``label`` column
+    rides the candidate join (BEFORE the codes join, so the predicate
+    also cuts the ADC volume), query labels are a Q-row lookup."""
     loaded_centroids = _load_index_centroids(spark, root)
     cframe = _centroid_frame(spark, loaded_centroids)
     codes = spark.read.parquet(f"{root}/pq_codes")
     codebook = spark.read.parquet(f"{root}/pq_codebook")
     # tombstone retractions filter the candidate source, so a deleted
     # vector's (still-present) pq_codes rows can never rejoin
+    slim_cols = ["vec_id"] + (["label"] if label_filtered else [])
     assigned_slim = _tombstone_visibility(
         spark, root, spark.read.parquet(f"{root}/assignments")
-    ).select("vec_id", F.col("cell").cast("bigint").alias("cell"))
+    ).select(*slim_cols, F.col("cell").cast("bigint").alias("cell"))
     probes = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod
     ).select("query_id", "q_emb", "q_cell")
-    cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
+    if label_filtered:
+        # Q-row query-label lookup: the stride predicate pushes to the
+        # scan, so this reads Q rows, never the corpus (the
+        # ann_ivf_filtered_serve argument, PQ spelling)
+        qlab = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % query_mod == 0)
+            .selectExpr("vec_id AS query_id", "label AS q_label")
+        )
+        cand = _grid_cand(
+            assigned_slim,
+            probes.join(qlab, "query_id"),
+            max_broadcast_queries,
+            nprobe,
+            extra_on=F.col("label") == F.col("q_label"),
+            probe_extra_cols=("q_label",),
+        )
+    else:
+        cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
     if fan is None:
         # the derived M×K is exactly the artifact codebook's row count
@@ -3509,7 +3618,9 @@ EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
 )
 
 
-def _trained_coarse_sql_ctes(base_where: str | None = None) -> str:
+def _trained_coarse_sql_ctes(
+    base_where: str | None = None, filtered: bool = False
+) -> str:
     """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
     (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,
     ``tassigned`` (full-corpus assignment) and ``tprobes`` (per-query
@@ -3522,7 +3633,10 @@ def _trained_coarse_sql_ctes(base_where: str | None = None) -> str:
     K, stride, and training sample derive from the base slice
     (dense-renumbered ``vec_id // 2`` so the seed rule sees 0..n-1 —
     the ``ann_ivf_ingest`` convention) while assignment, probes, and
-    the query stride cover the FULL served corpus."""
+    the query stride cover the FULL served corpus.  ``filtered`` adds
+    the label pre-filter to ``tcand`` — candidates share the query's
+    own label — the twin of the engine's payload-column candidate
+    join."""
     n = KMEANS_ITERS
     if base_where is None:
         pre = f"""tp AS MATERIALIZED (
@@ -3570,11 +3684,19 @@ tprobes AS (
     WHERE v.vec_id % (SELECT qmod FROM tp) = 0
   ) WHERE prn <= (SELECT np FROM tp)
 ),
+{'''lab AS (SELECT vec_id, label FROM embeddings),
 tcand AS (
+  SELECT query_id, q_cell, a.vec_id
+  FROM tassigned a
+  JOIN lab al ON a.vec_id = al.vec_id
+  JOIN tprobes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+  JOIN lab ql ON ql.vec_id = p.query_id
+  WHERE al.label = ql.label
+)''' if filtered else '''tcand AS (
   SELECT query_id, q_cell, a.vec_id
   FROM tassigned a JOIN tprobes p
     ON a.cell = p.q_cell AND a.vec_id <> p.query_id
-)"""
+)'''}"""
 
 
 
@@ -3715,6 +3837,24 @@ SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY approx_l2sq, neighbor_id) AS rank
   FROM rgadc
+)
+WHERE rank <= {PQ_K}
+"""
+
+
+def _ann_ivfpq_filtered_sql() -> str:
+    """Oracle twin of ``ann_ivfpq_filtered_serve``: the residual-PQ
+    search with the label predicate pre-filtered into ``tcand`` —
+    codes and distance tables cover everything, candidates only the
+    query's own label, exactly the engine's join order."""
+    return f"""
+WITH {_trained_coarse_sql_ctes(filtered=True)},
+{_ivfpq_grid_sql_ctes(residual=True, prefix="f")}
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM fgadc
 )
 WHERE rank <= {PQ_K}
 """
@@ -4945,6 +5085,12 @@ QUERIES = {
     # serve-after-upsert ≡ rebuild-on-updated-corpus (latest-wins log),
     # and compaction preserving the served relation byte-movements aside
     "ann_ivf_delete_serve": (ann_ivf_delete_serve, _ann_ivf_delete_sql()),
+    # filtered ANN on the compressed tier: payload pre-filter on the
+    # ADC candidate join against the standing labeled layout
+    "ann_ivfpq_filtered_serve": (
+        ann_ivfpq_filtered_serve,
+        _ann_ivfpq_filtered_sql(),
+    ),
     "ann_ivf_upsert_serve": (ann_ivf_upsert_serve, _ann_ivf_upsert_sql()),
     "ann_ivf_compact_serve": (ann_ivf_compact_serve, _ann_ivf_delete_sql()),
     "ann_ivf_ingest": (ann_ivf_ingest, _ann_ivf_ingest_sql()),

@@ -591,3 +591,35 @@ def test_per_occurrence_span_cut_dominates_document_keeper(spark, sf_dir):
         assert sum(c for _t, c, _k in occ_mode.values()) > sum(
             c for _t, c, _k in doc_mode.values()
         )
+
+
+def test_span_runs_cut_whole_copies_but_keep_fragment_contexts(spark):
+    """The run-merged law on a planted corpus (r10 VERDICT #5): a 3·W
+    repeat shared verbatim by two docs is ONE run — the copy cuts all
+    3·W tokens end-to-end — while a third doc sharing only the repeat's
+    middle W-window keeps it (its own maximal run's hash-chain is
+    unique: it is a fragment in a different context, not a copy).  The
+    fixed-W per-occurrence mode cannot express that distinction — it
+    cuts the fragment too."""
+    from dbdiff_spark.ops.dedup import SPAN_W, _span_runs_stats
+
+    w = SPAN_W
+    repeat = [f"r{i}" for i in range(3 * w)]  # the 3·W repeated region
+    pref_a = [f"a{i}" for i in range(w)]
+    pref_b = [f"b{i}" for i in range(w)]
+    pref_c = [f"c{i}" for i in range(w)]
+    suff_c = [f"d{i}" for i in range(w)]
+    corpus = spark.createDataFrame(
+        [
+            (1, pref_a + repeat),               # keeper occurrence
+            (2, pref_b + repeat),               # verbatim copy
+            (3, pref_c + repeat[w : 2 * w] + suff_c),  # middle fragment
+        ],
+        "doc_id bigint, tokens array<string>",
+    )
+    stats = {r.doc_id: r for r in _span_runs_stats(corpus).collect()}
+    assert stats[1].n_cut == 0                 # keeper keeps everything
+    assert stats[2].n_cut == 3 * w             # the whole copy, one run
+    assert stats[3].n_cut == 0                 # fragment-in-context kept
+    for r in stats.values():
+        assert r.n_kept == r.n_tokens - r.n_cut

@@ -1226,3 +1226,32 @@ def test_tombstone_visibility_is_noop_without_log(spark, sf_dir, tmp_path):
 
     df = sim._vectors(spark, sf_dir)
     assert sim._tombstone_visibility(spark, str(tmp_path / "nolog"), df) is df
+
+
+def test_ivfpq_filtered_serve_label_constraint_and_warm_skip(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Every served neighbor shares its query's label (the pre-filter
+    guarantee on the compressed tier), the layout persists the label
+    payload, and a warm root never rebuilds."""
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivfpq_lab")
+    cold = sim.ann_ivfpq_filtered_serve(spark, sf_dir, index_root=root).collect()
+    assert cold
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assert all(labels[r.query_id] == labels[r.neighbor_id] for r in cold)
+    assert "label" in spark.read.parquet(f"{root}/assignments").columns
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("warm filtered PQ serve re-ran the build")
+
+    monkeypatch.setattr(sim, "_build_ivfpq_lab_artifacts", _no_rebuild)
+    warm = sim.ann_ivfpq_filtered_serve(spark, sf_dir, index_root=root).collect()
+    assert sorted(map(tuple, warm)) == sorted(map(tuple, cold))
