@@ -1760,35 +1760,67 @@ def ann_ivf_filtered_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_lab", sf_dir)
-
-    def build(_vecs: DataFrame, k: int, mod: int) -> None:
-        # label carried THROUGH assignment (withColumn preserves
-        # columns) — joining a corpus-sized labels relation after
-        # assignment would add a full-payload shuffle pair the sibling
-        # entry proves unnecessary (r10 review)
-        labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
-            "vec_id",
-            "embedding",
-            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
-            "label",
-        )
-        centroids = _kmeans_centroids(_lloyd_train_frame(_vecs, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
-        _write_cell_partitioned(
-            _assign_cells(labeled, centroids).select(
-                "vec_id", "embedding", "norm", "label", "cell"
-            ),
-            f"{root}/assignments",
-            "overwrite",
-        )
-
     nprobe, qmod, _n, _dim = _ensure_index_params(
-        spark, sf_dir, root, "ivf_lab", build
+        spark,
+        sf_dir,
+        root,
+        "ivf_lab",
+        lambda vecs, k, mod: _build_ivf_lab_coarse(
+            spark, sf_dir, root, vecs, k, mod
+        ),
     )
+    return _serve_ivf_filtered_frame(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+    ).localCheckpoint(eager=True)
+
+
+def _build_ivf_lab_coarse(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    _vecs: DataFrame,
+    k: int,
+    mod: int,
+) -> None:
+    """The labeled coarse build: label carried THROUGH assignment
+    (withColumn preserves columns) — joining a corpus-sized labels
+    relation after assignment would add a full-payload shuffle pair the
+    sibling entry proves unnecessary (r10 review).  Shared by the
+    public filtered-serve entry and its explain frame."""
+    labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        "label",
+    )
+    centroids = _kmeans_centroids(_lloyd_train_frame(_vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _write_cell_partitioned(
+        _assign_cells(labeled, centroids).select(
+            "vec_id", "embedding", "norm", "label", "cell"
+        ),
+        f"{root}/assignments",
+        "overwrite",
+    )
+
+
+def _serve_ivf_filtered_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    nprobe: int,
+    max_broadcast_queries: int,
+    qmod: int,
+) -> DataFrame:
+    """The lazy filtered-serve search over a pre-ensured labeled root —
+    shared by the public (checkpoint-pinning) entry and the plan
+    audit's explain frame."""
     loaded_centroids = _load_index_centroids(spark, root)
-    assigned = spark.read.parquet(f"{root}/assignments").select(
+    assigned = _tombstone_visibility(
+        spark, root, spark.read.parquet(f"{root}/assignments")
+    ).select(
         "vec_id",
         "embedding",
         "norm",
@@ -1805,7 +1837,7 @@ def ann_ivf_filtered_serve(
     queries = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, qmod
     ).join(qlab, "query_id")
-    out = _ivf_literal_search(
+    return _ivf_literal_search(
         _vectors(spark, sf_dir),
         assigned,
         loaded_centroids,
@@ -1815,7 +1847,6 @@ def ann_ivf_filtered_serve(
         queries=queries,
         extra_on=F.col("label") == F.col("q_label"),
     )
-    return out.localCheckpoint(eager=True)
 
 
 def _ann_ivf_filtered_sql() -> str:
@@ -2215,6 +2246,29 @@ def _ann_ivf_delete_serve_explain_frame(
     )
 
 
+def _ann_ivf_filtered_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true filtered-serve plan over a pre-ensured labeled root —
+    payload pre-filter riding the cell-pruned artifact scan, lazy for
+    the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivf_lab", sf_dir)
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivf_lab",
+        lambda vecs, k, mod: _build_ivf_lab_coarse(
+            spark, sf_dir, root, vecs, k, mod
+        ),
+    )
+    return _serve_ivf_filtered_frame(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+    )
+
+
 def _ann_ivf_trained_sql(
     nprobe: "int | str | None" = None,
     k_sql: "int | str | None" = None,
@@ -2363,6 +2417,7 @@ EXPLAIN_FRAMES = {
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
     "ann_ivf_serve": _ann_ivf_serve_explain_frame,
     "ann_ivf_delete_serve": _ann_ivf_delete_serve_explain_frame,
+    "ann_ivf_filtered_serve": _ann_ivf_filtered_serve_explain_frame,
     "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
         spark, sf_dir
     ),
@@ -3229,29 +3284,13 @@ def _build_ivfpq_lab_artifacts(
     root: str,
 ) -> None:
     """The labeled-composite build: the coarse layout carries the
-    ``label`` payload column beside the vectors (the
-    ``ann_ivf_filtered_serve`` design, so filtered serving joins no
-    corpus-scale label relation), and the fine stage (pq_codebook +
-    pq_codes) encodes residuals off that same persisted layout exactly
-    as ``_build_ivfpq_artifacts`` does."""
-    labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
-        "vec_id",
-        "embedding",
-        f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
-        "label",
-    )
-    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-    one_file(_centroid_frame(spark, centroids)).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/centroids")
-    _write_cell_partitioned(
-        _assign_cells(labeled, centroids).select(
-            "vec_id", "embedding", "norm", "label", "cell"
-        ),
-        f"{root}/assignments",
-        "overwrite",
-    )
-    cframe = _centroid_frame(spark, centroids)
+    ``label`` payload column beside the vectors
+    (``_build_ivf_lab_coarse`` — the ``ann_ivf_filtered_serve`` design,
+    so filtered serving joins no corpus-scale label relation), and the
+    fine stage (pq_codebook + pq_codes) encodes residuals off that same
+    persisted layout exactly as ``_build_ivfpq_artifacts`` does."""
+    _build_ivf_lab_coarse(spark, sf_dir, root, vecs, k, mod)
+    cframe = _centroid_frame(spark, _load_index_centroids(spark, root))
     assigned = spark.read.parquet(f"{root}/assignments").select(
         "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
     )
@@ -3611,8 +3650,36 @@ def _ann_ivfpq_serve_explain_frame(
     )
 
 
+def _ann_ivfpq_filtered_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true filtered-PQ serve plan over a pre-ensured labeled
+    composite root — the label pre-filter on the ADC candidate join,
+    lazy for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivfpq_lab", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_lab",
+        lambda vecs, k, mod: _build_ivfpq_lab_artifacts(
+            spark, sf_dir, vecs, k, mod, root
+        ),
+    )
+    return _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+        label_filtered=True,
+    )
+
+
 EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
 EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivfpq_serve_explain_frame
+EXPLAIN_FRAMES["ann_ivfpq_filtered_serve"] = (
+    _ann_ivfpq_filtered_serve_explain_frame
+)
 EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
     _ann_ivf_pq_residual_explain_frame
 )

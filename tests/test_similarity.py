@@ -1255,3 +1255,38 @@ def test_ivfpq_filtered_serve_label_constraint_and_warm_skip(
     monkeypatch.setattr(sim, "_build_ivfpq_lab_artifacts", _no_rebuild)
     warm = sim.ann_ivfpq_filtered_serve(spark, sf_dir, index_root=root).collect()
     assert sorted(map(tuple, warm)) == sorted(map(tuple, cold))
+
+
+def test_delete_serve_keeps_dpp_through_tombstone_join(spark, sf_dir, tmp_path):
+    """Retractions must not cost the layout its scale story: with a
+    live tombstone log, the assignments scan still carries the DYNAMIC
+    partition-pruning filter on ``cell`` (the broadcast tombstone
+    anti-filter composes with DPP instead of displacing it), and the
+    log side enters as a broadcast join — no corpus-side shuffle."""
+    import re
+
+    from dbdiff_spark.io import load_table
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "dpp_del")
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = sim.semdedup_cells(n)
+    vecs = sim._vectors(spark, sf_dir)
+    sim._build_ivf_coarse_artifacts(
+        spark, vecs, k, sim._derived_sample_mod(n, k), root
+    )
+    sim.ivf_delete(
+        spark, root, vecs.filter(sim.IVF_DELETE_SLICE).select("vec_id"), 1
+    )
+    out = sim._serve_ivf_from_artifacts(
+        spark, sf_dir, root, sim.ivf_nprobe_for(k), sim.MAX_BROADCAST_QUERIES,
+        query_mod=n,  # single-query batch — the pruning-visible shape
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert any("cell" in f and "dynamicpruning" in f for f in pf), pf
+    # the tombstone log rides a broadcast join (never a shuffle of the
+    # corpus-side scan); AQE prints the executed join as
+    # "BroadcastHashJoin [keys], [keys], LeftOuter, BuildRight"
+    assert re.search(r"BroadcastHashJoin .*LeftOuter", plan), plan[:2000]

@@ -78,10 +78,14 @@ AUDITED = [
     "ann_ivfpq_trained_codebook",
     "ann_ivf_serve",
     "ann_ivfpq_serve",
+    "ann_ivf_delete_serve",
+    "ann_ivf_filtered_serve",
+    "ann_ivfpq_filtered_serve",
     "dedup_minhash_bbit",
     "embedding_truncation_recall",
     "repeated_span_cut",
     "repeated_span_cut_occ",
+    "repeated_span_runs",
     "join_skew_report",
     "outlier_report_lineitem",
     "peak_concurrency",
