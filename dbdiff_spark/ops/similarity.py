@@ -1577,8 +1577,13 @@ def ann_ivf_ingest(
         )
         # --- serve from the merged artifacts only; the query stride
         # derives from the SERVED corpus (base + batch), not the slice
-        # the quantizer trained on
-        merged = spark.read.parquet(f"{root}/assignments").select(
+        # the quantizer trained on.  The tombstone filter keeps the
+        # ingest-merged path consistent with every other serve path
+        # (r11 review: a delete on an ingest root must not be served
+        # back) — a log-less root passes through untouched.
+        merged = _tombstone_visibility(
+            spark, root, spark.read.parquet(f"{root}/assignments")
+        ).select(
             "vec_id",
             "embedding",
             "norm",
@@ -1913,28 +1918,44 @@ WHERE rank <= {IVF_K}
 # serves deleted vectors forever.  The standard design (Lucene/Milvus/
 # Qdrant/Delta all converge on it) is a TOMBSTONE LOG beside the data:
 #
-# - DELETE appends (vec_id, gen) rows to ``<root>/tombstones`` — O(ids),
-#   no data file touched, no shuffle.
-# - UPSERT = tombstone at gen g + assign-and-append the replacement rows
-#   carrying gen g (the same frozen-quantizer O(batch·K) path ingest
-#   runs).  Visibility: a row is live iff no tombstone for its vec_id
-#   has gen GREATER than the row's — so the upsert's own insert (gen ==
-#   tombstone gen) survives while every older version dies, re-deletes
-#   are idempotent, and repeated upserts resolve latest-wins with NO
-#   per-key window over the corpus.
+# - DELETE writes its (vec_id) rows under ``<root>/tombstones/gen=<g>``
+#   with OVERWRITE — O(ids), no data file touched, no shuffle, and a
+#   foreachBatch RETRY that re-delivers the same gen overwrites its own
+#   output instead of appending a duplicate (r11 review: gen is a batch
+#   ordinal, and batch ordinals replay).
+# - UPSERT = tombstone at gen g + assign-and-write the replacement rows
+#   into the ``(gen=<g>, cell=*)`` partitions of the layout via DYNAMIC
+#   partition overwrite (assignment is a pure function of the frozen
+#   centroids, so a replay rewrites exactly the same partitions —
+#   idempotent).  Visibility: a row is live iff no tombstone for its
+#   vec_id has gen GREATER than the row's — the upsert's own insert
+#   (gen == tombstone gen) survives while every older version dies,
+#   re-deletes are idempotent, and repeated upserts resolve latest-wins
+#   with NO per-key window over the corpus.  Upsert therefore REQUIRES
+#   a gen-partitioned layout (base written under gen=0) — writing
+#   gen-carrying files into a flat tree would mix parquet schemas and
+#   make footer-sampled reads nondeterministic (r11 review), so
+#   ``ivf_upsert`` refuses flat roots.
 # - Serving anti-applies the log with one BROADCAST left join + filter
 #   (tombstones are small between compactions — they are the retraction
-#   stream, not the corpus); rows without a ``gen`` column (layouts
-#   written before the upsert tier) read as gen 0.
-# - COMPACT rewrites cells whose file count exceeds a bound into one
-#   file each, folding tombstone-dead rows out — the Delta OPTIMIZE
-#   analogue.  Ingest appends one file per touched cell per batch, so
-#   after 10⁴ batches a cell dir holds 10⁴ files and the DPP win drowns
-#   in open() calls; compaction restores the one-file-per-cell layout
-#   without changing the served relation (the parity law the oracle
-#   pins).  The log itself is retained: a tombstoned vec_id may still
-#   have live-looking rows in cells the compaction did not rewrite, and
-#   future gens still resolve against it.
+#   stream, not the corpus); rows in layouts without gens (flat roots:
+#   plain serve, delete-only, ingest appends) read as gen 0.
+# - COMPACT rewrites LEAF partition dirs whose data-file count exceeds
+#   a bound into one file each, folding tombstone-dead rows out — the
+#   Delta OPTIMIZE analogue.  Flat ingest layouts append one file per
+#   touched cell per batch, so after 10⁴ batches a cell dir holds 10⁴
+#   files and the DPP win drowns in open() calls; gen-keyed layouts
+#   stay one-file-per-leaf by construction (every write is an
+#   overwrite), so there compaction's work is expiring all-dead leaves.
+#   Leaves whose rows are ALL dead are deleted outright (dynamic
+#   overwrite skips empty partitions, so without the explicit expiry a
+#   fully-retracted cell would never converge — r11 review).  The log
+#   itself is retained: a tombstoned vec_id may still have dead rows in
+#   leaves the compaction did not rewrite, and future gens still
+#   resolve against it.  Cross-GENERATION merge (folding a vec's
+#   surviving version down to one leaf and truncating its log entries)
+#   is the Lucene segment-merge analogue and deliberately out of scope
+#   here.
 
 IVF_DELETE_SLICE = "vec_id % 5 = 3"  # the deterministic retracted slice
 IVF_UPSERT_SLICE = "vec_id % 10 = 7"  # the slice replaced by new vectors
@@ -1948,26 +1969,51 @@ def ivf_delete(
     spark: SparkSession, root: str, ids: DataFrame, gen: int
 ) -> None:
     """Retract ``ids`` (a ``vec_id`` column) from the standing index at
-    generation ``gen``: append one small tombstone file — no data file
-    is touched, which is the point (a delete on a 10⁹-vector index must
-    not rewrite cells).  ``gen`` is the caller's monotone batch ordinal
-    (a streaming ``batchId``, an ingest sequence number); re-issuing a
-    delete at a later gen is a no-op on the served relation."""
-    one_file(
-        ids.select("vec_id").withColumn(
-            "gen", F.lit(int(gen)).cast("bigint")
-        )
-    ).write.mode("append").parquet(f"{root}/tombstones")
+    generation ``gen``: one small tombstone file written with OVERWRITE
+    under the gen-keyed directory — no data file is touched, which is
+    the point (a delete on a 10⁹-vector index must not rewrite cells).
+    ``gen`` is the caller's monotone batch ordinal (a streaming
+    ``batchId``, an ingest sequence number); a retried batch overwrites
+    its own gen directory (replay-idempotent), and re-issuing a delete
+    at a later gen is a no-op on the served relation."""
+    one_file(ids.select("vec_id")).write.mode("overwrite").parquet(
+        f"{root}/tombstones/gen={int(gen)}"
+    )
 
 
 def ivf_upsert(
     spark: SparkSession, root: str, rows: DataFrame, gen: int
 ) -> None:
     """Replace ``rows``' vec_ids with their new vectors at generation
-    ``gen``: tombstone + the frozen-quantizer ingest append (the
-    Lucene update-is-delete-plus-insert identity).  ``rows`` carries
+    ``gen``: tombstone + frozen-quantizer assignment into the
+    ``(gen, cell)`` partitions of the layout (the Lucene
+    update-is-delete-plus-insert identity).  ``rows`` carries
     ``vec_id, embedding, norm``; assignment is O(batch·K) against the
-    RELOADED centroids — the base layout is never rewritten."""
+    RELOADED centroids — the base files are never rewritten, and
+    because assignment is deterministic, a replayed gen dynamically
+    overwrites exactly its own partitions (idempotent — r11 review).
+
+    Two layout gates, both hard errors rather than silent corruption:
+    the root must be GEN-PARTITIONED (base under ``gen=0``; writing
+    gen-keyed files into a flat tree mixes parquet schemas), and must
+    not carry fine-stage PQ artifacts (the replacement vector would
+    need a residual re-encode or ADC silently ranks the OLD vector —
+    the composite-root upsert is not implemented yet)."""
+    from .. import fs as _hfs
+
+    if _hfs.exists(spark, f"{root}/pq_codebook"):
+        raise NotImplementedError(
+            "ivf_upsert on an IVF-PQ composite root is not supported: "
+            "pq_codes are not re-encoded, so ADC would rank the old "
+            "vector; delete is supported, upsert requires a fine-stage "
+            "re-encode"
+        )
+    if not _hfs.exists(spark, f"{root}/assignments/gen=0"):
+        raise ValueError(
+            "ivf_upsert requires a generation-partitioned layout "
+            "(assignments/gen=0/cell=*); this root's base is flat — "
+            "build it like ann_ivf_upsert_serve does"
+        )
     ivf_delete(spark, root, rows, gen)
     assigned = _assign_cells(rows, _load_index_centroids(spark, root)).select(
         "vec_id",
@@ -1976,7 +2022,13 @@ def ivf_upsert(
         F.lit(int(gen)).cast("bigint").alias("gen"),
         "cell",
     )
-    _write_cell_partitioned(assigned, f"{root}/assignments", "append")
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "cell")
+        .parquet(f"{root}/assignments")
+    )
 
 
 def _tombstone_visibility(
@@ -2010,45 +2062,81 @@ def _tombstone_visibility(
 def ivf_compact(
     spark: SparkSession, root: str, max_files_per_cell: int = 1
 ) -> int:
-    """Compact the cell-partitioned assignments layout: every cell dir
-    holding more than ``max_files_per_cell`` data files is rewritten as
-    ONE file, with tombstone-dead rows folded out.  Returns the number
-    of cells rewritten.
+    """Compact the assignments layout: every LEAF partition dir (flat
+    layout ``cell=*``; gen-partitioned layout ``gen=*/cell=*``) holding
+    more than ``max_files_per_cell`` data files is rewritten as ONE
+    file with tombstone-dead rows folded out, and leaves whose rows are
+    ALL dead are deleted outright — dynamic overwrite skips empty
+    partitions, so without the explicit expiry a fully-retracted cell
+    keeps its dead files and every later compact re-selects it forever
+    (r11 review).  Returns the number of leaves rewritten or expired.
 
     Scale shape: the file census is a driver-side listing (namenode
-    metadata, no I/O); only the OVER-BOUND cells are read — the
-    ``cell IN (...)`` filter partition-prunes the scan — and a cell is
-    ~n/K ≈ √n rows by construction, so the eager pin that makes the
-    read-then-overwrite-same-path safe is bounded per cell, never
-    corpus-sized.  The write is a dynamic partition overwrite: only the
-    compacted cells' directories are replaced, untouched cells keep
-    their files byte-for-byte.  Changes bytes, never rows — serving
-    reads the identical relation before and after (the oracle-pinned
-    law), just through K open() calls instead of K×batches."""
+    metadata, no I/O); only the OVER-BOUND leaves are read — the
+    predicate partition-prunes the scan — and a cell is ~n/K ≈ √n rows
+    by construction, so the eager pin that makes the
+    read-then-overwrite-same-path safe is bounded per leaf, never
+    corpus-sized.  Untouched leaves keep their files byte-for-byte.
+    Changes bytes, never rows — serving reads the identical relation
+    before and after (the oracle-pinned law)."""
+    from functools import reduce
+
     from .. import fs as _hfs
 
     apath = f"{root}/assignments"
-    over = []
-    for name in _hfs.list_dirs(spark, apath):
-        if not name.startswith("cell="):
-            continue
-        nfiles = len(_hfs.glob(spark, f"{apath}/{name}/part-*"))
-        if nfiles > max_files_per_cell:
-            over.append(int(name.split("=", 1)[1]))
+    top = _hfs.list_dirs(spark, apath)
+    gen_layout = any(n.startswith("gen=") for n in top)
+    leaves: list[tuple[str, int | None, int]] = []  # (subpath, gen, cell)
+    if gen_layout:
+        for g in top:
+            if not g.startswith("gen="):
+                continue
+            gv = int(g.split("=", 1)[1])
+            for c in _hfs.list_dirs(spark, f"{apath}/{g}"):
+                if c.startswith("cell="):
+                    leaves.append((f"{g}/{c}", gv, int(c.split("=", 1)[1])))
+    else:
+        for c in top:
+            if c.startswith("cell="):
+                leaves.append((c, None, int(c.split("=", 1)[1])))
+    over = [
+        leaf
+        for leaf in leaves
+        if len(_hfs.glob(spark, f"{apath}/{leaf[0]}/part-*"))
+        > max_files_per_cell
+    ]
     if not over:
         return 0
+    if gen_layout:
+        pred = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("gen") == g) & (F.col("cell") == c)
+                for _sub, g, c in over
+            ],
+        )
+        pcols = ["gen", "cell"]
+    else:
+        pred = F.col("cell").isin([c for _sub, _g, c in over])
+        pcols = ["cell"]
     compacted = _tombstone_visibility(
-        spark,
-        root,
-        spark.read.parquet(apath).filter(F.col("cell").isin(over)),
+        spark, root, spark.read.parquet(apath).filter(pred)
     ).localCheckpoint(eager=True)
     (
         compacted.repartition("cell")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cell")
+        .partitionBy(*pcols)
         .parquet(apath)
     )
+    # expire the all-dead leaves the overwrite could not touch
+    written = {
+        tuple(r) for r in compacted.select(*pcols).distinct().collect()
+    }
+    for sub, g, c in over:
+        key = (g, c) if gen_layout else (c,)
+        if key not in written:
+            _hfs.delete(spark, f"{apath}/{sub}")
     return len(over)
 
 
@@ -2071,23 +2159,36 @@ def ann_ivf_delete_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_del", sf_dir)
-
-    def build(vecs: DataFrame, k: int, mod: int) -> None:
-        _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
-        # a rebuilt root must not inherit a stale log (the params
-        # marker written after this guards the whole sequence)
-        _hfs.delete(spark, f"{root}/tombstones")
-        ivf_delete(
-            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
-        )
-
     nprobe, qmod, _n, _dim = _ensure_index_params(
-        spark, sf_dir, root, "ivf_del", build
+        spark,
+        sf_dir,
+        root,
+        "ivf_del",
+        lambda vecs, k, mod: _build_ivf_del_artifacts(
+            spark, root, vecs, k, mod
+        ),
     )
     out = _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
     )
     return out.localCheckpoint(eager=True)
+
+
+def _build_ivf_del_artifacts(
+    spark: SparkSession, root: str, vecs: DataFrame, k: int, mod: int
+) -> None:
+    """The delete-entry build — coarse artifacts, then the slice's
+    tombstones — shared by the public entry and its explain frame (one
+    spelling, r11 review)."""
+    from .. import fs as _hfs
+
+    _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+    # a rebuilt root must not inherit a stale log (the params marker
+    # written after this guards the whole sequence)
+    _hfs.delete(spark, f"{root}/tombstones")
+    ivf_delete(
+        spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+    )
 
 
 def ann_ivf_upsert_serve(
@@ -2114,16 +2215,24 @@ def ann_ivf_upsert_serve(
         one_file(_centroid_frame(spark, centroids)).write.mode(
             "overwrite"
         ).parquet(f"{root}/centroids")
-        _write_cell_partitioned(
-            _assign_cells(vecs, centroids).select(
+        # the GEN-PARTITIONED base (gen=0/cell=*): gen lives in the
+        # directory structure, uniform across the whole tree, so upsert
+        # generations never mix parquet schemas within one directory
+        # (r11 review) and replays dynamically overwrite their own
+        # (gen, cell) partitions
+        (
+            _assign_cells(vecs, centroids)
+            .select(
                 "vec_id",
                 "embedding",
                 "norm",
                 F.lit(0).cast("bigint").alias("gen"),
                 "cell",
-            ),
-            f"{root}/assignments",
-            "overwrite",
+            )
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("gen", "cell")
+            .parquet(f"{root}/assignments")
         )
         _hfs.delete(spark, f"{root}/tombstones")
         upd = (
@@ -2231,15 +2340,14 @@ def _ann_ivf_delete_serve_explain_frame(
 
     root = _hfs.artifact_root(spark, "ivf_del", sf_dir)
 
-    def build(vecs: DataFrame, k: int, mod: int) -> None:
-        _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
-        _hfs.delete(spark, f"{root}/tombstones")
-        ivf_delete(
-            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
-        )
-
     nprobe, qmod, _n, _dim = _ensure_index_params(
-        spark, sf_dir, root, "ivf_del", build
+        spark,
+        sf_dir,
+        root,
+        "ivf_del",
+        lambda vecs, k, mod: _build_ivf_del_artifacts(
+            spark, root, vecs, k, mod
+        ),
     )
     return _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod

@@ -1177,45 +1177,180 @@ def test_upsert_latest_wins_and_roundtrip_restores_plain_serve(
     assert restored == plain
 
 
+def _build_appended_delete_root(spark, sf_dir, tmp_path, name: str) -> str:
+    """A flat root in the state compaction exists to repair: assignments
+    written as TWO appended halves (>1 file per cell), the delete slice
+    tombstoned — the ann_ivf_compact_serve build, pre-compaction."""
+    from dbdiff_spark.io import load_table, one_file
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / name)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k = sim.semdedup_cells(n)
+    vecs = sim._vectors(spark, sf_dir)
+    centroids = sim._kmeans_centroids(
+        sim._lloyd_train_frame(vecs, sim._derived_sample_mod(n, k)), k
+    )
+    one_file(sim._centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    for half_pred in ("vec_id % 2 = 0", "vec_id % 2 = 1"):
+        sim._write_cell_partitioned(
+            sim._assign_cells(vecs.filter(half_pred), centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "append",
+        )
+    sim.ivf_delete(
+        spark, root, vecs.filter(sim.IVF_DELETE_SLICE).select("vec_id"), 1
+    )
+    return root
+
+
 def test_compact_collapses_cell_files_and_preserves_served_rows(
     spark, sf_dir, tmp_path
 ):
-    """The OPTIMIZE law: compaction rewrites an appended-many-times
-    cell layout back to one file per cell, folds tombstone-dead rows
-    out of the rewritten cells, and the served relation is unchanged.
-    The upsert root is the richest case (gen column + live tombstones +
-    one append on top of the base write)."""
+    """The OPTIMIZE law on the layout that actually accumulates files
+    (flat append trees — ingest batches): compaction rewrites every
+    over-bound cell to one file, folds the tombstone-dead rows out,
+    and the served relation is unchanged."""
     from dbdiff_spark.ops import similarity as sim
 
-    root = str(tmp_path / "ivf_ups_cmp")
-    before_rows = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    root = _build_appended_delete_root(spark, sf_dir, tmp_path, "ivf_cmp_t")
+    n = sim._vectors(spark, sf_dir).count()
+    k = sim.semdedup_cells(n)
+    serve = lambda: sorted(  # noqa: E731 — local shorthand
+        map(
+            tuple,
+            sim._serve_ivf_from_artifacts(
+                spark, sf_dir, root, sim.ivf_nprobe_for(k),
+                sim.MAX_BROADCAST_QUERIES, sim.query_mod_for(n),
+            ).collect(),
+        )
+    )
+    before_rows = serve()
     census = _cell_file_census(spark, root)
     assert census and any(n > 1 for n in census.values())
     n_compacted = sim.ivf_compact(spark, root, max_files_per_cell=1)
-    assert n_compacted == sum(1 for n in census.values() if n > 1)
+    assert n_compacted == sum(1 for v in census.values() if v > 1)
     after_census = _cell_file_census(spark, root)
     assert set(after_census) == set(census)  # no cell lost
-    assert all(n == 1 for n in after_census.values())
-    after_rows = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
-    assert after_rows == before_rows
-    # dead rows physically folded out of every REWRITTEN cell (cells
-    # already at the file bound are untouched by design, so a dead
-    # gen-0 original may survive there — filtered at serve time only)
-    compacted_cells = [c for c, n in census.items() if n > 1]
+    assert all(v == 1 for v in after_census.values())
+    assert serve() == before_rows
+    # dead rows physically folded out of every rewritten cell
     a = spark.read.parquet(f"{root}/assignments")
-    n_dead_in_compacted = (
-        a.filter(F.col("cell").isin(compacted_cells))
-        .filter(sim.IVF_UPSERT_SLICE)
-        .filter(F.col("gen") == 0)
-        .count()
-    )
-    assert n_dead_in_compacted == 0
-    # and compaction DID drop rows somewhere, not just rewrite bytes
-    n_slice_rows = a.filter(sim.IVF_UPSERT_SLICE).count()
-    n_slice = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE).count()
-    assert n_slice <= n_slice_rows < 2 * n_slice
+    assert a.filter(sim.IVF_DELETE_SLICE).count() == 0
     # a second compact is a no-op (already at the bound)
     assert sim.ivf_compact(spark, root, max_files_per_cell=1) == 0
+
+
+def test_compact_expires_fully_retracted_cells(spark, sf_dir, tmp_path):
+    """r11 review: dynamic overwrite skips empty partitions, so a cell
+    whose every vector was retracted (the tenant-wipe case) must be
+    DELETED by compaction, or its dead files survive and every later
+    compact re-selects it forever — the convergence law is that the
+    second compact is a no-op."""
+    from dbdiff_spark import fs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = _build_appended_delete_root(spark, sf_dir, tmp_path, "ivf_wipe")
+    # retract EVERY vector of one populated cell at gen 2
+    a = spark.read.parquet(f"{root}/assignments")
+    victim = int(a.groupBy("cell").count().orderBy("cell").first()["cell"])
+    sim.ivf_delete(
+        spark, root, a.filter(F.col("cell") == victim).select("vec_id"), 2
+    )
+    assert sim.ivf_compact(spark, root, max_files_per_cell=1) > 0
+    assert not fs.exists(spark, f"{root}/assignments/cell={victim}")
+    # convergence: nothing left over the bound
+    assert sim.ivf_compact(spark, root, max_files_per_cell=1) == 0
+
+
+def test_upsert_replay_same_gen_is_idempotent(spark, sf_dir, tmp_path):
+    """r11 review: gen is a batch ordinal and batch ordinals REPLAY
+    (foreachBatch retries).  Re-running the same upsert at the same gen
+    must leave the served relation bit-identical — the gen-keyed
+    dynamic overwrite rewrites its own partitions instead of appending
+    a second live copy of every row."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_ups_replay")
+    first = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    # replay gen 1 exactly as the build issued it
+    upd = (
+        sim.load_table(spark, sf_dir, "embeddings")
+        .filter(sim.IVF_UPSERT_SLICE)
+        .selectExpr("vec_id", f"{sim.IVF_UPSERT_SPARK} AS embedding")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({sim._dot_spark('embedding', 'embedding')}) AS norm",
+        )
+    )
+    sim.ivf_upsert(spark, root, upd, 1)
+    replayed = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert replayed == first
+    # and no duplicate live rows exist in the layout for the slice
+    a = spark.read.parquet(f"{root}/assignments")
+    dup = (
+        a.filter(sim.IVF_UPSERT_SLICE)
+        .filter(F.col("gen") == 1)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_upsert_refuses_flat_and_pq_roots(spark, sf_dir, tmp_path):
+    """The two layout gates: upsert into a flat (gen-less) tree would
+    mix parquet schemas in one directory, and upsert on a PQ composite
+    root would leave stale codes silently ranking the old vector — both
+    must be hard errors, not corruption (r11 review)."""
+    import pytest
+
+    from dbdiff_spark.ops import similarity as sim
+
+    upd = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE)
+    flat = str(tmp_path / "flat")
+    sim.ann_ivf_serve(spark, sf_dir, index_root=flat).collect()
+    with pytest.raises(ValueError, match="generation-partitioned"):
+        sim.ivf_upsert(spark, flat, upd, 1)
+    pq = str(tmp_path / "pqroot")
+    sim.ann_ivfpq_serve(spark, sf_dir, index_root=pq).collect()
+    with pytest.raises(NotImplementedError, match="re-encode"):
+        sim.ivf_upsert(spark, pq, upd, 1)
+
+
+def test_delete_on_ingest_root_is_honoured_by_merged_serve(
+    spark, sf_dir, tmp_path
+):
+    """r11 review: ann_ivf_ingest's inline merged serve must route
+    through the tombstone filter like every other serve path — a delete
+    on an ingest root must not be served back."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_ing_del")
+    base = sorted(map(tuple, sim.ann_ivf_ingest(spark, sf_dir, index_root=root).collect()))
+    assert any(r[1] % 5 == 3 for r in base)  # slice present pre-delete
+    sim.ivf_delete(
+        spark,
+        root,
+        sim._vectors(spark, sf_dir).filter(sim.IVF_DELETE_SLICE).select("vec_id"),
+        1,
+    )
+    # serve the merged artifacts directly (the op would rebuild)
+    n = sim._vectors(spark, sf_dir).count()
+    k_base = sim.semdedup_cells(
+        sim._vectors(spark, sf_dir).filter(sim.IVF_BASE_SLICE).count()
+    )
+    out = sim._serve_ivf_from_artifacts(
+        spark, sf_dir, root, sim.ivf_nprobe_for(k_base),
+        sim.MAX_BROADCAST_QUERIES, sim.query_mod_for(n),
+    ).collect()
+    assert out and all(r.neighbor_id % 5 != 3 for r in out)
 
 
 def test_tombstone_visibility_is_noop_without_log(spark, sf_dir, tmp_path):
