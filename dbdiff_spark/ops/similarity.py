@@ -1439,6 +1439,14 @@ def _ensure_index_params(
             and all(f in rec for f in ("n", "dim", "nprobe", "qmod"))
         )
     if not fresh:
+        # a cold/invalidated rebuild must not inherit the PREVIOUS
+        # corpus's retraction log: every serve path anti-applies
+        # <root>/tombstones, so a stale log would silently hide
+        # new-corpus rows whose vec_ids were once retracted (r11
+        # review, second pass).  Cleared here — before ANY family's
+        # build — so the invariant holds without each build restating
+        # it; delete-entry builds re-create their log after.
+        _hfs.delete(spark, f"{root}/tombstones")
         vecs0 = _vectors(spark, sf_dir)
         n, dim = _corpus_shape(vecs0)
         k = semdedup_cells(n)
@@ -1526,6 +1534,13 @@ def _build_ingest_base(
     index layout.  Returns ``(centroids, k, nprobe, n_base)`` —
     ``n_base`` so fine-stage callers derive their PQ seed budget from
     the slice the codebook trains on."""
+    from .. import fs as _hfs
+
+    # ingest entries rebuild per call without the params guard, so the
+    # stale-log invariant is enforced here: a rebuilt base must not
+    # inherit retractions issued against the previous build (r11
+    # review, second pass)
+    _hfs.delete(spark, f"{root}/tombstones")
     base = vecs.filter(IVF_BASE_SLICE)
     n_base = base.count()
     k = semdedup_cells(n_base)
@@ -1786,12 +1801,14 @@ def _build_ivf_lab_coarse(
     _vecs: DataFrame,
     k: int,
     mod: int,
-) -> None:
+) -> dict[int, list[float]]:
     """The labeled coarse build: label carried THROUGH assignment
     (withColumn preserves columns) — joining a corpus-sized labels
     relation after assignment would add a full-payload shuffle pair the
     sibling entry proves unnecessary (r10 review).  Shared by the
-    public filtered-serve entry and its explain frame."""
+    public filtered-serve entry and its explain frame.  Returns the
+    trained centroids so composite builds reuse them without re-reading
+    the artifact (the ``_build_ivf_coarse_artifacts`` convention)."""
     labeled = load_table(spark, sf_dir, "embeddings").selectExpr(
         "vec_id",
         "embedding",
@@ -1809,6 +1826,7 @@ def _build_ivf_lab_coarse(
         f"{root}/assignments",
         "overwrite",
     )
+    return centroids
 
 
 def _serve_ivf_filtered_frame(
@@ -1918,11 +1936,13 @@ WHERE rank <= {IVF_K}
 # serves deleted vectors forever.  The standard design (Lucene/Milvus/
 # Qdrant/Delta all converge on it) is a TOMBSTONE LOG beside the data:
 #
-# - DELETE writes its (vec_id) rows under ``<root>/tombstones/gen=<g>``
-#   with OVERWRITE — O(ids), no data file touched, no shuffle, and a
-#   foreachBatch RETRY that re-delivers the same gen overwrites its own
-#   output instead of appending a duplicate (r11 review: gen is a batch
-#   ordinal, and batch ordinals replay).
+# - DELETE appends (vec_id, gen) rows to ``<root>/tombstones`` — O(ids),
+#   no data file touched, no shuffle.  Appending is replay-safe for a
+#   log: a retried batch's duplicate rows are dedup'd by the max-gen
+#   visibility aggregation, and unlike a gen-keyed overwrite, a
+#   same-batch delete+upsert composition cannot clobber the delete's
+#   tombstones (r11 review, second pass).  Gens are 1-based — gen 0 is
+#   the base layout.
 # - UPSERT = tombstone at gen g + assign-and-write the replacement rows
 #   into the ``(gen=<g>, cell=*)`` partitions of the layout via DYNAMIC
 #   partition overwrite (assignment is a pure function of the frozen
@@ -1969,16 +1989,27 @@ def ivf_delete(
     spark: SparkSession, root: str, ids: DataFrame, gen: int
 ) -> None:
     """Retract ``ids`` (a ``vec_id`` column) from the standing index at
-    generation ``gen``: one small tombstone file written with OVERWRITE
-    under the gen-keyed directory — no data file is touched, which is
-    the point (a delete on a 10⁹-vector index must not rewrite cells).
-    ``gen`` is the caller's monotone batch ordinal (a streaming
-    ``batchId``, an ingest sequence number); a retried batch overwrites
-    its own gen directory (replay-idempotent), and re-issuing a delete
-    at a later gen is a no-op on the served relation."""
-    one_file(ids.select("vec_id")).write.mode("overwrite").parquet(
-        f"{root}/tombstones/gen={int(gen)}"
-    )
+    generation ``gen``: APPEND one small tombstone file — no data file
+    is touched, which is the point (a delete on a 10⁹-vector index must
+    not rewrite cells).  ``gen`` must be ≥ 1 (gen 0 is the base layout;
+    a gen-0 tombstone could never retract anything under the
+    ``row.gen >= tomb.gen`` visibility rule — r11 review) and is the
+    caller's monotone batch ordinal, 1-based (pass ``batchId + 1`` from
+    foreachBatch).  Append is the right mode for a LOG: a replayed
+    batch appends duplicate (vec_id, gen) rows, which the max-gen
+    visibility aggregation dedups for free, while an overwrite keyed on
+    gen would let a same-batch delete+upsert composition clobber the
+    delete's tombstones and silently resurrect vectors (r11 review)."""
+    if int(gen) < 1:
+        raise ValueError(
+            f"tombstone gen must be >= 1 (gen 0 is the base layout); "
+            f"got {gen} — pass batchId + 1 from a 0-based stream"
+        )
+    one_file(
+        ids.select("vec_id").withColumn(
+            "gen", F.lit(int(gen)).cast("bigint")
+        )
+    ).write.mode("append").parquet(f"{root}/tombstones")
 
 
 def ivf_upsert(
@@ -2001,6 +2032,13 @@ def ivf_upsert(
     the composite-root upsert is not implemented yet)."""
     from .. import fs as _hfs
 
+    if int(gen) < 1:
+        raise ValueError(
+            f"upsert gen must be >= 1: gen 0 is the BASE layout, and a "
+            f"gen-0 dynamic overwrite would replace base cells with "
+            f"just the batch rows (r11 review); got {gen} — pass "
+            f"batchId + 1 from a 0-based stream"
+        )
     if _hfs.exists(spark, f"{root}/pq_codebook"):
         raise NotImplementedError(
             "ivf_upsert on an IVF-PQ composite root is not supported: "
@@ -2063,22 +2101,29 @@ def ivf_compact(
     spark: SparkSession, root: str, max_files_per_cell: int = 1
 ) -> int:
     """Compact the assignments layout: every LEAF partition dir (flat
-    layout ``cell=*``; gen-partitioned layout ``gen=*/cell=*``) holding
-    more than ``max_files_per_cell`` data files is rewritten as ONE
-    file with tombstone-dead rows folded out, and leaves whose rows are
-    ALL dead are deleted outright — dynamic overwrite skips empty
-    partitions, so without the explicit expiry a fully-retracted cell
-    keeps its dead files and every later compact re-selects it forever
-    (r11 review).  Returns the number of leaves rewritten or expired.
+    layout ``cell=*``; gen-partitioned layout ``gen=*/cell=*``) that is
+    over the ``max_files_per_cell`` file bound OR contains tombstone-
+    dead rows is rewritten as ONE file with the dead rows folded out,
+    and leaves whose rows are ALL dead are deleted outright — dynamic
+    overwrite skips empty partitions, so without the explicit expiry a
+    fully-retracted cell keeps its dead files and every later compact
+    re-selects it forever (r11 review).  The dead-row criterion makes
+    the pass reachable on gen-keyed layouts too, where every leaf is
+    one file by construction and the file bound alone would never fire
+    (r11 review, second pass).  Returns the number of leaves rewritten
+    or expired; a second call right after is always a no-op (the
+    convergence law the tests pin).
 
     Scale shape: the file census is a driver-side listing (namenode
-    metadata, no I/O); only the OVER-BOUND leaves are read — the
-    predicate partition-prunes the scan — and a cell is ~n/K ≈ √n rows
-    by construction, so the eager pin that makes the
-    read-then-overwrite-same-path safe is bounded per leaf, never
-    corpus-sized.  Untouched leaves keep their files byte-for-byte.
-    Changes bytes, never rows — serving reads the identical relation
-    before and after (the oracle-pinned law)."""
+    metadata, no I/O); the dead-leaf census is one column-pruned scan
+    of (vec_id, gen, cell) broadcast-joined against the small log —
+    maintenance-op cost, never a payload read.  Only the SELECTED
+    leaves' payloads are read — the predicate partition-prunes the scan
+    — and a cell is ~n/K ≈ √n rows by construction, so the eager pin
+    that makes the read-then-overwrite-same-path safe is bounded per
+    leaf, never corpus-sized.  Untouched leaves keep their files
+    byte-for-byte.  Changes bytes, never rows — serving reads the
+    identical relation before and after (the oracle-pinned law)."""
     from functools import reduce
 
     from .. import fs as _hfs
@@ -2099,10 +2144,32 @@ def ivf_compact(
         for c in top:
             if c.startswith("cell="):
                 leaves.append((c, None, int(c.split("=", 1)[1])))
+    dead_keys: set[tuple] = set()
+    if _hfs.exists(spark, f"{root}/tombstones"):
+        tomb = (
+            spark.read.parquet(f"{root}/tombstones")
+            .groupBy("vec_id")
+            .agg(F.max("gen").alias("_tomb_gen"))
+        )
+        slim = spark.read.parquet(apath)
+        gen_col = (
+            F.col("gen") if "gen" in slim.columns
+            else F.lit(0).cast("bigint")
+        )
+        pcols_probe = ["gen", "cell"] if gen_layout else ["cell"]
+        dead_keys = {
+            tuple(r)
+            for r in slim.join(F.broadcast(tomb), "vec_id")
+            .filter(gen_col < F.col("_tomb_gen"))
+            .select(*pcols_probe)
+            .distinct()
+            .collect()
+        }
     over = [
-        leaf
-        for leaf in leaves
-        if len(_hfs.glob(spark, f"{apath}/{leaf[0]}/part-*"))
+        (sub, g, c)
+        for sub, g, c in leaves
+        if ((g, c) if gen_layout else (c,)) in dead_keys
+        or len(_hfs.glob(spark, f"{apath}/{sub}/part-*"))
         > max_files_per_cell
     ]
     if not over:
@@ -3397,8 +3464,8 @@ def _build_ivfpq_lab_artifacts(
     so filtered serving joins no corpus-scale label relation), and the
     fine stage (pq_codebook + pq_codes) encodes residuals off that same
     persisted layout exactly as ``_build_ivfpq_artifacts`` does."""
-    _build_ivf_lab_coarse(spark, sf_dir, root, vecs, k, mod)
-    cframe = _centroid_frame(spark, _load_index_centroids(spark, root))
+    centroids = _build_ivf_lab_coarse(spark, sf_dir, root, vecs, k, mod)
+    cframe = _centroid_frame(spark, centroids)
     assigned = spark.read.parquet(f"{root}/assignments").select(
         "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
     )

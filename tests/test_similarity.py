@@ -1425,3 +1425,34 @@ def test_delete_serve_keeps_dpp_through_tombstone_join(spark, sf_dir, tmp_path):
     # corpus-side scan); AQE prints the executed join as
     # "BroadcastHashJoin [keys], [keys], LeftOuter, BuildRight"
     assert re.search(r"BroadcastHashJoin .*LeftOuter", plan), plan[:2000]
+
+
+def test_compact_expires_superseded_generation_leaves(spark, sf_dir, tmp_path):
+    """r11 review (second pass): on gen-keyed layouts every leaf is one
+    file by construction, so compaction selects by DEAD ROWS, not file
+    count — after the upserted slice is retracted outright at gen 2,
+    the all-dead gen=1 leaves must be expired, the gen=0 leaves
+    rewritten without their superseded slice rows, and the served
+    relation unchanged."""
+    from dbdiff_spark import fs
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivf_ups_exp")
+    sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()
+    ids = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE).select("vec_id")
+    sim.ivf_delete(spark, root, ids, 2)
+    before = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert all(r[1] % 10 != 7 for r in before)  # slice fully retracted
+    assert sim.ivf_compact(spark, root) > 0
+    # the superseded generation's leaves are gone from disk
+    gen1_leaves = [
+        d for d in fs.list_dirs(spark, f"{root}/assignments/gen=1")
+    ] if fs.exists(spark, f"{root}/assignments/gen=1") else []
+    assert gen1_leaves == []
+    # no slice row survives anywhere in the layout
+    a = spark.read.parquet(f"{root}/assignments")
+    assert a.filter(sim.IVF_UPSERT_SLICE).count() == 0
+    after = sorted(map(tuple, sim.ann_ivf_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert after == before
+    # convergence
+    assert sim.ivf_compact(spark, root) == 0
