@@ -2372,12 +2372,87 @@ def ann_ivf_compact_serve(
     return out.localCheckpoint(eager=True)
 
 
+def ann_ivfpq_delete_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve-after-DELETE on the COMPRESSED tier — the composition the
+    mutation tier still lacked: ``ann_ivf_delete_serve``'s retraction
+    law carried onto the residual-PQ composite.  Build the full
+    composite once (coarse + pq_codebook + pq_codes, own family
+    ``ivfpq_del``), retract ``IVF_DELETE_SLICE`` via the tombstone
+    log, and serve by ADC.  Nothing in the fine stage is touched by
+    the delete — the slice's pq_codes rows stay on disk but can never
+    rejoin, because the tombstone filter runs on the CANDIDATE source
+    before the codes join (the design the serve path pins in
+    ``_serve_ivfpq_from_artifacts``).  The oracle rebuilds candidates
+    on the corpus minus the slice while quantizer, assignment, and
+    codebook still derive from the FULL corpus — exactly the
+    pre-delete-trained state a standing index serves with."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_del", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_del",
+        lambda vecs, k, mod: _build_ivfpq_del_artifacts(
+            spark, root, vecs, k, mod
+        ),
+    )
+    out = _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _build_ivfpq_del_artifacts(
+    spark: SparkSession, root: str, vecs: DataFrame, k: int, mod: int
+) -> None:
+    """The PQ delete-entry build — full composite, then the slice's
+    tombstones — shared by the public entry and its explain frame
+    (the ``_build_ivf_del_artifacts`` pattern on the fine tier)."""
+    from .. import fs as _hfs
+
+    _build_ivfpq_artifacts(spark, vecs, k, mod, root, train_codebook=False)
+    # a rebuilt root must not inherit a stale log (the params marker
+    # written after this guards the whole sequence)
+    _hfs.delete(spark, f"{root}/tombstones")
+    ivf_delete(
+        spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+    )
+
+
 def _ann_ivf_delete_sql() -> str:
     """Oracle: rebuild on the corpus minus the deleted slice at the
     SAME full-corpus-trained quantizer and query workload."""
     return _ann_ivf_sample_trained_sql(
         assign_where=f"NOT (v.{IVF_DELETE_SLICE})"
     )
+
+
+def _ann_ivfpq_delete_sql() -> str:
+    """Oracle twin of ``ann_ivfpq_delete_serve``: quantizer, full
+    assignment, and codebook all derive from the FULL corpus (the
+    pre-delete build a standing index serves with — codes exist for
+    every vector ever indexed), while the CANDIDATE set excludes the
+    retracted slice — the tombstone anti-join's exact effect on the
+    ADC source."""
+    return f"""
+WITH {_trained_coarse_sql_ctes(cand_where=f"NOT (a.{IVF_DELETE_SLICE})")},
+{_ivfpq_grid_sql_ctes(residual=True, prefix="d")}
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM dgadc
+)
+WHERE rank <= {PQ_K}
+"""
 
 
 def _ann_ivf_upsert_sql() -> str:
@@ -3850,8 +3925,35 @@ def _ann_ivfpq_filtered_serve_explain_frame(
     )
 
 
+def _ann_ivfpq_delete_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true serve-through-log ADC plan over a pre-ensured composite
+    root — the tombstone broadcast anti-filter on the candidate source,
+    lazy for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivfpq_del", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_del",
+        lambda vecs, k, mod: _build_ivfpq_del_artifacts(
+            spark, root, vecs, k, mod
+        ),
+    )
+    return _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+    )
+
+
 EXPLAIN_FRAMES["ann_ivf_pq_residual"] = _ann_ivf_pq_residual_explain_frame
 EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivfpq_serve_explain_frame
+EXPLAIN_FRAMES["ann_ivfpq_delete_serve"] = (
+    _ann_ivfpq_delete_serve_explain_frame
+)
 EXPLAIN_FRAMES["ann_ivfpq_filtered_serve"] = (
     _ann_ivfpq_filtered_serve_explain_frame
 )
@@ -3861,7 +3963,9 @@ EXPLAIN_FRAMES["ann_ivfpq_trained_codebook"] = (
 
 
 def _trained_coarse_sql_ctes(
-    base_where: str | None = None, filtered: bool = False
+    base_where: str | None = None,
+    filtered: bool = False,
+    cand_where: str | None = None,
 ) -> str:
     """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
     (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,
@@ -3878,7 +3982,11 @@ def _trained_coarse_sql_ctes(
     the query stride cover the FULL served corpus.  ``filtered`` adds
     the label pre-filter to ``tcand`` — candidates share the query's
     own label — the twin of the engine's payload-column candidate
-    join."""
+    join.  ``cand_where`` (a predicate over ``a``, the assignment
+    alias) restricts the CANDIDATE set only, leaving training,
+    assignment, and the query stride on the full corpus — the twin of
+    the tombstone anti-join, which filters what can be SERVED without
+    re-deriving anything the pre-delete build already froze."""
     n = KMEANS_ITERS
     if base_where is None:
         pre = f"""tp AS MATERIALIZED (
@@ -3926,18 +4034,19 @@ tprobes AS (
     WHERE v.vec_id % (SELECT qmod FROM tp) = 0
   ) WHERE prn <= (SELECT np FROM tp)
 ),
-{'''lab AS (SELECT vec_id, label FROM embeddings),
+{f'''lab AS (SELECT vec_id, label FROM embeddings),
 tcand AS (
   SELECT query_id, q_cell, a.vec_id
   FROM tassigned a
   JOIN lab al ON a.vec_id = al.vec_id
   JOIN tprobes p ON a.cell = p.q_cell AND a.vec_id <> p.query_id
   JOIN lab ql ON ql.vec_id = p.query_id
-  WHERE al.label = ql.label
-)''' if filtered else '''tcand AS (
+  WHERE al.label = ql.label{f" AND ({cand_where})" if cand_where else ""}
+)''' if filtered else f'''tcand AS (
   SELECT query_id, q_cell, a.vec_id
   FROM tassigned a JOIN tprobes p
     ON a.cell = p.q_cell AND a.vec_id <> p.query_id
+  {f"WHERE {cand_where}" if cand_where else ""}
 )'''}"""
 
 
@@ -5327,6 +5436,12 @@ QUERIES = {
     # serve-after-upsert ≡ rebuild-on-updated-corpus (latest-wins log),
     # and compaction preserving the served relation byte-movements aside
     "ann_ivf_delete_serve": (ann_ivf_delete_serve, _ann_ivf_delete_sql()),
+    # the retraction law on the compressed tier: tombstones filter the
+    # ADC candidate source, so dead pq_codes rows can never rejoin
+    "ann_ivfpq_delete_serve": (
+        ann_ivfpq_delete_serve,
+        _ann_ivfpq_delete_sql(),
+    ),
     # filtered ANN on the compressed tier: payload pre-filter on the
     # ADC candidate join against the standing labeled layout
     "ann_ivfpq_filtered_serve": (

@@ -1153,6 +1153,42 @@ def test_delete_serve_excludes_slice_and_redelete_is_idempotent(
     assert warm == cold
 
 
+def test_ivfpq_delete_serve_excludes_slice_and_redelete_is_idempotent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The retraction law on the COMPRESSED tier: ADC serving through
+    the tombstone log never returns a deleted neighbor even though its
+    pq_codes rows are still on disk (the candidate source is filtered
+    BEFORE the codes join), and a replayed delete at a later gen leaves
+    the served relation bit-identical without touching the fine
+    artifacts."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivfpq_del")
+    cold = sorted(map(tuple, sim.ann_ivfpq_delete_serve(spark, sf_dir, index_root=root).collect()))
+    assert cold
+    assert all(r[1] % 5 != 3 for r in cold)
+    # non-vacuity: the dead codes rows ARE there to rejoin...
+    assert spark.read.parquet(f"{root}/pq_codes").filter(
+        "vec_id % 5 = 3"
+    ).count() > 0
+    # ...and absent tombstones the plain PQ serve returns slice neighbors
+    plain = sim.ann_ivfpq_serve(
+        spark, sf_dir, index_root=str(tmp_path / "ivfpq_plain")
+    ).collect()
+    assert any(r.neighbor_id % 5 == 3 for r in plain)
+
+    ids = sim._vectors(spark, sf_dir).filter(sim.IVF_DELETE_SLICE).select("vec_id")
+    sim.ivf_delete(spark, root, ids, 2)
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("re-delete forced an index rebuild")
+
+    monkeypatch.setattr(sim, "_build_ivfpq_artifacts", _no_rebuild)
+    warm = sorted(map(tuple, sim.ann_ivfpq_delete_serve(spark, sf_dir, index_root=root).collect()))
+    assert warm == cold
+
+
 def test_upsert_latest_wins_and_roundtrip_restores_plain_serve(
     spark, sf_dir, tmp_path
 ):
