@@ -77,6 +77,7 @@ HEADLINE = [
     "ann_ivf_upsert_serve",
     "ann_ivf_compact_serve",
     "ann_ivfpq_delete_serve",
+    "ann_ivfpq_upsert_serve",
     "ann_ivf_pq_residual",
     "ann_ivfpq_trained_codebook",
     "ann_ivfpq_ingest",

@@ -2043,8 +2043,8 @@ def ivf_upsert(
         raise NotImplementedError(
             "ivf_upsert on an IVF-PQ composite root is not supported: "
             "pq_codes are not re-encoded, so ADC would rank the old "
-            "vector; delete is supported, upsert requires a fine-stage "
-            "re-encode"
+            "vector — use ivfpq_upsert, which re-encodes the batch at "
+            "the frozen codebook into the gen-partitioned codes layout"
         )
     if not _hfs.exists(spark, f"{root}/assignments/gen=0"):
         raise ValueError(
@@ -2066,6 +2066,72 @@ def ivf_upsert(
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("gen", "cell")
         .parquet(f"{root}/assignments")
+    )
+
+
+def ivfpq_upsert(
+    spark: SparkSession, root: str, rows: DataFrame, gen: int
+) -> None:
+    """UPSERT on the COMPOSITE root — the fine-stage re-encode
+    ``ivf_upsert``'s gate demands: tombstone at ``gen``, frozen-
+    quantizer assignment into the ``(gen, cell)`` partitions of the
+    layout, and frozen-CODEBOOK residual re-encode of the batch into
+    the ``gen=<g>`` partition of ``pq_codes``.  Everything is a pure
+    per-row function of the reloaded artifacts (centroids + codebook
+    both broadcast-sized), so the batch never shuffles, base files are
+    never rewritten, and a replayed gen dynamically overwrites exactly
+    its own partitions on BOTH artifacts — idempotent.  Requires the
+    gen-partitioned composite layout ``ann_ivfpq_upsert_serve`` builds
+    (base under ``gen=0`` on assignments AND codes): serving keys the
+    codes join on (vec_id, gen), which is what makes the retired
+    version's still-on-disk codes unreachable."""
+    from .. import fs as _hfs
+
+    if int(gen) < 1:
+        raise ValueError(
+            f"upsert gen must be >= 1: gen 0 is the BASE layout, and a "
+            f"gen-0 dynamic overwrite would replace base partitions "
+            f"with just the batch rows; got {gen} — pass batchId + 1 "
+            f"from a 0-based stream"
+        )
+    if not _hfs.exists(spark, f"{root}/assignments/gen=0") or not _hfs.exists(
+        spark, f"{root}/pq_codes/gen=0"
+    ):
+        raise ValueError(
+            "ivfpq_upsert requires a generation-partitioned composite "
+            "layout (assignments/gen=0/cell=* AND pq_codes/gen=0); "
+            "build it like ann_ivfpq_upsert_serve does"
+        )
+    ivf_delete(spark, root, rows, gen)
+    centroids = _load_index_centroids(spark, root)
+    assigned = _assign_cells(rows, centroids).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.lit(int(gen)).cast("bigint").alias("gen"),
+        "cell",
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "cell")
+        .parquet(f"{root}/assignments")
+    )
+    codes = _pq_codes_for(
+        _pq_subs(
+            assigned.select("vec_id", "embedding", "cell"),
+            _centroid_frame(spark, centroids),
+            residual=True,
+        ),
+        spark.read.parquet(f"{root}/pq_codebook"),
+    )
+    (
+        one_file(codes.withColumn("gen", F.lit(int(gen)).cast("bigint")))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen")
+        .parquet(f"{root}/pq_codes")
     )
 
 
@@ -2427,6 +2493,111 @@ def _build_ivfpq_del_artifacts(
     )
 
 
+def ann_ivfpq_upsert_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
+    index_root: str | None = None,
+) -> DataFrame:
+    """Serve-after-UPSERT on the COMPRESSED tier — the fine-stage
+    re-encode that completes the mutation matrix (delete/upsert/compact
+    × exact/PQ).  Build the composite with BOTH artifacts
+    gen-partitioned (base at ``gen=0``), replace ``IVF_UPSERT_SLICE``
+    with its sign-flipped vectors via ``ivfpq_upsert`` at gen 1
+    (tombstone + frozen-quantizer assignment + frozen-codebook residual
+    re-encode), and serve by ADC with the codes join keyed on
+    (vec_id, gen) so the retired version's still-on-disk codes are
+    unreachable.  The oracle re-encodes the POST-upsert corpus at the
+    quantizer AND codebook derived from the ORIGINAL corpus — the
+    frozen pre-upsert state a standing index actually serves with;
+    queries stay the original corpus stride (the workload is external
+    to the store)."""
+    from .. import fs as _hfs
+
+    root = index_root or _hfs.artifact_root(spark, "ivfpq_ups", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_ups",
+        lambda vecs, k, mod: _build_ivfpq_ups_artifacts(
+            spark, sf_dir, root, vecs, k, mod
+        ),
+    )
+    out = _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def _build_ivfpq_ups_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    vecs: DataFrame,
+    k: int,
+    mod: int,
+) -> None:
+    """The PQ upsert-entry build: gen-partitioned coarse base (the
+    ``ann_ivf_upsert_serve`` layout), fine stage encoded off that
+    persisted base into a gen-partitioned ``pq_codes`` (gen=0), then
+    the slice upsert at gen 1 through ``ivfpq_upsert``.  Training is
+    identical to ``_build_ivf_coarse_artifacts`` (same sample, same
+    Lloyd), so a round-trip restore serves exactly what a
+    never-touched composite serves — the law the tests pin."""
+    from .. import fs as _hfs
+
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _hfs.delete(spark, f"{root}/assignments")
+    (
+        _assign_cells(vecs, centroids)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.lit(0).cast("bigint").alias("gen"),
+            "cell",
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("gen", "cell")
+        .parquet(f"{root}/assignments")
+    )
+    # fine stage off the PERSISTED base layout (the codes artifact
+    # derives from the layout it serves with), gen=0-partitioned so
+    # upsert gens dynamically overwrite their own codes partition
+    cframe = _centroid_frame(spark, centroids)
+    assigned = spark.read.parquet(f"{root}/assignments").select(
+        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
+    )
+    codes, codebook = _pq_grid_codes(
+        assigned, cframe, residual=True, train_codebook=False
+    )
+    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
+    (
+        codes.withColumn("gen", F.lit(0).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("gen")
+        .parquet(f"{root}/pq_codes")
+    )
+    _hfs.delete(spark, f"{root}/tombstones")
+    upd = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(IVF_UPSERT_SLICE)
+        .selectExpr("vec_id", f"{IVF_UPSERT_SPARK} AS embedding")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        )
+    )
+    ivfpq_upsert(spark, root, upd, 1)
+
+
 def _ann_ivf_delete_sql() -> str:
     """Oracle: rebuild on the corpus minus the deleted slice at the
     SAME full-corpus-trained quantizer and query workload."""
@@ -2455,11 +2626,12 @@ WHERE rank <= {PQ_K}
 """
 
 
-def _ann_ivf_upsert_sql() -> str:
-    """Oracle: rebuild on the POST-UPSERT corpus (slice swapped for its
-    sign-flipped vectors) at the same quantizer; queries from the
-    original corpus stride."""
-    uvecs = f"""uvecs AS (
+def _uvecs_cte() -> str:
+    """The POST-UPSERT corpus as a CTE (slice swapped for its
+    sign-flipped vectors) — shared by the exact-tier and PQ-tier
+    upsert oracles.  References only the base table, so it composes at
+    the front of any WITH chain.  Ends with a comma."""
+    return f"""uvecs AS (
   SELECT vec_id, embedding,
          sqrt({_dot_duck('embedding', 'embedding')}) AS norm
   FROM (
@@ -2469,7 +2641,48 @@ def _ann_ivf_upsert_sql() -> str:
     FROM embeddings)
 ),
 """
-    return _ann_ivf_sample_trained_sql(extra_pre=uvecs, assign_src="uvecs")
+
+
+def _ann_ivf_upsert_sql() -> str:
+    """Oracle: rebuild on the POST-UPSERT corpus (slice swapped for its
+    sign-flipped vectors) at the same quantizer; queries from the
+    original corpus stride."""
+    return _ann_ivf_sample_trained_sql(
+        extra_pre=_uvecs_cte(), assign_src="uvecs"
+    )
+
+
+def _ann_ivfpq_upsert_sql() -> str:
+    """Oracle twin of ``ann_ivfpq_upsert_serve``: the POST-upsert
+    corpus assigned and residual-encoded at the quantizer AND codebook
+    derived from the ORIGINAL corpus — the frozen pre-upsert state the
+    standing index serves with.  ``oassigned`` re-assigns the original
+    vectors so the codebook's seed sub-vectors (``ogsubs``) match the
+    engine's gen-0-trained artifact; codes (``ugsubs`` via
+    ``tassigned`` over ``uvecs``) cover each vec_id's CURRENT version
+    only — the (vec_id, gen) codes join's exact effect.  Queries stay
+    the original corpus stride."""
+    n = KMEANS_ITERS
+    return f"""
+WITH {_trained_coarse_sql_ctes(extra_pre=_uvecs_cte(), assign_src="uvecs")},
+oassigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT v.vec_id, v.embedding, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
+                                       c.cell) AS rn
+    FROM vecs v CROSS JOIN c{n} c
+  ) WHERE rn = 1
+),
+{_ivfpq_grid_sql_ctes(residual=True, prefix="u", codebook_grid_src="oassigned")}
+SELECT query_id, neighbor_id, approx_l2sq, rank FROM (
+  SELECT query_id, neighbor_id, approx_l2sq,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_l2sq, neighbor_id) AS rank
+  FROM ugadc
+)
+WHERE rank <= {PQ_K}
+"""
 
 
 def _ann_ivf_delete_serve_explain_frame(
@@ -3402,9 +3615,17 @@ def _pq_adc_rank(
     table on (query, cell, m, code), sum, top-PQ_K per query.  ``fan``
     is the derived M×K (dtable rows per probed query cell), so the
     broadcast-row guard scales with the table's true shape instead of
-    a pinned constant."""
+    a pinned constant.  When BOTH sides carry ``gen`` (the upsert
+    composite: gen-partitioned assignments and codes), the codes join
+    keys on (vec_id, gen) — a vec_id's retired generation has live
+    codes rows on disk, and a vec_id-only join would rejoin them."""
+    code_keys = (
+        ["vec_id", "gen"]
+        if "gen" in cand.columns and "gen" in codes.columns
+        else ["vec_id"]
+    )
     adc = (
-        cand.join(codes, "vec_id")
+        cand.join(codes, code_keys)
         .join(
             _query_side(
                 dtable,
@@ -3429,6 +3650,7 @@ def _grid_cand(
     nprobe: int,
     extra_on=None,
     probe_extra_cols: tuple[str, ...] = (),
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Cell-pruned candidate pairs carrying the probed cell —
     ``(query_id, q_cell, vec_id)`` (the residual ADC join needs q_cell;
@@ -3436,7 +3658,9 @@ def _grid_cand(
     ``extra_on`` ANDs a predicate into the join — the PRE-FILTER hook
     of the PQ tier, mirroring ``_ivf_literal_search``'s (one spelling
     of the cand block); ``probe_extra_cols`` carries the query-side
-    columns that predicate reads (e.g. ``q_label``)."""
+    columns that predicate reads (e.g. ``q_label``); ``keep_cols``
+    carries assignment-side columns downstream joins key on (the
+    gen-aware codes join of the upsert composite)."""
     on = (F.col("cell") == F.col("q_cell")) & (
         F.col("vec_id") != F.col("query_id")
     )
@@ -3449,7 +3673,7 @@ def _grid_cand(
             "merge",
         ),
         on,
-    ).select("query_id", "q_cell", "vec_id")
+    ).select("query_id", "q_cell", "vec_id", *keep_cols)
 
 
 def ann_ivf_pq_residual(
@@ -3651,10 +3875,19 @@ def _serve_ivfpq_from_artifacts(
     codebook = spark.read.parquet(f"{root}/pq_codebook")
     # tombstone retractions filter the candidate source, so a deleted
     # vector's (still-present) pq_codes rows can never rejoin
-    slim_cols = ["vec_id"] + (["label"] if label_filtered else [])
-    assigned_slim = _tombstone_visibility(
-        spark, root, spark.read.parquet(f"{root}/assignments")
-    ).select(*slim_cols, F.col("cell").cast("bigint").alias("cell"))
+    assigned_full = spark.read.parquet(f"{root}/assignments")
+    # the upsert composite is gen-partitioned on BOTH artifacts: the
+    # live generation rides the candidate so the codes join can key on
+    # (vec_id, gen) and never resurrect a retired version's codes
+    gen_aware = "gen" in assigned_full.columns and "gen" in codes.columns
+    slim_cols = (
+        ["vec_id"]
+        + (["label"] if label_filtered else [])
+        + (["gen"] if gen_aware else [])
+    )
+    assigned_slim = _tombstone_visibility(spark, root, assigned_full).select(
+        *slim_cols, F.col("cell").cast("bigint").alias("cell")
+    )
     probes = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod
     ).select("query_id", "q_emb", "q_cell")
@@ -3674,9 +3907,16 @@ def _serve_ivfpq_from_artifacts(
             nprobe,
             extra_on=F.col("label") == F.col("q_label"),
             probe_extra_cols=("q_label",),
+            keep_cols=("gen",) if gen_aware else (),
         )
     else:
-        cand = _grid_cand(assigned_slim, probes, max_broadcast_queries, nprobe)
+        cand = _grid_cand(
+            assigned_slim,
+            probes,
+            max_broadcast_queries,
+            nprobe,
+            keep_cols=("gen",) if gen_aware else (),
+        )
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
     if fan is None:
         # the derived M×K is exactly the artifact codebook's row count
@@ -3954,6 +4194,35 @@ EXPLAIN_FRAMES["ann_ivfpq_serve"] = _ann_ivfpq_serve_explain_frame
 EXPLAIN_FRAMES["ann_ivfpq_delete_serve"] = (
     _ann_ivfpq_delete_serve_explain_frame
 )
+
+
+def _ann_ivfpq_upsert_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true gen-aware ADC serve plan over a pre-ensured upsert
+    composite — (vec_id, gen) codes join behind the tombstone
+    visibility filter, lazy for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivfpq_ups", sf_dir)
+    nprobe, qmod, n, dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivfpq_ups",
+        lambda vecs, k, mod: _build_ivfpq_ups_artifacts(
+            spark, sf_dir, root, vecs, k, mod
+        ),
+    )
+    return _serve_ivfpq_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
+        fan=pq_m_for(dim) * pq_seeds_for(n),
+    )
+
+
+EXPLAIN_FRAMES["ann_ivfpq_upsert_serve"] = (
+    _ann_ivfpq_upsert_serve_explain_frame
+)
 EXPLAIN_FRAMES["ann_ivfpq_filtered_serve"] = (
     _ann_ivfpq_filtered_serve_explain_frame
 )
@@ -3966,6 +4235,8 @@ def _trained_coarse_sql_ctes(
     base_where: str | None = None,
     filtered: bool = False,
     cand_where: str | None = None,
+    extra_pre: str = "",
+    assign_src: str = "vecs",
 ) -> str:
     """The sample-trained coarse stage as CTEs — ``tp``/``tsample``
     (derived n, K, stride, nprobe), the Lloyd layers, ``vecs``,
@@ -3986,7 +4257,12 @@ def _trained_coarse_sql_ctes(
     alias) restricts the CANDIDATE set only, leaving training,
     assignment, and the query stride on the full corpus — the twin of
     the tombstone anti-join, which filters what can be SERVED without
-    re-deriving anything the pre-delete build already froze."""
+    re-deriving anything the pre-delete build already froze.
+    ``extra_pre`` (ending in a comma; base-table references only)
+    prepends caller CTEs, and ``assign_src`` swaps the corpus
+    ``tassigned`` encodes — the upsert posture: training, probes, and
+    the query stride stay on the original ``vecs`` while assignment
+    covers the post-upsert corpus (``uvecs``)."""
     n = KMEANS_ITERS
     if base_where is None:
         pre = f"""tp AS MATERIALIZED (
@@ -4011,7 +4287,7 @@ tsample AS MATERIALIZED (
   FROM embeddings
   WHERE {base_where} AND (vec_id // 2) % (SELECT smod FROM tp) = 0
 ),"""
-    return f"""{pre}
+    return f"""{extra_pre}{pre}
 {_kmeans_layers_sql("(SELECT cells FROM tp)", "tsample")},
 vecs AS ({_VECTORS_SQL}),
 tassigned AS (
@@ -4020,7 +4296,7 @@ tassigned AS (
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {_dist2_duck('v.embedding', 'c.centroid')},
                                        c.cell) AS rn
-    FROM vecs v CROSS JOIN c{n} c
+    FROM {assign_src} v CROSS JOIN c{n} c
   ) WHERE rn = 1
 ),
 tprobes AS (
@@ -4098,6 +4374,7 @@ def _ivfpq_grid_sql_ctes(
     seed_pred: str | None = None,
     seed_id_expr: str = "vec_id",
     n_src: str = "vecs",
+    codebook_grid_src: str | None = None,
 ) -> str:
     """The fine stage over the trained coarse CTEs — codes, codebook,
     per-(query, cell) ADC table, and the summed ADC relation
@@ -4109,9 +4386,15 @@ def _ivfpq_grid_sql_ctes(
     ``{p}pqp`` re-derives the seed budget exactly as the engine
     (``n_src`` = the corpus the budget derives from — the base slice
     in the ingest posture); M derives PER ROW via
-    ``_pq_m_series_duck``, mirroring ``_sub_split_spark``."""
+    ``_pq_m_series_duck``, mirroring ``_sub_split_spark``.
+    ``codebook_grid_src`` (residual, non-trained only) derives the
+    codebook's seed sub-vectors from a DIFFERENT assignment relation
+    than the codes — the upsert posture, where the frozen codebook
+    trained on the ORIGINAL corpus while codes cover the post-upsert
+    versions."""
     p = prefix
     n = KMEANS_ITERS
+    assert codebook_grid_src is None or (residual and not trained_codebook)
     if residual:
         corpus_grid = (
             f"SELECT a.vec_id, {_res_grid_duck('a.embedding', 'c.centroid')} AS gq"
@@ -4136,6 +4419,20 @@ def _ivfpq_grid_sql_ctes(
   SELECT seed_id, m, seed_sub FROM {p}cb{PQ_CB_ITERS}
 )"""
         )
+    elif codebook_grid_src is not None:
+        pred = seed_pred or f"vec_id < (SELECT seeds FROM {p}pqp)"
+        codebook_ctes = f"""{p}ogvecs AS (
+  SELECT a.vec_id, {_res_grid_duck('a.embedding', 'c.centroid')} AS gq
+  FROM {codebook_grid_src} a JOIN c{n} c ON a.cell = c.cell
+),
+{p}ogsubs AS (
+  SELECT vec_id, m, {_pq_sub_slice_duck('gq')} AS sub
+  FROM {p}ogvecs, {_pq_m_series_duck('gq')}
+),
+{p}gcodebook AS (
+  SELECT {seed_id_expr} AS seed_id, m, sub AS seed_sub
+  FROM {p}ogsubs WHERE {pred}
+)"""
     else:
         pred = seed_pred or f"vec_id < (SELECT seeds FROM {p}pqp)"
         codebook_ctes = f"""{p}gcodebook AS (
@@ -5449,6 +5746,12 @@ QUERIES = {
         _ann_ivfpq_filtered_sql(),
     ),
     "ann_ivf_upsert_serve": (ann_ivf_upsert_serve, _ann_ivf_upsert_sql()),
+    # the fine-stage re-encode: upsert on the composite root, codes
+    # join keyed (vec_id, gen) so retired versions never rejoin
+    "ann_ivfpq_upsert_serve": (
+        ann_ivfpq_upsert_serve,
+        _ann_ivfpq_upsert_sql(),
+    ),
     "ann_ivf_compact_serve": (ann_ivf_compact_serve, _ann_ivf_delete_sql()),
     "ann_ivf_ingest": (ann_ivf_ingest, _ann_ivf_ingest_sql()),
     "embedding_neardup": (embedding_neardup, EMBEDDING_NEARDUP_SQL),

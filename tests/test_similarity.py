@@ -1189,6 +1189,43 @@ def test_ivfpq_delete_serve_excludes_slice_and_redelete_is_idempotent(
     assert warm == cold
 
 
+def test_ivfpq_upsert_latest_wins_and_roundtrip_restores_plain_serve(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The fine-stage re-encode: the upserted slice's NEW codes rank
+    (the flip visibly moves results vs the plain composite), the
+    retired gen-0 codes stay on disk but are unreachable through the
+    (vec_id, gen) codes join, and upserting the ORIGINAL vectors back
+    at gen 2 — replayed twice to pin dynamic-overwrite idempotency on
+    BOTH artifacts — restores exactly what a never-touched composite
+    serves."""
+    from dbdiff_spark.ops import similarity as sim
+
+    root = str(tmp_path / "ivfpq_ups")
+    flipped = sorted(map(tuple, sim.ann_ivfpq_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert flipped
+    # the retired version's codes are still on disk to mis-join...
+    assert spark.read.parquet(f"{root}/pq_codes").filter(
+        "vec_id % 10 = 7 AND gen = 0"
+    ).count() > 0
+    # ...and the flip moved the served relation vs a plain composite
+    plain = sorted(map(tuple, sim.ann_ivfpq_serve(
+        spark, sf_dir, index_root=str(tmp_path / "ivfpq_plain2")
+    ).collect()))
+    assert flipped != plain
+
+    orig = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE)
+    sim.ivfpq_upsert(spark, root, orig, 2)
+    sim.ivfpq_upsert(spark, root, orig, 2)  # replayed batch
+
+    def _no_rebuild(*_a, **_k):
+        raise AssertionError("warm upsert-serve forced a rebuild")
+
+    monkeypatch.setattr(sim, "_build_ivfpq_ups_artifacts", _no_rebuild)
+    restored = sorted(map(tuple, sim.ann_ivfpq_upsert_serve(spark, sf_dir, index_root=root).collect()))
+    assert restored == plain
+
+
 def test_upsert_latest_wins_and_roundtrip_restores_plain_serve(
     spark, sf_dir, tmp_path
 ):
