@@ -2012,6 +2012,99 @@ def ivf_delete(
     ).write.mode("append").parquet(f"{root}/tombstones")
 
 
+def _check_upsert_gen(gen: int) -> None:
+    if int(gen) < 1:
+        raise ValueError(
+            f"upsert gen must be >= 1: gen 0 is the BASE layout, and a "
+            f"gen-0 dynamic overwrite would replace base partitions "
+            f"with just the batch rows (r11 review); got {gen} — pass "
+            f"batchId + 1 from a 0-based stream"
+        )
+
+
+def _upsert_core(
+    spark: SparkSession, root: str, rows: DataFrame, gen: int
+) -> DataFrame:
+    """The replay-idempotency-critical sequence BOTH upsert tiers run:
+    tombstone at ``gen``, frozen-quantizer assignment, dynamic
+    overwrite of the batch's own ``(gen, cell)`` partitions.  One
+    spelling, so a change to the overwrite mode or the gen cast cannot
+    diverge the exact tier from the PQ tier (r11 review).  Returns the
+    assigned frame PINNED (``localCheckpoint`` — batch-sized): the PQ
+    tier writes TWO artifacts from it, and re-evaluating the caller's
+    lineage per write would let a non-deterministic source produce an
+    assignments row whose codes row encodes different data."""
+    ivf_delete(spark, root, rows, gen)
+    assigned = (
+        _assign_cells(rows, _load_index_centroids(spark, root))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.lit(int(gen)).cast("bigint").alias("gen"),
+            "cell",
+        )
+        .localCheckpoint(eager=True)
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gen", "cell")
+        .parquet(f"{root}/assignments")
+    )
+    return assigned
+
+
+def _build_gen0_coarse(
+    spark: SparkSession, root: str, vecs: DataFrame, k: int, mod: int
+) -> dict[int, list[float]]:
+    """Train and write the GEN-PARTITIONED coarse base (centroids +
+    ``assignments/gen=0/cell=*``) — the layout contract both upsert
+    tiers' builds share (one spelling, r11 review).  Training is
+    identical to ``_build_ivf_coarse_artifacts`` (same sample, same
+    Lloyd), so gen-0 rows match a flat root's; gen lives in the
+    directory structure, uniform across the tree, so upsert
+    generations never mix parquet schemas within one directory and
+    replays dynamically overwrite their own ``(gen, cell)``
+    partitions.  Returns the trained centroids."""
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    (
+        _assign_cells(vecs, centroids)
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            F.lit(0).cast("bigint").alias("gen"),
+            "cell",
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("gen", "cell")
+        .parquet(f"{root}/assignments")
+    )
+    return centroids
+
+
+def _upsert_slice_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic replacement batch (``IVF_UPSERT_SLICE``
+    sign-flipped, norms recomputed) both upsert entries build with —
+    one spelling of the slice the oracles re-derive."""
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(IVF_UPSERT_SLICE)
+        .selectExpr("vec_id", f"{IVF_UPSERT_SPARK} AS embedding")
+        .selectExpr(
+            "vec_id",
+            "embedding",
+            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
+        )
+    )
+
+
 def ivf_upsert(
     spark: SparkSession, root: str, rows: DataFrame, gen: int
 ) -> None:
@@ -2028,17 +2121,10 @@ def ivf_upsert(
     the root must be GEN-PARTITIONED (base under ``gen=0``; writing
     gen-keyed files into a flat tree mixes parquet schemas), and must
     not carry fine-stage PQ artifacts (the replacement vector would
-    need a residual re-encode or ADC silently ranks the OLD vector —
-    the composite-root upsert is not implemented yet)."""
+    need a residual re-encode or ADC silently ranks the OLD vector)."""
     from .. import fs as _hfs
 
-    if int(gen) < 1:
-        raise ValueError(
-            f"upsert gen must be >= 1: gen 0 is the BASE layout, and a "
-            f"gen-0 dynamic overwrite would replace base cells with "
-            f"just the batch rows (r11 review); got {gen} — pass "
-            f"batchId + 1 from a 0-based stream"
-        )
+    _check_upsert_gen(gen)
     if _hfs.exists(spark, f"{root}/pq_codebook"):
         raise NotImplementedError(
             "ivf_upsert on an IVF-PQ composite root is not supported: "
@@ -2052,21 +2138,7 @@ def ivf_upsert(
             "(assignments/gen=0/cell=*); this root's base is flat — "
             "build it like ann_ivf_upsert_serve does"
         )
-    ivf_delete(spark, root, rows, gen)
-    assigned = _assign_cells(rows, _load_index_centroids(spark, root)).select(
-        "vec_id",
-        "embedding",
-        "norm",
-        F.lit(int(gen)).cast("bigint").alias("gen"),
-        "cell",
-    )
-    (
-        assigned.repartition("cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen", "cell")
-        .parquet(f"{root}/assignments")
-    )
+    _upsert_core(spark, root, rows, gen)
 
 
 def ivfpq_upsert(
@@ -2087,13 +2159,7 @@ def ivfpq_upsert(
     version's still-on-disk codes unreachable."""
     from .. import fs as _hfs
 
-    if int(gen) < 1:
-        raise ValueError(
-            f"upsert gen must be >= 1: gen 0 is the BASE layout, and a "
-            f"gen-0 dynamic overwrite would replace base partitions "
-            f"with just the batch rows; got {gen} — pass batchId + 1 "
-            f"from a 0-based stream"
-        )
+    _check_upsert_gen(gen)
     if not _hfs.exists(spark, f"{root}/assignments/gen=0") or not _hfs.exists(
         spark, f"{root}/pq_codes/gen=0"
     ):
@@ -2102,26 +2168,13 @@ def ivfpq_upsert(
             "layout (assignments/gen=0/cell=* AND pq_codes/gen=0); "
             "build it like ann_ivfpq_upsert_serve does"
         )
-    ivf_delete(spark, root, rows, gen)
-    centroids = _load_index_centroids(spark, root)
-    assigned = _assign_cells(rows, centroids).select(
-        "vec_id",
-        "embedding",
-        "norm",
-        F.lit(int(gen)).cast("bigint").alias("gen"),
-        "cell",
-    )
-    (
-        assigned.repartition("cell")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("gen", "cell")
-        .parquet(f"{root}/assignments")
-    )
+    # the returned frame is PINNED, so the codes write below encodes
+    # exactly the rows the assignments write persisted
+    assigned = _upsert_core(spark, root, rows, gen)
     codes = _pq_codes_for(
         _pq_subs(
             assigned.select("vec_id", "embedding", "cell"),
-            _centroid_frame(spark, centroids),
+            _centroid_frame(spark, _load_index_centroids(spark, root)),
             residual=True,
         ),
         spark.read.parquet(f"{root}/pq_codebook"),
@@ -2312,13 +2365,10 @@ def _build_ivf_del_artifacts(
 ) -> None:
     """The delete-entry build — coarse artifacts, then the slice's
     tombstones — shared by the public entry and its explain frame (one
-    spelling, r11 review)."""
-    from .. import fs as _hfs
-
+    spelling, r11 review).  The central guard (``_ensure_index_params``)
+    cleared any stale log before this ran, so the slice's tombstones
+    are the whole log."""
     _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
-    # a rebuilt root must not inherit a stale log (the params marker
-    # written after this guards the whole sequence)
-    _hfs.delete(spark, f"{root}/tombstones")
     ivf_delete(
         spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
     )
@@ -2344,41 +2394,10 @@ def ann_ivf_upsert_serve(
     root = index_root or _hfs.artifact_root(spark, "ivf_ups", sf_dir)
 
     def build(vecs: DataFrame, k: int, mod: int) -> None:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
-        # the GEN-PARTITIONED base (gen=0/cell=*): gen lives in the
-        # directory structure, uniform across the whole tree, so upsert
-        # generations never mix parquet schemas within one directory
-        # (r11 review) and replays dynamically overwrite their own
-        # (gen, cell) partitions
-        (
-            _assign_cells(vecs, centroids)
-            .select(
-                "vec_id",
-                "embedding",
-                "norm",
-                F.lit(0).cast("bigint").alias("gen"),
-                "cell",
-            )
-            .repartition("cell")
-            .write.mode("overwrite")
-            .partitionBy("gen", "cell")
-            .parquet(f"{root}/assignments")
-        )
-        _hfs.delete(spark, f"{root}/tombstones")
-        upd = (
-            load_table(spark, sf_dir, "embeddings")
-            .filter(IVF_UPSERT_SLICE)
-            .selectExpr("vec_id", f"{IVF_UPSERT_SPARK} AS embedding")
-            .selectExpr(
-                "vec_id",
-                "embedding",
-                f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
-            )
-        )
-        ivf_upsert(spark, root, upd, 1)
+        _build_gen0_coarse(spark, root, vecs, k, mod)
+        # the central guard cleared any stale tombstone log before
+        # this build ran (_ensure_index_params)
+        ivf_upsert(spark, root, _upsert_slice_frame(spark, sf_dir), 1)
 
     nprobe, qmod, _n, _dim = _ensure_index_params(
         spark, sf_dir, root, "ivf_ups", build
@@ -2423,7 +2442,7 @@ def ann_ivf_compact_serve(
                 f"{root}/assignments",
                 "append",
             )
-        _hfs.delete(spark, f"{root}/tombstones")
+        # the central guard cleared any stale tombstone log pre-build
         ivf_delete(
             spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
         )
@@ -2481,13 +2500,9 @@ def _build_ivfpq_del_artifacts(
 ) -> None:
     """The PQ delete-entry build — full composite, then the slice's
     tombstones — shared by the public entry and its explain frame
-    (the ``_build_ivf_del_artifacts`` pattern on the fine tier)."""
-    from .. import fs as _hfs
-
+    (the ``_build_ivf_del_artifacts`` pattern on the fine tier; the
+    central guard cleared any stale log before this ran)."""
     _build_ivfpq_artifacts(spark, vecs, k, mod, root, train_codebook=False)
-    # a rebuilt root must not inherit a stale log (the params marker
-    # written after this guards the whole sequence)
-    _hfs.delete(spark, f"{root}/tombstones")
     ivf_delete(
         spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
     )
@@ -2540,33 +2555,14 @@ def _build_ivfpq_ups_artifacts(
     mod: int,
 ) -> None:
     """The PQ upsert-entry build: gen-partitioned coarse base (the
-    ``ann_ivf_upsert_serve`` layout), fine stage encoded off that
-    persisted base into a gen-partitioned ``pq_codes`` (gen=0), then
-    the slice upsert at gen 1 through ``ivfpq_upsert``.  Training is
-    identical to ``_build_ivf_coarse_artifacts`` (same sample, same
-    Lloyd), so a round-trip restore serves exactly what a
-    never-touched composite serves — the law the tests pin."""
-    from .. import fs as _hfs
-
-    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-    one_file(_centroid_frame(spark, centroids)).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/centroids")
-    _hfs.delete(spark, f"{root}/assignments")
-    (
-        _assign_cells(vecs, centroids)
-        .select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.lit(0).cast("bigint").alias("gen"),
-            "cell",
-        )
-        .repartition("cell")
-        .write.mode("overwrite")
-        .partitionBy("gen", "cell")
-        .parquet(f"{root}/assignments")
-    )
+    ``ann_ivf_upsert_serve`` layout, one shared spelling), fine stage
+    encoded off that persisted base into a gen-partitioned
+    ``pq_codes`` (gen=0), then the slice upsert at gen 1 through
+    ``ivfpq_upsert``.  Training is identical to
+    ``_build_ivf_coarse_artifacts`` (same sample, same Lloyd), so a
+    round-trip restore serves exactly what a never-touched composite
+    serves — the law the tests pin."""
+    centroids = _build_gen0_coarse(spark, root, vecs, k, mod)
     # fine stage off the PERSISTED base layout (the codes artifact
     # derives from the layout it serves with), gen=0-partitioned so
     # upsert gens dynamically overwrite their own codes partition
@@ -2584,18 +2580,8 @@ def _build_ivfpq_ups_artifacts(
         .partitionBy("gen")
         .parquet(f"{root}/pq_codes")
     )
-    _hfs.delete(spark, f"{root}/tombstones")
-    upd = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(IVF_UPSERT_SLICE)
-        .selectExpr("vec_id", f"{IVF_UPSERT_SPARK} AS embedding")
-        .selectExpr(
-            "vec_id",
-            "embedding",
-            f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
-        )
-    )
-    ivfpq_upsert(spark, root, upd, 1)
+    # the central guard cleared any stale tombstone log pre-build
+    ivfpq_upsert(spark, root, _upsert_slice_frame(spark, sf_dir), 1)
 
 
 def _ann_ivf_delete_sql() -> str:

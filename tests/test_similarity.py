@@ -1172,10 +1172,10 @@ def test_ivfpq_delete_serve_excludes_slice_and_redelete_is_idempotent(
     assert spark.read.parquet(f"{root}/pq_codes").filter(
         "vec_id % 5 = 3"
     ).count() > 0
-    # ...and absent tombstones the plain PQ serve returns slice neighbors
-    plain = sim.ann_ivfpq_serve(
-        spark, sf_dir, index_root=str(tmp_path / "ivfpq_plain")
-    ).collect()
+    # ...and absent tombstones the plain PQ serve returns slice
+    # neighbors (default root: warm-shared across the process, so the
+    # non-vacuity check costs a serve, not a build — r11 review)
+    plain = sim.ann_ivfpq_serve(spark, sf_dir).collect()
     assert any(r.neighbor_id % 5 == 3 for r in plain)
 
     ids = sim._vectors(spark, sf_dir).filter(sim.IVF_DELETE_SLICE).select("vec_id")
@@ -1209,9 +1209,8 @@ def test_ivfpq_upsert_latest_wins_and_roundtrip_restores_plain_serve(
         "vec_id % 10 = 7 AND gen = 0"
     ).count() > 0
     # ...and the flip moved the served relation vs a plain composite
-    plain = sorted(map(tuple, sim.ann_ivfpq_serve(
-        spark, sf_dir, index_root=str(tmp_path / "ivfpq_plain2")
-    ).collect()))
+    # (default root — warm-shared, costs a serve not a build)
+    plain = sorted(map(tuple, sim.ann_ivfpq_serve(spark, sf_dir).collect()))
     assert flipped != plain
 
     orig = sim._vectors(spark, sf_dir).filter(sim.IVF_UPSERT_SLICE)
