@@ -2393,19 +2393,35 @@ def ann_ivf_upsert_serve(
 
     root = index_root or _hfs.artifact_root(spark, "ivf_ups", sf_dir)
 
-    def build(vecs: DataFrame, k: int, mod: int) -> None:
-        _build_gen0_coarse(spark, root, vecs, k, mod)
-        # the central guard cleared any stale tombstone log before
-        # this build ran (_ensure_index_params)
-        ivf_upsert(spark, root, _upsert_slice_frame(spark, sf_dir), 1)
-
     nprobe, qmod, _n, _dim = _ensure_index_params(
-        spark, sf_dir, root, "ivf_ups", build
+        spark,
+        sf_dir,
+        root,
+        "ivf_ups",
+        lambda vecs, k, mod: _build_ivf_ups_artifacts(
+            spark, sf_dir, root, vecs, k, mod
+        ),
     )
     out = _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
     )
     return out.localCheckpoint(eager=True)
+
+
+def _build_ivf_ups_artifacts(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    vecs: DataFrame,
+    k: int,
+    mod: int,
+) -> None:
+    """The exact-tier upsert-entry build — gen-0 coarse base, then the
+    slice upsert at gen 1 — shared by the public entry and its explain
+    frame.  The central guard cleared any stale tombstone log before
+    this ran."""
+    _build_gen0_coarse(spark, root, vecs, k, mod)
+    ivf_upsert(spark, root, _upsert_slice_frame(spark, sf_dir), 1)
 
 
 def ann_ivf_compact_serve(
@@ -2425,36 +2441,49 @@ def ann_ivf_compact_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_cmp", sf_dir)
-
-    def build(vecs: DataFrame, k: int, mod: int) -> None:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        one_file(_centroid_frame(spark, centroids)).write.mode(
-            "overwrite"
-        ).parquet(f"{root}/centroids")
-        _hfs.delete(spark, f"{root}/assignments")
-        # two appends == the same rows as one write, in >1 file per
-        # cell — the state compaction exists to repair
-        for half_pred in ("vec_id % 2 = 0", "vec_id % 2 = 1"):
-            _write_cell_partitioned(
-                _assign_cells(vecs.filter(half_pred), centroids).select(
-                    "vec_id", "embedding", "norm", "cell"
-                ),
-                f"{root}/assignments",
-                "append",
-            )
-        # the central guard cleared any stale tombstone log pre-build
-        ivf_delete(
-            spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
-        )
-        ivf_compact(spark, root, max_files_per_cell=1)
-
     nprobe, qmod, _n, _dim = _ensure_index_params(
-        spark, sf_dir, root, "ivf_cmp", build
+        spark,
+        sf_dir,
+        root,
+        "ivf_cmp",
+        lambda vecs, k, mod: _build_ivf_cmp_artifacts(
+            spark, root, vecs, k, mod
+        ),
     )
     out = _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
     )
     return out.localCheckpoint(eager=True)
+
+
+def _build_ivf_cmp_artifacts(
+    spark: SparkSession, root: str, vecs: DataFrame, k: int, mod: int
+) -> None:
+    """The compact-entry build — TWO appended halves (>1 file/cell),
+    the delete slice tombstoned, then compaction — shared by the
+    public entry and its explain frame.  The central guard cleared any
+    stale tombstone log before this ran."""
+    from .. import fs as _hfs
+
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+    one_file(_centroid_frame(spark, centroids)).write.mode(
+        "overwrite"
+    ).parquet(f"{root}/centroids")
+    _hfs.delete(spark, f"{root}/assignments")
+    # two appends == the same rows as one write, in >1 file per
+    # cell — the state compaction exists to repair
+    for half_pred in ("vec_id % 2 = 0", "vec_id % 2 = 1"):
+        _write_cell_partitioned(
+            _assign_cells(vecs.filter(half_pred), centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "append",
+        )
+    ivf_delete(
+        spark, root, vecs.filter(IVF_DELETE_SLICE).select("vec_id"), 1
+    )
+    ivf_compact(spark, root, max_files_per_cell=1)
 
 
 def ann_ivfpq_delete_serve(
@@ -2859,6 +2888,50 @@ def _ann_ivf_serve_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_upsert_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true serve-through-log plan over a pre-ensured gen-layout
+    root — lazy, for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivf_ups", sf_dir)
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivf_ups",
+        lambda vecs, k, mod: _build_ivf_ups_artifacts(
+            spark, sf_dir, root, vecs, k, mod
+        ),
+    )
+    return _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+    )
+
+
+def _ann_ivf_compact_serve_explain_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The true serve plan over a pre-ensured compacted root — lazy,
+    for the plan audit."""
+    from .. import fs as _hfs
+
+    root = _hfs.artifact_root(spark, "ivf_cmp", sf_dir)
+    nprobe, qmod, _n, _dim = _ensure_index_params(
+        spark,
+        sf_dir,
+        root,
+        "ivf_cmp",
+        lambda vecs, k, mod: _build_ivf_cmp_artifacts(
+            spark, root, vecs, k, mod
+        ),
+    )
+    return _serve_ivf_from_artifacts(
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+    )
+
+
 EXPLAIN_FRAMES = {
     "ann_ivf_trained": _ann_ivf_trained_explain_frame,
     "ann_ivf_full_trained": _ann_ivf_trained_explain_frame,
@@ -2866,6 +2939,8 @@ EXPLAIN_FRAMES = {
     "ann_ivf_ingest": _ann_ivf_trained_explain_frame,
     "ann_ivf_serve": _ann_ivf_serve_explain_frame,
     "ann_ivf_delete_serve": _ann_ivf_delete_serve_explain_frame,
+    "ann_ivf_upsert_serve": _ann_ivf_upsert_serve_explain_frame,
+    "ann_ivf_compact_serve": _ann_ivf_compact_serve_explain_frame,
     "ann_ivf_filtered_serve": _ann_ivf_filtered_serve_explain_frame,
     "ann_ivf_pq": lambda spark, sf_dir: _ann_ivf_pq_explain_frame(
         spark, sf_dir

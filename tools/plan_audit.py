@@ -79,6 +79,10 @@ AUDITED = [
     "ann_ivf_serve",
     "ann_ivfpq_serve",
     "ann_ivf_delete_serve",
+    "ann_ivfpq_delete_serve",
+    "ann_ivf_upsert_serve",
+    "ann_ivfpq_upsert_serve",
+    "ann_ivf_compact_serve",
     "ann_ivf_filtered_serve",
     "ann_ivfpq_filtered_serve",
     "dedup_minhash_bbit",
