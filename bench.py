@@ -540,6 +540,12 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
+                # bench_schema 2 (r11): stride_spread reads the
+                # fixed-stride series ALONE (the pooled value moved to
+                # control_spread) and strides GC+sleep before sampling —
+                # r10-and-earlier artifacts report a different quantity
+                # under the same stride_spread key (r11 ADVICE #5).
+                "bench_schema": 2,
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,

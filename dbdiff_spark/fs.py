@@ -85,6 +85,16 @@ def glob(spark: SparkSession, pattern: str) -> list[str]:
     return sorted(st.getPath().toString() for st in statuses)
 
 
+def tree_bytes(spark: SparkSession, path: str) -> int:
+    """Total data bytes under ``path`` (recursive listing — namenode
+    metadata, no I/O); 0 for a missing path.  The cheap size probe
+    guards use before deciding to broadcast a frame read from disk."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def artifact_root(spark: SparkSession, kind: str, corpus_key: str) -> str:
     """Default root for persisted model artifacts (IVF index, BPE merge
     table) when the caller gives no explicit path.

@@ -1201,6 +1201,40 @@ FROM r WHERE rn = 1
 SPAN_W = 8  # window width in tokens
 
 
+
+def _span_frame(corpus: DataFrame) -> DataFrame:
+    """``(doc_id, pos, h)`` for every SPAN_W-token window of a
+    ``(doc_id, tokens)`` corpus, REPARTITIONED on the window hash.
+
+    The explicit exchange is the point (r12, guide §2.4): every
+    ExactSubstr op consumes this frame TWICE — a keeper/repeated
+    aggregation on ``h`` and the hit join back on ``h``.  Both
+    consumers key the same way, so they hang off this one exchange and
+    the corpus is scanned/tokenized/window-hashed ONCE; without it the
+    planner broadcasts the small aggregated side, the probe side needs
+    no shuffle, and each consumer recomputes the full window pass from
+    the scan (measured: two concurrent corpus passes at sf0.1, 2.3 s →
+    1.7 s for the detection op).  At scale the exchange carries the
+    same ~50 B/window rows a distributed hash join would shuffle
+    anyway — the saved second pass is a full corpus scan."""
+    spans = (
+        corpus.selectExpr(
+            "doc_id",
+            "tokens",
+            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
+            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
+            "ELSE array() END) AS pos",
+        )
+        .filter(F.col("pos").isNotNull())
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
+        )
+    )
+    return spans.repartition(F.col("h"))
+
+
 def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document repeated token regions per document.
 
@@ -1219,21 +1253,7 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 inside a transform lambda evaluates interpreted per element
     # (the minhash-signatures lesson, module header) — as a per-row
     # expression after the explode it stays in whole-stage codegen.
-    spans = (
-        corpus.selectExpr(
-            "doc_id",
-            "tokens",
-            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
-            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
-            "ELSE array() END) AS pos",
-        )
-        .filter(F.col("pos").isNotNull())
-        .selectExpr(
-            "doc_id",
-            "pos",
-            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
-        )
-    )
+    spans = _span_frame(corpus)
     repeated = (
         spans.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1324,21 +1344,7 @@ def repeated_span_cut(
     volume in a healthy corpus), followed by a per-doc distinct-count.
     No stage holds document text."""
     corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
-    spans = (
-        corpus.selectExpr(
-            "doc_id",
-            "tokens",
-            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
-            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
-            "ELSE array() END) AS pos",
-        )
-        .filter(F.col("pos").isNotNull())
-        .selectExpr(
-            "doc_id",
-            "pos",
-            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
-        )
-    )
+    spans = _span_frame(corpus)
     if per_occurrence:
         # min(struct) ≡ the lexicographically first (doc_id, pos)
         # occurrence — the DuckDB twin orders by doc_id, pos
@@ -1475,21 +1481,7 @@ def _span_runs_stats(corpus: DataFrame) -> DataFrame:
     out so tests can plant corpora."""
     from pyspark.sql import Window
 
-    spans = (
-        corpus.selectExpr(
-            "doc_id",
-            "tokens",
-            f"explode_outer(CASE WHEN size(tokens) >= {SPAN_W} THEN "
-            f"sequence(1, size(tokens) - {SPAN_W - 1}) "
-            "ELSE array() END) AS pos",
-        )
-        .filter(F.col("pos").isNotNull())
-        .selectExpr(
-            "doc_id",
-            "pos",
-            f"md5(array_join(slice(tokens, pos, {SPAN_W}), ' ')) AS h",
-        )
-    )
+    spans = _span_frame(corpus)
     repeated = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nocc"))

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table, one_file, spread
+from dbdiff_spark.io import load_table, local_frame, one_file, spread
 from dbdiff_spark.ops.similarity import _dot_duck, _dot_spark, _vectors, _VECTORS_SQL
 from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS, bm25_rank, BM25_RANK_SQL
 
@@ -361,7 +361,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "rank int, doc_id bigint, cand_rank int"
     remaining = {r.doc_id: r for r in rows}
     if not remaining:  # empty shortlist (no probe vector / empty corpus)
-        return spark.createDataFrame([], schema)
+        return local_frame(spark, [], schema)
     first = min(remaining.values(), key=lambda r: (-r.rel, r.doc_id))
     selected = [first]
     del remaining[first.doc_id]
@@ -376,8 +376,8 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected.append(best)
         del remaining[best.doc_id]
-    return spark.createDataFrame(
-        [(i + 1, r.doc_id, r.cand_rank) for i, r in enumerate(selected)], schema
+    return local_frame(
+        spark, [(i + 1, r.doc_id, r.cand_rank) for i, r in enumerate(selected)], schema
     )
 
 
@@ -500,8 +500,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg = F.replace(seg, F.lit(top["pair"]), F.lit(chr(step)))
     finally:
         toks.unpersist()
-    return spark.createDataFrame(
-        out_rows, "step int, merge_text string, n_occurrences bigint"
+    return local_frame(
+        spark, out_rows, "step int, merge_text string, n_occurrences bigint"
     )
 
 
@@ -810,8 +810,8 @@ def bpe_train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned merge table: one row per adopted merge with its round,
     in-round slot, fully-expanded text, and adoption-time pair count."""
     rows, _, _ = _bpe_batch_learn(spark, sf_dir)
-    return spark.createDataFrame(
-        rows, "round int, slot int, merge_text string, n_occurrences bigint"
+    return local_frame(
+        spark, rows, "round int, slot int, merge_text string, n_occurrences bigint"
     )
 
 
@@ -826,8 +826,8 @@ def bpe_train_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tens of rounds; the registry entry oracle-checks it at the shared
     R=8 config via the non-cascading list_reduce twin."""
     rows, _, _ = _bpe_batch_learn(spark, sf_dir, adoption="greedy")
-    return spark.createDataFrame(
-        rows, "round int, slot int, merge_text string, n_occurrences bigint"
+    return local_frame(
+        spark, rows, "round int, slot int, merge_text string, n_occurrences bigint"
     )
 
 
@@ -844,8 +844,8 @@ def bpe_train_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, _, _ = _bpe_batch_learn(
         spark, sf_dir, adoption="greedy", tokens_expr=_BYTE_TOKENS
     )
-    return spark.createDataFrame(
-        rows, "round int, slot int, merge_text string, n_occurrences bigint"
+    return local_frame(
+        spark, rows, "round int, slot int, merge_text string, n_occurrences bigint"
     )
 
 
@@ -891,7 +891,8 @@ def bpe_merge_artifact(
         (rnd, slot, k + 1, flat_pairs[k], merge_text, n)
         for k, (rnd, slot, merge_text, n) in enumerate(rows)
     ]
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         data,
         "round int, slot int, code int, pair string, merge_text string,"
         " n_occurrences bigint",

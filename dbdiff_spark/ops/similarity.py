@@ -29,7 +29,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table, one_file
+import logging
+
+from dbdiff_spark.io import load_table, local_frame, one_file, spread
+
+_log = logging.getLogger(__name__)
+
+# Tombstone logs past this many bytes (driver-side listing, no scan)
+# stop being broadcast at serve time: under sustained retraction with
+# no compact/merge the max-gen-per-vec_id aggregate grows without
+# bound, and a silent over-threshold broadcast is an executor OOM.
+# The serve falls back to a shuffle join and logs a compact-needed
+# warning instead (r11 ADVICE #1).  The RAW log overestimates the
+# aggregated broadcast (duplicates collapse), which is the safe side.
+TOMBSTONE_BROADCAST_MAX_BYTES = 256 << 20
 
 QUERY_MOD = 100  # vec_id % 100 == 0 → the demo query set (1% of corpus)
 # Result sizes (KNN_K/ANN_K/IVF_K/PQ_K) are USER-FACING k parameters —
@@ -746,7 +759,11 @@ def _literal_regime(
 
 
 def _centroid_frame(spark: SparkSession, centroids: dict[int, list[float]]):
-    return spark.createDataFrame(
+    # local_frame (Arrow → LocalRelation): the list createDataFrame
+    # path re-enters a Python worker on EVERY downstream action of the
+    # frame (~0.3 s each, r12 profile) — the PQ tier evaluates this
+    # frame many times per build
+    return local_frame(spark,
         [
             (int(k), [float(x) for x in c])
             for k, c in sorted(centroids.items())
@@ -761,7 +778,8 @@ def _centroid_array_row(
     """The trained centroids as ONE row holding the whole
     ``array<struct<cell, centroid>>`` — the broadcast side of the
     data-driven (large-K) assignment and probe regimes."""
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         [
             (
                 [
@@ -1445,8 +1463,18 @@ def _ensure_index_params(
         # new-corpus rows whose vec_ids were once retracted (r11
         # review, second pass).  Cleared here — before ANY family's
         # build — so the invariant holds without each build restating
-        # it; delete-entry builds re-create their log after.
-        _hfs.delete(spark, f"{root}/tombstones")
+        # it; delete-entry builds re-create their log after.  The drop
+        # is logged when a log actually existed, so an intentional
+        # retraction (a GDPR delete) silently discarded by a corpus
+        # replacement is at least auditable (r11 ADVICE #2).
+        if _hfs.delete(spark, f"{root}/tombstones"):
+            _log.warning(
+                "rebuild of %s dropped its existing tombstone log: the "
+                "corpus fingerprint changed (or the root was stale), so "
+                "retractions issued against the previous build no longer "
+                "apply — re-issue deletes against the new build if they "
+                "were intentional", root,
+            )
         vecs0 = _vectors(spark, sf_dir)
         n, dim = _corpus_shape(vecs0)
         k = semdedup_cells(n)
@@ -1457,7 +1485,8 @@ def _ensure_index_params(
         finally:
             vecs.unpersist()
         one_file(
-            spark.createDataFrame(
+            local_frame(
+                spark,
                 [(n, dim, k, ivf_nprobe_for(k), query_mod_for(n), family, fp)],
                 "n bigint, dim bigint, cells bigint, nprobe bigint,"
                 " qmod bigint, family string, fingerprint string",
@@ -1539,8 +1568,14 @@ def _build_ingest_base(
     # ingest entries rebuild per call without the params guard, so the
     # stale-log invariant is enforced here: a rebuilt base must not
     # inherit retractions issued against the previous build (r11
-    # review, second pass)
-    _hfs.delete(spark, f"{root}/tombstones")
+    # review, second pass); an actually-dropped log is logged so the
+    # discard is auditable (r11 ADVICE #2)
+    if _hfs.delete(spark, f"{root}/tombstones"):
+        _log.warning(
+            "ingest base rebuild of %s dropped its existing tombstone "
+            "log — retractions issued against the previous build no "
+            "longer apply", root,
+        )
     base = vecs.filter(IVF_BASE_SLICE)
     n_base = base.count()
     k = semdedup_cells(n_base)
@@ -2005,10 +2040,14 @@ def ivf_delete(
             f"tombstone gen must be >= 1 (gen 0 is the base layout); "
             f"got {gen} — pass batchId + 1 from a 0-based stream"
         )
-    one_file(
-        ids.select("vec_id").withColumn(
-            "gen", F.lit(int(gen)).cast("bigint")
-        )
+    # plain append, NO repartition: the log write is O(ids) with zero
+    # shuffle (the r11 ADVICE flagged the old one_file/repartition(1)
+    # funnel, which serialized a corpus-scale delete batch through one
+    # task AND paid an exchange).  File count = the batch frame's own
+    # partitioning — fine for a log that is read through one
+    # aggregate; a delete-heavy root folds it at the next compact.
+    ids.select("vec_id").withColumn(
+        "gen", F.lit(int(gen)).cast("bigint")
     ).write.mode("append").parquet(f"{root}/tombstones")
 
 
@@ -2205,12 +2244,29 @@ def _tombstone_visibility(
         .groupBy("vec_id")
         .agg(F.max("gen").alias("_tomb_gen"))
     )
+    # Broadcast only while the log is provably small (driver-side
+    # listing of the RAW log bytes — an overestimate of the aggregated
+    # build side, which is the safe direction).  Under sustained
+    # retraction with no compact, an unconditional broadcast grows
+    # without bound and eventually OOMs the executors (r11 ADVICE #1);
+    # past the bound the join falls back to the planner's distributed
+    # strategy and the operator logs that the root needs a compact.
+    log_bytes = _hfs.tree_bytes(spark, f"{root}/tombstones")
+    if log_bytes <= TOMBSTONE_BROADCAST_MAX_BYTES:
+        tomb = F.broadcast(tomb)
+    else:
+        _log.warning(
+            "tombstone log at %s/tombstones is %d bytes (> %d): serving "
+            "with a shuffle join instead of a broadcast — run ivf_compact "
+            "(or a cross-generation merge) to fold the log",
+            root, log_bytes, TOMBSTONE_BROADCAST_MAX_BYTES,
+        )
     gen_col = (
         F.col("gen") if "gen" in assigned.columns
         else F.lit(0).cast("bigint")
     )
     return (
-        assigned.join(F.broadcast(tomb), "vec_id", "left")
+        assigned.join(tomb, "vec_id", "left")
         .filter(F.col("_tomb_gen").isNull() | (gen_col >= F.col("_tomb_gen")))
         .drop("_tomb_gen")
     )
@@ -2319,10 +2375,30 @@ def ivf_compact(
     written = {
         tuple(r) for r in compacted.select(*pcols).distinct().collect()
     }
+    expired = []
     for sub, g, c in over:
         key = (g, c) if gen_layout else (c,)
         if key not in written:
             _hfs.delete(spark, f"{apath}/{sub}")
+            expired.append(sub)
+    # full-corpus retraction: if the expiry emptied the TREE, the next
+    # serve would die on parquet schema inference instead of serving an
+    # empty relation (r11 ADVICE #4).  Keep the layout readable by
+    # re-creating ONE expired leaf dir with a single zero-row file
+    # carrying the data schema (partition values live in the dir name,
+    # so the leaf is indistinguishable from a genuinely empty cell);
+    # the keeper is 1 file with no dead rows, so convergence holds.
+    survivors = {(g, c) if gen_layout else (c,) for _s, g, c in leaves}
+    survivors -= {
+        (g, c) if gen_layout else (c,)
+        for sub, g, c in over
+        if sub in expired
+    }
+    if not survivors and not written and expired:
+        keeper = expired[0]
+        compacted.drop(*pcols).limit(0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{apath}/{keeper}")
     return len(over)
 
 
@@ -3565,7 +3641,8 @@ def _train_pq_codebook(subs: DataFrame, seeds: int) -> DataFrame:
             )
             .collect()
         )
-        cb = spark.createDataFrame(
+        cb = local_frame(
+            spark,
             [
                 (int(r["seed_id"]), int(r["m"]), [int(x) for x in r["seed_sub"]])
                 for r in rows
@@ -4656,8 +4733,8 @@ def ann_ivf_nprobe_curve(
         # rung frame from the driver-side list, NOT a distinct over the
         # unioned searches — that branch would re-run all four corpus
         # searches a second time absent exchange reuse (r9 review)
-        rung_frame = spark.createDataFrame(
-            [(int(r),) for r in rungs], "nprobe bigint"
+        rung_frame = local_frame(
+            spark, [(int(r),) for r in rungs], "nprobe bigint"
         )
         out = (
             rung_frame
@@ -4843,7 +4920,8 @@ def ann_ivfpq_recall_report(
         nq = exact_k.select("query_id").distinct().groupBy().agg(
             F.count(F.lit(1)).alias("n_queries")
         )
-        variants = spark.createDataFrame(
+        variants = local_frame(
+            spark,
             [(name,) for name, _r, _t in IVFPQ_RECALL_VARIANTS],
             "variant string",
         )
@@ -5032,7 +5110,8 @@ def embedding_truncation_recall(
         # dims.  The DuckDB twin's WHERE d//frac >= 2 yields an empty
         # frame here, so return the same — empty, same schema — rather
         # than crashing on approx.join (r8 ADVICE finding).
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [],
             "prefix_dims bigint, n_queries bigint, k bigint,"
             " n_hits bigint, recall_ppm bigint",
@@ -5286,11 +5365,6 @@ def semdedup_cells(n_corpus: int) -> int:
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOT spread: measured 0.7 s slower with an up-front repartition —
-    # the heavy stages here already run post-shuffle (the min(struct)
-    # assignment and the pair scoring both sit behind exchanges), so
-    # the extra corpus exchange only adds cost, unlike the funnel's
-    # pre-shuffle fingerprint stage
     vecs = _vectors(spark, sf_dir)
     # K from the corpus count (corpus = vecs ∪ offset copies → 2n).
     # Count the RAW table, not the norm projection — count(*) on the
@@ -5313,6 +5387,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal-argmin projection kmeans uses would be a 48×64-term
     # interpreted expression per row; the join+aggregate form stays a
     # narrow codegen'd pipeline.
+    #
+    # spread BEFORE the scoring join (r12): the groupBy(vec_id) below
+    # shuffles the corpus on vec_id anyway, so hash-repartitioning on
+    # vec_id FIRST adds zero net exchanges at any scale — it only moves
+    # the existing one below the scan, so the K×dim distance evaluation
+    # (the heavy per-row stage) runs at full parallelism instead of on
+    # the scan's split count (2 tasks at bench SF: measured 5.9 s →
+    # 4.3 s with the shared-q exchange alone, 2.6 s with both).
+    corpus = spread(corpus, spark, "vec_id")
     scored = corpus.join(F.broadcast(seeds)).select(
         "vec_id",
         "embedding",
@@ -5338,6 +5421,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("qvec", F.expr(_qvec_spark()))
         .withColumn("qnorm2", F.expr(_qdot_spark("qvec", "qvec")))
         .drop("embedding", "norm")
+        # repartition on the JOIN key: the self-join's two sides and
+        # the members rollup all hang off this ONE exchange (identical
+        # subtree → AQE stage reuse), so the assignment+quantization
+        # pass runs ONCE — without it the small aggregated side is
+        # broadcast and each join input recomputes q from the scan
+        # (guide §2.4: operations keyed the same way share an
+        # exchange).  At scale the self-join shuffles on cell anyway —
+        # this only pins where.
+        .repartition(F.col("cell"))
     )
     a, b = q.alias("a"), q.alias("b")
     # The pair dot is THE quadratic cost: evaluate it ONCE per pair (a

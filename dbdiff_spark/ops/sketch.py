@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, local_frame
 from dbdiff_spark.ops.text import _D_TOKENS, _TOKENS
 
 CMS_DEPTH = 4
@@ -75,8 +75,8 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell.depth", "cell.bucket")
         .agg(F.count(F.lit(1)).alias("cell_count"))
     )
-    probes = spark.createDataFrame(
-        [(t,) for t in PROBE_TOKENS], "probe_token string"
+    probes = local_frame(
+        spark, [(t,) for t in PROBE_TOKENS], "probe_token string"
     )
     probe_structs = ", ".join(
         f"struct({d} AS depth, {_bucket_spark(d, 'probe_token')} AS bucket)"

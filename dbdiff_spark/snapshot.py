@@ -37,6 +37,7 @@ from dbdiff_spark.diff import (
     _is_orderable,
     diff_tables,
 )
+from dbdiff_spark.io import local_frame
 
 TABLE_ADDED = "TABLE_ADDED"
 TABLE_DROPPED = "TABLE_DROPPED"
@@ -194,7 +195,9 @@ class Snapshot:
             # side's changed-group rows live on the other side (pure
             # inserts/deletes): empty frame, full schema
             return (
-                spark.createDataFrame([], spark.read.parquet(self.tables[table]).schema),
+                local_frame(
+                    spark, [], spark.read.parquet(self.tables[table]).schema
+                ),
                 True,
             )
         return spark.read.parquet(*files), True
@@ -590,7 +593,7 @@ def diff_snapshots(
             b = before.load(spark, name)
             if where and name in where:
                 b = b.filter(where[name])
-            empty = spark.createDataFrame([], b.schema)
+            empty = local_frame(spark, [], b.schema)
             results[name] = diff_tables(
                 b, empty, before.keys[name], mode=mode, dedup_keys=True
             )
@@ -598,7 +601,7 @@ def diff_snapshots(
             a = after.load(spark, name)
             if where and name in where:
                 a = a.filter(where[name])
-            empty = spark.createDataFrame([], a.schema)
+            empty = local_frame(spark, [], a.schema)
             results[name] = diff_tables(
                 empty, a, after.keys[name], mode=mode, dedup_keys=True
             )
@@ -678,7 +681,8 @@ def packed_diff(
         )
         parts.append(packed)
     if not parts:  # both snapshots empty → empty packed diff
-        return spark.createDataFrame(
+        return local_frame(
+            spark,
             [],
             "table_name string, diff_status string, is_before boolean, "
             "modified_columns array<string>, key map<string,string>, "

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from dbdiff_spark.io import load_table, one_file
+from dbdiff_spark.io import load_table, local_frame, one_file
 
 WINDOW = "5 minutes"
 WATERMARK = "10 minutes"
@@ -1298,7 +1298,8 @@ def stream_dedup_ingest(
 
     corpus = _neardup_corpus(spark, sf_dir)
     old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
-    planted = spark.createDataFrame(
+    planted = local_frame(
+        spark,
         [
             (STREAM_INGEST_PLANT_A, list(_PLANT_TOKENS)),
             (STREAM_INGEST_PLANT_B, list(_PLANT_TOKENS)),

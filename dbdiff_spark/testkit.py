@@ -267,13 +267,22 @@ def format_snapshot_diff_query_df(
     keys = {table: list(spec.key)}
     b = store.collect({table: base}, keys, f"{root}/b", count_rows=False, format=format)
     a = store.collect({table: after}, keys, f"{root}/a", count_rows=False, format=format)
-    res = diff_snapshots(spark, b, a, mode=DiffMode.TYPED)[table]
-    return res.df.select(
-        F.col("diff_status"),
-        F.col("is_before"),
-        F.array_join(F.col("modified_columns"), ",").alias("modified_cols"),
-        *[F.col(c) for c in spec.cols],
-    )
+    try:
+        res = diff_snapshots(spark, b, a, mode=DiffMode.TYPED)[table]
+        # pin the (diff-sized) result OFF the temp root before removing
+        # it — a lazy read would otherwise keep the root alive forever
+        # (the r11 VERDICT hygiene finding: one leaked dbdiff_*_snap_*
+        # dir per evaluation; pattern from streaming/cdc.py)
+        return res.df.select(
+            F.col("diff_status"),
+            F.col("is_before"),
+            F.array_join(F.col("modified_columns"), ",").alias("modified_cols"),
+            *[F.col(c) for c in spec.cols],
+        ).localCheckpoint(eager=True)
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
 
 
 # Schema-drift fixture: the after snapshot gains a column.  Reference
