@@ -408,6 +408,14 @@ def _ivf_coarse(
         F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_emb")
     )
     pay = ["embedding", "norm"] if payload else []
+    # spread BEFORE the scoring join (r12, the semdedup lesson): the
+    # argmin groupBy below shuffles on vec_id anyway, so hash-
+    # repartitioning the corpus on vec_id FIRST adds zero net
+    # exchanges (same key, same partition count → the groupBy reuses
+    # it) — it only moves the existing exchange below the scan, so the
+    # n×C interpreted distance evaluation runs at full parallelism
+    # instead of on the scan's split count (1 task at bench SF).
+    vecs = spread(vecs, vecs.sparkSession, "vec_id")
     scored = vecs.join(F.broadcast(seeds)).select(
         "vec_id",
         *pay,
@@ -737,11 +745,25 @@ def _argmin_struct(centroids: dict[int, list[float]]) -> str:
 # production embedding dims: expression size is ~25·K·DIM bytes, so
 # dim=1024 blows past analyzer-safe territory at K=256 (10 MB) where
 # dim=64 was fine to K=1024.  The default regime choice therefore
-# bounds TERMS (K·dim ≤ KMEANS_LITERAL_TERMS = the probe-validated
-# 1024×64 region ≈ 1.7 MB of SQL) alongside K; an explicit
+# bounds TERMS (K·dim ≤ KMEANS_LITERAL_TERMS) alongside K; an explicit
 # ``literal_max`` still forces a regime (tests, probes).
+#
+# TERMS bound r12: 65_536 → 2_048.  The r8 probe priced the literal
+# form by repeated execution of ONE compiled plan, which amortizes
+# what iterative callers actually pay per action: parse + analyze +
+# a fresh Janino whole-stage compile EVERY time the literal VALUES
+# change — and the Lloyd loop changes them every round, so no round
+# ever reuses the codegen cache.  Measured at K=48 × dim=64 (the
+# sf0.1 derived-K tier, 3072 terms, ~75 KB of SQL per expression):
+# 1.96 s/round literal vs 1.22 s/round data-driven for the
+# assign+mean Lloyd round, and the serve probe pays the same
+# per-fresh-literal compile again.  The data regime is plan-size-
+# invariant, assigns identically (cross-path test), and is the
+# operative regime at production K ≈ √n anyway — the bound keeps the
+# literal plan only where the expression is small enough that its
+# analysis cost is noise (pinned-K ops: KMEANS_K=8 × 64 = 512 terms).
 KMEANS_LITERAL_MAX = 1024
-KMEANS_LITERAL_TERMS = 65_536
+KMEANS_LITERAL_TERMS = 2_048
 
 
 def _literal_regime(
@@ -1140,11 +1162,22 @@ def _ann_ivf_trained_with_k(
     A/B), and the recall report's pinned ``ivf_trained_c8_p2``
     variant."""
     vecs = _vectors(spark, sf_dir).persist()
+    # PIN the assignment (r12, guide §5): the candidate join's key is
+    # the HOF-computed ``cell``, and the join's inferred
+    # isnotnull(cell) null-filter gets pushed below the projection
+    # with the FULL argmin expression substituted in — the interpreted
+    # K×dim argmin then runs twice per corpus row (measured 2.0 s vs
+    # 0.24 s for the candidate stage at sf0.1).  Caching materializes
+    # the assignment once; the pushed filter evaluates against the
+    # cached ``cell`` column instead of re-deriving it.  The persisted
+    # serve entries get the same barrier for free from their parquet
+    # artifact — this is the inline-search twin of that materialization.
+    assigned = None
     try:
         centroids = _kmeans_centroids(_lloyd_train_frame(vecs, sample_mod), k)
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "norm", "cell"
-        )
+        ).persist()
         out = _ivf_literal_search(
             vecs, assigned, centroids, nprobe, max_broadcast_queries,
             query_mod,
@@ -1154,6 +1187,8 @@ def _ann_ivf_trained_with_k(
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def _probe_frame(
@@ -1768,13 +1803,16 @@ def ann_ivf_filtered(
         f"sqrt({_dot_spark('embedding', 'embedding')}) AS norm",
         "label",
     ).persist()
+    assigned = None
     try:
         centroids = _kmeans_centroids(
             _lloyd_train_frame(vecs.drop("label"), mod), k
         )
+        # pinned for the same reason as _ann_ivf_trained_with_k: the
+        # join-key null-filter otherwise re-derives the argmin HOF
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "norm", "cell", "label"
-        )
+        ).persist()
         queries = _probe_frame(vecs, centroids, nprobe, qmod).join(
             vecs.selectExpr("vec_id AS query_id", "label AS q_label"),
             "query_id",
@@ -1792,6 +1830,8 @@ def ann_ivf_filtered(
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def ann_ivf_filtered_serve(
@@ -4681,11 +4721,16 @@ def ann_ivf_nprobe_curve(
     qmod = query_mod_for(n)
     rungs = sorted({fn(np0, k) for _label, fn in NPROBE_CURVE_RUNGS})
     vecs = _vectors(spark, sf_dir).persist()
+    assigned = None
     try:
         centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
+        # pinned (r12): FOUR nprobe rungs consume this frame — without
+        # the cache each rung re-derives the interpreted argmin HOF
+        # (twice, via the join-key null-filter pushdown), i.e. eight
+        # full-corpus assignment passes for one report
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "norm", "cell"
-        )
+        ).persist()
         queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -4756,6 +4801,8 @@ def ann_ivf_nprobe_curve(
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def _ann_ivf_nprobe_curve_sql() -> str:
@@ -4867,12 +4914,17 @@ def ann_ivfpq_recall_report(
     pq_seeds = pq_seeds_for(n)
     fan = pq_m_for(dim) * pq_seeds
     vecs = vecs0.persist()
+    assigned = None
     try:
         centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
         cframe = _centroid_frame(spark, centroids)
+        # pinned (r12): THREE PQ arms (two of them codebook-training
+        # loops) plus the candidate join consume this frame — without
+        # the cache every consumer re-derives the interpreted argmin
+        # HOF from the scan (the join-key null-filter doubles it)
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "cell"
-        )
+        ).persist()
         qmod = query_mod_for(n)
         probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
             "query_id", "q_emb", "q_cell"
@@ -4945,6 +4997,8 @@ def ann_ivfpq_recall_report(
         return out.localCheckpoint(eager=True)
     finally:
         vecs.unpersist()
+        if assigned is not None:
+            assigned.unpersist()
 
 
 def _ann_ivfpq_recall_sql() -> str:

@@ -405,22 +405,31 @@ def test_query_broadcast_guard_bounds_bytes_not_just_rows(spark):
 
 def test_literal_regime_bounds_terms_not_just_k(spark):
     """r8 dim-1024 probe finding: literal-argmin SQL is ~25·K·dim
-    bytes, so the regime switch must bound K·dim — at dim 1024 the
-    old K-only bound admitted a 41 MB expression at K=1024."""
+    bytes, so the regime switch must bound K·dim.  r12 tightened the
+    terms bound to 2048: iterative callers pay parse + analyze + a
+    fresh Janino compile every time the literal VALUES change (every
+    Lloyd round), so the literal plan is kept only where the
+    expression is small enough that this cost is noise — the pinned
+    KMEANS_K=8 × dim 64 region stays literal, the derived-K tiers
+    (K ≈ √n) run data-driven at bench SF exactly as they do at
+    production scale."""
     from dbdiff_spark.ops.similarity import (
-        KMEANS_LITERAL_MAX,
+        KMEANS_K,
         KMEANS_LITERAL_TERMS,
         _literal_regime,
     )
 
-    lowdim = {k: [float(k)] * 64 for k in range(KMEANS_LITERAL_MAX)}
-    assert _literal_regime(lowdim, None)  # 1024 × 64 — the probed-safe region
+    pinned = {k: [float(k)] * 64 for k in range(KMEANS_K)}
+    assert KMEANS_K * 64 <= KMEANS_LITERAL_TERMS
+    assert _literal_regime(pinned, None)  # pinned-K ops stay literal
+    derived = {k: [float(k)] * 64 for k in range(48)}
+    assert 48 * 64 > KMEANS_LITERAL_TERMS
+    assert not _literal_regime(derived, None)  # sf0.1 derived K: data regime
     highdim = {k: [float(k)] * 1024 for k in range(256)}
-    assert 256 * 1024 > KMEANS_LITERAL_TERMS
     assert not _literal_regime(highdim, None)  # 10 MB of SQL at dim 1024
     # explicit literal_max still forces a regime (tests/probes)
     assert _literal_regime(highdim, 1 << 30)
-    assert not _literal_regime(lowdim, 0)
+    assert not _literal_regime(pinned, 0)
 
 
 def test_ivf_pq_composes_cell_pruning_with_exact_adc(spark, sf_dir):
