@@ -3302,10 +3302,12 @@ def _pq_codes_and_table(
     only (vec_id, m, code); ``dtable`` is (query_id, m, code, qd2),
     Q×M×K rows, driver-tiny.
 
-    Code argmin is min(struct(d2, seed_id)) — a map-side-combinable
-    two-level aggregation; the row_number window it replaces shuffled
-    AND sorted the full corpus×M×K candidate set (label_propagation
-    lesson, ARCHITECTURE.md).  Shared by ``ann_pq`` (flat ADC) and
+    Code argmin is a zero-shuffle broadcast-HOF ``struct(d2,
+    seed_id)`` winner (``_pq_code_argmin``, r12 — the earlier
+    min-struct groupBy re-keyed corpus×M rows; the row_number window
+    THAT replaced shuffled AND sorted the full corpus×M×K candidate
+    set — label_propagation lesson, ARCHITECTURE.md).  Shared by
+    ``ann_pq`` (flat ADC) and
     ``ann_ivf_pq`` (cell-pruned ADC), so a tie-break or slice fix can
     never drift between them."""
     qvecs = vecs.selectExpr("vec_id", f"{_qvec_spark()} AS qvec")
@@ -3315,13 +3317,11 @@ def _pq_codes_and_table(
     codebook = subs.filter(F.col("vec_id") < seeds).select(
         F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
     )
-    scored = subs.join(F.broadcast(codebook), "m").withColumn(
-        "d2", F.expr(_qdist2_spark("sub", "seed_sub"))
-    )
-    codes = (
-        scored.groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
-        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
+    # zero-shuffle argmin (r12): same winner as the former broadcast-
+    # join + min(struct) groupBy, without re-keying corpus×M rows
+    # through an exchange (see _pq_code_argmin)
+    codes = subs.crossJoin(F.broadcast(_cb_array_row(codebook))).selectExpr(
+        "vec_id", "m", f"{_pq_code_argmin()}.seed_id AS code"
     )
     q_subs = subs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "m", F.col("sub").alias("q_sub")
@@ -3632,36 +3632,64 @@ def _grid_explode_m(base: DataFrame, keys: list[str]) -> DataFrame:
 PQ_CB_ITERS = 2
 
 
+def _cb_array_row(codebook: DataFrame) -> DataFrame:
+    """The (driver-tiny, M×K-row) codebook folded into ONE row
+    ``cbmap: map<m, array<struct<seed_id, seed_sub>>>`` — the
+    broadcast vehicle of the zero-shuffle encode
+    (``_pq_code_argmin``), the PQ twin of ``_centroid_array_row``.
+    Keyed by subspace so each row's argmin touches only its own K
+    entries (a flat array would make every row filter-scan all M×K).
+    Built in-plan (a tiny two-level aggregate feeding the broadcast),
+    so loaded-artifact callers add no driver collect; element order
+    within a subspace is irrelevant (the consumer is an
+    ``array_min``)."""
+    return (
+        codebook.groupBy("m")
+        .agg(F.expr("collect_list(struct(seed_id, seed_sub))").alias("ents"))
+        .groupBy()
+        .agg(
+            F.expr("map_from_entries(collect_list(struct(m, ents)))").alias(
+                "cbmap"
+            )
+        )
+    )
+
+
+def _pq_code_argmin() -> str:
+    """Per-row code assignment against the broadcast ``cbmap``:
+    ``array_min`` over the row's own subspace slice — the same
+    lexicographic ``struct(d2, seed_id)`` winner the former
+    broadcast-join + ``min(struct)`` groupBy produced (d2 is exact
+    BIGINT grid arithmetic, so equality is bitwise), with ZERO
+    shuffle: the former shape re-keyed corpus×M rows through a
+    groupBy(vec_id, m) exchange purely to undo the join's K-way fanout
+    (guide §2.4 — remove shuffles outright)."""
+    return (
+        "array_min(transform(element_at(cbmap, m), "
+        f"e -> struct({_qdist2_spark('sub', 'e.seed_sub')} AS d2, "
+        "e.seed_id AS seed_id)))"
+    )
+
+
 def _train_pq_codebook(subs: DataFrame, seeds: int) -> DataFrame:
     """Per-subspace Lloyd over grid sub-vectors → a trained
     ``(seed_id, m, seed_sub)`` codebook frame (driver-local: M×K rows
     of subdim ints).  Seeds are the same first-``seeds`` sub-vectors
     the seeded codebook uses (round 0 = seeded, so the A/B isolates the
     training); ``seeds`` is the derived ``pq_seeds_for`` budget.  Each
-    round is one broadcast-join argmin carrying the sub payload in the
-    min-struct (never compared — (d2, seed_id) is unique per (vec, m))
-    plus one ≤ M×K×subdim-row grouped mean; an entry that captures no
+    round is one zero-shuffle broadcast-HOF argmin
+    (``_pq_code_argmin`` — r12; the former broadcast-join +
+    min(struct) groupBy re-shuffled corpus×M rows every round) plus
+    one ≤ M×K×subdim-row grouped mean; an entry that captures no
     members drops out, in both engines."""
     spark = subs.sparkSession
     cb = subs.filter(F.col("vec_id") < seeds).select(
         F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
     )
     for _ in range(PQ_CB_ITERS):
-        assigned = (
-            subs.join(F.broadcast(cb), "m")
-            .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
-            .groupBy("vec_id", "m")
-            .agg(
-                F.min(
-                    F.struct(F.col("d2"), F.col("seed_id"), F.col("sub"))
-                ).alias("__b")
-            )
-            .select(
-                "m",
-                F.col("__b.seed_id").alias("seed_id"),
-                F.col("__b.sub").alias("sub"),
-            )
-        )
+        assigned = subs.crossJoin(
+            F.broadcast(_cb_array_row(cb))
+        ).selectExpr("m", f"{_pq_code_argmin()}.seed_id AS seed_id", "sub")
         rows = (
             assigned.select(
                 "m", "seed_id", F.posexplode("sub").alias("pos", "comp")
@@ -3707,8 +3735,8 @@ def _pq_grid_codes(
     subspace when ``train_codebook``.  ``assigned`` carries (vec_id,
     embedding, cell); the residual path joins the BROADCAST centroid
     frame (K rows) to subtract each vector's own cell centroid — the
-    corpus never shuffles.  Code argmin is min(struct(d2, seed_id)),
-    map-side combinable (the ``_pq_codes_and_table`` lesson)."""
+    corpus never shuffles.  Code argmin is the zero-shuffle
+    broadcast-HOF winner (``_pq_code_argmin``)."""
     if seeds is None:
         seeds = pq_seeds_for(_corpus_shape(assigned)[0])
     subs = _pq_subs(assigned, cframe, residual)
@@ -3739,15 +3767,15 @@ def _pq_subs(
 
 def _pq_codes_for(subs: DataFrame, codebook: DataFrame) -> DataFrame:
     """Encode sub-vectors against a (possibly reloaded/frozen)
-    broadcast codebook → (vec_id, m, code); min-struct argmin,
-    map-side combinable — the encode half of ``_pq_grid_codes``,
-    callable on an ingest batch without rebuilding the codebook."""
-    return (
-        subs.join(F.broadcast(codebook), "m")
-        .withColumn("d2", F.expr(_qdist2_spark("sub", "seed_sub")))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(F.col("d2"), F.col("seed_id"))).alias("__b"))
-        .select("vec_id", "m", F.col("__b.seed_id").alias("code"))
+    broadcast codebook → (vec_id, m, code) — the encode half of
+    ``_pq_grid_codes``, callable on an ingest batch without rebuilding
+    the codebook.  Zero-shuffle (r12): the codebook arrives as ONE
+    broadcast row (``_cb_array_row``) and the argmin is a per-row HOF
+    (``_pq_code_argmin``) — the former broadcast-join + min(struct)
+    groupBy produced the identical winner but re-keyed corpus×M rows
+    through an exchange, a full corpus shuffle per encode at scale."""
+    return subs.crossJoin(F.broadcast(_cb_array_row(codebook))).selectExpr(
+        "vec_id", "m", f"{_pq_code_argmin()}.seed_id AS code"
     )
 
 
