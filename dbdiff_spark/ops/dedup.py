@@ -1206,17 +1206,18 @@ def _span_frame(corpus: DataFrame) -> DataFrame:
     """``(doc_id, pos, h)`` for every SPAN_W-token window of a
     ``(doc_id, tokens)`` corpus, REPARTITIONED on the window hash.
 
-    The explicit exchange is the point (r12, guide §2.4): every
-    ExactSubstr op consumes this frame TWICE — a keeper/repeated
-    aggregation on ``h`` and the hit join back on ``h``.  Both
-    consumers key the same way, so they hang off this one exchange and
-    the corpus is scanned/tokenized/window-hashed ONCE; without it the
-    planner broadcasts the small aggregated side, the probe side needs
-    no shuffle, and each consumer recomputes the full window pass from
-    the scan (measured: two concurrent corpus passes at sf0.1, 2.3 s →
-    1.7 s for the detection op).  At scale the exchange carries the
-    same ~50 B/window rows a distributed hash join would shuffle
-    anyway — the saved second pass is a full corpus scan."""
+    Every ExactSubstr op consumes this frame through PARTITION-key
+    windows on ``h`` (r12): the earlier groupBy + join-back shape
+    could not actually share this exchange — column pruning projected
+    the keeper subtree narrower than the probe side, the two exchanges
+    canonicalized unequal, and the corpus was tokenized + window-
+    hashed once PER consumer (event-log profile: 2-3 concurrent
+    423k-row span map stages per op at sf0.1).  A window over ``h``
+    consumes the one exchange exactly once; the explicit repartition
+    keeps the window's partitioning requirement satisfied here, next
+    to the docstring that explains it.  The exchange carries the same
+    ~50 B/window rows the old join shuffled anyway — the saved passes
+    are full corpus scans."""
     spans = (
         corpus.selectExpr(
             "doc_id",
@@ -1254,15 +1255,22 @@ def repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the minhash-signatures lesson, module header) — as a per-row
     # expression after the explode it stays in whole-stage codegen.
     spans = _span_frame(corpus)
-    repeated = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    hits = spans.join(repeated, "h").select("doc_id", "pos")
     from pyspark.sql import Window
 
+    # repeated-window marking as a WINDOW over the h-partitioned spans
+    # rather than a groupBy + join-back (r12, guide §2.4): the join
+    # shape planned the keeper aggregate as a BROADCAST whose subtree
+    # was column-pruned differently from the probe side, so the
+    # "shared" span exchange canonicalized unequal and the corpus was
+    # tokenized + window-hashed TWICE (event-log profile: two
+    # concurrent 423k-row span map stages).  The window consumes the
+    # single exchange once; same rows out (count distinct per h ≥ 2).
+    wh = Window.partitionBy("h")
+    hits = (
+        spans.withColumn("nd", F.size(F.collect_set("doc_id").over(wh)))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "pos")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -1345,51 +1353,49 @@ def repeated_span_cut(
     No stage holds document text."""
     corpus = _neardup_corpus(spark, sf_dir)  # doc_id, tokens
     spans = _span_frame(corpus)
+    from pyspark.sql import Window
+
+    # keeper marking as a WINDOW over the h-partitioned spans rather
+    # than a groupBy + join-back (r12 — see repeated_spans: the join
+    # shape column-pruned the keeper subtree differently from the
+    # probe side, defeating exchange reuse, so the corpus span pass
+    # ran twice).  Identical keeper rule: min over the h-partition.
+    wh = Window.partitionBy("h")
     if per_occurrence:
         # min(struct) ≡ the lexicographically first (doc_id, pos)
         # occurrence — the DuckDB twin orders by doc_id, pos
-        keepers = (
-            spans.groupBy("h")
-            .agg(
-                F.count(F.lit(1)).alias("nocc"),
-                F.min(F.struct("doc_id", "pos")).alias("keep"),
+        marked = (
+            spans.withColumn("nocc", F.count(F.lit(1)).over(wh))
+            .withColumn("keep", F.min(F.struct("doc_id", "pos")).over(wh))
+            .filter(
+                (F.col("nocc") >= 2)
+                & ~(
+                    (F.col("doc_id") == F.col("keep.doc_id"))
+                    & (F.col("pos") == F.col("keep.pos"))
+                )
             )
-            .filter(F.col("nocc") >= 2)
-            .select(
-                "h",
-                F.col("keep.doc_id").alias("kdoc"),
-                F.col("keep.pos").alias("kpos"),
-            )
-        )
-        hit_filter = ~(
-            (F.col("doc_id") == F.col("kdoc"))
-            & (F.col("pos") == F.col("kpos"))
         )
     else:
-        keepers = (
-            spans.groupBy("h")
-            .agg(
-                F.count_distinct("doc_id").alias("nd"),
-                F.min("doc_id").alias("keeper"),
+        marked = (
+            spans.withColumn(
+                "nd", F.size(F.collect_set("doc_id").over(wh))
             )
-            .filter(F.col("nd") >= 2)
-            .select("h", "keeper")
+            .withColumn("keeper", F.min("doc_id").over(wh))
+            .filter(
+                (F.col("nd") >= 2) & (F.col("doc_id") != F.col("keeper"))
+            )
         )
-        hit_filter = F.col("doc_id") != F.col("keeper")
-    cut_positions = (
-        spans.join(keepers, "h")
-        .filter(hit_filter)
-        .selectExpr(
-            "doc_id",
-            f"explode(sequence(pos, pos + {SPAN_W - 1})) AS tokpos",
-        )
-        .distinct()
+    cut_positions = marked.selectExpr(
+        "doc_id",
+        f"explode(sequence(pos, pos + {SPAN_W - 1})) AS tokpos",
     )
     sizes = corpus.select(
         "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
     )
+    # count(DISTINCT tokpos) per doc ≡ the former distinct() +
+    # count(*): one exchange (on doc_id) instead of two
     cuts = cut_positions.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cut")
+        F.count_distinct("tokpos").cast("bigint").alias("n_cut")
     )
     return (
         sizes.join(cuts, "doc_id", "left")
@@ -1482,13 +1488,18 @@ def _span_runs_stats(corpus: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     spans = _span_frame(corpus)
-    repeated = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nocc"))
+    # repeated-window marking and the run-keeper rule both as WINDOWS
+    # over their respective keys rather than groupBy + join-back (r12
+    # — see repeated_spans): the join shape re-derived the whole span
+    # pass per consumer (three concurrent 423k-row span map stages in
+    # the event-log profile, the worst of the family since the keeper
+    # side here re-runs spans→hits→sessionize→runs end-to-end).
+    wh = Window.partitionBy("h")
+    hits = (
+        spans.withColumn("nocc", F.count(F.lit(1)).over(wh))
         .filter(F.col("nocc") >= 2)
-        .select("h")
+        .select("doc_id", "pos", "h")
     )
-    hits = spans.join(repeated, "h").select("doc_id", "pos", "h")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
@@ -1506,25 +1517,30 @@ def _span_runs_stats(corpus: DataFrame) -> DataFrame:
         )
         .drop("grp")
     )
-    keep = runs.groupBy("chain").agg(
-        F.count(F.lit(1)).alias("n_run_occ"),
-        F.min(F.struct("doc_id", "run_start")).alias("keep"),
-    )
-    cut_runs = runs.join(keep, "chain").filter(
-        (F.col("n_run_occ") >= 2)
-        & ~(
-            (F.col("doc_id") == F.col("keep.doc_id"))
-            & (F.col("run_start") == F.col("keep.run_start"))
+    wc = Window.partitionBy("chain")
+    cut_runs = (
+        runs.withColumn("n_run_occ", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "keep", F.min(F.struct("doc_id", "run_start")).over(wc)
+        )
+        .filter(
+            (F.col("n_run_occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("run_start") == F.col("keep.run_start"))
+            )
         )
     )
     cut_positions = cut_runs.selectExpr(
         "doc_id", "explode(sequence(run_start, run_end)) AS tokpos"
-    ).distinct()
+    )
     sizes = corpus.select(
         "doc_id", F.size("tokens").cast("bigint").alias("n_tokens")
     )
+    # count(DISTINCT tokpos) per doc ≡ distinct() + count(*): one
+    # exchange instead of two
     cuts = cut_positions.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cut")
+        F.count_distinct("tokpos").cast("bigint").alias("n_cut")
     )
     return sizes.join(cuts, "doc_id", "left").selectExpr(
         "doc_id",
