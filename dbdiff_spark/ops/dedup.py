@@ -864,19 +864,28 @@ HAVING count(*) > 1
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to
-    min(N(u) ∪ {u}).  Keeps (big → small) edges, shrinks tall trees."""
+    min(N(u) ∪ {u}).  Keeps (big → small) edges, shrinks tall trees.
+
+    Emits a MULTISET (r12): the old trailing ``distinct()`` paid a
+    full exchange per round, yet every consumer re-dedups anyway —
+    ``_small_star``'s ``collect_set``, the convergence ``subtract``
+    (set semantics), the next round's ``collect_set``, and the final
+    ``min`` aggregate are all duplicate-insensitive.  Cross-group
+    duplicates are degree-bounded, so the checkpoint grows by at most
+    that factor while each round drops one exchange."""
     grouped = edges.groupBy("src").agg(
         F.collect_set("dst").alias("nbrs")
     )
     return grouped.selectExpr(
         "explode(filter(nbrs, v -> v > src)) AS src",
         "least(src, array_min(nbrs)) AS dst",
-    ).distinct()
+    )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """For each node u over (big → small) edges: connect u and all its
-    smaller neighbors to the minimum among them."""
+    smaller neighbors to the minimum among them.  Multiset out — see
+    ``_large_star`` (every consumer is duplicate-insensitive)."""
     directed = edges.selectExpr(
         "greatest(src, dst) AS src", "least(src, dst) AS dst"
     ).filter(F.col("src") != F.col("dst"))
@@ -884,7 +893,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return grouped.selectExpr(
         "explode(concat(array(src), filter(nbrs, v -> v != array_min(nbrs)))) AS src",
         "array_min(nbrs) AS dst",
-    ).filter(F.col("src") != F.col("dst")).distinct()
+    ).filter(F.col("src") != F.col("dst"))
 
 
 def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
@@ -898,14 +907,18 @@ def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> D
     # session has a checkpoint dir configured.
     edges = cut_lineage(sym_edges)
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
+    # the previous round's (big → small) edge set for the convergence
+    # check — the old shape re-derived it from the symmetrized frame
+    # with a projection + distinct every round; ``subtract`` is
+    # set-semantic on both sides, so the raw multiset is equivalent
+    prev = edges.selectExpr(
+        "greatest(src, dst) AS src", "least(src, dst) AS dst"
+    ).filter(F.col("src") != F.col("dst"))
     for _ in range(max_iters):
         contracted = cut_lineage(_small_star(_large_star(edges)))
         # converged when the (big → small) edge set is stable
-        changed = contracted.subtract(
-            edges.selectExpr("greatest(src, dst) AS src", "least(src, dst) AS dst")
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        ).count()
+        changed = contracted.subtract(prev).count()
+        prev = contracted
         # re-symmetrize for the next large-star round
         edges = contracted.unionByName(
             contracted.selectExpr("dst AS src", "src AS dst")
