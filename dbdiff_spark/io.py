@@ -56,11 +56,24 @@ def spread(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
     so a single small parquet file plans as ONE task and the expensive
     projection serializes onto one core.  One extra exchange of the raw
     rows is orders of magnitude cheaper than forfeiting N-way
-    parallelism — and at real scale, where inputs arrive in many splits,
-    the same call is a cheap no-op-shaped rebalance.  Deterministic
-    (hash on the given key), never round-robin — task retries must not
-    reshuffle rows."""
+    parallelism.  Deterministic (hash on the given key), never
+    round-robin — task retries must not reshuffle rows.
+
+    ADAPTIVE (r12): when the input already plans at >= core-count
+    partitions — the normal state at real scale, where data arrives in
+    many splits — the exchange is withheld entirely.  The old
+    unconditional form paid a full shuffle of the raw rows on exactly
+    the inputs big enough for it to hurt: a 100 TB corpus heading into
+    a broadcast-join scoring pass would have been repartitioned once
+    for no reason (its heavy bytes never needed to shuffle at all).
+    The probe reads the planned partition count of the frame (layout
+    metadata — no job runs)."""
     n = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        pass
     return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
 
 

@@ -1661,14 +1661,7 @@ def lsh_band_index(corpus: DataFrame) -> DataFrame:
     """The persistable LSH state: ``doc_id, band_idx, band_key`` rows.
     Write this partitioned/bucketed by band_key and every future ingest
     is a keyed probe, never a corpus rescan."""
-    sigs = _signatures_spark(corpus)
-    band_structs = ", ".join(
-        f"struct({b} AS band_idx, {expr} AS band_key)"
-        for b, expr in enumerate(_band_exprs())
-    )
-    return sigs.selectExpr(
-        "doc_id", f"explode(array({band_structs})) AS band"
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    return _banded_from_sigs(_signatures_spark(corpus))
 
 
 def lsh_ingest(new_corpus: DataFrame, band_index: DataFrame) -> DataFrame:
@@ -1718,11 +1711,44 @@ def dedup_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: originals are the stored corpus (their band index
     stands in for the persisted state), truncated variants are the
     arriving batch — near-duplicates of their originals by
-    construction, so nearly every ingested doc should assign."""
-    corpus = _neardup_corpus(spark, sf_dir)
-    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
-    new = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET)
-    return lsh_ingest(new, lsh_band_index(old))
+    construction, so nearly every ingested doc should assign.
+
+    One signature pass (r12): both slices band off one checkpointed
+    signature frame — the ``lsh_ingest(new, lsh_band_index(old))``
+    composition ran the tokenize→shingle→md5 pipeline three times
+    (the batch side's two consumers cannot share an exchange across
+    the aggregate/broadcast boundary, plus the old side).  Identical
+    rows: a document's signature does not depend on its slice."""
+    sigs = _signatures_spark(_neardup_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    new_b = _banded_from_sigs(sigs.filter(F.col("doc_id") >= NEARDUP_OFFSET))
+    old_b = _banded_from_sigs(sigs.filter(F.col("doc_id") < NEARDUP_OFFSET))
+    hits = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("new_doc_id"))
+        .agg(
+            F.min(F.col("o.doc_id")).alias("assigned_to"),
+            F.count_distinct(F.col("n.band_idx")).alias("n_shared_bands"),
+        )
+    )
+    return (
+        new_b.select(F.col("doc_id").alias("new_doc_id"))
+        .distinct()
+        .join(hits, "new_doc_id", "left")
+        .select(
+            "new_doc_id",
+            "assigned_to",
+            F.coalesce("n_shared_bands", F.lit(0)).cast("bigint").alias(
+                "n_shared_bands"
+            ),
+        )
+    )
 
 
 def _ingest_sql() -> str:
@@ -1768,38 +1794,101 @@ DEDUP_INGEST_SQL = _ingest_sql()
 INTRA_COPY_OFFSET = 6_000_000
 
 
+def _banded_from_sigs(sigs: DataFrame) -> DataFrame:
+    """``(doc_id, band_idx, band_key)`` from a signature frame — the
+    banding step alone, for callers that already hold (and share) the
+    expensive signature pass."""
+    band_structs = ", ".join(
+        f"struct({b} AS band_idx, {expr} AS band_key)"
+        for b, expr in enumerate(_band_exprs())
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 def dedup_ingest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE signature pass (r12): the old composition ran the
+    tokenize→shingle→md5→min pipeline through ``_lsh_pairs(batch)``,
+    then AGAIN inside ``lsh_ingest`` for the representative probe (whose
+    two consumers could not share an exchange), and a fourth time for
+    ``lsh_band_index(old)`` — the signature projection is the dominant
+    per-row cost of the whole op (guide §2.4: share the pass, not just
+    the plan).  Signatures are now computed once over the base corpus
+    and pinned; the intra-batch copies' signatures are the arriving
+    docs' rows RE-KEYED (+INTRA_COPY_OFFSET) — identical tokens,
+    identical signature, zero recompute.  Everything downstream (pair
+    self-join, CC, representative probe, old-side index) is banding +
+    joins over that one checkpointed frame.  Rows are unchanged: the
+    signature of a document does not depend on which slice consumes
+    it."""
     corpus = _neardup_corpus(spark, sf_dir)
-    old = corpus.filter(F.col("doc_id") < NEARDUP_OFFSET)
-    arriving = corpus.filter(F.col("doc_id") >= NEARDUP_OFFSET)
-    batch = arriving.unionByName(
+    sigs = _signatures_spark(corpus).localCheckpoint(eager=True)
+    hcols = [f"h{s}" for s in range(N_HASHES)]
+    arriving = sigs.filter(F.col("doc_id") >= NEARDUP_OFFSET)
+    batch_sigs = arriving.unionByName(
         arriving.selectExpr(
-            f"doc_id + {INTRA_COPY_OFFSET} AS doc_id", "tokens"
+            f"doc_id + {INTRA_COPY_OFFSET} AS doc_id", *hcols
         )
     )
+    batch_banded = _banded_from_sigs(batch_sigs)
     # big-star contraction for the intra-batch CC (same component-min
     # fixpoint as min-label, O(log²) rounds — see _split_assignments)
-    intra_pairs = _lsh_pairs(batch)
+    left = batch_banded.alias("x")
+    right = batch_banded.alias("y")
+    intra_pairs = (
+        left.join(
+            right,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
     clusters = bigstar_components(
         intra_pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
             intra_pairs.selectExpr("id_b AS src", "id_a AS dst")
         )
     )
     assign = (
-        batch.select("doc_id")
+        batch_sigs.select("doc_id")
         .join(clusters, "doc_id", "left")
         .select(
             F.col("doc_id").alias("new_doc_id"),
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
         )
     )
-    reps = batch.join(
-        assign.select(F.col("rep_id").alias("doc_id")).distinct(), "doc_id"
+    rep_ids = assign.select(F.col("rep_id").alias("doc_id")).distinct()
+    reps_banded = batch_banded.join(rep_ids, "doc_id")
+    old_banded = _banded_from_sigs(
+        sigs.filter(F.col("doc_id") < NEARDUP_OFFSET)
     )
-    probe = lsh_ingest(reps, lsh_band_index(old)).select(
-        F.col("new_doc_id").alias("rep_id"),
-        "assigned_to",
-        "n_shared_bands",
+    hits = (
+        reps_banded.alias("n")
+        .join(
+            old_banded.alias("o"),
+            (F.col("n.band_idx") == F.col("o.band_idx"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("rep_id"))
+        .agg(
+            F.min(F.col("o.doc_id")).alias("assigned_to"),
+            F.count_distinct(F.col("n.band_idx")).alias("n_shared_bands"),
+        )
+    )
+    probe = (
+        rep_ids.select(F.col("doc_id").alias("rep_id"))
+        .join(hits, "rep_id", "left")
+        .select(
+            "rep_id",
+            "assigned_to",
+            F.coalesce("n_shared_bands", F.lit(0)).cast("bigint").alias(
+                "n_shared_bands"
+            ),
+        )
     )
     return assign.join(probe, "rep_id").select(
         "new_doc_id", "rep_id", "assigned_to", "n_shared_bands"

@@ -140,7 +140,16 @@ def _sign_bucket_duck(col: str, bits: int = SIGN_BITS) -> str:
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread BEFORE the norm projection (io.spread): the byte-tiny
+    # embeddings file plans as ONE scan task, and everything the
+    # similarity family hangs off this frame — the interpreted
+    # dot-product norms, Lloyd assignment rounds, PQ grid encodes,
+    # and (critically) the ``.persist()`` the build entries wrap it
+    # in, whose cache keeps the scan's partitioning — inherits that
+    # 1-task ceiling (r12 profile: 1-2 s single-task stages with 31
+    # idle cores under every IVF/PQ build).  At real scale the input
+    # arrives in many splits and this is a cheap rebalance.
+    emb = spread(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     return emb.selectExpr(
         "vec_id",
         "embedding",
@@ -1317,6 +1326,25 @@ def ann_ivf_index_persist(
     return out.localCheckpoint(eager=True)
 
 
+def _cell_spread(df: DataFrame) -> DataFrame:
+    """Hash-repartition on ``cell`` at an EXPLICIT partition count
+    (the cluster's core count) for the partitioned artifact writes.
+
+    A bare ``repartition("cell")`` leaves the exchange coalescible:
+    AQE folds the byte-tiny post-shuffle partitions into ONE task,
+    which then creates every ``cell=…`` directory and file serially —
+    measured 2.0-2.8 s wall per artifact write at sf0.1 with only
+    ~0.5 s of CPU (the rest is sequential file open/commit latency;
+    four such writes in the ingest composite).  Pinning the partition
+    count keeps AQE's hands off, so up to core-count tasks create
+    their cells' files concurrently.  The one-file-per-cell layout is
+    unchanged at ANY count — hash partitioning sends a cell wholly to
+    one task — and the count is derived from the session (scale-
+    adaptive), not a local constant."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "cell")
+
+
 def _write_cell_partitioned(df: DataFrame, path: str, mode: str) -> None:
     """Write a cell-assigned frame ``partitionBy(cell)`` with one file
     per cell.  WITHOUT the repartition the file count is
@@ -1327,7 +1355,7 @@ def _write_cell_partitioned(df: DataFrame, path: str, mode: str) -> None:
     the layout degrades to tasks × K small files — a metadata storm
     every serving read pays.  The added exchange moves each row once,
     keyed by the column the layout prunes on — the standard trade."""
-    df.repartition("cell").write.mode(mode).partitionBy("cell").parquet(path)
+    _cell_spread(df).write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def _build_ivf_coarse_artifacts(
@@ -2126,7 +2154,7 @@ def _upsert_core(
         .localCheckpoint(eager=True)
     )
     (
-        assigned.repartition("cell")
+        _cell_spread(assigned)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("gen", "cell")
@@ -2152,15 +2180,15 @@ def _build_gen0_coarse(
         "overwrite"
     ).parquet(f"{root}/centroids")
     (
-        _assign_cells(vecs, centroids)
-        .select(
-            "vec_id",
-            "embedding",
-            "norm",
-            F.lit(0).cast("bigint").alias("gen"),
-            "cell",
+        _cell_spread(
+            _assign_cells(vecs, centroids).select(
+                "vec_id",
+                "embedding",
+                "norm",
+                F.lit(0).cast("bigint").alias("gen"),
+                "cell",
+            )
         )
-        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("gen", "cell")
         .parquet(f"{root}/assignments")
@@ -2405,7 +2433,7 @@ def ivf_compact(
         spark, root, spark.read.parquet(apath).filter(pred)
     ).localCheckpoint(eager=True)
     (
-        compacted.repartition("cell")
+        _cell_spread(compacted)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*pcols)

@@ -64,11 +64,16 @@ def test_query_set_broadcast_guard(spark, sf_dir):
 def test_kmeans_final_plan_is_joinless_single_exchange(spark, sf_dir):
     """Regression (VERDICT r2 #3): k-means assignment must be a literal
     argmin PROJECTION fused into the scan — no corpus×K join, no per-row
-    window — leaving exactly one exchange (the per-cell aggregation) in
-    the returned plan."""
+    window — leaving exactly one REQUIRED exchange (the per-cell
+    aggregation) in the returned plan.  The r12 ``spread`` rebalance in
+    ``_vectors`` may add one deliberate REPARTITION_BY_NUM exchange when
+    the input scan is narrower than the core count (the local-mode
+    one-file case); it is a no-op at real scale and must never be
+    counted as a requirement the aggregation imposed."""
     plan = _plan(entry.queries()["kmeans_lloyd"](spark, sf_dir))
     assert "Join" not in plan and "Window" not in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("ENSURE_REQUIREMENTS") == 1, plan
+    assert plan.count("REPARTITION_BY_NUM") <= 1, plan
 
 
 def test_merge3_and_scd2_are_single_exchange_grouped(spark, sf_dir):
