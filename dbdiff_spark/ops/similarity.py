@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 import logging
 
-from dbdiff_spark.io import load_table, local_frame, one_file, spread
+from dbdiff_spark.io import load_table, local_frame, one_file, run_jobs, spread
 
 _log = logging.getLogger(__name__)
 
@@ -97,15 +97,33 @@ def _broadcastable(queries: DataFrame, max_broadcast: int) -> bool:
     return int(row["n"]) <= max_broadcast and int(row["b"]) <= MAX_BROADCAST_BYTES
 
 
-def _query_side(queries: DataFrame, max_broadcast: int, fallback_hint: str) -> DataFrame:
+def _query_side(
+    queries: DataFrame,
+    max_broadcast: int,
+    fallback_hint: str,
+    est: tuple[int, int] | None = None,
+) -> DataFrame:
     """Broadcast the query side only when it is provably small: one
     cheap agg (rows + estimated bytes, column-pruned scan) decides.
     Above either bound the side is hinted to the distributed fallback
     instead — ``merge`` (sort-merge) for the bucket/cell equi-joins,
     ``shuffle_replicate_nl`` (partition-wise cartesian) for the
     non-equi brute-force scoring join — so a large OR wide query set
-    degrades to a shuffled plan rather than an executor OOM."""
-    if _broadcastable(queries, max_broadcast):
+    degrades to a shuffled plan rather than an executor OOM.
+
+    ``est`` = a caller-computed ``(rows, bytes)`` UPPER bound: a serve
+    path that already holds the scalars (n, qmod, dim, nprobe, M×K)
+    can bound the query relation arithmetically, so the guard costs no
+    job at all (r12 — the agg spelling evaluated the whole probe/ADC
+    subplan once per serve purely to decide its own join side; at
+    100 TB that is an extra pass over the query pipeline per batch).
+    Upper bounds degrade toward the DISTRIBUTED fallback — the safe
+    direction; either branch computes identical rows."""
+    if est is not None:
+        ok = est[0] <= max_broadcast and est[1] <= MAX_BROADCAST_BYTES
+    else:
+        ok = _broadcastable(queries, max_broadcast)
+    if ok:
         return F.broadcast(queries)
     return queries.hint(fallback_hint)
 
@@ -881,7 +899,15 @@ def _cell_mean_frame(assigned: DataFrame) -> DataFrame:
     collected rows (~256 MB of doubles, unavoidable: it IS the model)
     instead of ~33M row objects whose per-Row overhead alone would
     swamp the driver (VERDICT r7 minor).  The reassembly shuffle moves
-    only the K×dim mean rows — centroid-sized, never corpus-sized."""
+    only the K×dim mean rows — centroid-sized, never corpus-sized.
+
+    An r12 A/B also tried the per-component spelling (one
+    groupBy(cell) with dim sum columns — no explode, one exchange):
+    bit-identical values, but the dim-wide aggregate blows the plan up
+    and the optimizer pays ~1.2 s of DRIVER time per Lloyd round
+    (profiled), losing 0.5-1.5 s per trained entry on this host while
+    the explode form's extra exchange is centroid-sized anyway.  The
+    exploded form is kept deliberately."""
     return (
         assigned.select(
             "cell", F.posexplode("embedding").alias("pos", "component")
@@ -1113,6 +1139,7 @@ def ann_ivf_trained(
         max_broadcast_queries,
         sample_mod=_derived_sample_mod(n, k),
         query_mod=query_mod_for(n) if query_mod is None else query_mod,
+        n=n,
     )
 
 
@@ -1139,6 +1166,7 @@ def ann_ivf_full_trained(
         ivf_nprobe_for(k) if nprobe is None else nprobe,
         max_broadcast_queries,
         query_mod=query_mod_for(n),
+        n=n,
     )
 
 
@@ -1162,6 +1190,7 @@ def _ann_ivf_trained_with_k(
     max_broadcast_queries: int,
     sample_mod: int = 1,
     query_mod: int = QUERY_MOD,
+    n: int | None = None,
 ) -> DataFrame:
     """Train-then-search at an explicit K — the shared body behind
     ``ann_ivf_trained`` (derived K, ``sample_mod`` > 1: Lloyd sees
@@ -1189,7 +1218,7 @@ def _ann_ivf_trained_with_k(
         ).persist()
         out = _ivf_literal_search(
             vecs, assigned, centroids, nprobe, max_broadcast_queries,
-            query_mod,
+            query_mod, n=n,
         )
         # the training loop already materialized vecs; pin the bounded
         # result so the cache can be released before returning
@@ -1243,6 +1272,7 @@ def _ivf_literal_search(
     query_mod: int = QUERY_MOD,
     queries: DataFrame | None = None,
     extra_on=None,
+    n: int | None = None,
 ) -> DataFrame:
     """The serving half of trained IVF: rank the K centroids per query
     (``_probe_frame``), probe ``nprobe`` cells against the assignment
@@ -1252,7 +1282,10 @@ def _ivf_literal_search(
     enriched it, e.g. with per-query labels); ``extra_on`` ANDs an
     extra predicate into the candidate join — the PRE-FILTER hook the
     metadata-filtered entries ride (one spelling of the cand/rank
-    block, r10 review)."""
+    block, r10 review).  ``n`` (corpus rows) lets the broadcast guard
+    bound the probe relation arithmetically (Q ≤ n//qmod + 1, ×nprobe
+    rows of ~dim·8+56 B) instead of evaluating the whole probe
+    pipeline once just to count it (r12, _query_side)."""
     if queries is None:
         queries = _probe_frame(vecs, centroids, nprobe, query_mod)
     on = (F.col("cell") == F.col("q_cell")) & (
@@ -1260,10 +1293,15 @@ def _ivf_literal_search(
     )
     if extra_on is not None:
         on = on & extra_on
+    est = None
+    if n is not None:
+        dim = len(next(iter(centroids.values()))) if centroids else 0
+        qb = (n // query_mod + 1) * nprobe
+        est = (qb, qb * (dim * 8 + 56))
     # row bound scaled by nprobe: the explode above emits nprobe rows
     # per query (see ann_ivf's multi-probe note)
     cand = assigned.join(
-        _query_side(queries, max_broadcast_queries * nprobe, "merge"),
+        _query_side(queries, max_broadcast_queries * nprobe, "merge", est=est),
         on,
     ).select(
         "query_id",
@@ -1321,7 +1359,7 @@ def ann_ivf_index_persist(
     # (plus the raw query vectors) — no retraining, no reassignment
     out = _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries,
-        query_mod_for(n),
+        query_mod_for(n), n=n,
     )
     return out.localCheckpoint(eager=True)
 
@@ -1369,15 +1407,21 @@ def _build_ivf_coarse_artifacts(
     ONE root serves exact-IVF, IVF-PQ, and incremental ingest).
     Returns the trained centroids."""
     centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-    one_file(_centroid_frame(spark, centroids)).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/centroids")
-    _write_cell_partitioned(
-        _assign_cells(vecs, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
+    # the two artifacts share no data dependency (the assignment reads
+    # the DRIVER-side centroids, not the centroids file): overlap the
+    # writes so the tiny centroids-file commit hides inside the
+    # assignment write's tail (io.run_jobs, guide §2.6)
+    run_jobs(
+        lambda: one_file(_centroid_frame(spark, centroids))
+        .write.mode("overwrite")
+        .parquet(f"{root}/centroids"),
+        lambda: _write_cell_partitioned(
+            _assign_cells(vecs, centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "overwrite",
         ),
-        f"{root}/assignments",
-        "overwrite",
     )
     return centroids
 
@@ -1398,6 +1442,7 @@ def _serve_ivf_from_artifacts(
     nprobe: int,
     max_broadcast_queries: int,
     query_mod: int = QUERY_MOD,
+    n: int | None = None,
 ) -> DataFrame:
     """Exact-cosine IVF serving off a persisted coarse index: reload
     centroids + cell-partitioned assignments, probe, rank.  Lazy — the
@@ -1418,6 +1463,7 @@ def _serve_ivf_from_artifacts(
         nprobe,
         max_broadcast_queries,
         query_mod,
+        n=n,
     )
 
 
@@ -1592,7 +1638,7 @@ def ann_ivf_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
     )
     return out.localCheckpoint(eager=True)
 
@@ -1616,7 +1662,8 @@ IVF_BATCH_SLICE = "vec_id % 2 = 1"
 
 
 def _build_ingest_base(
-    spark: SparkSession, vecs: DataFrame, root: str
+    spark: SparkSession, vecs: DataFrame, root: str,
+    n_base: int | None = None,
 ) -> tuple[dict[int, list[float]], int, int, int]:
     """The shared base-slice build behind every ingest op (batch IVF,
     batch IVF-PQ, streaming — r9 review: previously spelled three
@@ -1640,20 +1687,25 @@ def _build_ingest_base(
             "longer apply", root,
         )
     base = vecs.filter(IVF_BASE_SLICE)
-    n_base = base.count()
+    if n_base is None:
+        n_base = base.count()
     k = semdedup_cells(n_base)
     mod = _derived_sample_mod(n_base, k)
     base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
     centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
-    one_file(_centroid_frame(spark, centroids)).write.mode(
-        "overwrite"
-    ).parquet(f"{root}/centroids")
-    _write_cell_partitioned(
-        _assign_cells(base, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
+    # no data dependency between the two artifact writes — overlap them
+    # (io.run_jobs, guide §2.6; see _build_ivf_coarse_artifacts)
+    run_jobs(
+        lambda: one_file(_centroid_frame(spark, centroids))
+        .write.mode("overwrite")
+        .parquet(f"{root}/centroids"),
+        lambda: _write_cell_partitioned(
+            _assign_cells(base, centroids).select(
+                "vec_id", "embedding", "norm", "cell"
+            ),
+            f"{root}/assignments",
+            "overwrite",
         ),
-        f"{root}/assignments",
-        "overwrite",
     )
     return centroids, k, ivf_nprobe_for(k), n_base
 
@@ -1675,8 +1727,15 @@ def ann_ivf_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivf_ingest", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
+        # ONE count job for both derived scalars (r12 — the old shape
+        # paid one job for n_base and another for the serve stride's n)
+        shape = vecs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.expr(IVF_BASE_SLICE)).alias("n_base"),
+        ).first()
+        n, n_base = int(shape["n"]), int(shape["n_base"])
         _centroids, _k, nprobe, _n_base = _build_ingest_base(
-            spark, vecs, root
+            spark, vecs, root, n_base
         )
         # --- ingest: batch-only assignment with the RELOADED quantizer,
         # appended into the live layout (base files untouched)
@@ -1704,7 +1763,7 @@ def ann_ivf_ingest(
         )
         out = _ivf_literal_search(
             vecs, merged, loaded_centroids, nprobe, max_broadcast_queries,
-            query_mod_for(vecs.count()),
+            query_mod_for(n), n=n,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -2499,7 +2558,7 @@ def ann_ivf_delete_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
     )
     return out.localCheckpoint(eager=True)
 
@@ -2547,7 +2606,7 @@ def ann_ivf_upsert_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
     )
     return out.localCheckpoint(eager=True)
 
@@ -2595,7 +2654,7 @@ def ann_ivf_compact_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
     )
     return out.localCheckpoint(eager=True)
 
@@ -2664,6 +2723,7 @@ def ann_ivfpq_delete_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
     return out.localCheckpoint(eager=True)
 
@@ -2715,6 +2775,7 @@ def ann_ivfpq_upsert_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
     return out.localCheckpoint(eager=True)
 
@@ -2864,7 +2925,7 @@ def _ann_ivf_delete_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
     )
 
 
@@ -3028,7 +3089,7 @@ def _ann_ivf_serve_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
     )
 
 
@@ -3050,7 +3111,7 @@ def _ann_ivf_upsert_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
     )
 
 
@@ -3072,7 +3133,7 @@ def _ann_ivf_compact_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
     )
 
 
@@ -3721,7 +3782,9 @@ def _train_pq_codebook(subs: DataFrame, seeds: int) -> DataFrame:
     (``_pq_code_argmin`` — r12; the former broadcast-join +
     min(struct) groupBy re-shuffled corpus×M rows every round) plus
     one ≤ M×K×subdim-row grouped mean; an entry that captures no
-    members drops out, in both engines."""
+    members drops out, in both engines.  (The per-position sum-column
+    spelling of the mean was A/B'd in r12 and rejected for the same
+    plan-size-driven driver cost as ``_cell_mean_frame``'s.)"""
     spark = subs.sparkSession
     cb = subs.filter(F.col("vec_id") < seeds).select(
         F.col("vec_id").alias("seed_id"), "m", F.col("sub").alias("seed_sub")
@@ -3778,6 +3841,9 @@ def _pq_grid_codes(
     corpus never shuffles.  Code argmin is the zero-shuffle
     broadcast-HOF winner (``_pq_code_argmin``)."""
     if seeds is None:
+        # one tiny agg job — callers that already hold (n, dim) pass
+        # them through instead (r12: the rebuild entries re-derived the
+        # corpus shape up to three times per call)
         seeds = pq_seeds_for(_corpus_shape(assigned)[0])
     subs = _pq_subs(assigned, cframe, residual)
     if train_codebook:
@@ -3855,6 +3921,7 @@ def _pq_adc_rank(
     max_broadcast_queries: int,
     nprobe: int,
     fan: int,
+    est: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Rank cell-pruned candidates by ADC: join codes (the only
     corpus-sized relation — 3 ints/row), look up the broadcast distance
@@ -3877,6 +3944,7 @@ def _pq_adc_rank(
                 dtable,
                 max_broadcast_queries * nprobe * fan,
                 "merge",
+                est=est,
             ),
             ["query_id", "q_cell", "m", "code"],
         )
@@ -3897,6 +3965,7 @@ def _grid_cand(
     extra_on=None,
     probe_extra_cols: tuple[str, ...] = (),
     keep_cols: tuple[str, ...] = (),
+    est: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Cell-pruned candidate pairs carrying the probed cell —
     ``(query_id, q_cell, vec_id)`` (the residual ADC join needs q_cell;
@@ -3917,6 +3986,7 @@ def _grid_cand(
             probes.select("query_id", "q_cell", *probe_extra_cols),
             max_broadcast_queries * nprobe,
             "merge",
+            est=est,
         ),
         on,
     ).select("query_id", "q_cell", "vec_id", *keep_cols)
@@ -3958,12 +4028,18 @@ def ann_ivf_pq_residual(
     nprobe = ivf_nprobe_for(k)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        _build_ivfpq_artifacts(spark, vecs, k, mod, root, train_codebook)
+        dim = _build_ivfpq_artifacts(
+            spark, vecs, k, mod, root, train_codebook, n=n
+        )
     finally:
         vecs.unpersist()
-    # --- serving path: artifacts only (plus the raw query vectors)
+    # --- serving path: artifacts only (plus the raw query vectors);
+    # fan = M×K upper bound from scalars in hand — no codebook count
+    # job (r12)
     out = _serve_ivfpq_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, query_mod_for(n)
+        spark, sf_dir, root, nprobe, max_broadcast_queries, query_mod_for(n),
+        fan=pq_m_for(dim or 0) * pq_seeds_for(n),
+        n=n,
     )
     return out.localCheckpoint(eager=True)
 
@@ -3975,24 +4051,36 @@ def _build_ivfpq_artifacts(
     mod: int,
     root: str,
     train_codebook: bool,
-) -> None:
+    n: int | None = None,
+) -> int | None:
     """The build half of the residual IVF-PQ composite, shared by the
     per-call-rebuild entry (``ann_ivf_pq_residual``, the oracle-parity
     shape) and the build-once serve entry (``ann_ivfpq_serve``): coarse
     artifacts via ``_build_ivf_coarse_artifacts``, then the fine stage
     — residuals of the PERSISTED assignments encoded into PQ codes (the
     codes artifact derives from the index layout it serves with) —
-    written beside them."""
+    written beside them.  ``n`` (corpus row count) lets a caller that
+    already counted skip the fine stage's shape re-derivation; the two
+    fine artifacts have no data dependency on each other's WRITE, so
+    they run as concurrent jobs (io.run_jobs, guide §2.6)."""
     centroids = _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
     cframe = _centroid_frame(spark, centroids)
+    # the trained centroids pin the corpus dimension driver-side
+    dim = len(next(iter(centroids.values()))) if centroids else None
     assigned = spark.read.parquet(f"{root}/assignments").select(
         "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
     )
     codes, codebook = _pq_grid_codes(
-        assigned, cframe, residual=True, train_codebook=train_codebook
+        assigned, cframe, residual=True, train_codebook=train_codebook,
+        seeds=pq_seeds_for(n) if n else None,
     )
-    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
-    codes.write.mode("overwrite").parquet(f"{root}/pq_codes")
+    run_jobs(
+        lambda: one_file(codebook)
+        .write.mode("overwrite")
+        .parquet(f"{root}/pq_codebook"),
+        lambda: codes.write.mode("overwrite").parquet(f"{root}/pq_codes"),
+    )
+    return dim
 
 
 def _build_ivfpq_lab_artifacts(
@@ -4050,6 +4138,7 @@ def ann_ivfpq_filtered_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
         label_filtered=True,
     )
     return out.localCheckpoint(eager=True)
@@ -4090,6 +4179,7 @@ def ann_ivfpq_serve(
         # a sparse-id corpus seeds fewer entries), which is the safe
         # direction for a broadcast-guard threshold.
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
     return out.localCheckpoint(eager=True)
 
@@ -4103,6 +4193,7 @@ def _serve_ivfpq_from_artifacts(
     query_mod: int = QUERY_MOD,
     fan: int | None = None,
     label_filtered: bool = False,
+    n: int | None = None,
 ) -> DataFrame:
     """Residual-PQ ADC serving off a persisted index root (centroids +
     cell-partitioned assignments + pq_codebook + pq_codes) — the
@@ -4114,7 +4205,10 @@ def _serve_ivfpq_from_artifacts(
     count over the codebook artifact runs here.  ``label_filtered``
     switches on the payload pre-filter: the persisted ``label`` column
     rides the candidate join (BEFORE the codes join, so the predicate
-    also cuts the ADC volume), query labels are a Q-row lookup."""
+    also cuts the ADC volume), query labels are a Q-row lookup.
+    ``n`` (served corpus rows) lets BOTH broadcast guards bound their
+    query relation arithmetically — Q ≤ n//qmod + 1 — instead of each
+    evaluating its subplan once just to count it (r12, _query_side)."""
     loaded_centroids = _load_index_centroids(spark, root)
     cframe = _centroid_frame(spark, loaded_centroids)
     codes = spark.read.parquet(f"{root}/pq_codes")
@@ -4137,6 +4231,14 @@ def _serve_ivfpq_from_artifacts(
     probes = _probe_frame(
         _vectors(spark, sf_dir), loaded_centroids, nprobe, query_mod
     ).select("query_id", "q_emb", "q_cell")
+    # arithmetic broadcast-guard bounds (rows, bytes): the cand guard
+    # sees (query_id, q_cell[, q_label]) scalar rows, the ADC guard
+    # the 5-scalar distance table — 8 B/scalar + slack, the
+    # _est_row_bytes_expr schema rates
+    qb = (n // query_mod + 1) * nprobe if n is not None else None
+    cand_est = (
+        (qb, qb * (24 if label_filtered else 16)) if qb is not None else None
+    )
     if label_filtered:
         # Q-row query-label lookup: the stride predicate pushes to the
         # scan, so this reads Q rows, never the corpus (the
@@ -4154,6 +4256,7 @@ def _serve_ivfpq_from_artifacts(
             extra_on=F.col("label") == F.col("q_label"),
             probe_extra_cols=("q_label",),
             keep_cols=("gen",) if gen_aware else (),
+            est=cand_est,
         )
     else:
         cand = _grid_cand(
@@ -4162,14 +4265,17 @@ def _serve_ivfpq_from_artifacts(
             max_broadcast_queries,
             nprobe,
             keep_cols=("gen",) if gen_aware else (),
+            est=cand_est,
         )
     dtable = _pq_grid_dtable(probes, cframe, codebook, residual=True)
     if fan is None:
         # the derived M×K is exactly the artifact codebook's row count
         # — one tiny parquet read, never a corpus scan
         fan = codebook.count()
+    dtable_est = (qb * fan, qb * fan * 40) if qb is not None else None
     return _pq_adc_rank(
-        cand, codes, dtable, max_broadcast_queries, nprobe, fan
+        cand, codes, dtable, max_broadcast_queries, nprobe, fan,
+        est=dtable_est,
     )
 
 
@@ -4195,7 +4301,8 @@ def ann_ivfpq_trained_codebook(
 
 
 def _build_ivfpq_ingest_base(
-    spark: SparkSession, vecs: DataFrame, root: str
+    spark: SparkSession, vecs: DataFrame, root: str,
+    n_base: int | None = None,
 ) -> int:
     """The BASE-slice build of the growing IVF-PQ root, shared by the
     batch (``ann_ivfpq_ingest``) and streaming
@@ -4207,7 +4314,9 @@ def _build_ivfpq_ingest_base(
     encoded off the PERSISTED assignments so the codes artifact
     derives from the layout it serves with.  Returns the derived
     nprobe."""
-    centroids, _k, nprobe, n_base = _build_ingest_base(spark, vecs, root)
+    centroids, _k, nprobe, n_base = _build_ingest_base(
+        spark, vecs, root, n_base
+    )
     cframe = _centroid_frame(spark, centroids)
     seeds = pq_seeds_for(n_base)
     assigned_base = spark.read.parquet(f"{root}/assignments").select(
@@ -4221,9 +4330,16 @@ def _build_ivfpq_ingest_base(
         "m",
         F.col("sub").alias("seed_sub"),
     )
-    one_file(codebook).write.mode("overwrite").parquet(f"{root}/pq_codebook")
-    _pq_codes_for(subs_base, codebook).write.mode("overwrite").parquet(
-        f"{root}/pq_codes"
+    # the codes encode reads the codebook FRAME (a plan over the same
+    # persisted assignments), not the codebook FILE — the two fine-
+    # artifact writes are independent jobs (io.run_jobs, guide §2.6)
+    run_jobs(
+        lambda: one_file(codebook)
+        .write.mode("overwrite")
+        .parquet(f"{root}/pq_codebook"),
+        lambda: _pq_codes_for(subs_base, codebook)
+        .write.mode("overwrite")
+        .parquet(f"{root}/pq_codes"),
     )
     return nprobe
 
@@ -4245,15 +4361,21 @@ def _ingest_encode_batch(
     assigned_batch = _assign_cells(batch, loaded_centroids).select(
         "vec_id", "embedding", "norm", "cell"
     )
-    _write_cell_partitioned(assigned_batch, f"{root}/assignments", "append")
-    _pq_codes_for(
-        _pq_subs(
-            assigned_batch.select("vec_id", "embedding", "cell"),
-            loaded_cframe,
-            residual=True,
+    # both appends derive from the same frozen artifacts and land in
+    # DIFFERENT directories — independent jobs (io.run_jobs, §2.6)
+    run_jobs(
+        lambda: _write_cell_partitioned(
+            assigned_batch, f"{root}/assignments", "append"
         ),
-        loaded_codebook,
-    ).write.mode("append").parquet(f"{root}/pq_codes")
+        lambda: _pq_codes_for(
+            _pq_subs(
+                assigned_batch.select("vec_id", "embedding", "cell"),
+                loaded_cframe,
+                residual=True,
+            ),
+            loaded_codebook,
+        ).write.mode("append").parquet(f"{root}/pq_codes"),
+    )
 
 
 def ann_ivfpq_ingest(
@@ -4279,7 +4401,16 @@ def ann_ivfpq_ingest(
     root = index_root or _hfs.artifact_root(spark, "ivfpq_ing", sf_dir)
     vecs = _vectors(spark, sf_dir).persist()
     try:
-        nprobe = _build_ivfpq_ingest_base(spark, vecs, root)
+        # ONE count job for both derived scalars (r12, see
+        # ann_ivf_ingest) plus the dimension for the ADC fan guard
+        shape = vecs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.expr(IVF_BASE_SLICE)).alias("n_base"),
+            F.max(F.size("embedding")).alias("dim"),
+        ).first()
+        n, n_base = int(shape["n"]), int(shape["n_base"])
+        dim = int(shape["dim"] or 0)
+        nprobe = _build_ivfpq_ingest_base(spark, vecs, root, n_base)
         # --- ingest: the shared frozen-artifact encode, one batch
         loaded_centroids = _load_index_centroids(spark, root)
         loaded_cframe = _centroid_frame(spark, loaded_centroids)
@@ -4292,10 +4423,13 @@ def ann_ivfpq_ingest(
             loaded_codebook,
         )
         # --- serve by ADC from the merged artifacts only; query stride
-        # derives from the SERVED corpus
+        # derives from the SERVED corpus.  fan = M×K upper bound from
+        # the scalars already in hand — no codebook count job (r12).
         out = _serve_ivfpq_from_artifacts(
             spark, sf_dir, root, nprobe, max_broadcast_queries,
-            query_mod_for(vecs.count()),
+            query_mod_for(n),
+            fan=pq_m_for(dim) * pq_seeds_for(n_base),
+            n=n,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -4383,6 +4517,7 @@ def _ann_ivfpq_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
 
 
@@ -4407,6 +4542,7 @@ def _ann_ivfpq_filtered_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
         label_filtered=True,
     )
 
@@ -4432,6 +4568,7 @@ def _ann_ivfpq_delete_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
 
 
@@ -4463,6 +4600,7 @@ def _ann_ivfpq_upsert_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
+        n=n,
     )
 
 
