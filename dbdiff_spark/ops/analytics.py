@@ -797,10 +797,26 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("f_orders"),
         F.expr("sum(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("m_cents"),
     )
-    total = cust.count()
+    # pin the per-customer aggregate (three bin joins + the final
+    # rollup consume it; unpinned, each re-runs the orders groupBy) and
+    # fuse the derivation scalars — total plus all three axes' min/max
+    # — into ONE agg job instead of four sequential ones (r12)
+    cust = cust.localCheckpoint(eager=False)
+    s = cust.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            f(c).alias(f"{c}_{nm}")
+            for c in ("r_us", "f_orders", "m_cents")
+            for nm, f in (("lo", F.min), ("hi", F.max))
+        ],
+    ).first()
+    total = int(s["n"])
     binned = cust
     for val, out in (("r_us", "r_bin"), ("f_orders", "f_bin"), ("m_cents", "m_bin")):
-        binned = _exact_ntile(binned, val, "o_custkey", 4, total, out)
+        binned = _exact_ntile(
+            binned, val, "o_custkey", 4, total, out,
+            bounds=(s[f"{val}_lo"], s[f"{val}_hi"]),
+        )
     return (
         binned.selectExpr(
             "concat(CAST(r_bin AS STRING), CAST(f_bin AS STRING),"

@@ -748,11 +748,13 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # still carries the full LOGICAL plan, which nests the previous
         # round's plan — Catalyst re-analysis grows exponentially with
         # rounds even when execution hits the cache (measured 229 s for
-        # the sf0.1 propagation; 3 s with the lineage cut).  Eager
-        # checkpoint also materializes the round, so the convergence
-        # count below reads the checkpointed result.  Same pattern as
-        # bigstar_components; with a session checkpoint dir configured
-        # the cut is a RELIABLE checkpoint (executor-loss-safe).
+        # the sf0.1 propagation; 3 s with the lineage cut).  Same
+        # pattern as bigstar_components; with a session checkpoint dir
+        # configured the cut is a RELIABLE checkpoint
+        # (executor-loss-safe).  LAZY cut (r12): the convergence count
+        # below is the round's first action, so it materializes the
+        # checkpoint itself — one job per round, not an eager-
+        # checkpoint job PLUS a count job (the bpe-trainer pattern).
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -763,7 +765,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = cut_lineage(new_labels, eager=True)
+        new_labels = cut_lineage(new_labels, eager=False)
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

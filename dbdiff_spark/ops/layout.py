@@ -118,6 +118,7 @@ def _exact_ntile(
     n: int,
     total: int,
     out: str,
+    bounds: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Exact distributed ``NTILE(n) OVER (ORDER BY val, tiebreak)``.
 
@@ -134,7 +135,14 @@ def _exact_ntile(
     scale.  Requires a unique (val, tiebreak) total order (ranks must
     be unambiguous) and integral ``val``.
     """
-    lo, hi = df.agg(F.min(val), F.max(val)).first()
+    # ``bounds`` = caller-precomputed (min, max): the three RFM axes
+    # (and z-order's two) are independent columns of the SAME input, so
+    # one fused agg job replaces one min/max job per axis — and chained
+    # calls stop re-evaluating the previous axis's join just to scan
+    # an untouched column (r12, guide §1.2: fewer passes)
+    lo, hi = bounds if bounds is not None else df.agg(
+        F.min(val), F.max(val)
+    ).first()
     if lo is None:  # empty input: schema-only result, no rows to rank
         return df.withColumn(out, F.lit(None).cast("bigint"))
     width = max(1, (int(hi) - int(lo)) // RANGE_BUCKETS + 1)
@@ -182,14 +190,25 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a linear sort would show span ~= full domain on the second dim."""
     spec = testkit.SPECS["orders"]
     orders = testkit.prep(load_table(spark, sf_dir, "orders"), spec)
-    total = orders.count()
+    # one fused job for the count and both axes' min/max (r12 — was
+    # three sequential scans of the same input)
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_custkey").alias("x_lo"), F.max("o_custkey").alias("x_hi"),
+        F.min("o_orderdate").alias("y_lo"), F.max("o_orderdate").alias("y_hi"),
+    ).first()
+    total = int(s["n"])
     ranked = _exact_ntile(
-        _exact_ntile(orders, "o_custkey", "o_orderkey", 256, total, "xb"),
+        _exact_ntile(
+            orders, "o_custkey", "o_orderkey", 256, total, "xb",
+            bounds=(s["x_lo"], s["x_hi"]),
+        ),
         "o_orderdate",
         "o_orderkey",
         256,
         total,
         "yb",
+        bounds=(s["y_lo"], s["y_hi"]),
     ).select((F.col("xb") - 1).alias("xb"), (F.col("yb") - 1).alias("yb"))
     z = ranked.select(
         "xb", "yb", F.expr(_interleave_sql("xb", "yb")).alias("z")

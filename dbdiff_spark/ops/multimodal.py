@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table
+from dbdiff_spark.io import load_table, spread
 
 FEATURE_DIM = 8
 
@@ -672,7 +672,13 @@ def _dhash_frame(corpus: DataFrame) -> DataFrame:
                 recs.append((int(doc_id), dhash))
             yield pd.DataFrame(recs, columns=["doc_id", "dhash"])
 
-    return corpus.mapInPandas(batches, schema="doc_id bigint, dhash bigint")
+    # spread first (r12): the documents scan plans 1-3 byte-sized input
+    # splits, so the per-row Python codec loop — the op's dominant cost
+    # — ran on 3 cores of 32 (guide §4/io.spread); the hash is a pure
+    # per-row function, so the exchange changes nothing downstream
+    return spread(corpus, corpus.sparkSession, "doc_id").mapInPandas(
+        batches, schema="doc_id bigint, dhash bigint"
+    )
 
 
 def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,7 +1054,9 @@ def _dhash128_frame(corpus: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(recs, columns=["doc_id", "fp_lo", "fp_hi"])
 
-    return corpus.mapInPandas(
+    # spread first — see _dhash_frame (the 128-bit codec loop is the
+    # same Python-bound per-row cost)
+    return spread(corpus, corpus.sparkSession, "doc_id").mapInPandas(
         batches, schema="doc_id bigint, fp_lo bigint, fp_hi bigint"
     )
 
