@@ -743,7 +743,10 @@ def _bpe_batch_learn(
         .filter(F.col("s").isNotNull() & (F.length("s") >= 2))
         .groupBy("s")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint(eager=True)
+        # lazy: round 1's shortlist job materializes the checkpoint —
+        # the corpus pass and the first pair count fuse into one job
+        # (the same trick the per-round re-segmentation uses below)
+        .localCheckpoint(eager=False)
     )
     expansions: list = []
     rounds_adopted: list = []

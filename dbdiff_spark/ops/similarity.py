@@ -1913,6 +1913,7 @@ def ann_ivf_filtered(
             qmod,
             queries=queries,
             extra_on=F.col("label") == F.col("q_label"),
+            n=n,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1952,7 +1953,7 @@ def ann_ivf_filtered_serve(
         ),
     )
     return _serve_ivf_filtered_frame(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
     ).localCheckpoint(eager=True)
 
 
@@ -1998,6 +1999,7 @@ def _serve_ivf_filtered_frame(
     nprobe: int,
     max_broadcast_queries: int,
     qmod: int,
+    n: int | None = None,
 ) -> DataFrame:
     """The lazy filtered-serve search over a pre-ensured labeled root —
     shared by the public (checkpoint-pinning) entry and the plan
@@ -2031,6 +2033,7 @@ def _serve_ivf_filtered_frame(
         qmod,
         queries=queries,
         extra_on=F.col("label") == F.col("q_label"),
+        n=n,
     )
 
 
@@ -2948,7 +2951,7 @@ def _ann_ivf_filtered_serve_explain_frame(
         ),
     )
     return _serve_ivf_filtered_frame(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
     )
 
 
@@ -4942,10 +4945,15 @@ def ann_ivf_nprobe_curve(
             F.col("embedding").alias("q_emb"),
             F.col("norm").alias("q_norm"),
         )
+        # arithmetic guard bound from the scalars in hand (r12): the
+        # agg spelling evaluated the query projection once per report
+        dim = len(next(iter(centroids.values()))) if centroids else 0
+        q_est = (n // qmod + 1, (n // qmod + 1) * (dim * 8 + 48))
         exact = (
             vecs.join(
                 _query_side(
-                    queries, max_broadcast_queries, "shuffle_replicate_nl"
+                    queries, max_broadcast_queries, "shuffle_replicate_nl",
+                    est=q_est,
                 ),
                 F.col("vec_id") != F.col("query_id"),
             )
@@ -4968,7 +4976,8 @@ def ann_ivf_nprobe_curve(
         approx = None
         for rung in rungs:
             part = _ivf_literal_search(
-                vecs, assigned, centroids, rung, max_broadcast_queries, qmod
+                vecs, assigned, centroids, rung, max_broadcast_queries, qmod,
+                n=n,
             ).select(
                 F.lit(rung).cast("bigint").alias("nprobe"),
                 "query_id",
@@ -5135,7 +5144,14 @@ def ann_ivfpq_recall_report(
         probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
             "query_id", "q_emb", "q_cell"
         )
-        cand = _grid_cand(assigned, probes, max_broadcast_queries, nprobe)
+        # arithmetic guard bounds — every scalar is already in hand
+        # (r12: the agg guards evaluated the probe/query subplans once
+        # per consumer)
+        qb = (n // qmod + 1) * nprobe
+        cand = _grid_cand(
+            assigned, probes, max_broadcast_queries, nprobe,
+            est=(qb, qb * 16),
+        )
         # exact squared-L2 ground truth over the raw doubles — the SAME
         # derived stride as the arms, so recall denominators line up
         queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
@@ -5144,7 +5160,10 @@ def ann_ivfpq_recall_report(
         exact = (
             vecs.select("vec_id", "embedding")
             .join(
-                _query_side(queries, max_broadcast_queries, "shuffle_replicate_nl"),
+                _query_side(
+                    queries, max_broadcast_queries, "shuffle_replicate_nl",
+                    est=(n // qmod + 1, (n // qmod + 1) * (dim * 8 + 48)),
+                ),
                 F.col("vec_id") != F.col("query_id"),
             )
             .select(
@@ -5161,17 +5180,28 @@ def ann_ivfpq_recall_report(
             .filter(F.col("rank") <= PQ_K)
             .select("query_id", "neighbor_id")
         )
-        approx = None
-        for name, residual, trained in IVFPQ_RECALL_VARIANTS:
+        # arm builds overlap (io.run_jobs, §2.6): two of the three
+        # arms run EAGER per-subspace Lloyd loops (driver-paced collect
+        # rounds) against the same pinned assignment — no shared
+        # mutable state, so their rounds interleave instead of queuing
+        def _build_arm(name: str, residual: bool, trained: bool):
             codes, codebook = _pq_grid_codes(
                 assigned, cframe, residual, train_codebook=trained,
                 seeds=pq_seeds,
             )
             dtable = _pq_grid_dtable(probes, cframe, codebook, residual)
-            part = _pq_adc_rank(
-                cand, codes, dtable, max_broadcast_queries, nprobe, fan
+            return _pq_adc_rank(
+                cand, codes, dtable, max_broadcast_queries, nprobe, fan,
+                est=(qb * fan, qb * fan * 40),
             ).select(F.lit(name).alias("variant"), "query_id", "neighbor_id")
-            approx = part if approx is None else approx.unionByName(part)
+
+        parts = run_jobs(*[
+            lambda nm=name, r=residual, t=trained: _build_arm(nm, r, t)
+            for name, residual, trained in IVFPQ_RECALL_VARIANTS
+        ])
+        approx = parts[0]
+        for part in parts[1:]:
+            approx = approx.unionByName(part)
         hits = approx.join(exact_k, ["query_id", "neighbor_id"]).groupBy(
             "variant"
         ).agg(F.count(F.lit(1)).alias("n_hits"))
@@ -5491,13 +5521,22 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained centroids at the SAME (cells, nprobe) as ivf_c8_p2: the
     # recall-per-candidate value of training the coarse quantizer —
     # PINNED K here (A/B comparisons only hold at pinned configs; the
-    # registry op ann_ivf_trained derives K from the corpus size)
-    approx = approx.unionByName(
-        _ann_ivf_trained_with_k(
+    # registry op ann_ivf_trained derives K from the corpus size).
+    # The two trained arms run EAGER Lloyd loops (driver-paced collect
+    # rounds) with no shared state — overlap them (io.run_jobs, §2.6);
+    # the prod arm pins the report's query stride: the exact baseline
+    # (knn_bruteforce) queries at QUERY_MOD, and letting this arm
+    # derive its stride would make the query sets diverge at n > 10k —
+    # hits only on the lcm intersection, recall silently understated
+    # ~7× at 20k vectors (r9 review finding)
+    arm_c8, arm_prod = run_jobs(
+        lambda: _ann_ivf_trained_with_k(
             spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES
-        )
-        .filter(F.col("rank") <= ANN_K)
-        .select(
+        ),
+        lambda: ann_ivf_trained(spark, sf_dir, query_mod=QUERY_MOD),
+    )
+    approx = approx.unionByName(
+        arm_c8.filter(F.col("rank") <= ANN_K).select(
             F.lit("ivf_trained_c8_p2").alias("variant"),
             "query_id",
             "neighbor_id",
@@ -5508,15 +5547,7 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what ann_ivf_trained ships, so the report states the recall of
     # the config users actually run, not only the pinned A/Bs
     approx = approx.unionByName(
-        # the prod CONFIG (derived K, sampled Lloyd, derived nprobe)
-        # evaluated on the report's PINNED query stride: the exact
-        # baseline (knn_bruteforce) queries at QUERY_MOD, and letting
-        # this arm derive its stride would make the query sets diverge
-        # at n > 10k — hits only on the lcm intersection, recall
-        # silently understated ~7× at 20k vectors (r9 review finding)
-        ann_ivf_trained(spark, sf_dir, query_mod=QUERY_MOD)
-        .filter(F.col("rank") <= ANN_K)
-        .select(
+        arm_prod.filter(F.col("rank") <= ANN_K).select(
             F.lit("ivf_trained_prod").alias("variant"),
             "query_id",
             "neighbor_id",
@@ -5688,8 +5719,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast and each join input recomputes q from the scan
         # (guide §2.4: operations keyed the same way share an
         # exchange).  At scale the self-join shuffles on cell anyway —
-        # this only pins where.
-        .repartition(F.col("cell"))
+        # this only pins where.  EXPLICIT partition count (r12): the
+        # bare keyed repartition left the exchange AQE-coalescible and
+        # the byte-tiny q rows folded into ONE task, which then ran
+        # the ENTIRE quadratic pair-dot stage single-threaded
+        # (profiled 1.8 s of 6.4 s in one task; the _cell_spread
+        # lesson) — the explicit count is the cluster's core count,
+        # scale-adaptive by construction.
+        .repartition(spark.sparkContext.defaultParallelism, F.col("cell"))
     )
     a, b = q.alias("a"), q.alias("b")
     # The pair dot is THE quadratic cost: evaluate it ONCE per pair (a
@@ -5710,7 +5747,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.qnorm2").alias("qa2"),
             F.col("b.qnorm2").alias("qb2"),
         )
-        .repartition("cell", "vec_id")
+        .repartition(
+            spark.sparkContext.defaultParallelism, "cell", "vec_id"
+        )
     )
     dropped = (
         pair_scored.filter(
