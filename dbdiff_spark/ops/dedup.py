@@ -751,10 +751,12 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # the sf0.1 propagation; 3 s with the lineage cut).  Same
         # pattern as bigstar_components; with a session checkpoint dir
         # configured the cut is a RELIABLE checkpoint
-        # (executor-loss-safe).  LAZY cut (r12): the convergence count
-        # below is the round's first action, so it materializes the
-        # checkpoint itself — one job per round, not an eager-
-        # checkpoint job PLUS a count job (the bpe-trainer pattern).
+        # (executor-loss-safe).  Eager deliberately (r12 A/B): the lazy
+        # cut (convergence count materializes the round, one job fewer)
+        # measured ~1 s SLOWER per query on the dense dhash graph —
+        # the count's plan over the unmaterialized checkpoint pays the
+        # round's full analysis again; the eager job is cheaper than
+        # that re-analysis, so the two-job shape stays.
         new_labels = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
@@ -765,7 +767,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = cut_lineage(new_labels, eager=False)
+        new_labels = cut_lineage(new_labels, eager=True)
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.drop("__changed")
         if changed == 0:

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import load_table, spread
+from dbdiff_spark.io import load_table
 
 FEATURE_DIM = 8
 
@@ -672,13 +672,13 @@ def _dhash_frame(corpus: DataFrame) -> DataFrame:
                 recs.append((int(doc_id), dhash))
             yield pd.DataFrame(recs, columns=["doc_id", "dhash"])
 
-    # spread first (r12): the documents scan plans 1-3 byte-sized input
-    # splits, so the per-row Python codec loop — the op's dominant cost
-    # — ran on 3 cores of 32 (guide §4/io.spread); the hash is a pure
-    # per-row function, so the exchange changes nothing downstream
-    return spread(corpus, corpus.sparkSession, "doc_id").mapInPandas(
-        batches, schema="doc_id bigint, dhash bigint"
-    )
+    # deliberately NOT spread (r12 A/B): hash-repartitioning the docs
+    # before the codec loop measured a net LOSS at bench SF (the
+    # exchange + the 3×-unioned 96-partition banded frame cost more
+    # than the codec parallelism bought — 4.4 s vs 3.4 s on the
+    # neardup composite), and at real scale the input arrives in many
+    # splits so io.spread would be a no-op there anyway
+    return corpus.mapInPandas(batches, schema="doc_id bigint, dhash bigint")
 
 
 def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,9 +1054,8 @@ def _dhash128_frame(corpus: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(recs, columns=["doc_id", "fp_lo", "fp_hi"])
 
-    # spread first — see _dhash_frame (the 128-bit codec loop is the
-    # same Python-bound per-row cost)
-    return spread(corpus, corpus.sparkSession, "doc_id").mapInPandas(
+    # not spread — see _dhash_frame (same A/B outcome)
+    return corpus.mapInPandas(
         batches, schema="doc_id bigint, fp_lo bigint, fp_hi bigint"
     )
 
