@@ -536,8 +536,7 @@ def main() -> None:
         f"# stride_spread: {stride_spread} control_spread: {control_spread}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
+    payload = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 # bench_schema 2 (r11): stride_spread reads the
@@ -562,8 +561,20 @@ def main() -> None:
                 "stride_spread": stride_spread,
                 "control_spread": control_spread,
             }
-        )
     )
+    # Artifact-capture hardening (r12 VERDICT #2: BENCH_r11's one-line
+    # JSON was truncated in the driver's capture, nulling the whole
+    # round-over-round PERF layer).  The JSON line stays the ONLY stdout
+    # line (everything else goes to stderr), is explicitly flushed, and
+    # is ALSO written to BENCH_OUT.json beside this file so a clipped
+    # stdout capture still leaves a parseable artifact on disk.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_OUT.json").write_text(
+            payload + "\n"
+        )
+    except OSError as exc:  # the stdout line is still the contract
+        print(f"# BENCH_OUT.json write failed: {exc}", file=sys.stderr)
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

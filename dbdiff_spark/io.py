@@ -158,6 +158,8 @@ def run_jobs(*thunks):
     is left orphaned mid-write)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    if not thunks:  # ThreadPoolExecutor(max_workers=0) raises (r12 ADVICE)
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
     with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
@@ -165,15 +167,24 @@ def run_jobs(*thunks):
         # collect every outcome before raising so a failing sibling
         # cannot leave a half-running write behind the caller's back
         outcomes = [None] * len(futures)
-        first_exc = None
+        excs: list[tuple[int, Exception]] = []
         for i, f in enumerate(futures):
             try:
                 outcomes[i] = f.result()
             except Exception as exc:  # noqa: BLE001 - re-raised below
-                if first_exc is None:
-                    first_exc = exc
-        if first_exc is not None:
-            raise first_exc
+                excs.append((i, exc))
+        if excs:
+            # surface EVERY failed sibling, not just the first — a
+            # half-failed concurrent artifact build is undiagnosable
+            # from one exception (r12 ADVICE): siblings are logged,
+            # then the first failure propagates
+            import logging
+
+            for i, exc in excs[1:]:
+                logging.getLogger(__name__).warning(
+                    "run_jobs: concurrent job %d also failed: %r", i, exc
+                )
+            raise excs[0][1]
         return outcomes
 
 

@@ -1117,6 +1117,7 @@ def ann_ivf_trained(
     max_broadcast_queries: int = MAX_BROADCAST_QUERIES,
     nprobe: int | None = None,
     query_mod: int | None = None,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """THE production trained-IVF build: K derived from the corpus size
     (``_derived_kmeans_k``), Lloyd trained on a bounded DETERMINISTIC
@@ -1140,6 +1141,7 @@ def ann_ivf_trained(
         sample_mod=_derived_sample_mod(n, k),
         query_mod=query_mod_for(n) if query_mod is None else query_mod,
         n=n,
+        vecs=vecs,
     )
 
 
@@ -1191,6 +1193,7 @@ def _ann_ivf_trained_with_k(
     sample_mod: int = 1,
     query_mod: int = QUERY_MOD,
     n: int | None = None,
+    vecs: DataFrame | None = None,
 ) -> DataFrame:
     """Train-then-search at an explicit K — the shared body behind
     ``ann_ivf_trained`` (derived K, ``sample_mod`` > 1: Lloyd sees
@@ -1198,8 +1201,19 @@ def _ann_ivf_trained_with_k(
     unchanged, while the FULL corpus is assigned once),
     ``ann_ivf_full_trained`` (``sample_mod=1`` — the full-corpus Lloyd
     A/B), and the recall report's pinned ``ivf_trained_c8_p2``
-    variant."""
-    vecs = _vectors(spark, sf_dir).persist()
+    variant.
+
+    ``vecs``: a caller-managed, ALREADY-PERSISTED vectors frame.  The
+    recall report runs two trained arms concurrently (io.run_jobs);
+    when each arm persisted its own structurally identical
+    ``_vectors`` plan, the first arm's finally-unpersist evicted the
+    SHARED cache entry while the slower arm was mid-Lloyd, silently
+    re-triggering the duplicated interpreted argmin recompute the pin
+    above exists to prevent (r12 ADVICE).  With a caller-held frame the
+    arms share one cache entry whose lifetime outlives both."""
+    own_vecs = vecs is None
+    if own_vecs:
+        vecs = _vectors(spark, sf_dir).persist()
     # PIN the assignment (r12, guide §5): the candidate join's key is
     # the HOF-computed ``cell``, and the join's inferred
     # isnotnull(cell) null-filter gets pushed below the projection
@@ -1224,7 +1238,8 @@ def _ann_ivf_trained_with_k(
         # result so the cache can be released before returning
         return out.localCheckpoint(eager=True)
     finally:
-        vecs.unpersist()
+        if own_vecs:
+            vecs.unpersist()
         if assigned is not None:
             assigned.unpersist()
 
@@ -5529,12 +5544,23 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive its stride would make the query sets diverge at n > 10k —
     # hits only on the lcm intersection, recall silently understated
     # ~7× at 20k vectors (r9 review finding)
-    arm_c8, arm_prod = run_jobs(
-        lambda: _ann_ivf_trained_with_k(
-            spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES
-        ),
-        lambda: ann_ivf_trained(spark, sf_dir, query_mod=QUERY_MOD),
-    )
+    # ONE caller-held persisted vectors frame shared by both arms: each
+    # arm persisting its own (structurally identical) _vectors plan let
+    # the faster arm's finally-unpersist evict the shared cache entry
+    # mid-Lloyd of the slower one (r12 ADVICE)
+    shared_vecs = _vectors(spark, sf_dir).persist()
+    try:
+        arm_c8, arm_prod = run_jobs(
+            lambda: _ann_ivf_trained_with_k(
+                spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES,
+                vecs=shared_vecs,
+            ),
+            lambda: ann_ivf_trained(
+                spark, sf_dir, query_mod=QUERY_MOD, vecs=shared_vecs
+            ),
+        )
+    finally:
+        shared_vecs.unpersist()
     approx = approx.unionByName(
         arm_c8.filter(F.col("rank") <= ANN_K).select(
             F.lit("ivf_trained_c8_p2").alias("variant"),
