@@ -67,14 +67,31 @@ def spread(df: DataFrame, spark: SparkSession, *key_cols: str) -> DataFrame:
     a broadcast-join scoring pass would have been repartitioned once
     for no reason (its heavy bytes never needed to shuffle at all).
     The probe reads the planned partition count of the frame (layout
-    metadata — no job runs)."""
+    metadata — no job runs), and the result is MEMOIZED per
+    (application, semantic plan) — ``df.rdd`` forces full physical
+    planning on the driver, and almost every call site probes the same
+    handful of base-table scans once per query invocation (r12 VERDICT
+    minor #5: repeated driver CPU per call on large plans).  The
+    planned width of a given scan is stable within a session (it
+    derives from the file listing and session split config), so a
+    cached answer stays correct."""
     n = spark.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= n:
+        key = (spark.sparkContext.applicationId, df.semanticHash(), n)
+        width = _SPREAD_WIDTH_CACHE.get(key)
+        if width is None:
+            width = df.rdd.getNumPartitions()
+            if len(_SPREAD_WIDTH_CACHE) > 4096:  # unbounded-session hygiene
+                _SPREAD_WIDTH_CACHE.clear()
+            _SPREAD_WIDTH_CACHE[key] = width
+        if width >= n:
             return df
     except Exception:
         pass
     return df.repartition(n, *[F.col(c) for c in key_cols]) if key_cols else df.repartition(n)
+
+
+_SPREAD_WIDTH_CACHE: dict[tuple, int] = {}
 
 
 def local_frame(spark: SparkSession, rows, schema) -> DataFrame:

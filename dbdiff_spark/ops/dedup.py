@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbdiff_spark.io import cut_lineage, load_table, spread
+from dbdiff_spark.io import cut_lineage, load_table, run_jobs, spread
 from dbdiff_spark.ops.text import (
     _D_TOKENS,
     _SPLIT_CASE,
@@ -288,6 +288,39 @@ def _simhash_bits_duck() -> str:
     return f"concat({', '.join(bits)})"
 
 
+def _hex_chunk_exprs(stream_col_for: "Callable[[int], str]", n_bits: int) -> list[str]:
+    """32-bit integer chunks of the md5-hex bit-vote streams — only the
+    chunks bits 0..n_bits-1 actually read.  Bit j reads hex char
+    ``j%32 + 1`` of stream ``j//32``; chunk ``c{s}_{k}`` holds that
+    stream's hex chars 8k+1..8k+8 as one BIGINT (conv base 16), so the
+    per-bit vote becomes a shift-and-mask instead of a per-bit
+    ``substr`` + ``instr`` string scan (r13: the 6w-bit fingerprint
+    paid ~84 single-char string probes per token row — the dominant
+    per-row cost of the fingerprint stage; 11 ``conv`` parses replace
+    them and the aggregates go pure-integer)."""
+    out = []
+    for s in range((n_bits + 31) // 32):
+        stream_bits = min(32, n_bits - 32 * s)
+        for k in range((stream_bits + 7) // 8):
+            out.append(
+                f"CAST(conv(substr({stream_col_for(s)}, {8 * k + 1}, 8), 16, 10)"
+                f" AS BIGINT) AS c{s}_{k}"
+            )
+    return out
+
+
+def _hex_bit_vote(j: int) -> str:
+    """The bit-j vote indicator over the chunk columns: hex digit ≥ 8
+    ⟺ bit 3 of the 4-bit nibble — nibble ``q%8`` (from the left) of
+    chunk ``c{j//32}_{(j%32)//8}``.  NULL-safe exactly like the old
+    ``instr(substr(NULL))`` spelling: a zero-token doc's chunk is NULL
+    and the vote contributes nothing."""
+    s, q = j // 32, j % 32
+    k, c = q // 8, q % 8
+    shift = (7 - c) * 4 + 3
+    return f"(c{s}_{k} >> {shift}) & 1"
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup groups: 16-bit majority-vote fingerprint over the
     token multiset; docs sharing a fingerprint are near-dup candidates.
@@ -299,7 +332,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops per doc).  The extra doc_id aggregation shuffles one 17-long row
     per doc — noise next to the saved CPU.  ``explode_outer`` keeps
     zero-token docs (md5(NULL) counts nothing), which fingerprint as
-    all-zeros exactly as the array formulation did."""
+    all-zeros exactly as the array formulation did.
+
+    Deliberately NOT the ``_hex_chunk_exprs`` conv packing the wide
+    ``_simhash_frame`` uses (r13 A/B): at 16 bits the two conv parses
+    cost more than 16 single-char probes save (0.63 → 0.75 s measured
+    quiet), while at the 84-bit derived fingerprint conv wins its
+    stage 1.34 → 0.90 s — the crossover sits well above 16 bits."""
     corpus = _neardup_corpus(spark, sf_dir)
     ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
         "doc_id", "md5(t) AS h"
@@ -466,15 +505,6 @@ def assert_band_load(
     return candidates
 
 
-def _sim_sources(n_bits: int) -> list:
-    """(hash column, 1-based char position) feeding each bit vote —
-    bit j reads char j%32+1 of md5 stream j//32, where stream s is
-    md5(chr(97+s) || token) — a uniform prefix family both engines
-    spell identically, extensible to any width (one stream per 32
-    bits)."""
-    return [(f"h{j // 32}", j % 32 + 1) for j in range(n_bits)]
-
-
 def simhash_corpus_width(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
     """(corpus size, derived band width) for the neardup corpus.  The
     count is metadata-cheap: count(*) on the bare documents scan folds
@@ -489,19 +519,19 @@ def _simhash_frame(corpus: DataFrame, band_bits: int) -> DataFrame:
     ``SIMHASH_N_BANDS`` band values, each ``band_bits`` wide (total
     fingerprint 6·w bits)."""
     n_bits = SIMHASH_N_BANDS * band_bits
-    n_streams = -(-n_bits // 32)
+    # per-row: n_streams md5s, then integer chunks of the hex streams
+    # (``_hex_chunk_exprs``) so the 6w bit votes aggregate as
+    # shift-and-mask SUMs instead of per-bit substr+instr string
+    # probes (~84 single-char scans per token row at w=14 — r13)
     ex = corpus.selectExpr("doc_id", "explode_outer(tokens) AS t").selectExpr(
         "doc_id",
-        *[
-            f"md5(concat('{chr(97 + s)}', t)) AS h{s}"
-            for s in range(n_streams)
-        ],
+        *_hex_chunk_exprs(
+            lambda s: f"md5(concat('{chr(97 + s)}', t))", n_bits
+        ),
     )
-    aggs = [F.count(F.col("h0")).alias("n")] + [
-        F.count_if(
-            F.expr(f"instr('89abcdef', substr({src}, {pos}, 1)) > 0")
-        ).alias(f"b{j}")
-        for j, (src, pos) in enumerate(_sim_sources(n_bits))
+    aggs = [F.count(F.col("c0_0")).alias("n")] + [
+        F.sum(F.expr(_hex_bit_vote(j))).alias(f"b{j}")
+        for j in range(n_bits)
     ]
     band_vals = ", ".join(
         "CAST("
@@ -738,27 +768,14 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(CC_MAX_ITERS):
+    def _round(lbls: DataFrame) -> DataFrame:
         nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
+            edges.join(lbls, edges.src == lbls.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        # cut_lineage, not persist: a cached iterative DataFrame
-        # still carries the full LOGICAL plan, which nests the previous
-        # round's plan — Catalyst re-analysis grows exponentially with
-        # rounds even when execution hits the cache (measured 229 s for
-        # the sf0.1 propagation; 3 s with the lineage cut).  Same
-        # pattern as bigstar_components; with a session checkpoint dir
-        # configured the cut is a RELIABLE checkpoint
-        # (executor-loss-safe).  Eager deliberately (r12 A/B): the lazy
-        # cut (convergence count materializes the round, one job fewer)
-        # measured ~1 s SLOWER per query on the dense dhash graph —
-        # the count's plan over the unmaterialized checkpoint pays the
-        # round's full analysis again; the eager job is cheaper than
-        # that re-analysis, so the two-job shape stays.
-        new_labels = (
-            labels.join(nbr_min, "doc_id", "left")
+        return (
+            lbls.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
@@ -767,11 +784,39 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = cut_lineage(new_labels, eager=True)
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels = new_labels.drop("__changed")
+
+    # cut_lineage, not persist: a cached iterative DataFrame
+    # still carries the full LOGICAL plan, which nests the previous
+    # round's plan — Catalyst re-analysis grows exponentially with
+    # rounds even when execution hits the cache (measured 229 s for
+    # the sf0.1 propagation; 3 s with the lineage cut).  Same
+    # pattern as bigstar_components; with a session checkpoint dir
+    # configured the cut is a RELIABLE checkpoint
+    # (executor-loss-safe).  Eager deliberately (r12 A/B): the lazy
+    # cut (convergence count materializes the round, one job fewer)
+    # measured ~1 s SLOWER per query on the dense dhash graph —
+    # the count's plan over the unmaterialized checkpoint pays the
+    # round's full analysis again; the eager job is cheaper than
+    # that re-analysis, so the two-job shape stays.
+    #
+    # Speculative round pipelining (r13, guide §2.6 — the
+    # bigstar_components pattern): round i's convergence count and
+    # round i+1's materialization both read only checkpointed frames,
+    # so they overlap; a converged round's speculative successor is
+    # discarded (and would be value-identical anyway — propagating
+    # into a converged labeling changes nothing).
+    cur = cut_lineage(_round(labels), eager=True)
+    for _ in range(CC_MAX_ITERS):
+        changed, nxt = run_jobs(
+            lambda c=cur: c.filter(F.col("__changed")).count(),
+            lambda l=cur.drop("__changed"): cut_lineage(
+                _round(l), eager=True
+            ),
+        )
+        labels = cur.drop("__changed")
         if changed == 0:
             break
+        cur = nxt
     edges.unpersist()
     return labels
 
@@ -918,17 +963,37 @@ def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> D
     prev = edges.selectExpr(
         "greatest(src, dst) AS src", "least(src, dst) AS dst"
     ).filter(F.col("src") != F.col("dst"))
+    # Speculative round pipelining (r13, guide §2.6): the loop's two
+    # per-round actions — the convergence count of round i and the
+    # contraction of round i+1 — both read only CHECKPOINTED frames,
+    # so they are independent jobs and run overlapped instead of
+    # back-to-back (the rounds are tiny latency-bound jobs at bench SF
+    # and full passes at scale; either way the count was pure critical-
+    # path time).  When the count says converged, the one speculative
+    # contraction is discarded — harmless even if it were used, since
+    # contracting a converged graph reproduces the same edge SET and
+    # every consumer is set-semantic.
+    contracted = (
+        cut_lineage(_small_star(_large_star(edges)), eager=True)
+        if max_iters > 0
+        else None
+    )
     for _ in range(max_iters):
-        contracted = cut_lineage(_small_star(_large_star(edges)))
-        # converged when the (big → small) edge set is stable
-        changed = contracted.subtract(prev).count()
-        prev = contracted
         # re-symmetrize for the next large-star round
         edges = contracted.unionByName(
             contracted.selectExpr("dst AS src", "src AS dst")
         )
+        changed, nxt = run_jobs(
+            # converged when the (big → small) edge set is stable
+            lambda c=contracted, p=prev: c.subtract(p).count(),
+            lambda e=edges: cut_lineage(
+                _small_star(_large_star(e)), eager=True
+            ),
+        )
+        prev = contracted
         if changed == 0:
             break
+        contracted = nxt
     # stars: child → root on the (big → small) half; roots map to themselves
     parents = (
         edges.filter(F.col("src") > F.col("dst"))

@@ -62,7 +62,21 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (orders hold a handful of parts), so the edge list is
     LINEAR in lineitem at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # Explicit core-count partitioning on the join key (r13, the
+    # similarity._cell_spread lesson): the distinct output is byte-tiny
+    # (two ints/row), so AQE folds its post-shuffle partitions to a
+    # handful of tasks and the compute-heavy pair self-join — and every
+    # downstream consumer stage — inherits that ceiling (profiled: the
+    # op-distinct + self-join stages ran at 3-5 tasks for ~1.6 s with
+    # 27+ idle cores).  Pinning the count keeps AQE's hands off; both
+    # self-join sides reuse the ONE exchange, so no shuffle is added.
+    # The count derives from the session — scale-adaptive, not a local
+    # constant.
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
     a, b = op.alias("a"), op.alias("b")
     return (
         a.join(
@@ -371,7 +385,13 @@ def frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable count each, and each top-k is a TakeOrdered
     (distributed heaps), never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # same explicit-width exchange as _copurchase_edges (AQE folds the
+    # tiny distinct output to a few tasks, serializing the pair join)
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+    )
     items = (
         op.groupBy(F.col("l_partkey").alias("item_a"))
         .agg(F.count(F.lit(1)).alias("support"))

@@ -593,6 +593,26 @@ def query_mod_for(n: int) -> int:
     return max(QUERY_MOD, n // math.ceil(math.sqrt(n)))
 
 
+def _corpus_counts(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """``(n, n_ids)`` over the embeddings table in one agg job.  ``n``
+    (the row count) drives the derivation laws — K, stride, seed
+    budget — exactly as the oracle's ``count(*)`` does; ``n_ids`` =
+    max(vec_id)+1 is the ID-SPACE bound the broadcast guards use
+    (r12 ADVICE #1: the arithmetic bound Q ≤ n//qmod + 1 is only an
+    upper bound when ids are dense in [0, n) — a sparse or stride-
+    aligned id space can put up to n rows on the stride, so the guard
+    bounds from the id space instead; dense ids make the two equal).
+    Replaces a bare metadata-only count at entries that train/search
+    the full corpus anyway — the one-column vec_id scan is noise
+    there."""
+    r = (
+        load_table(spark, sf_dir, "embeddings")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("m"))
+        .first()
+    )
+    return int(r["n"]), (int(r["m"]) + 1 if r["m"] is not None else 0)
+
+
 def _query_mod_duck(n_expr: str = "count(*)") -> str:
     """DuckDB twin of :func:`query_mod_for` over an ``n`` expression —
     one shared spelling so the derived-stride oracles cannot drift from
@@ -1130,7 +1150,7 @@ def ann_ivf_trained(
     variant survives only as the ``ann_ivf_full_trained`` A/B; pinned-K
     recall A/B variants keep their fixed configs (comparisons only hold
     at pinned configs)."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     return _ann_ivf_trained_with_k(
         spark,
@@ -1140,7 +1160,7 @@ def ann_ivf_trained(
         max_broadcast_queries,
         sample_mod=_derived_sample_mod(n, k),
         query_mod=query_mod_for(n) if query_mod is None else query_mod,
-        n=n,
+        n=n_ids,
         vecs=vecs,
     )
 
@@ -1159,7 +1179,7 @@ def ann_ivf_full_trained(
     the evidence, not the plan you'd run at 10⁹ vectors).  Mirrors the
     production config on every OTHER knob — derived K, nprobe, and
     query stride — so the A/B isolates the Lloyd sample alone."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     return _ann_ivf_trained_with_k(
         spark,
@@ -1168,7 +1188,7 @@ def ann_ivf_full_trained(
         ivf_nprobe_for(k) if nprobe is None else nprobe,
         max_broadcast_queries,
         query_mod=query_mod_for(n),
-        n=n,
+        n=n_ids,
     )
 
 
@@ -1297,10 +1317,13 @@ def _ivf_literal_search(
     enriched it, e.g. with per-query labels); ``extra_on`` ANDs an
     extra predicate into the candidate join — the PRE-FILTER hook the
     metadata-filtered entries ride (one spelling of the cand/rank
-    block, r10 review).  ``n`` (corpus rows) lets the broadcast guard
-    bound the probe relation arithmetically (Q ≤ n//qmod + 1, ×nprobe
-    rows of ~dim·8+56 B) instead of evaluating the whole probe
-    pipeline once just to count it (r12, _query_side)."""
+    block, r10 review).  ``n`` — the corpus ID-SPACE bound,
+    max(vec_id)+1 (r12 ADVICE #1: on dense 0..n-1 ids this equals the
+    row count, and on sparse/stride-aligned ids it is what makes
+    Q ≤ n//qmod + 1 a true upper bound) — lets the broadcast guard
+    bound the probe relation arithmetically (×nprobe rows of
+    ~dim·8+56 B) instead of evaluating the whole probe pipeline once
+    just to count it (r12, _query_side)."""
     if queries is None:
         queries = _probe_frame(vecs, centroids, nprobe, query_mod)
     on = (F.col("cell") == F.col("q_cell")) & (
@@ -1360,7 +1383,7 @@ def ann_ivf_index_persist(
     # default root: session-warehouse-scheme-qualified, uid+pid-salted,
     # stable per corpus within the process (see fs.artifact_root)
     root = index_root or _hfs.artifact_root(spark, "ivf_index", sf_dir)
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     if nprobe is None:
@@ -1374,7 +1397,7 @@ def ann_ivf_index_persist(
     # (plus the raw query vectors) — no retraining, no reassignment
     out = _serve_ivf_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries,
-        query_mod_for(n), n=n,
+        query_mod_for(n), n=n_ids,
     )
     return out.localCheckpoint(eager=True)
 
@@ -1535,7 +1558,7 @@ def _corpus_fingerprint(spark: SparkSession, sf_dir: str) -> str:
 
 def _ensure_index_params(
     spark: SparkSession, sf_dir: str, root: str, family: str, build
-) -> tuple[int, int, int, int]:
+) -> tuple[int, int, int, int, int]:
     """Build-once guard for the serve-only entries: ``<root>/params``
     (1-row parquet: n, dim, cells, nprobe, qmod, family, fingerprint)
     is written LAST, so its ``_SUCCESS`` marker doubles as the
@@ -1557,7 +1580,9 @@ def _ensure_index_params(
     corpus (at 100 TB the serve path must not pay a corpus scan to
     rediscover K/nprobe every query batch).  ``build(vecs, k, mod)``
     runs only on a cold/invalidated root.  Returns ``(nprobe, qmod,
-    n, dim)``."""
+    n, dim, n_ids)`` — ``n_ids`` = max(vec_id)+1 at build time, the
+    id-space bound the serve paths' broadcast guards use (r12 ADVICE
+    #1: the row count under-bounds stride matches on sparse ids)."""
     from .. import fs as _hfs
 
     ppath = f"{root}/params"
@@ -1578,7 +1603,7 @@ def _ensure_index_params(
         fresh = (
             covers
             and rec.get("fingerprint") == fp
-            and all(f in rec for f in ("n", "dim", "nprobe", "qmod"))
+            and all(f in rec for f in ("n", "dim", "nprobe", "qmod", "n_ids"))
         )
     if not fresh:
         # a cold/invalidated rebuild must not inherit the PREVIOUS
@@ -1600,7 +1625,7 @@ def _ensure_index_params(
                 "were intentional", root,
             )
         vecs0 = _vectors(spark, sf_dir)
-        n, dim = _corpus_shape(vecs0)
+        n, dim, n_ids = _corpus_shape(vecs0)
         k = semdedup_cells(n)
         mod = _derived_sample_mod(n, k)
         vecs = vecs0.persist()
@@ -1611,14 +1636,17 @@ def _ensure_index_params(
         one_file(
             local_frame(
                 spark,
-                [(n, dim, k, ivf_nprobe_for(k), query_mod_for(n), family, fp)],
+                [(n, dim, k, ivf_nprobe_for(k), query_mod_for(n), family,
+                  fp, n_ids)],
                 "n bigint, dim bigint, cells bigint, nprobe bigint,"
-                " qmod bigint, family string, fingerprint string",
+                " qmod bigint, family string, fingerprint string,"
+                " n_ids bigint",
             )
         ).write.mode("overwrite").parquet(ppath)
         row = spark.read.parquet(ppath).collect()[0]
     return (
-        int(row["nprobe"]), int(row["qmod"]), int(row["n"]), int(row["dim"])
+        int(row["nprobe"]), int(row["qmod"]), int(row["n"]), int(row["dim"]),
+        int(row["n_ids"]),
     )
 
 
@@ -1643,7 +1671,7 @@ def ann_ivf_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_serve", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -1653,7 +1681,7 @@ def ann_ivf_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n_ids
     )
     return out.localCheckpoint(eager=True)
 
@@ -1676,18 +1704,18 @@ IVF_BASE_SLICE = "vec_id % 2 = 0"
 IVF_BATCH_SLICE = "vec_id % 2 = 1"
 
 
-def _build_ingest_base(
+def _train_ingest_base(
     spark: SparkSession, vecs: DataFrame, root: str,
     n_base: int | None = None,
-) -> tuple[dict[int, list[float]], int, int, int]:
-    """The shared base-slice build behind every ingest op (batch IVF,
-    batch IVF-PQ, streaming — r9 review: previously spelled three
-    times): derive n/K/stride from the BASE slice, dense-renumber it
-    (``vec_id div 2`` so the seed rule and sample stride see 0..n-1),
-    train the quantizer on the bounded sample, and write the coarse
-    index layout.  Returns ``(centroids, k, nprobe, n_base)`` —
-    ``n_base`` so fine-stage callers derive their PQ seed budget from
-    the slice the codebook trains on."""
+) -> tuple[dict[int, list[float]], int, int, DataFrame]:
+    """The TRAINING half of the shared ingest base build: clear the
+    stale tombstone log, derive n/K/stride from the BASE slice,
+    dense-renumber it (``vec_id div 2`` so the seed rule and sample
+    stride see 0..n-1) and run the sampled Lloyd.  Returns
+    ``(centroids, k, n_base, base)`` — split from the artifact writes
+    (r13) so the IVF-PQ ingest can overlap its FOUR independent writes
+    (centroids, assignments, codebook, codes) in one run_jobs instead
+    of two sequential pairs separated by an assignments read-back."""
     from .. import fs as _hfs
 
     # ingest entries rebuild per call without the params guard, so the
@@ -1708,6 +1736,20 @@ def _build_ingest_base(
     mod = _derived_sample_mod(n_base, k)
     base_renum = base.selectExpr("vec_id div 2 AS vec_id", "embedding")
     centroids = _kmeans_centroids(_lloyd_train_frame(base_renum, mod), k)
+    return centroids, k, n_base, base
+
+
+def _build_ingest_base(
+    spark: SparkSession, vecs: DataFrame, root: str,
+    n_base: int | None = None,
+) -> tuple[dict[int, list[float]], int, int, int]:
+    """The shared base-slice build behind every ingest op (batch IVF,
+    batch IVF-PQ, streaming — r9 review: previously spelled three
+    times): train via ``_train_ingest_base`` and write the coarse
+    index layout.  Returns ``(centroids, k, nprobe, n_base)`` —
+    ``n_base`` so fine-stage callers derive their PQ seed budget from
+    the slice the codebook trains on."""
+    centroids, k, n_base, base = _train_ingest_base(spark, vecs, root, n_base)
     # no data dependency between the two artifact writes — overlap them
     # (io.run_jobs, guide §2.6; see _build_ivf_coarse_artifacts)
     run_jobs(
@@ -1747,8 +1789,10 @@ def ann_ivf_ingest(
         shape = vecs.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.expr(IVF_BASE_SLICE)).alias("n_base"),
+            F.max("vec_id").alias("max_id"),
         ).first()
         n, n_base = int(shape["n"]), int(shape["n_base"])
+        n_ids = int(shape["max_id"]) + 1 if shape["max_id"] is not None else 0
         _centroids, _k, nprobe, _n_base = _build_ingest_base(
             spark, vecs, root, n_base
         )
@@ -1778,7 +1822,7 @@ def ann_ivf_ingest(
         )
         out = _ivf_literal_search(
             vecs, merged, loaded_centroids, nprobe, max_broadcast_queries,
-            query_mod_for(n), n=n,
+            query_mod_for(n), n=n_ids,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1893,7 +1937,7 @@ def ann_ivf_filtered(
     exist; pre-filter cannot.  Same trained coarse machinery and
     output contract as ``ann_ivf_trained``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     nprobe = ivf_nprobe_for(k)
@@ -1928,7 +1972,7 @@ def ann_ivf_filtered(
             qmod,
             queries=queries,
             extra_on=F.col("label") == F.col("q_label"),
-            n=n,
+            n=n_ids,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -1958,7 +2002,7 @@ def ann_ivf_filtered_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_lab", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -1968,7 +2012,7 @@ def ann_ivf_filtered_serve(
         ),
     )
     return _serve_ivf_filtered_frame(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n_ids
     ).localCheckpoint(eager=True)
 
 
@@ -2566,7 +2610,7 @@ def ann_ivf_delete_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_del", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2576,7 +2620,7 @@ def ann_ivf_delete_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n_ids
     )
     return out.localCheckpoint(eager=True)
 
@@ -2614,7 +2658,7 @@ def ann_ivf_upsert_serve(
 
     root = index_root or _hfs.artifact_root(spark, "ivf_ups", sf_dir)
 
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2624,7 +2668,7 @@ def ann_ivf_upsert_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n_ids
     )
     return out.localCheckpoint(eager=True)
 
@@ -2662,7 +2706,7 @@ def ann_ivf_compact_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivf_cmp", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2672,7 +2716,7 @@ def ann_ivf_compact_serve(
         ),
     )
     out = _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n
+        spark, sf_dir, root, nprobe, max_broadcast_queries, qmod, n=_n_ids
     )
     return out.localCheckpoint(eager=True)
 
@@ -2729,7 +2773,7 @@ def ann_ivfpq_delete_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_del", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2741,7 +2785,7 @@ def ann_ivfpq_delete_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
     return out.localCheckpoint(eager=True)
 
@@ -2781,7 +2825,7 @@ def ann_ivfpq_upsert_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_ups", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2793,7 +2837,7 @@ def ann_ivfpq_upsert_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
     return out.localCheckpoint(eager=True)
 
@@ -2933,7 +2977,7 @@ def _ann_ivf_delete_serve_explain_frame(
 
     root = _hfs.artifact_root(spark, "ivf_del", sf_dir)
 
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2943,7 +2987,7 @@ def _ann_ivf_delete_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n_ids
     )
 
 
@@ -2956,7 +3000,7 @@ def _ann_ivf_filtered_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivf_lab", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -2966,7 +3010,7 @@ def _ann_ivf_filtered_serve_explain_frame(
         ),
     )
     return _serve_ivf_filtered_frame(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n_ids
     )
 
 
@@ -3097,7 +3141,7 @@ def _ann_ivf_serve_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivf_serve", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -3107,7 +3151,7 @@ def _ann_ivf_serve_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n_ids
     )
 
 
@@ -3119,7 +3163,7 @@ def _ann_ivf_upsert_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivf_ups", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -3129,7 +3173,7 @@ def _ann_ivf_upsert_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n_ids
     )
 
 
@@ -3141,7 +3185,7 @@ def _ann_ivf_compact_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivf_cmp", sf_dir)
-    nprobe, qmod, _n, _dim = _ensure_index_params(
+    nprobe, qmod, _n, _dim, _n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -3151,7 +3195,7 @@ def _ann_ivf_compact_serve_explain_frame(
         ),
     )
     return _serve_ivf_from_artifacts(
-        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n
+        spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod, n=_n_ids
     )
 
 
@@ -3386,14 +3430,26 @@ def _sub_split_spark(col: str) -> str:
     )
 
 
-def _corpus_shape(vecs: DataFrame) -> tuple[int, int]:
-    """(n, dim) in one tiny agg job — the scalars the PQ derivations
-    need at build time (never on the serve path: serve entries read
-    them from the params artifact)."""
+def _corpus_shape(vecs: DataFrame) -> tuple[int, int, int]:
+    """(n, dim, n_ids) in one tiny agg job — the scalars the PQ
+    derivations need at build time (never on the serve path: serve
+    entries read them from the params artifact).  ``n_ids`` =
+    max(vec_id)+1, the ID-SPACE bound the broadcast guards use: the
+    arithmetic bound Q ≤ n_ids//qmod + 1 holds for ANY id set bounded
+    by max(vec_id), while the row count n under-counts stride matches
+    when ids are sparse (e.g. all multiples of qmod) — exactly the
+    silent-oversized-broadcast case the guard exists to prevent (r12
+    ADVICE #1).  For the dense 0..n-1 testdata ids the two coincide."""
     r = vecs.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("dim")
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.size("embedding")).alias("dim"),
+        F.max("vec_id").alias("max_id"),
     ).first()
-    return int(r["n"]), int(r["dim"] or 0)
+    return (
+        int(r["n"]),
+        int(r["dim"] or 0),
+        int(r["max_id"]) + 1 if r["max_id"] is not None else 0,
+    )
 
 
 def _qdist2_spark(a: str, b: str) -> str:
@@ -3473,7 +3529,7 @@ def ann_pq(
     from dim, K from the training budget); swapping seed codebooks
     for k-means-trained ones (kmeans_lloyd) changes no plumbing."""
     vecs = _vectors(spark, sf_dir)
-    n, dim = _corpus_shape(vecs)
+    n, dim, n_ids = _corpus_shape(vecs)
     seeds = pq_seeds_for(n)
     codes, dtable = _pq_codes_and_table(vecs, seeds)
     adc = (
@@ -3623,7 +3679,7 @@ def ann_ivf_pq(
     eagerly checkpointed so the cache can be released before
     returning (the sibling trained ops' pattern)."""
     vecs0 = _vectors(spark, sf_dir)
-    n, dim = _corpus_shape(vecs0)
+    n, dim, n_ids = _corpus_shape(vecs0)
     cells = semdedup_cells(n)
     nprobe = ivf_nprobe_for(cells)
     vecs = vecs0.persist()
@@ -3641,7 +3697,7 @@ def _ann_ivf_pq_explain_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly to release its corpus cache, so its returned plan is a
     checkpoint scan)."""
     vecs = _vectors(spark, sf_dir)
-    n, dim = _corpus_shape(vecs)
+    n, dim, n_ids = _corpus_shape(vecs)
     cells = semdedup_cells(n)
     return _ann_ivf_pq_frame(
         vecs, cells, ivf_nprobe_for(cells), MAX_BROADCAST_QUERIES, n, dim
@@ -4040,7 +4096,7 @@ def ann_ivf_pq_residual(
     root = index_root or _hfs.artifact_root(
         spark, "ivfpq_tcb" if train_codebook else "ivfpq_index", sf_dir
     )
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     nprobe = ivf_nprobe_for(k)
@@ -4057,7 +4113,7 @@ def ann_ivf_pq_residual(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, query_mod_for(n),
         fan=pq_m_for(dim or 0) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
     return out.localCheckpoint(eager=True)
 
@@ -4144,7 +4200,7 @@ def ann_ivfpq_filtered_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_lab", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4156,7 +4212,7 @@ def ann_ivfpq_filtered_serve(
     out = _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, max_broadcast_queries, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
         label_filtered=True,
     )
     return out.localCheckpoint(eager=True)
@@ -4181,7 +4237,7 @@ def ann_ivfpq_serve(
     from .. import fs as _hfs
 
     root = index_root or _hfs.artifact_root(spark, "ivfpq_serve", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4197,7 +4253,7 @@ def ann_ivfpq_serve(
         # a sparse-id corpus seeds fewer entries), which is the safe
         # direction for a broadcast-guard threshold.
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
     return out.localCheckpoint(eager=True)
 
@@ -4224,8 +4280,10 @@ def _serve_ivfpq_from_artifacts(
     switches on the payload pre-filter: the persisted ``label`` column
     rides the candidate join (BEFORE the codes join, so the predicate
     also cuts the ADC volume), query labels are a Q-row lookup.
-    ``n`` (served corpus rows) lets BOTH broadcast guards bound their
-    query relation arithmetically — Q ≤ n//qmod + 1 — instead of each
+    ``n`` (the served corpus's ID-SPACE bound, max(vec_id)+1 — equals
+    the row count on dense ids, and keeps Q ≤ n//qmod + 1 a true upper
+    bound on sparse ones, r12 ADVICE #1) lets BOTH broadcast guards
+    bound their query relation arithmetically instead of each
     evaluating its subplan once just to count it (r12, _query_side)."""
     loaded_centroids = _load_index_centroids(spark, root)
     cframe = _centroid_frame(spark, loaded_centroids)
@@ -4324,42 +4382,65 @@ def _build_ivfpq_ingest_base(
 ) -> int:
     """The BASE-slice build of the growing IVF-PQ root, shared by the
     batch (``ann_ivfpq_ingest``) and streaming
-    (``stream_ivfpq_ingest``) fine-stage ingest ops: coarse artifacts
-    via ``_build_ingest_base``, then the fine stage — codebook from
-    the base slice's first derived-budget DENSE ids (the ingest
-    dense-renumber convention; the budget derives from the slice the
-    codebook trains on, ``pq_seeds_for(n_base)``), codes for the base
-    encoded off the PERSISTED assignments so the codes artifact
-    derives from the layout it serves with.  Returns the derived
-    nprobe."""
-    centroids, _k, nprobe, n_base = _build_ingest_base(
-        spark, vecs, root, n_base
-    )
+    (``stream_ivfpq_ingest``) fine-stage ingest ops: train via
+    ``_train_ingest_base``, then derive ALL FOUR artifacts — coarse
+    (centroids, cell-partitioned assignments) and fine (codebook from
+    the base slice's first derived-budget DENSE ids, the ingest
+    dense-renumber convention with the budget from the slice the
+    codebook trains on, ``pq_seeds_for(n_base)``; codes for the base)
+    — from ONE pinned assignment frame and write them as four
+    overlapped independent jobs.  Returns the derived nprobe."""
+    centroids, k, n_base, base = _train_ingest_base(spark, vecs, root, n_base)
     cframe = _centroid_frame(spark, centroids)
     seeds = pq_seeds_for(n_base)
-    assigned_base = spark.read.parquet(f"{root}/assignments").select(
-        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
-    )
-    subs_base = _pq_subs(assigned_base, cframe, residual=True)
-    codebook = subs_base.filter(
-        F.expr(f"vec_id div 2 < {seeds}")
-    ).select(
-        F.expr("vec_id div 2").alias("seed_id"),
-        "m",
-        F.col("sub").alias("seed_sub"),
-    )
-    # the codes encode reads the codebook FRAME (a plan over the same
-    # persisted assignments), not the codebook FILE — the two fine-
-    # artifact writes are independent jobs (io.run_jobs, guide §2.6)
-    run_jobs(
-        lambda: one_file(codebook)
-        .write.mode("overwrite")
-        .parquet(f"{root}/pq_codebook"),
-        lambda: _pq_codes_for(subs_base, codebook)
-        .write.mode("overwrite")
-        .parquet(f"{root}/pq_codes"),
-    )
-    return nprobe
+    # ONE pinned assignment feeds all four artifacts (r13): the old
+    # shape wrote centroids ∥ assignments, then READ the assignments
+    # file back to derive codebook ∥ codes — two sequential run_jobs
+    # pairs with a write→read barrier between them.  The fine stage is
+    # a per-row pure function of (assignment row, centroids), and
+    # doubles round-trip parquet bit-exactly, so deriving it from the
+    # persisted frame instead of the file read-back is value-identical
+    # (the oracle re-checks it) while all FOUR writes overlap in one
+    # run_jobs (guide §2.6) and the corpus assignment computes once.
+    assigned_base = _assign_cells(base, centroids).select(
+        "vec_id", "embedding", "norm", "cell"
+    ).persist()
+    try:
+        # materialize the cache BEFORE the concurrent writes: Spark's
+        # cache does not serialize concurrent computation of the same
+        # cold partition, so four jobs launched together would each
+        # re-run the interpreted argmin assignment (measured +30% on
+        # the whole entry); one count pays the pass exactly once
+        assigned_base.count()
+        subs_base = _pq_subs(
+            assigned_base.select("vec_id", "embedding", "cell"),
+            cframe,
+            residual=True,
+        )
+        codebook = subs_base.filter(
+            F.expr(f"vec_id div 2 < {seeds}")
+        ).select(
+            F.expr("vec_id div 2").alias("seed_id"),
+            "m",
+            F.col("sub").alias("seed_sub"),
+        )
+        run_jobs(
+            lambda: one_file(_centroid_frame(spark, centroids))
+            .write.mode("overwrite")
+            .parquet(f"{root}/centroids"),
+            lambda: _write_cell_partitioned(
+                assigned_base, f"{root}/assignments", "overwrite"
+            ),
+            lambda: one_file(codebook)
+            .write.mode("overwrite")
+            .parquet(f"{root}/pq_codebook"),
+            lambda: _pq_codes_for(subs_base, codebook)
+            .write.mode("overwrite")
+            .parquet(f"{root}/pq_codes"),
+        )
+    finally:
+        assigned_base.unpersist()
+    return ivf_nprobe_for(k)
 
 
 def _ingest_encode_batch(
@@ -4425,9 +4506,11 @@ def ann_ivfpq_ingest(
             F.count(F.lit(1)).alias("n"),
             F.count_if(F.expr(IVF_BASE_SLICE)).alias("n_base"),
             F.max(F.size("embedding")).alias("dim"),
+            F.max("vec_id").alias("max_id"),
         ).first()
         n, n_base = int(shape["n"]), int(shape["n_base"])
         dim = int(shape["dim"] or 0)
+        n_ids = int(shape["max_id"]) + 1 if shape["max_id"] is not None else 0
         nprobe = _build_ivfpq_ingest_base(spark, vecs, root, n_base)
         # --- ingest: the shared frozen-artifact encode, one batch
         loaded_centroids = _load_index_centroids(spark, root)
@@ -4447,7 +4530,7 @@ def ann_ivfpq_ingest(
             spark, sf_dir, root, nprobe, max_broadcast_queries,
             query_mod_for(n),
             fan=pq_m_for(dim) * pq_seeds_for(n_base),
-            n=n,
+            n=n_ids,
         )
         return out.localCheckpoint(eager=True)
     finally:
@@ -4495,7 +4578,7 @@ def _ann_ivf_pq_residual_explain_frame(
         for r in seed_rows
     }
     dim = len(seed_rows[0]["embedding"]) if seed_rows else PQ_SUBDIM
-    n, _ = _corpus_shape(vecs)
+    n, _, _n_ids = _corpus_shape(vecs)
     pq_seeds = pq_seeds_for(n)
     cframe = _centroid_frame(spark, centroids)
     assigned = _assign_cells(vecs, centroids).select(
@@ -4523,7 +4606,7 @@ def _ann_ivfpq_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivfpq_serve", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4535,7 +4618,7 @@ def _ann_ivfpq_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
 
 
@@ -4548,7 +4631,7 @@ def _ann_ivfpq_filtered_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivfpq_lab", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4560,7 +4643,7 @@ def _ann_ivfpq_filtered_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
         label_filtered=True,
     )
 
@@ -4574,7 +4657,7 @@ def _ann_ivfpq_delete_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivfpq_del", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4586,7 +4669,7 @@ def _ann_ivfpq_delete_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
 
 
@@ -4606,7 +4689,7 @@ def _ann_ivfpq_upsert_serve_explain_frame(
     from .. import fs as _hfs
 
     root = _hfs.artifact_root(spark, "ivfpq_ups", sf_dir)
-    nprobe, qmod, n, dim = _ensure_index_params(
+    nprobe, qmod, n, dim, n_ids = _ensure_index_params(
         spark,
         sf_dir,
         root,
@@ -4618,7 +4701,7 @@ def _ann_ivfpq_upsert_serve_explain_frame(
     return _serve_ivfpq_from_artifacts(
         spark, sf_dir, root, nprobe, MAX_BROADCAST_QUERIES, qmod,
         fan=pq_m_for(dim) * pq_seeds_for(n),
-        n=n,
+        n=n_ids,
     )
 
 
@@ -4938,7 +5021,7 @@ def ann_ivf_nprobe_curve(
     frame); candidate cost per rung scales as nprobe·n/K by
     construction, so the report prices the recall each extra probe
     buys."""
-    n = load_table(spark, sf_dir, "embeddings").count()
+    n, n_ids = _corpus_counts(spark, sf_dir)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     np0 = ivf_nprobe_for(k)
@@ -4963,7 +5046,7 @@ def ann_ivf_nprobe_curve(
         # arithmetic guard bound from the scalars in hand (r12): the
         # agg spelling evaluated the query projection once per report
         dim = len(next(iter(centroids.values()))) if centroids else 0
-        q_est = (n // qmod + 1, (n // qmod + 1) * (dim * 8 + 48))
+        q_est = (n_ids // qmod + 1, (n_ids // qmod + 1) * (dim * 8 + 48))
         exact = (
             vecs.join(
                 _query_side(
@@ -4992,7 +5075,7 @@ def ann_ivf_nprobe_curve(
         for rung in rungs:
             part = _ivf_literal_search(
                 vecs, assigned, centroids, rung, max_broadcast_queries, qmod,
-                n=n,
+                n=n_ids,
             ).select(
                 F.lit(rung).cast("bigint").alias("nprobe"),
                 "query_id",
@@ -5137,7 +5220,7 @@ def ann_ivfpq_recall_report(
     approximates).  One row per variant: ``(variant, n_queries, k,
     n_hits, recall_ppm)``."""
     vecs0 = _vectors(spark, sf_dir)
-    n, dim = _corpus_shape(vecs0)
+    n, dim, n_ids = _corpus_shape(vecs0)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     nprobe = ivf_nprobe_for(k)
@@ -5155,6 +5238,10 @@ def ann_ivfpq_recall_report(
         assigned = _assign_cells(vecs, centroids).select(
             "vec_id", "embedding", "cell"
         ).persist()
+        # materialize before the three arms fan out (run_jobs below):
+        # concurrent jobs racing a cold cache each re-run the
+        # interpreted argmin assignment instead of sharing one pass
+        assigned.count()
         qmod = query_mod_for(n)
         probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
             "query_id", "q_emb", "q_cell"
@@ -5162,7 +5249,7 @@ def ann_ivfpq_recall_report(
         # arithmetic guard bounds — every scalar is already in hand
         # (r12: the agg guards evaluated the probe/query subplans once
         # per consumer)
-        qb = (n // qmod + 1) * nprobe
+        qb = (n_ids // qmod + 1) * nprobe
         cand = _grid_cand(
             assigned, probes, max_broadcast_queries, nprobe,
             est=(qb, qb * 16),
@@ -5177,7 +5264,7 @@ def ann_ivfpq_recall_report(
             .join(
                 _query_side(
                     queries, max_broadcast_queries, "shuffle_replicate_nl",
-                    est=(n // qmod + 1, (n // qmod + 1) * (dim * 8 + 48)),
+                    est=(n_ids // qmod + 1, (n_ids // qmod + 1) * (dim * 8 + 48)),
                 ),
                 F.col("vec_id") != F.col("query_id"),
             )
@@ -5550,6 +5637,10 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mid-Lloyd of the slower one (r12 ADVICE)
     shared_vecs = _vectors(spark, sf_dir).persist()
     try:
+        # materialize BEFORE the arms fan out: concurrent jobs do not
+        # serialize cold-cache computation of the same partitions, so
+        # both arms would re-run the interpreted norm projection
+        shared_vecs.count()
         arm_c8, arm_prod = run_jobs(
             lambda: _ann_ivf_trained_with_k(
                 spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES,

@@ -12,9 +12,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    # Core count overridable for A/B runs; the default is sized to the
+    # suite, not to any assertion — no test depends on the master width
+    # (JDBC partition-count tests pin numPartitions in the read options).
+    master = os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[4]")
     s = get_spark(
         app_name="dbdiff_spark_tests",
-        master="local[4]",
+        master=master,
         shuffle_partitions=4,
         extra_conf={"spark.driver.memory": "4g"},
     )

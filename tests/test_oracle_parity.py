@@ -11,4 +11,9 @@ from check_oracle import main as check_main
 
 
 def test_all_queries_match_oracle(spark, sf_dir):
-    assert check_main([], sf_dir=sf_dir, spark=spark) == 0
+    # jobs=4: the tool's thread pool overlaps Spark job submission,
+    # driver-side planning and the DuckDB replays of independent
+    # queries — same 241-query coverage, ~3x less wall time (the
+    # suite's single largest entry; r12 VERDICT #1 asks for the whole
+    # run to fit the driver's budget)
+    assert check_main([], sf_dir=sf_dir, spark=spark, jobs=4) == 0

@@ -153,16 +153,29 @@ def test_registry_wide_plan_governance(spark, sf_dir):
     a new unbounded BNLJ would surface here as a cartesian once AQE
     cannot build-side it, and in review via this comment."""
     qs = entry.queries()
-    bad = {}
-    for name, fn in sorted(qs.items()):
+
+    def _audit(item):
+        name, fn = item
         plan = _plan(fn(spark, sf_dir))
         flags = []
         if "CartesianProduct" in plan:
             flags.append("CartesianProduct")
         if "BatchEvalPython" in plan:
             flags.append("BatchEvalPython")
-        if flags:
-            bad[name] = flags
+        return name, flags
+
+    # thread pool (r13): each audit is independent — the eager entries
+    # (ANN builds) execute real jobs and the rest is driver-side
+    # analysis behind py4j, both of which overlap across threads.  Same
+    # per-query assertions, ~3x less wall time (the suite's
+    # second-largest entry; r12 VERDICT #1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    bad = {}
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for name, flags in pool.map(_audit, sorted(qs.items())):
+            if flags:
+                bad[name] = flags
     assert not bad, bad
 
 
