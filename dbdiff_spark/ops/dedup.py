@@ -688,6 +688,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"array_distinct({shingles_expr_spark('tokens')}) AS shingle_set"
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
+    # Explicit core-count width on the verify path (r13, the
+    # _cell_spread lesson): the candidate-pair frame is byte-tiny, so
+    # AQE folds the post-join partitions to ONE task and the exact
+    # per-pair Jaccard — two ~500-element array_intersects per row,
+    # the op's dominant compute — runs single-threaded (profiled:
+    # 1.4 s of 1-task tail).  Hash on the pair key keeps retries
+    # deterministic; the count derives from the session.
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism, "id_a"
+    )
     a = shingled.alias("a")
     b = shingled.alias("b")
     return (
@@ -755,11 +765,20 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("label").alias("cluster_id"))
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
+def _min_label_components(pairs: DataFrame, speculate: bool = True) -> DataFrame:
     """Min-label propagation over an undirected pair list (columns
     ``id_a``/``id_b``) → one (doc_id, label) row per node that appears
     in a pair; shared by the near-dup clustering and entity
-    resolution."""
+    resolution.
+
+    ``speculate``: overlap each round's convergence count with the
+    next round's contraction (see the loop comment).  True pays ONE
+    wasted contraction in the final round to hide a count per earlier
+    round — a win on many-cheap-round graphs (neardup_clusters
+    5.9 → 3.7 s, entity_resolution 1.97 → 1.79 s measured quiet) and a
+    loss on few-expensive-round dense graphs where the wasted round
+    dominates (the dhash fingerprint graphs: +0.3-0.5 s — those
+    callers pass False and keep the r12 eager sequential shape)."""
     edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
         pairs.selectExpr("id_b AS src", "id_a AS dst")
     )
@@ -805,18 +824,26 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
     # so they overlap; a converged round's speculative successor is
     # discarded (and would be value-identical anyway — propagating
     # into a converged labeling changes nothing).
-    cur = cut_lineage(_round(labels), eager=True)
-    for _ in range(CC_MAX_ITERS):
-        changed, nxt = run_jobs(
-            lambda c=cur: c.filter(F.col("__changed")).count(),
-            lambda l=cur.drop("__changed"): cut_lineage(
-                _round(l), eager=True
-            ),
-        )
-        labels = cur.drop("__changed")
-        if changed == 0:
-            break
-        cur = nxt
+    if speculate:
+        cur = cut_lineage(_round(labels), eager=True)
+        for _ in range(CC_MAX_ITERS):
+            changed, nxt = run_jobs(
+                lambda c=cur: c.filter(F.col("__changed")).count(),
+                lambda l=cur.drop("__changed"): cut_lineage(
+                    _round(l), eager=True
+                ),
+            )
+            labels = cur.drop("__changed")
+            if changed == 0:
+                break
+            cur = nxt
+    else:
+        for _ in range(CC_MAX_ITERS):
+            new_labels = cut_lineage(_round(labels), eager=True)
+            changed = new_labels.filter(F.col("__changed")).count()
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
 
@@ -945,10 +972,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ).filter(F.col("src") != F.col("dst"))
 
 
-def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> DataFrame:
+def bigstar_components(
+    sym_edges: DataFrame,
+    max_iters: int = CC_MAX_ITERS,
+    speculate: bool = True,
+) -> DataFrame:
     """Connected components of a symmetric edge list ``(src, dst)`` via
     alternating large-star/small-star contraction.  Returns
-    ``(doc_id, cluster_id)`` where cluster_id is the component minimum."""
+    ``(doc_id, cluster_id)`` where cluster_id is the component minimum.
+
+    ``speculate`` — overlap each round's convergence count with the
+    next round's contraction (see the loop comment): a win when the
+    loop runs several rounds (the LSH/simhash graphs), a loss when the
+    graph contracts in 1-2 rounds and the one wasted final-round
+    contraction outweighs the hidden counts (the ingest ops'
+    intra-batch exact-copy graphs pass False — r13 A/B)."""
     # lineage cut per round — without it the logical plan doubles
     # every contraction and the driver OOMs just stringifying it by
     # round ~6 (the classic iterative-algorithm trap).  cut_lineage
@@ -973,27 +1011,40 @@ def bigstar_components(sym_edges: DataFrame, max_iters: int = CC_MAX_ITERS) -> D
     # contraction is discarded — harmless even if it were used, since
     # contracting a converged graph reproduces the same edge SET and
     # every consumer is set-semantic.
-    contracted = (
-        cut_lineage(_small_star(_large_star(edges)), eager=True)
-        if max_iters > 0
-        else None
-    )
-    for _ in range(max_iters):
-        # re-symmetrize for the next large-star round
-        edges = contracted.unionByName(
-            contracted.selectExpr("dst AS src", "src AS dst")
+    if speculate:
+        contracted = (
+            cut_lineage(_small_star(_large_star(edges)), eager=True)
+            if max_iters > 0
+            else None
         )
-        changed, nxt = run_jobs(
+        for _ in range(max_iters):
+            # re-symmetrize for the next large-star round
+            edges = contracted.unionByName(
+                contracted.selectExpr("dst AS src", "src AS dst")
+            )
+            changed, nxt = run_jobs(
+                # converged when the (big → small) edge set is stable
+                lambda c=contracted, p=prev: c.subtract(p).count(),
+                lambda e=edges: cut_lineage(
+                    _small_star(_large_star(e)), eager=True
+                ),
+            )
+            prev = contracted
+            if changed == 0:
+                break
+            contracted = nxt
+    else:
+        for _ in range(max_iters):
+            contracted = cut_lineage(_small_star(_large_star(edges)))
             # converged when the (big → small) edge set is stable
-            lambda c=contracted, p=prev: c.subtract(p).count(),
-            lambda e=edges: cut_lineage(
-                _small_star(_large_star(e)), eager=True
-            ),
-        )
-        prev = contracted
-        if changed == 0:
-            break
-        contracted = nxt
+            changed = contracted.subtract(prev).count()
+            prev = contracted
+            # re-symmetrize for the next large-star round
+            edges = contracted.unionByName(
+                contracted.selectExpr("dst AS src", "src AS dst")
+            )
+            if changed == 0:
+                break
     # stars: child → root on the (big → small) half; roots map to themselves
     parents = (
         edges.filter(F.col("src") > F.col("dst"))
@@ -1920,7 +1971,11 @@ def dedup_ingest_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = bigstar_components(
         intra_pairs.selectExpr("id_a AS src", "id_b AS dst").unionByName(
             intra_pairs.selectExpr("id_b AS src", "id_a AS dst")
-        )
+        ),
+        # intra-batch exact-copy pairs contract in 1-2 rounds: the
+        # speculative loop's wasted final contraction costs more than
+        # the counts it hides (r13 A/B: ingest_full ~10% slower with it)
+        speculate=False,
     )
     assign = (
         batch_sigs.select("doc_id")

@@ -5021,23 +5021,16 @@ def ann_ivf_nprobe_curve(
     frame); candidate cost per rung scales as nprobe·n/K by
     construction, so the report prices the recall each extra probe
     buys."""
-    n, n_ids = _corpus_counts(spark, sf_dir)
+    vecs0 = _vectors(spark, sf_dir)
+    n, dim, n_ids = _corpus_shape(vecs0)
     k = semdedup_cells(n)
     mod = _derived_sample_mod(n, k)
     np0 = ivf_nprobe_for(k)
     qmod = query_mod_for(n)
     rungs = sorted({fn(np0, k) for _label, fn in NPROBE_CURVE_RUNGS})
-    vecs = _vectors(spark, sf_dir).persist()
+    vecs = vecs0.persist()
     assigned = None
     try:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        # pinned (r12): FOUR nprobe rungs consume this frame — without
-        # the cache each rung re-derives the interpreted argmin HOF
-        # (twice, via the join-key null-filter pushdown), i.e. eight
-        # full-corpus assignment passes for one report
-        assigned = _assign_cells(vecs, centroids).select(
-            "vec_id", "embedding", "norm", "cell"
-        ).persist()
         queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -5045,7 +5038,6 @@ def ann_ivf_nprobe_curve(
         )
         # arithmetic guard bound from the scalars in hand (r12): the
         # agg spelling evaluated the query projection once per report
-        dim = len(next(iter(centroids.values()))) if centroids else 0
         q_est = (n_ids // qmod + 1, (n_ids // qmod + 1) * (dim * 8 + 48))
         exact = (
             vecs.join(
@@ -5066,11 +5058,27 @@ def ann_ivf_nprobe_curve(
         we = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )
-        exact_k = (
+        exact_k_frame = (
             exact.withColumn("rank", F.row_number().over(we))
             .filter(F.col("rank") <= IVF_K)
             .select("query_id", "neighbor_id")
         )
+        # the exact baseline never sees the centroids: its brute-force
+        # pass overlaps the driver-paced Lloyd loop (r13, guide §2.6);
+        # the vecs cache is materialized first so the concurrent jobs
+        # do not both recompute its cold partitions
+        vecs.count()
+        centroids, exact_k = run_jobs(
+            lambda: _kmeans_centroids(_lloyd_train_frame(vecs, mod), k),
+            lambda: exact_k_frame.localCheckpoint(eager=True),
+        )
+        # pinned (r12): FOUR nprobe rungs consume this frame — without
+        # the cache each rung re-derives the interpreted argmin HOF
+        # (twice, via the join-key null-filter pushdown), i.e. eight
+        # full-corpus assignment passes for one report
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "norm", "cell"
+        ).persist()
         approx = None
         for rung in rungs:
             part = _ivf_literal_search(
@@ -5229,33 +5237,13 @@ def ann_ivfpq_recall_report(
     vecs = vecs0.persist()
     assigned = None
     try:
-        centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
-        cframe = _centroid_frame(spark, centroids)
-        # pinned (r12): THREE PQ arms (two of them codebook-training
-        # loops) plus the candidate join consume this frame — without
-        # the cache every consumer re-derives the interpreted argmin
-        # HOF from the scan (the join-key null-filter doubles it)
-        assigned = _assign_cells(vecs, centroids).select(
-            "vec_id", "embedding", "cell"
-        ).persist()
-        # materialize before the three arms fan out (run_jobs below):
-        # concurrent jobs racing a cold cache each re-run the
-        # interpreted argmin assignment instead of sharing one pass
-        assigned.count()
         qmod = query_mod_for(n)
-        probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
-            "query_id", "q_emb", "q_cell"
-        )
-        # arithmetic guard bounds — every scalar is already in hand
-        # (r12: the agg guards evaluated the probe/query subplans once
-        # per consumer)
-        qb = (n_ids // qmod + 1) * nprobe
-        cand = _grid_cand(
-            assigned, probes, max_broadcast_queries, nprobe,
-            est=(qb, qb * 16),
-        )
         # exact squared-L2 ground truth over the raw doubles — the SAME
-        # derived stride as the arms, so recall denominators line up
+        # derived stride as the arms, so recall denominators line up.
+        # It never sees the centroids, so its brute-force pass overlaps
+        # the driver-paced Lloyd loop below (r13, guide §2.6) — the
+        # vecs cache is materialized first so the concurrent jobs do
+        # not both recompute its cold partitions.
         queries = vecs.filter(F.col("vec_id") % qmod == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
         )
@@ -5277,10 +5265,38 @@ def ann_ivfpq_recall_report(
         we = Window.partitionBy("query_id").orderBy(
             F.col("d2"), F.col("neighbor_id")
         )
-        exact_k = (
+        exact_k_frame = (
             exact.withColumn("rank", F.row_number().over(we))
             .filter(F.col("rank") <= PQ_K)
             .select("query_id", "neighbor_id")
+        )
+        vecs.count()
+        centroids, exact_k = run_jobs(
+            lambda: _kmeans_centroids(_lloyd_train_frame(vecs, mod), k),
+            lambda: exact_k_frame.localCheckpoint(eager=True),
+        )
+        cframe = _centroid_frame(spark, centroids)
+        # pinned (r12): THREE PQ arms (two of them codebook-training
+        # loops) plus the candidate join consume this frame — without
+        # the cache every consumer re-derives the interpreted argmin
+        # HOF from the scan (the join-key null-filter doubles it)
+        assigned = _assign_cells(vecs, centroids).select(
+            "vec_id", "embedding", "cell"
+        ).persist()
+        # materialize before the three arms fan out (run_jobs below):
+        # concurrent jobs racing a cold cache each re-run the
+        # interpreted argmin assignment instead of sharing one pass
+        assigned.count()
+        probes = _probe_frame(vecs, centroids, nprobe, qmod).select(
+            "query_id", "q_emb", "q_cell"
+        )
+        # arithmetic guard bounds — every scalar is already in hand
+        # (r12: the agg guards evaluated the probe/query subplans once
+        # per consumer)
+        qb = (n_ids // qmod + 1) * nprobe
+        cand = _grid_cand(
+            assigned, probes, max_broadcast_queries, nprobe,
+            est=(qb, qb * 16),
         )
         # arm builds overlap (io.run_jobs, §2.6): two of the three
         # arms run EAGER per-subspace Lloyd loops (driver-paced collect
@@ -5641,7 +5657,11 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # serialize cold-cache computation of the same partitions, so
         # both arms would re-run the interpreted norm projection
         shared_vecs.count()
-        arm_c8, arm_prod = run_jobs(
+        # the exact baseline shares no state with the trained arms
+        # (it never sees the centroids), so its brute-force pass rides
+        # the same fan-out instead of waiting for both Lloyd loops
+        # (r13, guide §2.6); its plan reads the shared vecs cache
+        arm_c8, arm_prod, exact = run_jobs(
             lambda: _ann_ivf_trained_with_k(
                 spark, sf_dir, KMEANS_K, IVF_NPROBE, MAX_BROADCAST_QUERIES,
                 vecs=shared_vecs,
@@ -5649,42 +5669,49 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: ann_ivf_trained(
                 spark, sf_dir, query_mod=QUERY_MOD, vecs=shared_vecs
             ),
+            lambda: exact.localCheckpoint(eager=True),
         )
+        approx = approx.unionByName(
+            arm_c8.filter(F.col("rank") <= ANN_K).select(
+                F.lit("ivf_trained_c8_p2").alias("variant"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        # the PRODUCTION config's measured recall (VERDICT r7 #5):
+        # derived K ≈ √n, sample-trained Lloyd, derived nprobe = ⌈√K⌉
+        # — exactly what ann_ivf_trained ships, so the report states
+        # the recall of the config users actually run, not only the
+        # pinned A/Bs
+        approx = approx.unionByName(
+            arm_prod.filter(F.col("rank") <= ANN_K).select(
+                F.lit("ivf_trained_prod").alias("variant"),
+                "query_id",
+                "neighbor_id",
+            )
+        )
+        hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+            "variant"
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        nq = exact.select("query_id").distinct().groupBy().agg(
+            F.count(F.lit(1)).alias("n_queries")
+        )
+        out = hits.crossJoin(nq).select(
+            "variant",
+            F.col("n_queries").cast("bigint"),
+            F.lit(ANN_K).cast("bigint").alias("k"),
+            F.col("n_hits").cast("bigint"),
+            F.expr(
+                f"CAST((n_hits * 1000000) div (n_queries * {ANN_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        # pin the bounded result while the shared vecs cache is still
+        # live: the two untrained ann_ivf arms in the final plan read
+        # it instead of re-deriving the norm projection after the
+        # finally releases it
+        return out.localCheckpoint(eager=True)
     finally:
         shared_vecs.unpersist()
-    approx = approx.unionByName(
-        arm_c8.filter(F.col("rank") <= ANN_K).select(
-            F.lit("ivf_trained_c8_p2").alias("variant"),
-            "query_id",
-            "neighbor_id",
-        )
-    )
-    # the PRODUCTION config's measured recall (VERDICT r7 #5): derived
-    # K ≈ √n, sample-trained Lloyd, derived nprobe = ⌈√K⌉ — exactly
-    # what ann_ivf_trained ships, so the report states the recall of
-    # the config users actually run, not only the pinned A/Bs
-    approx = approx.unionByName(
-        arm_prod.filter(F.col("rank") <= ANN_K).select(
-            F.lit("ivf_trained_prod").alias("variant"),
-            "query_id",
-            "neighbor_id",
-        )
-    )
-    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy("variant").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
-    nq = exact.select("query_id").distinct().groupBy().agg(
-        F.count(F.lit(1)).alias("n_queries")
-    )
-    return hits.crossJoin(nq).select(
-        "variant",
-        F.col("n_queries").cast("bigint"),
-        F.lit(ANN_K).cast("bigint").alias("k"),
-        F.col("n_hits").cast("bigint"),
-        F.expr(f"CAST((n_hits * 1000000) div (n_queries * {ANN_K}) AS BIGINT)").alias(
-            "recall_ppm"
-        ),
-    )
 
 
 def _ann_ivf_recall_sql() -> str:
