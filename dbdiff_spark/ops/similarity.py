@@ -4129,31 +4129,50 @@ def _build_ivfpq_artifacts(
 ) -> int | None:
     """The build half of the residual IVF-PQ composite, shared by the
     per-call-rebuild entry (``ann_ivf_pq_residual``, the oracle-parity
-    shape) and the build-once serve entry (``ann_ivfpq_serve``): coarse
-    artifacts via ``_build_ivf_coarse_artifacts``, then the fine stage
-    — residuals of the PERSISTED assignments encoded into PQ codes (the
-    codes artifact derives from the index layout it serves with) —
-    written beside them.  ``n`` (corpus row count) lets a caller that
-    already counted skip the fine stage's shape re-derivation; the two
-    fine artifacts have no data dependency on each other's WRITE, so
-    they run as concurrent jobs (io.run_jobs, guide §2.6)."""
-    centroids = _build_ivf_coarse_artifacts(spark, vecs, k, mod, root)
+    shape) and the build-once serve entry (``ann_ivfpq_serve``): train
+    the coarse quantizer, then derive ALL FOUR artifacts — centroids,
+    cell-partitioned assignments, pq_codebook (Lloyd-trained when
+    ``train_codebook``), pq_codes — from ONE pinned assignment frame
+    and write them as four overlapped independent jobs (r13; the old
+    shape wrote the coarse pair, then READ the assignments file back
+    for the fine pair — a write→read barrier on the critical path;
+    fine values are per-row pure functions of (assignment row,
+    centroids) and doubles round-trip parquet bit-exactly, so the
+    frame-derived artifacts are value-identical, oracle-checked).
+    ``n`` (corpus row count) lets a caller that already counted skip
+    the fine stage's shape re-derivation."""
+    centroids = _kmeans_centroids(_lloyd_train_frame(vecs, mod), k)
     cframe = _centroid_frame(spark, centroids)
     # the trained centroids pin the corpus dimension driver-side
     dim = len(next(iter(centroids.values()))) if centroids else None
-    assigned = spark.read.parquet(f"{root}/assignments").select(
-        "vec_id", "embedding", F.col("cell").cast("bigint").alias("cell")
-    )
-    codes, codebook = _pq_grid_codes(
-        assigned, cframe, residual=True, train_codebook=train_codebook,
-        seeds=pq_seeds_for(n) if n else None,
-    )
-    run_jobs(
-        lambda: one_file(codebook)
-        .write.mode("overwrite")
-        .parquet(f"{root}/pq_codebook"),
-        lambda: codes.write.mode("overwrite").parquet(f"{root}/pq_codes"),
-    )
+    assigned = _assign_cells(vecs, centroids).select(
+        "vec_id", "embedding", "norm", "cell"
+    ).persist()
+    try:
+        # one count materializes the cache before any concurrent
+        # consumer: cold-cache partitions are recomputed by every
+        # racing job (the ingest-base lesson), and the codebook
+        # training loop below reads this frame every round
+        assigned.count()
+        codes, codebook = _pq_grid_codes(
+            assigned.select("vec_id", "embedding", "cell"), cframe,
+            residual=True, train_codebook=train_codebook,
+            seeds=pq_seeds_for(n) if n else None,
+        )
+        run_jobs(
+            lambda: one_file(cframe)
+            .write.mode("overwrite")
+            .parquet(f"{root}/centroids"),
+            lambda: _write_cell_partitioned(
+                assigned, f"{root}/assignments", "overwrite"
+            ),
+            lambda: one_file(codebook)
+            .write.mode("overwrite")
+            .parquet(f"{root}/pq_codebook"),
+            lambda: codes.write.mode("overwrite").parquet(f"{root}/pq_codes"),
+        )
+    finally:
+        assigned.unpersist()
     return dim
 
 
